@@ -1,0 +1,259 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Relational analytics surface: grouped aggregation, broadcast joins,
+  * multi-way joins, windows, semi/anti joins, rollup, top-k per group,
+  * sessionization.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/supplier, filtered customer) are broadcast —
+  *    no shuffle on the fact side for those joins;
+  *  - fact-fact joins shuffle once on the join key; AQE re-plans skew;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - filters/projections are plain column refs so parquet gets
+  *    predicate pushdown + column pruning.
+  *
+  * Cross-engine determinism: double sums are order-dependent in IEEE
+  * arithmetic, and Spark's partial aggregation order differs from the
+  * DuckDB oracle's sequential order. Money-like sums therefore go
+  * through exact decimal accumulation and only then back to double.
+  */
+object Analytics {
+
+  /** Order-independent sum of a double column: accumulate as exact
+    * decimal, return double. Same trick on the oracle side. */
+  private def stableSum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Literal that compares cleanly against parquet NTZ or TZ timestamps. */
+  private def tsLit(df: DataFrame, colName: String, iso: String): Column =
+    lit(java.time.LocalDateTime.parse(iso)).cast(df.schema(colName).dataType)
+
+  /** Q1-style pricing summary: scan-heavy grouped aggregation. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-02T00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        stableSum(col("l_quantity"), 2).as("sum_qty"),
+        stableSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-style: selective dim filter -> broadcast join -> agg -> top-k. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+    val cutoff = "1995-09-15T00:00:00"
+    ord
+      .filter(col("o_orderdate") < tsLit(ord, "o_orderdate", cutoff))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li.filter(col("l_shipdate") > tsLit(li, "l_shipdate", cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style multi-way join: two broadcast dims + fact-fact shuffle join. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "EUROPE"))
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+    val li     = Tables.lineitem(spark, dir)
+    val dims = broadcast(
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey")))
+    ord
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Window functions: rank + running sum per supplier over ship time. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn") <= 5)
+      .drop("l_shipdate")
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Semi/anti join: customers with vs. without orders, one row each. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers")).select(lit("with_orders").as("grp"), col("n_customers"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers")).select(lit("without_orders").as("grp"), col("n_customers"))
+    withOrders.unionAll(without).orderBy(col("grp"))
+  }
+
+  /** Rollup aggregation with grouping id (subtotals + grand total). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        stableSum(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-k per group via ranked window + filter. */
+  def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Sessionization (gaps-and-islands): a session breaks after a 30-min
+    * silence per user. One shuffle on user_id; both windows and the final
+    * groupBy reuse that partitioning. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_num",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("session_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy(col("user_id"), col("session_num"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"       -> (q1Agg _),
+    "q3_join"      -> (q3Join _),
+    "q5_multijoin" -> (q5MultiJoin _),
+    "q_window"     -> (qWindow _),
+    "q_semi_anti"  -> (qSemiAnti _),
+    "q_rollup"     -> (qRollup _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_sessionize" -> (qSessionize _))
+
+  /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-09-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1995-09-15 00:00:00'
+        |GROUP BY o_orderkey, o_date
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_name IN ('ASIA','EUROPE')
+        |  AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER w AS rn,
+        |    sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS grp, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY grp""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |  FROM gapped
+        |)
+        |SELECT user_id, CAST(session_num AS BIGINT) AS session_num, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY user_id, session_num
+        |ORDER BY user_id, session_num""".stripMargin)
+}

@@ -1,0 +1,145 @@
+package graft.storm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Storm-report enrichment, re-expressed as pure Spark `Column`
+  * functions (reference: /root/reference/internal/domain/transform.go).
+  *
+  * Every function here compiles to built-in Catalyst expressions
+  * (CASE WHEN, regexp, sha2, date_trunc, format_string) — no UDFs —
+  * so the whole enrichment stays inside whole-stage codegen, gets
+  * column pruning / predicate pushdown for free, and is a narrow
+  * (shuffle-free) map at any scale.
+  *
+  * Documented deviations from the reference (SURVEY.md §1):
+  *  - IDs format magnitude as %.2f (Go's %g is not portable across
+  *    engines); determinism/idempotency is preserved.
+  *  - RFC3339 parsing accepts the canonical `...Z` layout (the only
+  *    layout the upstream collector emits).
+  */
+object StormFunctions {
+
+  private val numRe = "^[+-]?[0-9]+(\\.[0-9]+)?$"
+
+  /** strconv.ParseFloat-or-zero (transform.go:47-58): non-numeric -> 0. */
+  def parseFloatOrZero(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike(numRe), t.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Per-type magnitude column select + parse (transform.go:60-86):
+    * hail->Size, tornado->F_Scale, wind->Speed; UNK/empty/invalid -> 0;
+    * tolerates EF/F scale prefixes. */
+  def magnitudeRaw(eventType: Column, size: Column, fScale: Column, speed: Column): Column = {
+    val sel = when(eventType === "hail", size)
+      .when(eventType === "tornado", fScale)
+      .when(eventType === "wind", speed)
+    val t = trim(sel)
+    val stripped = regexp_replace(t, "^EF|^F", "")
+    when(sel.isNull || t === "" || upper(t) === "UNK", lit(0.0))
+      .when(stripped.rlike(numRe), stripped.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Event-time resolution (transform.go:88-125): RFC3339 `...Z`, else
+    * legacy HHMM grafted onto the ingest timestamp's date, else the
+    * ingest timestamp itself. */
+  def parseEventTime(ingestTs: Column, timeStr: Column): Column = {
+    val t = trim(timeStr)
+    val rfc = try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    val padded = lpad(t, 4, "0")
+    // casts live inside lazy CASE branches: ANSI mode would otherwise
+    // throw on garbage like "9x77" (which must fall back, not fail)
+    val digits = t.rlike("^[0-9]{3,4}$")
+    val hh = when(digits, substring(padded, 1, 2).cast("int"))
+    val mm = when(digits, substring(padded, 3, 2).cast("int"))
+    val hhmmValid = digits && hh <= 23 && mm <= 59
+    val fromHHMM = make_timestamp(
+      year(ingestTs), month(ingestTs), dayofmonth(ingestTs), hh, mm, lit(0))
+    when(t === "", ingestTs)
+      .otherwise(coalesce(rfc, when(hhmmValid, fromHHMM).otherwise(ingestTs)))
+  }
+
+  /** Exact-match event-type whitelist (transform.go:170-177). */
+  def normalizeEventType(c: Column): Column =
+    when(c.isin("hail", "wind", "tornado"), c).otherwise(lit(""))
+
+  /** Unit defaulting per type (transform.go:179-196). */
+  def normalizeUnit(eventType: Column, unit: Column): Column = {
+    val u = lower(trim(unit))
+    when(u =!= "", u).otherwise(
+      when(eventType === "hail", "in")
+        .when(eventType === "wind", "mph")
+        .when(eventType === "tornado", "f_scale")
+        .otherwise(lit("")))
+  }
+
+  /** Legacy hundredths-of-inch hail fix (transform.go:198-210). */
+  def normalizeMagnitude(eventType: Column, magnitude: Column, unit: Column): Column =
+    when(magnitude === 0.0, magnitude)
+      .when(eventType === "hail" && unit === "in" && magnitude >= 10.0,
+        magnitude / 100.0)
+      .otherwise(magnitude)
+
+  /** Four-level severity per type thresholds (transform.go:212-257);
+    * null when magnitude is 0 or type unrecognized. */
+  def deriveSeverity(eventType: Column, magnitude: Column): Column =
+    when(magnitude === 0.0, lit(null).cast("string"))
+      .when(eventType === "hail",
+        when(magnitude < 0.75, "minor").when(magnitude < 1.5, "moderate")
+          .when(magnitude < 2.5, "severe").otherwise("extreme"))
+      .when(eventType === "wind",
+        when(magnitude < 50.0, "minor").when(magnitude < 74.0, "moderate")
+          .when(magnitude < 96.0, "severe").otherwise("extreme"))
+      .when(eventType === "tornado",
+        when(magnitude <= 1.0, "minor").when(magnitude === 2.0, "moderate")
+          .when(magnitude <= 4.0, "severe").otherwise("extreme"))
+      .otherwise(lit(null).cast("string"))
+
+  /** NWS office code from trailing "(ABC)" in comments (transform.go:259-273). */
+  def extractSourceOffice(comments: Column): Column =
+    regexp_extract(trim(comments), "\\(([A-Z]{3,5})\\)\\s*$", 1)
+
+  private val locRe = "^([0-9]+(?:\\.[0-9]+)?)\\s+([NSEW]{1,3})\\s+(.+)$"
+
+  /** "8 ESE Chappel" -> place name; unparseable -> raw (transform.go:275-300). */
+  def locationName(location: Column): Column = {
+    val t = trim(location)
+    val dir = regexp_extract(t, locRe, 2)
+    when(t === "", lit("")).when(dir =!= "", trim(regexp_extract(t, locRe, 3))).otherwise(t)
+  }
+
+  /** Distance component; null when unparseable. */
+  def locationDistance(location: Column): Column = {
+    val t = trim(location)
+    val d = regexp_extract(t, locRe, 1)
+    when(d =!= "", d.cast("double")).otherwise(lit(null).cast("double"))
+  }
+
+  /** Compass direction component; null when unparseable. */
+  def locationDirection(location: Column): Column = {
+    val t = trim(location)
+    val d = regexp_extract(t, locRe, 2)
+    when(d =!= "", d).otherwise(lit(null).cast("string"))
+  }
+
+  /** Hourly UTC time bucket (transform.go:302-310). */
+  def deriveTimeBucket(eventTime: Column): Column = date_trunc("hour", eventTime)
+
+  /** Deterministic event ID: sha-256 of the raw key fields, first 8
+    * bytes hex, `type-` prefix (transform.go:127-139). Replay-safe /
+    * idempotent: the downstream dedup key. */
+  def generateId(rawType: Column, state: Column, lat: Column, lon: Column,
+      timeRaw: Column, magnitudeRaw: Column): Column = {
+    val payload = concat_ws("|",
+      rawType, state,
+      format_string("%.4f", lat), format_string("%.4f", lon),
+      timeRaw, format_string("%.2f", magnitudeRaw))
+    val short = substring(sha2(payload, 256), 1, 16)
+    when(rawType === "", short).otherwise(concat(rawType, lit("-"), short))
+  }
+
+  /** RFC3339 rendering for engine-stable string output columns. */
+  def rfc3339(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+}

@@ -1,0 +1,232 @@
+package graft.storm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import StormPipeline._
+
+/** Driver-facing storm queries (SURVEY.md §2 #1-15) and their DuckDB
+  * oracles. The oracle replays the same enrichment semantics in SQL
+  * over the shared feed adapter (StormFeed.adapterSql).
+  */
+object StormQueries {
+
+  private def enriched(spark: SparkSession, dir: String): DataFrame =
+    enrich(StormFeed.feed(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON wire roundtrip + parse stage (ParseRawEvent equivalent)
+    "storm_parse" -> ((s, d) => {
+      val parsed = parseRawJson(toRawJson(StormFeed.feed(s, d)))
+      parsed.select(
+        col("event_id"), col("event_type"),
+        StormFunctions.magnitudeRaw(col("event_type"), col("size"), col("f_scale"), col("speed")).as("magnitude_raw"),
+        StormFunctions.parseFloatOrZero(col("lat")).as("lat"),
+        StormFunctions.parseFloatOrZero(col("lon")).as("lon"),
+        col("time").as("time_raw"))
+        .orderBy(col("event_id"))
+    }),
+    "storm_unit" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("event_type"), col("unit")).orderBy(col("event_id"))),
+    "storm_magnitude" -> ((s, d) => {
+      val f = StormFeed.feed(s, d)
+      val magRaw = StormFunctions.magnitudeRaw(col("event_type"), col("size"), col("f_scale"), col("speed"))
+      val etype = StormFunctions.normalizeEventType(col("event_type"))
+      val unit = StormFunctions.normalizeUnit(etype, lit(""))
+      f.select(col("event_id"), magRaw.as("magnitude_raw"),
+          StormFunctions.normalizeMagnitude(etype, magRaw, unit).as("magnitude"))
+        .orderBy(col("event_id"))
+    }),
+    "storm_severity" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("event_type"), col("magnitude"), col("severity"))
+      .orderBy(col("event_id"))),
+    "storm_office" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("source_office")).orderBy(col("event_id"))),
+    "storm_location" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("location_raw"), col("location_name"),
+        col("location_distance"), col("location_direction"))
+      .orderBy(col("event_id"))),
+    "storm_timebucket" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("event_time_str"), col("time_bucket_str"))
+      .orderBy(col("event_id"))),
+    "storm_id" -> ((s, d) => enriched(s, d)
+      .select(col("event_id"), col("id")).orderBy(col("event_id"))),
+    // flagship: the full pipeline
+    "storm_enrich" -> ((s, d) => enriched(s, d).orderBy(col("event_id"))),
+    // replayed (at-least-once redelivery) feed -> dedup by deterministic id
+    "storm_dedup" -> ((s, d) => {
+      val f = StormFeed.feed(s, d)
+      enrich(f.unionAll(f))
+        .dropDuplicates("id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type"))
+    }),
+    // poison pills: malformed payloads quarantined, never fatal
+    "storm_poison" -> ((s, d) => {
+      val withJson = toRawJson(StormFeed.feed(s, d))
+        .withColumn("raw_value",
+          when(col("event_id") % 97 === 0, substring(col("raw_value"), 1, 10))
+            .otherwise(col("raw_value")))
+      parseRawJson(withJson).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_bad"))
+    }),
+    // cmd/validate equivalent: integrity counters over the enriched set
+    "storm_validate" -> ((s, d) => enriched(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type") === "", 1L).otherwise(0L)).as("n_invalid_type"),
+      sum(when(col("severity").isNull, 1L).otherwise(0L)).as("n_no_severity"),
+      sum(when(col("source_office") =!= "", 1L).otherwise(0L)).as("n_with_office"),
+      sum(when(col("location_distance").isNotNull, 1L).otherwise(0L)).as("n_loc_parsed"),
+      countDistinct(col("id")).as("n_unique_ids"))),
+    // downstream-API style severity rollup per hour bucket dimension
+    "storm_rollup" -> ((s, d) => enriched(s, d)
+      .groupBy(col("event_type"), coalesce(col("severity"), lit("none")).as("severity"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("magnitude").cast("decimal(18,4)")).cast("double").as("sum_magnitude"))
+      .orderBy(col("event_type"), col("severity"))),
+    // cmd/genmock equivalent: deterministic synthetic storm records
+    "storm_genmock" -> ((s, d) => {
+      val i = col("id")
+      val etype = when(i % 3 === 0, "hail").when(i % 3 === 1, "wind").otherwise("tornado")
+      val state = when(i % 5 === 0, "TX").when(i % 5 === 1, "OK")
+        .when(i % 5 === 2, "KS").when(i % 5 === 3, "NE").otherwise("IA")
+      val mag = ((i * 37) % 500).cast("double") / 10.0
+      val lat = lit(28.0) + (i % 1000).cast("double") * 0.01
+      val lon = lit(-110.0) + (i % 2000).cast("double") * 0.01
+      val timeStr = format_string("%04d-%02d-%02dT%02d:%02d:00Z",
+        lit(2024), lit(4), lit(26), (i * 7) % 24, (i * 13) % 60)
+      s.range(0, 500).select(
+        i.as("mock_id"), etype.as("event_type"), mag.as("magnitude"),
+        state.as("state"), timeStr.as("time_str"),
+        StormFunctions.generateId(etype, state, lat, lon, timeStr, mag).as("gen_id"))
+        .orderBy(col("mock_id"))
+    }))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val A = StormFeed.adapterSql
+  private val NUM = "^[+-]?[0-9]+(\\.[0-9]+)?$"
+  private val LOC = "^([0-9]+(?:\\.[0-9]+)?)\\s+([NSEW]{1,3})\\s+(.+)$"
+
+  /** Shared enrichment CTE chain in DuckDB SQL, mirroring StormPipeline. */
+  private val EN: String = s"""
+WITH raw AS ($A),
+p2 AS (
+  SELECT raw.*,
+    CASE event_type WHEN 'hail' THEN size WHEN 'tornado' THEN f_scale
+         WHEN 'wind' THEN speed ELSE NULL END AS mag_sel
+  FROM raw
+),
+p3 AS (
+  SELECT p2.*,
+    CASE WHEN mag_sel IS NULL OR trim(mag_sel) = '' OR upper(trim(mag_sel)) = 'UNK' THEN 0.0
+         WHEN regexp_matches(regexp_replace(trim(mag_sel), '^EF|^F', ''), '$NUM')
+           THEN CAST(regexp_replace(trim(mag_sel), '^EF|^F', '') AS DOUBLE)
+         ELSE 0.0 END AS mag_raw,
+    CASE WHEN regexp_matches(trim(lat), '$NUM') THEN CAST(trim(lat) AS DOUBLE) ELSE 0.0 END AS lat_d,
+    CASE WHEN regexp_matches(trim(lon), '$NUM') THEN CAST(trim(lon) AS DOUBLE) ELSE 0.0 END AS lon_d,
+    CASE WHEN event_type IN ('hail','wind','tornado') THEN event_type ELSE '' END AS etype,
+    CASE WHEN trim(time) = '' THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+         WHEN regexp_matches(trim(time), '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$$') THEN trim(time)
+         WHEN regexp_matches(trim(time), '^[0-9]{3,4}$$')
+              AND TRY_CAST(substr(lpad(trim(time),4,'0'),1,2) AS INT) <= 23
+              AND TRY_CAST(substr(lpad(trim(time),4,'0'),3,2) AS INT) <= 59
+           THEN strftime(ts, '%Y-%m-%dT') || substr(lpad(trim(time),4,'0'),1,2) || ':' || substr(lpad(trim(time),4,'0'),3,2) || ':00Z'
+         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS event_time_str
+  FROM p2
+),
+p4 AS (
+  SELECT p3.*,
+    CASE etype WHEN 'hail' THEN 'in' WHEN 'wind' THEN 'mph'
+         WHEN 'tornado' THEN 'f_scale' ELSE '' END AS unit
+  FROM p3
+),
+p5 AS (
+  SELECT p4.*,
+    CASE WHEN mag_raw = 0 THEN 0.0
+         WHEN etype = 'hail' AND unit = 'in' AND mag_raw >= 10 THEN mag_raw / 100.0
+         ELSE mag_raw END AS magnitude
+  FROM p4
+),
+en AS (
+  SELECT p5.*,
+    CASE WHEN magnitude = 0 THEN NULL
+         WHEN etype = 'hail' THEN (CASE WHEN magnitude < 0.75 THEN 'minor' WHEN magnitude < 1.5 THEN 'moderate' WHEN magnitude < 2.5 THEN 'severe' ELSE 'extreme' END)
+         WHEN etype = 'wind' THEN (CASE WHEN magnitude < 50 THEN 'minor' WHEN magnitude < 74 THEN 'moderate' WHEN magnitude < 96 THEN 'severe' ELSE 'extreme' END)
+         WHEN etype = 'tornado' THEN (CASE WHEN magnitude <= 1 THEN 'minor' WHEN magnitude = 2 THEN 'moderate' WHEN magnitude <= 4 THEN 'severe' ELSE 'extreme' END)
+         ELSE NULL END AS severity,
+    regexp_extract(trim(comments), '\\(([A-Z]{3,5})\\)\\s*$$', 1) AS source_office,
+    CASE WHEN trim(location) = '' THEN ''
+         WHEN regexp_matches(trim(location), '$LOC') THEN trim(regexp_extract(trim(location), '$LOC', 3))
+         ELSE trim(location) END AS location_name,
+    CASE WHEN regexp_matches(trim(location), '$LOC') THEN CAST(regexp_extract(trim(location), '$LOC', 1) AS DOUBLE) ELSE NULL END AS location_distance,
+    CASE WHEN regexp_matches(trim(location), '$LOC') THEN regexp_extract(trim(location), '$LOC', 2) ELSE NULL END AS location_direction,
+    substr(event_time_str, 1, 13) || ':00:00Z' AS time_bucket_str,
+    CASE WHEN event_type = '' THEN substr(sha256(event_type || '|' || state || '|' || printf('%.4f', lat_d) || '|' || printf('%.4f', lon_d) || '|' || time || '|' || printf('%.2f', mag_raw)), 1, 16)
+         ELSE event_type || '-' || substr(sha256(event_type || '|' || state || '|' || printf('%.4f', lat_d) || '|' || printf('%.4f', lon_d) || '|' || time || '|' || printf('%.2f', mag_raw)), 1, 16) END AS id
+  FROM p5
+)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "storm_parse" ->
+      s"""$EN SELECT event_id, event_type, mag_raw AS magnitude_raw,
+         |lat_d AS lat, lon_d AS lon, time AS time_raw
+         |FROM en ORDER BY event_id""".stripMargin,
+    "storm_unit" ->
+      s"$EN SELECT event_id, etype AS event_type, unit FROM en ORDER BY event_id",
+    "storm_magnitude" ->
+      s"$EN SELECT event_id, mag_raw AS magnitude_raw, magnitude FROM en ORDER BY event_id",
+    "storm_severity" ->
+      s"$EN SELECT event_id, etype AS event_type, magnitude, severity FROM en ORDER BY event_id",
+    "storm_office" ->
+      s"$EN SELECT event_id, source_office FROM en ORDER BY event_id",
+    "storm_location" ->
+      s"""$EN SELECT event_id, location AS location_raw, location_name,
+         |location_distance, location_direction FROM en ORDER BY event_id""".stripMargin,
+    "storm_timebucket" ->
+      s"$EN SELECT event_id, event_time_str, time_bucket_str FROM en ORDER BY event_id",
+    "storm_id" ->
+      s"$EN SELECT event_id, id FROM en ORDER BY event_id",
+    "storm_enrich" ->
+      s"""$EN SELECT event_id, id, etype AS event_type, lat_d AS lat, lon_d AS lon,
+         |magnitude, unit, severity, event_time_str, time_bucket_str, source_office,
+         |location AS location_raw, location_name, location_distance, location_direction,
+         |state, county
+         |FROM en ORDER BY event_id""".stripMargin,
+    "storm_dedup" ->
+      s"""$EN SELECT etype AS event_type, count(DISTINCT id) AS n_unique
+         |FROM en GROUP BY etype ORDER BY etype""".stripMargin,
+    "storm_poison" ->
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |FROM events""".stripMargin,
+    "storm_validate" ->
+      s"""$EN SELECT count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN etype = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_type,
+         |  CAST(sum(CASE WHEN severity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_severity,
+         |  CAST(sum(CASE WHEN source_office <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_office,
+         |  CAST(sum(CASE WHEN location_distance IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_loc_parsed,
+         |  count(DISTINCT id) AS n_unique_ids
+         |FROM en""".stripMargin,
+    "storm_rollup" ->
+      s"""$EN SELECT etype AS event_type, coalesce(severity, 'none') AS severity,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(magnitude AS DECIMAL(18,4))) AS DOUBLE) AS sum_magnitude
+         |FROM en GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "storm_genmock" ->
+      s"""WITH g AS (
+         |  SELECT i,
+         |    CASE WHEN i % 3 = 0 THEN 'hail' WHEN i % 3 = 1 THEN 'wind' ELSE 'tornado' END AS event_type,
+         |    CASE WHEN i % 5 = 0 THEN 'TX' WHEN i % 5 = 1 THEN 'OK' WHEN i % 5 = 2 THEN 'KS' WHEN i % 5 = 3 THEN 'NE' ELSE 'IA' END AS state,
+         |    CAST((i * 37) % 500 AS DOUBLE) / 10.0 AS magnitude,
+         |    28.0 + CAST(i % 1000 AS DOUBLE) * 0.01 AS lat,
+         |    -110.0 + CAST(i % 2000 AS DOUBLE) * 0.01 AS lon,
+         |    printf('%04d-%02d-%02dT%02d:%02d:00Z', 2024, 4, 26, (i * 7) % 24, (i * 13) % 60) AS time_str
+         |  FROM range(0, 500) t(i)
+         |)
+         |SELECT i AS mock_id, event_type, magnitude, state, time_str,
+         |  event_type || '-' || substr(sha256(event_type || '|' || state || '|' || printf('%.4f', lat) || '|' || printf('%.4f', lon) || '|' || time_str || '|' || printf('%.2f', magnitude)), 1, 16) AS gen_id
+         |FROM g ORDER BY mock_id""".stripMargin)
+}
