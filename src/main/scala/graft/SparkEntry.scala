@@ -10,11 +10,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.analytics.Analytics.queries ++
-      graft.storm.StormQueries.queries
+      graft.storm.StormQueries.queries ++
+      graft.operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.analytics.Analytics.oracleSql ++
-      graft.storm.StormQueries.oracleSql
+      graft.storm.StormQueries.oracleSql ++
+      graft.operators.PipelineQueries.oracleSql
 }

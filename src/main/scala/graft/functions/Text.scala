@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data prep, expressed as pure
+  * Column functions over built-in (codegen'd) expressions — array HOFs,
+  * regexp, sha2 — so they stay narrow maps with no UDFs at 100 TB.
+  */
+object Text {
+
+  /** Whitespace normalization: lowercase, trim, collapse runs. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(normalize(text) === "", lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, single
+    * other non-space chars — the standard pre-tokenizer split. */
+  val bpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenRe), lit(0)))
+
+  /** 1 token ≈ 4 chars heuristic (ceil). */
+  def estTokensByChars(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  // ---------------------------------------------------------- language ID
+  /** Per-language stopword lists for the n-gram/stopword heuristic.
+    * Deterministic argmax with fixed tie order (en,es,de,fr,zh). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Count of tokens contained in `words` (with multiplicity). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Detected language: argmax of stopword hits, ties by list order;
+    * no hits at all -> "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (lang, ws) => (lit(lang), stopwordHits(text, ws)) }
+    val (bestLang, bestScore) = scored.reduceLeft[(Column, Column)] {
+      // strictly-greater keeps the earlier language on ties
+      case ((bl, bs), (l, s)) => (when(s > bs, l).otherwise(bl), greatest(bs, s))
+    }
+    when(bestScore > 0, bestLang).otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------- quality score
+  /** Ratio of non-alphanumeric-non-space chars to total chars. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Ratio of English stopword tokens to all tokens (fluency proxy). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordHits(text, stopwords.head._2).cast("double") / n.cast("double"))
+  }
+
+  /** Mean token length of the normalized text. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    val totalLen = aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+    when(n === 0, lit(0.0)).otherwise(totalLen.cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality heuristic in [0,1]: rewards document length
+    * (capped), sane mean token length, low punctuation noise, some
+    * stopword mass. A Gopher-rules-flavored linear blend. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.0)
+    val punct = punctRatio(text)
+    val punctScore = when(punct <= 0.1, 1.0).when(punct <= 0.3, 0.5).otherwise(0.0)
+    val sw = stopwordRatio(text)
+    val swScore = when(sw >= 0.05, 1.0).otherwise(0.0)
+    round(lenScore * 0.4 + mtlScore * 0.2 + punctScore * 0.2 + swScore * 0.2, 6)
+  }
+
+  // -------------------------------------------------------- fingerprints
+  /** Normalized-content sha-256 (exact-dedup key at any scale). */
+  def fingerprint(text: Column): Column = sha2(normalize(text), 256)
+
+  /** 64-bit content fingerprint: xxhash64 of the normalized text —
+    * the cheap rolling-hash-class key for shard-local dedup. */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for 100 TB training-data prep.
+  *
+  * Scale design: every variant is shuffle-once. Exact dedup shuffles on
+  * the content hash (map-side partial agg first). The near-dup variants
+  * never do an O(n²) cross join: candidates come from an inverted-index
+  * or banded-bucket join keyed on a short signature — the classic
+  * MinHash-LSH / SimHash-chunk construction — and only candidate pairs
+  * pay the exact-verification cost. All signatures are computed with
+  * built-in array HOFs + xxhash64, so signature generation is a narrow
+  * codegen'd map.
+  */
+object Dedup {
+
+  // ----------------------------------------------------------- 25: exact
+  /** Exact dedup groups: normalized-text sha-256 -> group size +
+    * canonical (min) doc id. Input may contain replayed rows. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  // -------------------------------------------------------- word shingles
+  /** Distinct word k-shingles of the normalized text (set semantics —
+    * Jaccard is over shingle sets). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = Text.tokens(text)
+    val n = size(toks)
+    val idx = sequence(lit(0), greatest(n - k, lit(0)))
+    array_distinct(
+      when(n < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  // --------------------------------------------------------- 26: MinHash
+  /** MinHash signature: for each of `perms` hash seeds, the min
+    * xxhash64(seed, shingle) over the shingle set. */
+  def minhashSignature(shingleCol: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+
+  /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
+    *
+    * bands×rowsPerBand = signature length. Two docs collide iff some
+    * band of their signatures is identical; one shuffle keyed on
+    * (band, band-hash). Returns (doc_a, doc_b, jaccard) with
+    * jaccard >= threshold, doc_a < doc_b.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sigLen = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), sigLen))
+    // explode into one row per band: (band id, hash of the band slice)
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------- 27: SimHash
+  /** 64-bit SimHash over word unigrams: per bit, sum +1/-1 votes of
+    * each token's xxhash64; sign becomes the bit. */
+  def simhash64(text: Column): Column = {
+    val votes = aggregate(
+      Text.tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Pigeonhole: split 64 bits into (maxHamming+1) chunks — any pair
+    * within distance k shares at least one exact chunk; join on
+    * (chunk id, chunk value), verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("sim"))
+    val chunked = withSim.select(col("doc_id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+        c => call_function("shiftrightunsigned", col("sim"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
+    val a = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------- 28: n-gram Jaccard
+  /** Exact n-gram Jaccard similarity join via inverted index: explode
+    * distinct shingles, join postings on the shingle (never all-pairs),
+    * count shared shingles per pair, then Jaccard from set sizes.
+    * Shuffle is keyed on the shingle; hot shingles are the skew risk at
+    * scale — prune shingles with document frequency > dfCap first
+    * (a stopword-shingle cap, standard in similarity joins). */
+  def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.3,
+      dfCap: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val pruned = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= dfCap)
+    val a = pruned.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

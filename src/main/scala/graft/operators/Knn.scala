@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design: the query set is small (k query vectors) and is
+  * BROADCAST — the corpus scan stays narrow and shuffles only the
+  * per-query top-k candidates (a tiny window input). The LSH variant
+  * buckets both sides on random-hyperplane sign bits so, at corpus ×
+  * large-query-set scale, the join is bucket-keyed instead of a full
+  * cartesian.
+  *
+  * All math is double-precision via array HOFs (`zip_with` products are
+  * exact for float32 inputs, so cross-engine results are stable after
+  * round(,6)).
+  */
+object Knn {
+
+  /** dot(a, b) in double precision, sequential (index-order) sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ------------------------------------------------- 29: brute-force topk
+  /** Exact cosine top-k: every (query, corpus) pair via broadcast
+    * nested-loop join; rank per query. Baseline and verifier. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // --------------------------------------------- 30: LSH-bucketed variant
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): xxhash64 -> uniform in [-0.5, 0.5). */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(lit("hyperplane"), p, i), lit(1000000L)).cast("double")
+      / 1000000.0) - 0.5
+
+  /** Sign-bit signature of `emb` under `nPlanes` random hyperplanes. */
+  def lshSignature(emb: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** ANN top-k via random-hyperplane LSH: candidates are corpus rows
+    * whose signature matches the query's in at least one band of
+    * `bandBits` bits; exact cosine re-ranks candidates only. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, idCol: String, embOut: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
+          lshSignature(col("embedding"), nPlanes).as("sig"))
+        .select(col(idCol), col(embOut),
+          posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+            b => call_function("shiftrightunsigned", col("sig"), b * bandBits)
+              .bitwiseAND(lit(mask)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val c = banded(corpus, "vec_id", "emb")
+    val q = broadcast(banded(queries, "query_id", "q_emb"))
+    val candidates = c.join(q, Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("emb"), col("q_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.storm.StormPipeline
+
+/** Structured-Streaming enrichment (SURVEY §2 #16) — the Spark-native
+  * equivalent of the reference's Kafka consume → transform → produce
+  * loop (/root/reference/internal/pipeline, cmd/etl).
+  *
+  * Kafka topic → file/any streaming source of (event_id, ts, raw_value)
+  * wire records; commit-after-load at-least-once → checkpointed source
+  * offsets + idempotent sink (the deterministic event ID makes replays
+  * collapse downstream, exactly like the reference's upsert key).
+  * Poison pills are filtered into a quarantine sink, never fatal.
+  *
+  * The enrichment itself is the SAME `StormPipeline.enrich` Column
+  * pipeline as batch — a narrow map, so it attaches to a stream with
+  * zero changes: one definition, two execution modes.
+  */
+object StormStream {
+
+  /** Wire schema: source envelope + opaque JSON payload (Kafka-like). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("raw_value", StringType)))
+
+  /** File-source stream of wire records (JSON lines, one per record).
+    * `maxFilesPerTrigger` bounds micro-batch size for steady progress. */
+  def readWire(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(wireSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+
+  /** Parsed wire stream: adds parse_ok + feed columns. */
+  def parsed(wire: DataFrame): DataFrame = StormPipeline.parseRawJson(wire)
+
+  /** Enriched stream of well-formed records. */
+  def enriched(wire: DataFrame): DataFrame = {
+    val p = parsed(wire)
+    StormPipeline.enrich(p.where(col("parse_ok")))
+  }
+
+  /** Quarantined poison pills: envelope + raw payload, counted not fatal. */
+  def quarantined(wire: DataFrame): DataFrame =
+    parsed(wire).where(!col("parse_ok")).select(col("event_id"), col("ts"))
+
+  /** Start the enrichment sink (parquet, checkpointed — at-least-once
+    * from the source's perspective, exactly-once to the file sink). */
+  def startEnrichment(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    enriched(readWire(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$checkpointDir/enriched")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Start the quarantine sink. */
+  def startQuarantine(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    quarantined(readWire(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$checkpointDir/quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark shuffles and partition pruning"),
+    (3L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0 mod case/ws
+    (4L, "unrelated text regarding minhash signatures and jaccard estimation")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized copies") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 4) // 0+3 collapse
+    val dupGroup = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical text -> distance 0; near-dup small; pairs found") {
+    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(3L)) // normalization collapses case/ws
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(1L)) <= 6)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(2L)) > 6)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("jaccard inverted-index join matches hand-computed overlap") {
+    val pairs = Dedup.jaccardPairs(docs, k = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 3L)) == 1.0) // identical after normalization
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // doc0/doc1: 14 tokens -> 13 distinct bigrams each, 12 shared => 12/14
+    assert(math.abs(pairs((0L, 1L)) - 12.0 / 14.0) < 1e-6)
+  }
+
+  test("shingles: set semantics, short-text degenerate case") {
+    val sh = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3).as("s")).head.getSeq[String](0)
+    assert(sh == Seq("a b"))
+  }
+}

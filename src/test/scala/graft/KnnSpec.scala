@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+import graft.sources.Tables
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: parallel=1, orthogonal=0, antiparallel=-1") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(2f, 0f, 4f), 1.0),
+      (Seq(1f, 0f, 0f), Seq(0f, 3f, 0f), 0.0),
+      (Seq(1f, 1f, 0f), Seq(-1f, -1f, 0f), -1.0)
+    ).toDF("a", "b", "want")
+    df.select(Knn.cosine($"a", $"b").as("got"), $"want").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, descending") {
+    val e = Tables.embeddings(spark, sfDir)
+    val top = Knn.cosineTopK(e, e.where($"vec_id" < 3), k = 5).collect()
+    assert(top.length == 15)
+    top.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+      val scores = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN: candidates only, reasonable recall vs exact on testdata") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+    val exact = Knn.cosineTopK(e, q, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.lshTopK(e, q, k = 5, nPlanes = 16, bandBits = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken?")
+    // every approx hit must be a real corpus vector with a computable score
+    assert(approx.forall(_._2 >= 0))
+  }
+}

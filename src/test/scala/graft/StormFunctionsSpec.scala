@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.storm.StormFunctions._
+
+/** Pins the enrichment semantics to the reference's documented behavior
+  * (/root/reference/internal/domain/transform.go, docs/Enrichment.md).
+  */
+class StormFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(colExpr: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(colExpr.as("r")).head.get(0)
+
+  test("magnitude select per type, UNK/empty/prefix handling") {
+    val rows = Seq(
+      ("hail", "1.75", "", ""), ("hail", "UNK", "", ""), ("hail", " ", "", ""),
+      ("tornado", "", "EF3", ""), ("tornado", "", "F2", ""), ("tornado", "", "4", ""),
+      ("wind", "", "", "62.5"), ("wind", "", "", "junk"), ("squall", "9", "9", "9"))
+      .toDF("t", "size", "f", "sp")
+      .select(magnitudeRaw($"t", $"size", $"f", $"sp").as("m")).collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(1.75, 0.0, 0.0, 3.0, 2.0, 4.0, 62.5, 0.0, 0.0))
+  }
+
+  test("severity thresholds per type (transform.go:212-257)") {
+    val cases = Seq(
+      ("hail", 0.5, "minor"), ("hail", 0.75, "moderate"), ("hail", 1.5, "severe"),
+      ("hail", 2.5, "extreme"), ("wind", 49.0, "minor"), ("wind", 50.0, "moderate"),
+      ("wind", 74.0, "severe"), ("wind", 96.0, "extreme"), ("tornado", 1.0, "minor"),
+      ("tornado", 2.0, "moderate"), ("tornado", 3.0, "severe"), ("tornado", 5.0, "extreme"))
+    val got = cases.toDF("t", "m", "want")
+      .select(deriveSeverity($"t", $"m").as("got"), $"want").collect()
+    got.foreach { r => assert(r.getString(0) == r.getString(1), s"case $r") }
+    // magnitude 0 and unknown type -> null
+    assert(one(deriveSeverity(lit("hail"), lit(0.0))) == null)
+    assert(one(deriveSeverity(lit("other"), lit(3.0))) == null)
+  }
+
+  test("hail legacy hundredths normalization (>=10 in inches / 100)") {
+    assert(one(normalizeMagnitude(lit("hail"), lit(175.0), lit("in"))) == 1.75)
+    assert(one(normalizeMagnitude(lit("hail"), lit(1.75), lit("in"))) == 1.75)
+    assert(one(normalizeMagnitude(lit("wind"), lit(96.0), lit("mph"))) == 96.0)
+    assert(one(normalizeMagnitude(lit("hail"), lit(0.0), lit("in"))) == 0.0)
+  }
+
+  test("unit defaulting per type; existing unit lowercased") {
+    assert(one(normalizeUnit(lit("hail"), lit(""))) == "in")
+    assert(one(normalizeUnit(lit("wind"), lit(""))) == "mph")
+    assert(one(normalizeUnit(lit("tornado"), lit(""))) == "f_scale")
+    assert(one(normalizeUnit(lit("hail"), lit(" MPH "))) == "mph")
+    assert(one(normalizeUnit(lit(""), lit(""))) == "")
+  }
+
+  test("source office: trailing (AAA) 3-5 uppercase only") {
+    assert(one(extractSourceOffice(lit("Report. (DDC)"))) == "DDC")
+    assert(one(extractSourceOffice(lit("Report. (DDC)  "))) == "DDC")
+    assert(one(extractSourceOffice(lit("marker 3 (k91)"))) == "")
+    assert(one(extractSourceOffice(lit("(TOOLONGX)"))) == "")
+    assert(one(extractSourceOffice(lit("(AB)"))) == "")
+    assert(one(extractSourceOffice(lit("(DDC) then text"))) == "")
+  }
+
+  test("location parse: '<dist> <dir> <name>' vs bare name") {
+    val r = Seq("8 ESE Chappel").toDF("l").select(
+      locationName($"l"), locationDistance($"l"), locationDirection($"l")).head
+    assert(r == Row("Chappel", 8.0, "ESE"))
+    val bare = Seq("Fort Worth").toDF("l").select(
+      locationName($"l"), locationDistance($"l"), locationDirection($"l")).head
+    assert(bare == Row("Fort Worth", null, null))
+    assert(one(locationName(lit("2.5 NNW Twin Lakes"))) == "Twin Lakes")
+    assert(one(locationName(lit(""))) == "")
+  }
+
+  test("event time: RFC3339, legacy HHMM grafted on ingest date, fallbacks") {
+    val df = Seq(
+      ("2024-04-26T01:02:03Z", "2024-03-01 10:00:00"),
+      ("0134", "2024-03-01 10:00:00"),
+      ("934", "2024-03-01 10:00:00"),   // 3-digit HHMM -> 09:34
+      ("2567", "2024-03-01 10:00:00"),  // invalid hour -> ingest ts
+      ("9x77", "2024-03-01 10:00:00"),  // garbage -> ingest ts
+      ("", "2024-03-01 10:00:00"))      // blank -> ingest ts
+      .toDF("time", "ing")
+      .select(rfc3339(parseEventTime(to_timestamp($"ing"), $"time")).as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(
+      "2024-04-26T01:02:03Z", "2024-03-01T01:34:00Z", "2024-03-01T09:34:00Z",
+      "2024-03-01T10:00:00Z", "2024-03-01T10:00:00Z", "2024-03-01T10:00:00Z"))
+  }
+
+  test("deterministic ID: stable, type-prefixed, distinct across keys") {
+    val id1 = one(generateId(lit("hail"), lit("TX"), lit(32.1), lit(-97.5),
+      lit("2024-04-26T01:02:03Z"), lit(1.75)))
+    val id2 = one(generateId(lit("hail"), lit("TX"), lit(32.1), lit(-97.5),
+      lit("2024-04-26T01:02:03Z"), lit(1.75)))
+    val id3 = one(generateId(lit("wind"), lit("TX"), lit(32.1), lit(-97.5),
+      lit("2024-04-26T01:02:03Z"), lit(1.75)))
+    assert(id1 == id2)
+    assert(id1 != id3)
+    assert(id1.asInstanceOf[String].matches("hail-[0-9a-f]{16}"))
+  }
+}

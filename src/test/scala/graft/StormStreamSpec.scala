@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.storm.{StormFeed, StormPipeline}
+import graft.streaming.StormStream
+
+/** Streaming enrichment (SURVEY §2 #16): file wire source → enrich →
+  * parquet sink with checkpointed offsets; poison pills quarantined;
+  * restart-with-checkpoint does not duplicate (file-sink exactly-once
+  * on top of at-least-once source replay).
+  */
+class StormStreamSpec extends SparkSpec {
+
+  test("stream enriches wire records, quarantines poison, replays idempotently") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val (inDir, outDir, qDir, cpDir) =
+      (s"$base/in", s"$base/out", s"$base/quarantine", s"$base/cp")
+
+    // wire records from the deterministic feed; every 97th payload truncated
+    val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
+      .withColumn("raw_value",
+        when(col("event_id") % 97 === 0, substring(col("raw_value"), 1, 10))
+          .otherwise(col("raw_value")))
+      .select(col("event_id"), col("ts"), col("raw_value"))
+    wire.coalesce(2).write.mode("overwrite").json(inDir)
+    val nTotal = wire.count()
+    val nBad = wire.where(col("event_id") % 97 === 0).count()
+
+    StormStream.startEnrichment(spark, inDir, outDir, cpDir).awaitTermination()
+    StormStream.startQuarantine(spark, inDir, qDir, cpDir).awaitTermination()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == nTotal - nBad)
+    assert(out.columns.contains("severity") && out.columns.contains("id"))
+    assert(spark.read.parquet(qDir).count() == nBad)
+
+    // restart with the same checkpoint: no new input -> no duplicates
+    StormStream.startEnrichment(spark, inDir, outDir, cpDir).awaitTermination()
+    assert(spark.read.parquet(outDir).count() == nTotal - nBad)
+
+    // batch and stream enrichment agree row-for-row on the good records
+    val batch = StormPipeline.enrich(
+      StormPipeline.parseRawJson(wire).where(col("parse_ok")))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).head.get(0)
+
+  test("tokenization: normalization, empty text, bpe-ish counts") {
+    assert(one(Text.tokenCount(lit("  The   quick  fox "))) == 3)
+    assert(one(Text.tokenCount(lit(""))) == 0)
+    assert(one(Text.tokenCount(lit("   "))) == 0)
+    assert(one(Text.bpeTokenCount(lit("don't stop123 now."))) == 7)
+    // don | ' | t | stop | 123 | now | .
+    assert(one(Text.estTokensByChars(lit("abcdefgh"))) == 2L)
+  }
+
+  test("language ID picks dominant stopword language; und for no hits") {
+    assert(one(Text.langId(lit("the cat and the dog of the house"))) == "en")
+    assert(one(Text.langId(lit("el perro y la casa que es un gato"))) == "es")
+    assert(one(Text.langId(lit("der hund und die katze ist von zu"))) == "de")
+    assert(one(Text.langId(lit("xyzzy plugh qwerty"))) == "und")
+  }
+
+  test("quality: clean prose scores higher than punctuation soup") {
+    val clean = one(Text.qualityScore(lit(
+      "the quick brown fox jumps over the lazy dog and runs to the river " * 8)))
+      .asInstanceOf[Double]
+    val soup = one(Text.qualityScore(lit("@#$% ^&*! ~~~ ??? !!!"))).asInstanceOf[Double]
+    assert(clean > 0.8)
+    assert(soup < 0.3)
+    assert(one(Text.punctRatio(lit(""))) == 0.0)
+  }
+
+  test("fingerprints: normalization-invariant, 64-bit variant stable") {
+    val a = one(Text.fingerprint(lit("Hello   World")))
+    val b = one(Text.fingerprint(lit("hello world ")))
+    assert(a == b)
+    val f1 = one(Text.fingerprint64(lit("Hello   World")))
+    val f2 = one(Text.fingerprint64(lit("hello world")))
+    assert(f1 == f2)
+    assert(one(Text.fingerprint64(lit("different"))) != f1)
+  }
+}
