@@ -68,10 +68,16 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // candidate ids only through the shuffle (a pair may collide in many
+    // bands); shingle arrays re-attach after the distinct
+    val cand = a.drop("sh_a").join(b.drop("sh_b"), Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = withSig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
@@ -117,34 +123,51 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming) // filter BEFORE the pair-dedup
+      .dropDuplicates("doc_a", "doc_b")    // shuffle: survivors only
   }
 
   // -------------------------------------------------- 28: n-gram Jaccard
-  /** Exact n-gram Jaccard similarity join via inverted index: explode
-    * distinct shingles, join postings on the shingle (never all-pairs),
-    * count shared shingles per pair, then Jaccard from set sizes.
-    * Shuffle is keyed on the shingle; hot shingles are the skew risk at
-    * scale — prune shingles with document frequency > dfCap first
-    * (a stopword-shingle cap, standard in similarity joins). */
-  def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.3,
-      dfCap: Int = 1000): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val pruned = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .where(col("df") <= dfCap)
-    val a = pruned.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = pruned.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
+  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate rule): a pair with Jaccard >= t must
+    * share at least one shingle among each side's prefix — its
+    * `|s| - ceil(t*|s|) + 1` globally-rarest shingles. Only prefix
+    * postings are joined, so hot (high-document-frequency) shingles
+    * never generate candidate pairs: pair work is driven by RARE
+    * shingles, which is what makes this survive a corpus where every
+    * document shares the common vocabulary. Exact Jaccard is then
+    * verified on candidates only, via the full shingle sets.
+    *
+    * One shuffle on the shingle (candidates), one on doc_id (verify
+    * re-attach); both AQE-managed. Lossless for `jaccard >= threshold`.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    // global document frequency per shingle (one agg over postings)
+    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first rank of each doc's shingles; keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = postings.join(dfs, "s")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("s"), col("doc_id"), col("n_sh"))
+    val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    val cand = a.join(b, Seq("s"))
+      // size filter: t|b| <= |a| <= |b|/t is necessary for J >= t
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -34,9 +34,10 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
-    // 28: exact n-gram Jaccard similarity join
+    // 28: exact n-gram Jaccard similarity join (prefix-filtered;
+    // trigram shingles keep document frequencies low -> small Σdf²)
     "dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(docs(s, d), k = 2, threshold = 0.12)
+      Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     // 29: brute-force cosine top-k, 10 broadcast query vectors
     "knn_cosine" -> ((s, d) => {
@@ -117,8 +118,9 @@ object PipelineQueries {
          |), sh AS (
          |  SELECT doc_id, n_sh, s FROM (
          |    SELECT doc_id,
-         |      list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-         |        ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS ss
+         |      list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |        ELSE list_transform(range(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ss
          |    FROM toks
          |  ), LATERAL (SELECT len(ss) AS n_sh), unnest(ss) AS t(s)
          |), pairs AS (
@@ -130,7 +132,7 @@ object PipelineQueries {
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
          |FROM pairs
-         |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.12
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
