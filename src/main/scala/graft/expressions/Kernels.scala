@@ -1,0 +1,149 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the native Catalyst expressions
+  * (graft.expressions.*). Each replicates, bit-for-bit, the semantics
+  * of the equivalent built-in-function composition (xxhash64 chains,
+  * sequential double sums) so swapping implementations never changes
+  * results — the specs assert HOF-vs-kernel equality. Static methods so
+  * generated (whole-stage codegen) Java can call them directly.
+  */
+object Kernels {
+
+  private val SEED = 42L
+  private val WS = "\\s+".r.pattern
+
+  /** Mirrors Text.normalize: trim (0x20 only, like Spark's trim), then
+    * lowercase, then collapse whitespace runs to single spaces. */
+  def normalize(text: UTF8String): String = {
+    val t = text.trim().toLowerCase.toString
+    WS.matcher(t).replaceAll(" ")
+  }
+
+  /** Mirrors split(normalize(text), " "): Java regex split, limit -1. */
+  def tokens(text: UTF8String): Array[String] = normalize(text).split(" ", -1)
+
+  /** == xxhash64(stringCol): XXH64 of the UTF-8 bytes, seed 42. */
+  def hashString(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+
+  /** == xxhash64(intLit, stringCol): chained int-then-bytes hash. */
+  def hashIntString(i: Int, s: UTF8String): Long = {
+    val h1 = XXH64.hashInt(i, SEED)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h1)
+  }
+
+  // ------------------------------------------------------------ simhash
+  /** One-pass 64-bit SimHash over word unigrams; identical output to
+    * the HOF formulation in Dedup.simhash64Hof. */
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val toks = tokens(text)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = hashString(UTF8String.fromString(toks(ti)))
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ----------------------------------------------------------- shingles
+  /** Distinct word k-shingles, first-occurrence order — mirrors
+    * Dedup.shingles (array_distinct of sliced concat_ws). */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < k) out.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature straight from text: for each seed 0..perms-1 the
+    * min over distinct k-shingles of xxhash64(seed, shingle). Identical
+    * to minhashSignature(shingles(text,k), perms). */
+  def minhashSig(text: UTF8String, k: Int, perms: Int): ArrayData = {
+    val sh = shingles(text, k)
+    val n = sh.numElements()
+    val sig = new Array[Any](perms)
+    var p = 0
+    while (p < perms) {
+      val seedHash = XXH64.hashInt(p, SEED)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val s = sh.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seedHash)
+        if (h < best) best = h
+        i += 1
+      }
+      sig(p) = best
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // ----------------------------------------------------------- vectors
+  /** Sequential double dot product over float arrays — same order, same
+    * arithmetic as aggregate(zip_with(...)) in Knn.dot. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Cosine over float arrays: dot/(sqrt(na)*sqrt(nb)), matching
+    * Knn.cosine's exact expression shape. */
+  def cosineF(a: ArrayData, b: ArrayData): Double =
+    dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+
+  /** Random-hyperplane sign signature, replicating Knn.lshSignature:
+    * plane component (p,i) = pmod(xxhash64('hyperplane', p, i), 1e6)/1e6
+    * - 0.5; bit p set iff the projection is > 0. */
+  def lshSign(emb: ArrayData, nPlanes: Int): Long = {
+    val n = emb.numElements()
+    val hyper = UTF8String.fromString("hyperplane")
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var h = XXH64.hashUnsafeBytes(hyper.getBaseObject, hyper.getBaseOffset, hyper.numBytes, SEED)
+      h = XXH64.hashInt(p, h)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val hi = XXH64.hashInt(i, h)
+        val m = hi % 1000000L
+        val pm = if (m < 0) m + 1000000L else m
+        proj += emb.getFloat(i).toDouble * (pm.toDouble / 1000000.0 - 0.5)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot signature/similarity
+  * kernels. Spark's array higher-order functions evaluate their lambda
+  * interpreted, per element, outside whole-stage codegen — for
+  * per-token/per-dimension loops (simhash voting, minhash perms,
+  * 64-dim dot products) that interpretation dominated the profile. Each
+  * expression here generates a single static call into
+  * [[Kernels]] (tight JVM loops), stays inside WholeStageCodegen, and
+  * reproduces the built-in-composition results bit-for-bit (asserted by
+  * NativeExprSpec).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.simhash64(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.simhash64($c)")
+  protected override def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.shingles(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.shingles($c, $k)")
+  protected override def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, perms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.minhashSig(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, perms)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.minhashSig($c, $k, $perms)")
+  protected override def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class CosineFExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.cosineF($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CosineFExpr =
+    copy(left = l, right = r)
+}
+
+case class LshSignExpr(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sign"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.lshSign(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.lshSign($c, $nPlanes)")
+  protected override def withNewChildInternal(newChild: Expression): LshSignExpr =
+    copy(child = newChild)
+}
+
+/** Column-level API over the native expressions. */
+object native {
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+  def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64Expr(expr(text)))
+  def shingles(text: Column, k: Int): Column = GraftColumnBridge.column(ShinglesExpr(expr(text), k))
+  def minhashSig(text: Column, k: Int, perms: Int): Column =
+    GraftColumnBridge.column(MinHashSigExpr(expr(text), k, perms))
+  def cosineF(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineFExpr(expr(a), expr(b)))
+  def lshSign(emb: Column, nPlanes: Int): Column =
+    GraftColumnBridge.column(LshSignExpr(expr(emb), nPlanes))
+}
+
+/** SparkSessionExtensions injector: exposes the native expressions to
+  * SQL (`SELECT graft_simhash64(text) ...`). Wire with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String) =
+    new ExpressionInfo(classOf[Kernels.type].getName, name)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      (args: Seq[Expression]) => CosineFExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_sign"), info("graft_lsh_sign"),
+      (args: Seq[Expression]) => LshSignExpr(args(0),
+        args(1).eval().asInstanceOf[Int])))
+  }
+}

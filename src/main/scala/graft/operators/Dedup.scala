@@ -17,6 +17,18 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Round-robin the rows across the full shuffle parallelism. ONLY for
+    * terminal narrow pipelines with no downstream shuffle (the RDD
+    * mapPartitions path in Multimodal): everywhere else the operators'
+    * own hash shuffles already parallelize the heavy stages, and an
+    * extra exchange measurably degrades the plan (see QuickJac bisect:
+    * native+spread 150s vs native 11.5s at sf0.1). At real scale input
+    * splits parallelize the scan anyway. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // ----------------------------------------------------------- 25: exact
   /** Exact dedup groups: normalized-text sha-256 -> group size +
     * canonical (min) doc id. Input may contain replayed rows. */
@@ -28,8 +40,14 @@ object Dedup {
 
   // -------------------------------------------------------- word shingles
   /** Distinct word k-shingles of the normalized text (set semantics —
-    * Jaccard is over shingle sets). */
-  def shingles(text: Column, k: Int): Column = {
+    * Jaccard is over shingle sets). Native codegen'd expression; the
+    * built-in-HOF formulation is kept as [[shinglesHof]] and asserted
+    * equivalent in NativeExprSpec. */
+  def shingles(text: Column, k: Int): Column =
+    graft.expressions.native.shingles(text, k)
+
+  /** Reference HOF formulation of [[shingles]] (interpreted lambdas). */
+  def shinglesHof(text: Column, k: Int): Column = {
     val toks = Text.tokens(text)
     val n = size(toks)
     val idx = sequence(lit(0), greatest(n - k, lit(0)))
@@ -56,8 +74,8 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sigLen = bands * rowsPerBand
     val withSig = docs
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), sigLen))
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"),
+        graft.expressions.native.minhashSig(col("text"), k, sigLen).as("sig"))
     // explode into one row per band: (band id, hash of the band slice)
     val banded = withSig.select(
       col("doc_id"), col("sh"),
@@ -86,8 +104,12 @@ object Dedup {
 
   // --------------------------------------------------------- 27: SimHash
   /** 64-bit SimHash over word unigrams: per bit, sum +1/-1 votes of
-    * each token's xxhash64; sign becomes the bit. */
-  def simhash64(text: Column): Column = {
+    * each token's xxhash64; sign becomes the bit. Native codegen'd
+    * expression; HOF reference kept as [[simhash64Hof]]. */
+  def simhash64(text: Column): Column = graft.expressions.native.simhash64(text)
+
+  /** Reference HOF formulation of [[simhash64]] (interpreted lambdas). */
+  def simhash64Hof(text: Column): Column = {
     val votes = aggregate(
       Text.tokens(text),
       array_repeat(lit(0), 64),

@@ -27,7 +27,13 @@ object Knn {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over array<float> — native codegen'd expression computing
+    * the same sequential double arithmetic as [[cosineHof]]
+    * (NativeExprSpec asserts bit-equality). */
+  def cosine(a: Column, b: Column): Column = graft.expressions.native.cosineF(a, b)
+
+  /** Reference HOF formulation of [[cosine]] (interpreted lambdas). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   // ------------------------------------------------- 29: brute-force topk
   /** Exact cosine top-k: every (query, corpus) pair via broadcast
@@ -55,8 +61,13 @@ object Knn {
     (pmod(xxhash64(lit("hyperplane"), p, i), lit(1000000L)).cast("double")
       / 1000000.0) - 0.5
 
-  /** Sign-bit signature of `emb` under `nPlanes` random hyperplanes. */
+  /** Sign-bit signature of `emb` under `nPlanes` random hyperplanes —
+    * native codegen'd expression; HOF reference kept below. */
   def lshSignature(emb: Column, nPlanes: Int): Column =
+    graft.expressions.native.lshSign(emb, nPlanes)
+
+  /** Reference HOF formulation of [[lshSignature]]. */
+  def lshSignatureHof(emb: Column, nPlanes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val proj = aggregate(
@@ -66,6 +77,35 @@ object Knn {
         when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Embedding-cosine near-dup pairs (SURVEY §2 #36): self-join the
+    * corpus on LSH sign-bands (shuffle keyed on (band, bucket) — never
+    * all-pairs), verify exact cosine on candidates. Approximate in
+    * recall (a pair may land in no common band), exact in precision
+    * (every returned pair truly clears the threshold). */
+  def embeddingPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = corpus
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), nPlanes).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => call_function("shiftrightunsigned", col("sig"), b * bandBits)
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .where(col("cos") >= threshold) // verify BEFORE the pair-dedup
+      .dropDuplicates("vec_a", "vec_b")
+  }
 
   /** ANN top-k via random-hyperplane LSH: candidates are corpus rows
     * whose signature matches the query's in at least one band of

@@ -57,7 +57,7 @@ object Multimodal {
       StructField("media_type", StringType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
       StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val rdd = media.select(col("media_id"), col("media_type"), col("payload"))
+    val rdd = Dedup.spread(media.select(col("media_id"), col("media_type"), col("payload")))
       .rdd.mapPartitions { rows =>
         // per-partition "codec init" — this is where a real decoder or
         // feature model would be constructed once per task

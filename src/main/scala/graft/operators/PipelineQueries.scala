@@ -51,6 +51,11 @@ object PipelineQueries {
       Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5, nPlanes = 16, bandBits = 4)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 36: embedding-cosine near-dup pairs (rows-only; spec pins
+    // precision=1 and recall vs brute force)
+    "dedup_embed" -> ((s, d) =>
+      Knn.embeddingPairs(embs(s, d), threshold = 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
     // 31: language ID. Stopword-hit counts staged as attribute refs
     // (argmax over columns, not over duplicated expression trees).
     "text_langid" -> ((s, d) => {

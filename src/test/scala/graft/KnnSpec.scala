@@ -30,6 +30,25 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup: exact precision, nonzero recall vs brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val t = 0.35
+    val got = Knn.embeddingPairs(e, threshold = t)
+      .select("vec_a", "vec_b", "cos").collect()
+    // precision = 1: every returned pair clears the threshold
+    got.foreach(r => assert(r.getDouble(2) >= t))
+    // brute-force truth for recall
+    val all = Knn.cosineTopK(e, e, k = Int.MaxValue)
+    val truth = all.where($"cos" >= t && $"query_id" < $"vec_id")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet.subsetOf(truth))
+    if (truth.nonEmpty) {
+      val recall = (truth & gotSet).size.toDouble / truth.size
+      assert(recall >= 0.2, s"embedding LSH recall $recall collapsed")
+    }
+  }
+
   test("LSH ANN: candidates only, reasonable recall vs exact on testdata") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where($"vec_id" < 10)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Knn}
+import graft.sources.Tables
+
+/** The native codegen expressions must reproduce the built-in-function
+  * (HOF) compositions bit-for-bit — swapping implementations can never
+  * change query results. Asserted over the whole sf0.001 corpus plus
+  * edge-case strings.
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .unionByName(Seq(
+      (100001L, "", "x", "src", 0L),
+      (100002L, "   ", "x", "src", 3L),
+      (100003L, "ONE", "x", "src", 3L),
+      (100004L, "A  B\tC\nd   e", "x", "src", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("simhash64 native == HOF on corpus + edges") {
+    val diff = docs.select(
+      Dedup.simhash64($"text").as("a"), Dedup.simhash64Hof($"text").as("b"))
+      .where($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("shingles native == HOF (k=2,3) on corpus + edges") {
+    for (k <- Seq(2, 3)) {
+      val diff = docs.select(
+        Dedup.shingles($"text", k).as("a"), Dedup.shinglesHof($"text", k).as("b"))
+        .where($"a" =!= $"b").count()
+      assert(diff == 0, s"k=$k")
+    }
+  }
+
+  test("minhash signature native == HOF on corpus") {
+    val diff = docs.select(
+      graft.expressions.native.minhashSig($"text", 3, 32).as("a"),
+      Dedup.minhashSignature(Dedup.shinglesHof($"text", 3), 32).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("cosine + lsh signature native == HOF on embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("q"))
+      .where($"qid" < 20)
+    val joined = e.crossJoin(broadcast(q))
+    val cosDiff = joined.select(
+      Knn.cosine($"embedding", $"q").as("a"),
+      Knn.cosineHof($"embedding", $"q").as("b"))
+      .where($"a" =!= $"b" && !(isnan($"a") && isnan($"b"))).count()
+    assert(cosDiff == 0)
+    val sigDiff = e.select(
+      Knn.lshSignature($"embedding", 16).as("a"),
+      Knn.lshSignatureHof($"embedding", 16).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(sigDiff == 0)
+  }
+
+  test("SQL registration via SparkSessionExtensions") {
+    // the shared test session is built with GraftExtensions
+    val r = spark.sql("SELECT graft_simhash64('hello world') AS h").head.getLong(0)
+    val c = Seq(("hello world")).toDF("t")
+      .select(Dedup.simhash64($"t")).head.getLong(0)
+    assert(r == c)
+  }
+}

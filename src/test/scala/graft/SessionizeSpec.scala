@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful streaming sessions match batch gaps-and-islands") {
+    val base = Files.createTempDirectory("graft-sess").toString
+    val (inDir, outDir, cpDir) = (s"$base/in", s"$base/out", s"$base/cp")
+
+    // deterministic input from testdata events; a final far-future row
+    // per user advances the watermark so every real session closes
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts")
+    val flush = ev.groupBy($"user_id").agg(max($"ts").as("m"))
+      .select($"user_id", lit(-1L).as("event_id"),
+        ($"m" + expr("INTERVAL 30 DAYS")).as("ts"))
+    ev.unionByName(flush).coalesce(1).write.mode("overwrite").json(inDir)
+
+    Sessionize.sessionize(Sessionize.fromJsonDir(spark, inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    // exclude the synthetic flush sessions (first_event_id == -1): the
+    // final timeout batch legitimately emits them once their watermark
+    // passes, but the batch query's input has no flush rows
+    val got = spark.read.parquet(outDir)
+      .where($"first_event_id" =!= -1L)
+      .select($"user_id",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events")
+
+    // batch truth (the flush rows form their own still-open sessions,
+    // which the stream never emits — exclude them from truth too)
+    val truth = graft.analytics.Analytics.qSessionize(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events")
+    assert(got.count() > 0)
+    val extra = got.exceptAll(truth)
+    val missing = truth.exceptAll(got)
+    if (!extra.isEmpty || !missing.isEmpty) {
+      println("=== extra (stream-only) ==="); extra.show(10, false)
+      println("=== missing (batch-only) ==="); missing.show(10, false)
+    }
+    assert(extra.isEmpty, "stream emitted a session batch doesn't have")
+    assert(missing.isEmpty, "batch session missing from stream")
+  }
+}
