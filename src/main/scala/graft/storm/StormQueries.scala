@@ -52,10 +52,14 @@ object StormQueries {
       .select(col("event_id"), col("id")).orderBy(col("event_id"))),
     // flagship: the full pipeline
     "storm_enrich" -> ((s, d) => enriched(s, d).orderBy(col("event_id"))),
-    // replayed (at-least-once redelivery) feed -> dedup by deterministic id
+    // replayed (at-least-once redelivery) feed -> dedup by deterministic id.
+    // Only the dedup key + grouping column ride the shuffle: at 100 TB,
+    // dropDuplicates over the full 17-column enriched row would shuffle
+    // the whole dataset; pruning first shuffles 2 columns.
     "storm_dedup" -> ((s, d) => {
       val f = StormFeed.feed(s, d)
       enrich(f.unionAll(f))
+        .select(col("id"), col("event_type"))
         .dropDuplicates("id")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_unique"))
         .orderBy(col("event_type"))
