@@ -20,26 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object StormFunctions {
 
-  private val numRe = "^[+-]?[0-9]+(\\.[0-9]+)?$"
+  /** Finite-number forms strconv.ParseFloat accepts: optional sign,
+    * digits with the decimal point on either side (".5", "5.", "5"),
+    * optional decimal exponent ("1e2"). Documented deviations (SURVEY
+    * §1): Go additionally accepts hex floats ("0x1p-2") and
+    * underscore-separated digits ("1_000"); those parse to 0 here. */
+  private val numRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  private val infRe = "^[+-]?(inf|infinity)$"
+
+  /** ParseFloat semantics on an already-trimmed string: finite forms,
+    * signed Inf/Infinity, unsigned NaN (all case-insensitive like Go);
+    * everything else -> 0. */
+  private def lenientDouble(t: Column): Column =
+    when(t.rlike(numRe), t.cast("double"))
+      .when(lower(t).rlike(infRe),
+        when(t.startsWith("-"), lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity)))
+      .when(lower(t) === "nan", lit(Double.NaN))
+      .otherwise(lit(0.0))
 
   /** strconv.ParseFloat-or-zero (transform.go:47-58): non-numeric -> 0. */
-  def parseFloatOrZero(c: Column): Column = {
-    val t = trim(c)
-    when(t.rlike(numRe), t.cast("double")).otherwise(lit(0.0))
-  }
+  def parseFloatOrZero(c: Column): Column = lenientDouble(trim(c))
 
   /** Per-type magnitude column select + parse (transform.go:60-86):
-    * hail->Size, tornado->F_Scale, wind->Speed; UNK/empty/invalid -> 0;
-    * tolerates EF/F scale prefixes. */
+    * hail->Size, tornado->F_Scale, wind->Speed; UNK/empty/invalid -> 0.
+    * Prefix stripping is sequential like Go's TrimPrefix("EF") then
+    * TrimPrefix("F"): "EF2"->2, "F3"->3, and "EFF3"->3 (both strips
+    * fire); "FF2"->0 (one F stripped, "F2" is not numeric). */
   def magnitudeRaw(eventType: Column, size: Column, fScale: Column, speed: Column): Column = {
     val sel = when(eventType === "hail", size)
       .when(eventType === "tornado", fScale)
       .when(eventType === "wind", speed)
     val t = trim(sel)
-    val stripped = regexp_replace(t, "^EF|^F", "")
+    val stripped = regexp_replace(regexp_replace(t, "^EF", ""), "^F", "")
     when(sel.isNull || t === "" || upper(t) === "UNK", lit(0.0))
-      .when(stripped.rlike(numRe), stripped.cast("double"))
-      .otherwise(lit(0.0))
+      .otherwise(lenientDouble(stripped))
   }
 
   /** Event-time resolution (transform.go:88-125): RFC3339 `...Z`, else

@@ -110,8 +110,17 @@ object StormQueries {
   // ---------------------------------------------------------------- oracle
 
   private val A = StormFeed.adapterSql
-  private val NUM = "^[+-]?[0-9]+(\\.[0-9]+)?$"
+  private val NUM = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  private val INF = "^[+-]?(inf|infinity)$"
   private val LOC = "^([0-9]+(?:\\.[0-9]+)?)\\s+([NSEW]{1,3})\\s+(.+)$"
+
+  /** ParseFloat-or-zero over an already-trimmed SQL expression —
+    * DuckDB mirror of StormFunctions.lenientDouble. */
+  private def lenient(x: String): String =
+    s"""CASE WHEN regexp_matches($x, '$NUM') THEN CAST($x AS DOUBLE)
+       |     WHEN regexp_matches(lower($x), '$INF') OR lower($x) = 'nan'
+       |       THEN COALESCE(TRY_CAST($x AS DOUBLE), 0.0)
+       |     ELSE 0.0 END""".stripMargin
 
   /** Shared enrichment CTE chain in DuckDB SQL, mirroring StormPipeline. */
   private val EN: String = s"""
@@ -122,14 +131,17 @@ p2 AS (
          WHEN 'wind' THEN speed ELSE NULL END AS mag_sel
   FROM raw
 ),
-p3 AS (
+p2b AS (
   SELECT p2.*,
+    regexp_replace(regexp_replace(trim(mag_sel), '^EF', ''), '^F', '') AS mag_stripped
+  FROM p2
+),
+p3 AS (
+  SELECT p2b.*,
     CASE WHEN mag_sel IS NULL OR trim(mag_sel) = '' OR upper(trim(mag_sel)) = 'UNK' THEN 0.0
-         WHEN regexp_matches(regexp_replace(trim(mag_sel), '^EF|^F', ''), '$NUM')
-           THEN CAST(regexp_replace(trim(mag_sel), '^EF|^F', '') AS DOUBLE)
-         ELSE 0.0 END AS mag_raw,
-    CASE WHEN regexp_matches(trim(lat), '$NUM') THEN CAST(trim(lat) AS DOUBLE) ELSE 0.0 END AS lat_d,
-    CASE WHEN regexp_matches(trim(lon), '$NUM') THEN CAST(trim(lon) AS DOUBLE) ELSE 0.0 END AS lon_d,
+         ELSE ${lenient("mag_stripped")} END AS mag_raw,
+    ${lenient("trim(lat)")} AS lat_d,
+    ${lenient("trim(lon)")} AS lon_d,
     CASE WHEN event_type IN ('hail','wind','tornado') THEN event_type ELSE '' END AS etype,
     CASE WHEN trim(time) = '' THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
          WHEN regexp_matches(trim(time), '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$$') THEN trim(time)
@@ -138,7 +150,7 @@ p3 AS (
               AND TRY_CAST(substr(lpad(trim(time),4,'0'),3,2) AS INT) <= 59
            THEN strftime(ts, '%Y-%m-%dT') || substr(lpad(trim(time),4,'0'),1,2) || ':' || substr(lpad(trim(time),4,'0'),3,2) || ':00Z'
          ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS event_time_str
-  FROM p2
+  FROM p2b
 ),
 p4 AS (
   SELECT p3.*,

@@ -23,6 +23,33 @@ class StormFunctionsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1.75, 0.0, 0.0, 3.0, 2.0, 4.0, 62.5, 0.0, 0.0))
   }
 
+  test("magnitude prefix strip is sequential (EF then F) like Go TrimPrefix") {
+    // transform.go:85-86 strips "EF" then "F": "EFF3" -> "F3" -> "3";
+    // "FF2" strips one F -> "F2", not numeric -> 0
+    val rows = Seq(
+      ("tornado", "", "EFF3", ""), ("tornado", "", "FF2", ""),
+      ("tornado", "", "EF", ""), ("tornado", "", "F", ""))
+      .toDF("t", "size", "f", "sp")
+      .select(magnitudeRaw($"t", $"size", $"f", $"sp").as("m")).collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(3.0, 0.0, 0.0, 0.0))
+  }
+
+  test("ParseFloat leniency: .5 / 5. / exponent / inf / nan forms") {
+    // strconv.ParseFloat (transform.go:47-58) accepts these; table cases
+    // mirror reference transform_test.go probes
+    val vals = Seq(".5", "5.", "1e2", "-2.5e-1", "+3", "Inf", "-inf", "Infinity")
+      .toDF("x").select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(0.5, 5.0, 100.0, -0.25, 3.0,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.PositiveInfinity))
+    val nan = Seq("NaN").toDF("x").select(parseFloatOrZero($"x").as("r")).head.getDouble(0)
+    assert(nan.isNaN)
+    // rejected forms -> 0 (".", bare exponent, garbage; hex floats and
+    // digit underscores are documented deviations from Go — SURVEY §1)
+    val zeros = Seq(".", "e5", "5e", "1.2.3", "0x1p-2", "1_000", "", "  ")
+      .toDF("x").select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
+    assert(zeros.forall(_ == 0.0))
+  }
+
   test("severity thresholds per type (transform.go:212-257)") {
     val cases = Seq(
       ("hail", 0.5, "minor"), ("hail", 0.75, "moderate"), ("hail", 1.5, "severe"),
