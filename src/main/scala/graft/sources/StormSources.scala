@@ -11,9 +11,13 @@ import graft.storm.StormPipeline
   */
 object StormSources {
 
-  /** JSON-lines wire records: one RawCSVRecord object per line. */
-  def rawJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(StormPipeline.rawSchema).json(path)
+  /** JSON wire records (RawCSVRecord objects): JSON-lines by default,
+    * `multiLine = true` for a pretty-printed JSON array file (the shape
+    * the reference's genmock fixtures use). */
+  def rawJson(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
+    spark.read
+      .option("multiLine", multiLine.toString)
+      .schema(StormPipeline.rawSchema).json(path)
 
   /** Headered CSV of RawCSVRecord fields (all strings on the wire). */
   def rawCsv(spark: SparkSession, path: String): DataFrame =
