@@ -3,27 +3,62 @@ package graft.observability
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Pipeline observability — the Spark-native equivalent of the
   * reference's Prometheus counters/histograms/gauge
-  * (/root/reference/internal/metrics): rows in/out, poison-pill count,
-  * bytes read, task time. Counters are driver-side accumulators
-  * (exactly-once per successful task from Spark's accumulator
-  * semantics for actions) plus a SparkListener rolling up executor
-  * metrics — no per-row driver work, so observability is free at scale.
+  * (/root/reference/internal/observability/metrics.go): rows in/out,
+  * poison-pill count, bytes read, task time.
+  *
+  * Row counters ride `Dataset.observe` — Spark's purpose-built
+  * observation node: aggregates are computed inside the existing
+  * codegen'd plan (no UDF, no extra pass) and delivered to the driver
+  * exactly once per successful action via QueryExecutionListener
+  * (batch) or in each StreamingQueryProgress (streams). Unlike
+  * transformation-side accumulators, task retries and speculative
+  * duplicates never double-count.
   */
-final class Metrics(spark: SparkSession) extends Serializable {
-  val rowsIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.rows_in")
-  val rowsOut: LongAccumulator = spark.sparkContext.longAccumulator("graft.rows_out")
-  val poisonPills: LongAccumulator = spark.sparkContext.longAccumulator("graft.poison_pills")
+final class Metrics(spark: SparkSession) {
 
+  /** Observation-point name attached by [[instrumentParsed]]. */
+  val observationName = "graft_parse"
+
+  private val rowsIn = new AtomicLong(0)
+  private val rowsOut = new AtomicLong(0)
+  private val poisonPills = new AtomicLong(0)
   private val recordsRead = new AtomicLong(0)
   private val bytesRead = new AtomicLong(0)
   private val taskTimeMs = new AtomicLong(0)
 
-  private val listener = new SparkListener {
+  /** Instrument a parsed wire DataFrame (must carry `parse_ok`): counts
+    * total/good/poison rows at this point of the plan. Works unchanged
+    * for batch (counters roll up via QueryExecutionListener) and
+    * streaming (per-batch values surface in
+    * StreamingQueryProgress.observedMetrics — see [[StreamMetrics]]). */
+  def instrumentParsed(parsed: DataFrame): DataFrame =
+    parsed.observe(observationName,
+      count(lit(1)).as("rows_in"),
+      count(when(col("parse_ok"), 1)).as("rows_out"),
+      count(when(!col("parse_ok"), 1)).as("poison_pills"))
+
+  /** Roll an observed-metrics row (from either listener kind) into the
+    * cumulative counters. */
+  private[graft] def record(row: org.apache.spark.sql.Row): Unit = {
+    rowsIn.addAndGet(row.getAs[Long]("rows_in"))
+    rowsOut.addAndGet(row.getAs[Long]("rows_out"))
+    poisonPills.addAndGet(row.getAs[Long]("poison_pills"))
+  }
+
+  private val qeListener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.get(observationName).foreach(record)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+  }
+  spark.listenerManager.register(qeListener)
+
+  private val taskListener = new SparkListener {
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -33,23 +68,16 @@ final class Metrics(spark: SparkSession) extends Serializable {
       }
     }
   }
-  spark.sparkContext.addSparkListener(listener)
-
-  /** Instrument a wire DataFrame: counts rows and poison pills as they
-    * flow (accumulator updates ride the existing narrow map — no extra
-    * pass, no action). */
-  def countParsed(parsed: DataFrame): DataFrame = {
-    val inC = rowsIn; val poisonC = poisonPills; val outC = rowsOut
-    val countIt = udf { ok: Boolean =>
-      inC.add(1); if (ok) outC.add(1) else poisonC.add(1); ok }
-    parsed.withColumn("parse_ok", countIt(col("parse_ok")))
-  }
+  spark.sparkContext.addSparkListener(taskListener)
 
   def snapshot: Map[String, Long] = Map(
-    "rows_in" -> rowsIn.value, "rows_out" -> rowsOut.value,
-    "poison_pills" -> poisonPills.value,
+    "rows_in" -> rowsIn.get, "rows_out" -> rowsOut.get,
+    "poison_pills" -> poisonPills.get,
     "records_read" -> recordsRead.get, "bytes_read" -> bytesRead.get,
     "task_time_ms" -> taskTimeMs.get)
 
-  def unregister(): Unit = spark.sparkContext.removeSparkListener(listener)
+  def unregister(): Unit = {
+    spark.listenerManager.unregister(qeListener)
+    spark.sparkContext.removeSparkListener(taskListener)
+  }
 }

@@ -50,16 +50,23 @@ object StormStream {
     parsed(wire).where(!col("parse_ok")).select(col("event_id"), col("ts"))
 
   /** Start the enrichment sink (parquet, checkpointed — at-least-once
-    * from the source's perspective, exactly-once to the file sink). */
+    * from the source's perspective, exactly-once to the file sink).
+    * With `metrics`, the parsed stream carries an observe() node whose
+    * per-batch counters surface in StreamingQueryProgress (rolled up by
+    * StreamOps.StreamMetrics). */
   def startEnrichment(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
-    enriched(readWire(spark, inDir))
+      checkpointDir: String,
+      metrics: Option[graft.observability.Metrics] = None): StreamingQuery = {
+    val p = parsed(readWire(spark, inDir))
+    val instrumented = metrics.map(_.instrumentParsed(p)).getOrElse(p)
+    StormPipeline.enrich(instrumented.where(col("parse_ok")))
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", s"$checkpointDir/enriched")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Start the quarantine sink. */
   def startQuarantine(spark: SparkSession, inDir: String, outDir: String,

@@ -44,4 +44,50 @@ class StormStreamSpec extends SparkSpec {
       StormPipeline.parseRawJson(wire).where(col("parse_ok")))
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
+
+  test("supervised run: restart-with-backoff, readiness, progress metrics") {
+    import graft.observability.Metrics
+    import graft.streaming.StreamOps
+
+    val base = Files.createTempDirectory("graft-supervised").toString
+    val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
+      .withColumn("raw_value",
+        when(col("event_id") % 97 === 0, substring(col("raw_value"), 1, 10))
+          .otherwise(col("raw_value")))
+      .select(col("event_id"), col("ts"), col("raw_value"))
+    wire.coalesce(2).write.mode("overwrite").json(s"$base/in")
+    val nTotal = wire.count()
+    val nBad = wire.where(col("event_id") % 97 === 0).count()
+
+    val m = new Metrics(spark)
+    val listener = new StreamOps.StreamMetrics(Some(m))
+    spark.streams.addListener(listener)
+    assert(!listener.isReady) // not ready before the first committed batch
+
+    // first attempt dies before starting; the supervisor backs off and retries
+    var attempts = 0
+    val restarts = StreamOps.runSupervised({ () =>
+      attempts += 1
+      if (attempts == 1) throw new RuntimeException("transient source failure")
+      StormStream.startEnrichment(spark, s"$base/in", s"$base/out", s"$base/cp", Some(m))
+    }, maxRestarts = 3, baseBackoffMs = 1)
+    assert(restarts == 1 && attempts == 2)
+
+    // drain listener-bus deliveries, then check readiness + rollups
+    org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+    assert(listener.isReady)
+    val snap = listener.snapshot
+    assert(snap("batches") >= 1)
+    assert(snap("rows") == nTotal)
+    assert(listener.rowsPerSec > 0)
+    // duration histogram: every batch landed in exactly one bucket
+    assert(StreamOps.durationBucketsMs.map(b => snap(s"batch_ms_le_$b")).sum == snap("batches"))
+    // per-batch observed parse counters rolled into the shared Metrics
+    assert(m.snapshot("rows_in") == nTotal)
+    assert(m.snapshot("poison_pills") == nBad)
+    assert(spark.read.parquet(s"$base/out").count() == nTotal - nBad)
+
+    spark.streams.removeListener(listener)
+    m.unregister()
+  }
 }
