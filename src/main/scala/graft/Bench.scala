@@ -1,14 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Round benchmark: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
+  * one JSON line out.
+  *
+  * Credibility guard: BENCH_r01 was inflated ~7.4× by stray JVMs left
+  * behind by backgrounded builds contending for CPU. Before timing
+  * anything, this main samples the CPU use of every other JVM on the
+  * machine (excluding its own ancestor chain — the sbt launcher) and
+  * reports them in the JSON (`stray_jvms`, `clean_machine`) so a
+  * contended run is visible in the artifact instead of silently wrong.
+  */
 object Bench {
+
+  /** (pid, cores-of-CPU) for non-ancestor java processes busier than
+    * `minCores` over a ~`sampleMs` window. */
+  def strayJvms(sampleMs: Long = 500, minCores: Double = 0.05): Seq[(Long, Double)] = {
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(h =>
+      if (h.parent().isPresent) Some(h.parent().get) else None))
+      .takeWhile(_.isDefined).flatten.map(_.pid).toSet
+    def cpuNs(h: ProcessHandle): Option[(Long, Long)] = {
+      val info = h.info()
+      val isJava = info.command().map[Boolean](_.contains("java")).orElse(false)
+      if (!isJava || ancestors.contains(h.pid)) None
+      else if (info.totalCpuDuration().isPresent)
+        Some(h.pid -> info.totalCpuDuration().get.toNanos)
+      else None
+    }
+    val t0 = ProcessHandle.allProcesses().iterator().asScala.flatMap(cpuNs).toMap
+    Thread.sleep(sampleMs)
+    val t1 = ProcessHandle.allProcesses().iterator().asScala.flatMap(cpuNs).toMap
+    t1.flatMap { case (pid, ns1) =>
+      t0.get(pid).map(ns0 => pid -> (ns1 - ns0).toDouble / (sampleMs * 1e6))
+    }.filter(_._2 >= minCores).toSeq.sortBy(-_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val stray = strayJvms()
+    if (stray.nonEmpty)
+      System.err.println(s"[bench] WARNING: busy JVMs contending for CPU: " +
+        stray.map { case (p, c) => f"pid=$p%d ${c}%.2f cores" }.mkString(", "))
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -18,7 +54,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson}""")
     spark.stop()
   }
 }

@@ -105,6 +105,95 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  // ------------------------------------------------- sha-256-derived hashes
+  // The near-dup signature kernels below use sha-256-prefix hashes
+  // instead of xxhash64: the DuckDB oracle can reproduce them exactly
+  // (`substr(sha256(x),1,16)`), which is what makes dedup_simhash /
+  // dedup_minhash fully hash-checkable against an independent engine.
+  // sha-256 per token costs more than xxhash64 but the signature stage
+  // stays a narrow codegen'd map — it scales with input splits.
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** First 8 bytes of sha-256(utf8(s)) as a big-endian signed long —
+    * bit-identical to DuckDB `CAST('0x' || substr(sha256(s),1,16) AS
+    * UBIGINT)` (same bits, two's-complement reinterpreted). */
+  def sha64(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xffL); i += 1 }
+    out
+  }
+
+  /** First 16 lowercase-hex chars of sha-256(utf8(s)) — the string form
+    * of [[sha64]]; lexicographic min over these == unsigned numeric min. */
+  def sha64Hex(s: String): String = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = HEX((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 64-bit SimHash over word unigrams (with multiplicity) using
+    * [[sha64]] token hashes. DuckDB-reproducible; see the dedup_simhash
+    * oracle in PipelineQueries. */
+  def simhash64Sha(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val toks = tokens(text)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = sha64(toks(ti))
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature as hex strings: sig(p) = min over distinct
+    * k-shingles of sha64Hex(p + "|" + shingle). String min over
+    * fixed-width lowercase hex == unsigned 64-bit min, and DuckDB's
+    * `min(substr(sha256(i || '|' || s),1,16))` reproduces it exactly. */
+  def minhashSigSha(text: UTF8String, k: Int, perms: Int): ArrayData = {
+    val sh = shingles(text, k)
+    val n = sh.numElements()
+    val sig = new Array[Any](perms)
+    var p = 0
+    while (p < perms) {
+      val prefix = p + "|"
+      var best: String = null
+      var i = 0
+      while (i < n) {
+        val h = sha64Hex(prefix + sh.getUTF8String(i).toString)
+        if (best == null || h.compareTo(best) < 0) best = h
+        i += 1
+      }
+      sig(p) = UTF8String.fromString(best)
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   // ----------------------------------------------------------- vectors
   /** Sequential double dot product over float arrays — same order, same
     * arithmetic as aggregate(zip_with(...)) in Knn.dot. */

@@ -51,6 +51,28 @@ case class MinHashSigExpr(child: Expression, k: Int, perms: Int) extends UnaryEx
     copy(child = newChild)
 }
 
+case class SimHashSha64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64_sha"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.simhash64Sha(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.simhash64Sha($c)")
+  protected override def withNewChildInternal(newChild: Expression): SimHashSha64Expr =
+    copy(child = newChild)
+}
+
+case class MinHashShaSigExpr(child: Expression, k: Int, perms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_sha"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.minhashSigSha(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, perms)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.minhashSigSha($c, $k, $perms)")
+  protected override def withNewChildInternal(newChild: Expression): MinHashShaSigExpr =
+    copy(child = newChild)
+}
+
 case class CosineFExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
@@ -78,6 +100,9 @@ case class LshSignExpr(child: Expression, nPlanes: Int) extends UnaryExpression 
 object native {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64Expr(expr(text)))
+  def simhash64Sha(text: Column): Column = GraftColumnBridge.column(SimHashSha64Expr(expr(text)))
+  def minhashSigSha(text: Column, k: Int, perms: Int): Column =
+    GraftColumnBridge.column(MinHashShaSigExpr(expr(text), k, perms))
   def shingles(text: Column, k: Int): Column = GraftColumnBridge.column(ShinglesExpr(expr(text), k))
   def minhashSig(text: Column, k: Int, perms: Int): Column =
     GraftColumnBridge.column(MinHashSigExpr(expr(text), k, perms))
@@ -100,7 +125,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"), info("graft_cosine"),
       (args: Seq[Expression]) => CosineFExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_sign"), info("graft_lsh_sign"),
-      (args: Seq[Expression]) => LshSignExpr(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => LshSignExpr(args(0), constInt(args, 1, "graft_lsh_sign"))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64_sha"), info("graft_simhash64_sha"),
+      (args: Seq[Expression]) => SimHashSha64Expr(args.head)))
+  }
+
+  /** Require args(i) to be a foldable integral constant; fail analysis
+    * with a named error instead of a ClassCastException/NPE when a
+    * BIGINT literal, cast, or non-foldable column is passed. */
+  private def constInt(args: Seq[Expression], i: Int, fn: String): Int = {
+    val e = args(i)
+    def fail(what: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" ->
+          s"$fn: argument ${i + 1} must be a constant integer, got $what"),
+        cause = None)
+    if (!e.foldable) fail(s"non-foldable ${e.sql}")
+    e.eval() match {
+      case n: Int => n
+      case n: Long if n.isValidInt => n.toInt
+      case n: Short => n.toInt
+      case n: Byte => n.toInt
+      case other => fail(String.valueOf(other))
+    }
   }
 }

@@ -67,20 +67,29 @@ object Dedup {
     *
     * bands×rowsPerBand = signature length. Two docs collide iff some
     * band of their signatures is identical; one shuffle keyed on
-    * (band, band-hash). Returns (doc_a, doc_b, jaccard) with
+    * (band, band-key). Returns (doc_a, doc_b, jaccard) with
     * jaccard >= threshold, doc_a < doc_b.
+    *
+    * The signature uses sha-256-prefix hashes (hex-string min ==
+    * unsigned 64-bit min) and the band key is the raw 67-char slice
+    * concat: both are reproducible in any engine with sha256 — the
+    * dedup_minhash DuckDB oracle replays this pipeline exactly,
+    * including which candidate pairs each band yields. (At production
+    * scale the band key could be xxhash64-compressed to shrink shuffle
+    * bytes; collisions only add candidates, never drop them, because
+    * the exact-Jaccard verify keeps precision at 1.)
     */
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sigLen = bands * rowsPerBand
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"),
-        graft.expressions.native.minhashSig(col("text"), k, sigLen).as("sig"))
-    // explode into one row per band: (band id, hash of the band slice)
+        graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
+    // explode into one row per band: (band id, the band's sig slice)
     val banded = withSig.select(
       col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -108,6 +117,11 @@ object Dedup {
     * expression; HOF reference kept as [[simhash64Hof]]. */
   def simhash64(text: Column): Column = graft.expressions.native.simhash64(text)
 
+  /** [[simhash64]] with sha-256-prefix token hashes — same construction,
+    * engine-reproducible (DuckDB oracle replays it); used by
+    * [[simhashPairs]]. */
+  def simhash64Sha(text: Column): Column = graft.expressions.native.simhash64Sha(text)
+
   /** Reference HOF formulation of [[simhash64]] (interpreted lambdas). */
   def simhash64Hof(text: Column): Column = {
     val votes = aggregate(
@@ -127,11 +141,24 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxHamming.
     * Pigeonhole: split 64 bits into (maxHamming+1) chunks — any pair
     * within distance k shares at least one exact chunk; join on
-    * (chunk id, chunk value), verify with bit_count(xor). */
+    * (chunk id, chunk value), verify with bit_count(xor). Lossless
+    * (recall 1) by construction.
+    *
+    * Scale: chunk width is 64/(maxHamming+1) bits and chunk values of a
+    * SimHash are near-uniform, so bucket population ~ n / 2^chunkBits.
+    * maxHamming=3 → 16-bit chunks → 65,536 buckets per chunk: at 10⁹
+    * docs that's ~15k docs per bucket (~10⁸ candidate pairs per chunk,
+    * re-checked by a single bit_count) — feasible; maxHamming=6 → 9-bit
+    * chunks → 512 buckets is a within-bucket n² scale-killer, which is
+    * why 3 is the default and the shipped query setting.
+    *
+    * Token hashes are sha-256 prefixes, so the dedup_simhash DuckDB
+    * oracle reproduces the signature (and therefore every pair) exactly.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("sim"))
+    val withSim = docs.select(col("doc_id"), simhash64Sha(col("text")).as("sim"))
     val chunked = withSim.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         c => call_function("shiftrightunsigned", col("sim"), c * chunkBits)

@@ -78,21 +78,36 @@ object Knn {
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
-  /** Embedding-cosine near-dup pairs (SURVEY §2 #36): self-join the
+  /** Occupancy-targeted LSH band width: 2^bandBits buckets per band
+    * sized so a bucket holds ~targetBucketRows vectors. At n=2k this
+    * gives the recall-friendly 4-bit bands; at n=10⁹ it gives 20-bit
+    * bands (≈10⁶ buckets, ~1k rows each → ~5·10⁸ candidate pairs per
+    * band instead of the n²/16 a fixed 4-bit band would produce). The
+    * honest LSH tradeoff — wider bands trade recall at low cosine for
+    * bounded bucket occupancy — is the caller's dial; this picks the
+    * occupancy-safe default from the corpus size. */
+  def autoBandBits(corpusSize: Long, targetBucketRows: Long = 1024): Int = {
+    val ratio = math.max(corpusSize, 1).toDouble / targetBucketRows
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-LSH: self-join the
     * corpus on LSH sign-bands (shuffle keyed on (band, bucket) — never
     * all-pairs), verify exact cosine on candidates. Approximate in
     * recall (a pair may land in no common band), exact in precision
-    * (every returned pair truly clears the threshold). */
+    * (every returned pair truly clears the threshold).
+    * `bandBits <= 0` → sized from the corpus count ([[autoBandBits]]). */
   def embeddingPairs(corpus: DataFrame, threshold: Double,
-      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
+      nBands: Int = 4, bandBits: Int = 0): DataFrame = {
+    val bb = if (bandBits > 0) bandBits else autoBandBits(corpus.count())
+    val nPlanes = nBands * bb
+    val mask = (1L << bb) - 1
     val banded = corpus
       .select(col("vec_id"), col("embedding"),
         lshSignature(col("embedding"), nPlanes).as("sig"))
       .select(col("vec_id"), col("embedding"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-          b => call_function("shiftrightunsigned", col("sig"), b * bandBits)
+          b => call_function("shiftrightunsigned", col("sig"), b * bb)
             .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
@@ -109,17 +124,19 @@ object Knn {
 
   /** ANN top-k via random-hyperplane LSH: candidates are corpus rows
     * whose signature matches the query's in at least one band of
-    * `bandBits` bits; exact cosine re-ranks candidates only. */
+    * `bandBits` bits; exact cosine re-ranks candidates only.
+    * `bandBits <= 0` → sized from the corpus count ([[autoBandBits]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
+      nBands: Int = 4, bandBits: Int = 0): DataFrame = {
+    val bb = if (bandBits > 0) bandBits else autoBandBits(corpus.count())
+    val nPlanes = nBands * bb
+    val mask = (1L << bb) - 1
     def banded(df: DataFrame, idCol: String, embOut: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
           lshSignature(col("embedding"), nPlanes).as("sig"))
         .select(col(idCol), col(embOut),
           posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-            b => call_function("shiftrightunsigned", col("sig"), b * bandBits)
+            b => call_function("shiftrightunsigned", col("sig"), b * bb)
               .bitwiseAND(lit(mask)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val c = banded(corpus, "vec_id", "emb")
@@ -132,6 +149,85 @@ object Knn {
     candidates
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("emb"), col("q_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // -------------------------------------------- IVF (inverted-file) ANN
+  // The second scale path: coarse-quantize the corpus into cells, probe
+  // only the query's nearest cells. Unlike sign-LSH the whole pipeline
+  // is deterministic linear algebra (no hashing), so the DuckDB oracle
+  // replays it end-to-end — candidate generation included — which makes
+  // knn_ivf / dedup_embed fully hash-checkable.
+
+  /** Deterministic coarse centroids: the first `nCells` corpus vectors
+    * by vec_id. A production deployment would train k-means centroids;
+    * assignment, cell join, and probing below are identical either way,
+    * and the deterministic pick is what the oracle can reproduce. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
+  /** Nearest-centroid assignment (ties → lowest cell id). Broadcast
+    * centroids + map-side partial max: the crossJoin never shuffles and
+    * the groupBy combines to one row per vector before the exchange —
+    * at 10⁹ × 32k-cell scale the shuffle is still just n rows.
+    * (max of struct(cos, -cell_id) == argmax with asc-id tie-break.) */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame =
+    vecs.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      // round(,6) before the argmax: the rounded cosine is the proven
+      // cross-engine-stable value (knn_cosine oracle), so assignment
+      // ties break identically everywhere
+      .select(col(idCol), col("embedding"),
+        struct(round(cosine(col("embedding"), col("centroid")), 6).as("cos"),
+          (-col("cell_id")).as("neg")).as("sc"))
+      .groupBy(col(idCol))
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
+      .select(col(idCol), col("embedding"), (-col("best.neg")).as("cell_id"))
+
+  /** Embedding near-dup pairs, IVF flavor: vectors sharing a cell are
+    * candidates; exact cosine verifies. One shuffle keyed on cell_id;
+    * cell occupancy ~ n/nCells (choose nCells ≈ √n at scale → n^1.5
+    * pair work, the classic IVF tradeoff, instead of n²). Precision
+    * exact; recall = pairs whose members quantize to the same cell. */
+  def ivfPairs(corpus: DataFrame, threshold: Double, nCells: Int = 16): DataFrame = {
+    val assigned = ivfAssign(corpus, ivfCentroids(corpus, nCells))
+    val a = assigned.select(col("cell_id"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell_id"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("cell_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** IVF ANN top-k: probe the query's `nProbe` nearest cells, exact
+    * cosine re-rank of the probed candidates only. Corpus side shuffles
+    * once on cell_id; the (few) query probes broadcast. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells)
+    val assigned = ivfAssign(corpus, cents)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cell_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("pcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))

@@ -6,12 +6,13 @@ import graft.functions.Text
 import graft.sources.Tables
 
 /** Driver-facing queries + DuckDB oracles for the LLM-data-pipeline
-  * operators (SURVEY §2 #25-35) over `documents` / `embeddings`.
+  * operators (SURVEY §2 #25-37) over `documents` / `embeddings`.
   *
-  * Near-dup / LSH / multimodal queries are rows-only checked (no
-  * oracleSql): their semantics hinge on xxhash64 seeds and stub codecs
-  * that no other engine reproduces; their correctness is pinned by
-  * ScalaTest specs instead.
+  * Every query except knn_lsh is hash-checked against a DuckDB oracle:
+  * the near-dup signatures use sha-256-prefix hashes and the IVF
+  * pipeline is hashing-free, so the oracle replays candidate
+  * generation exactly. knn_lsh (random-hyperplane signs from xxhash64)
+  * stays rows-only, pinned by KnnSpec's recall floor instead.
   */
 object PipelineQueries {
 
@@ -30,9 +31,10 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), k = 3, bands = 8, rowsPerBand = 4, threshold = 0.2)
         .orderBy(col("doc_a"), col("doc_b"))),
-    // 27: SimHash near-dup pairs (rows-only; spec-pinned)
+    // 27: SimHash near-dup pairs. maxHamming=3 -> 16-bit pigeonhole
+    // chunks (65,536 buckets/chunk — scale-safe; see Dedup.simhashPairs)
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), maxHamming = 6)
+      Dedup.simhashPairs(docs(s, d), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
     // 28: exact n-gram Jaccard similarity join (prefix-filtered;
     // trigram shingles keep document frequencies low -> small Σdf²)
@@ -45,16 +47,26 @@ object PipelineQueries {
       Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
-    // 30: LSH-bucketed ANN (rows-only; spec checks recall vs #29)
+    // 30: LSH-bucketed ANN (rows-only; spec checks recall vs #29;
+    // bandBits auto-sizes from corpus count — Knn.autoBandBits)
     "knn_lsh" -> ((s, d) => {
       val e = embs(s, d)
-      Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5, nPlanes = 16, bandBits = 4)
+      Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
-    // 36: embedding-cosine near-dup pairs (rows-only; spec pins
-    // precision=1 and recall vs brute force)
+    // 37: IVF ANN top-k — deterministic coarse cells + nProbe probing;
+    // the whole pipeline (centroids, assignment, probes, re-rank) is
+    // hashing-free, so the DuckDB oracle replays it exactly
+    "knn_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+    }),
+    // 36: embedding-cosine near-dup pairs, IVF flavor (same-cell
+    // candidates + exact verify — oracle-replayable; the sign-LSH
+    // variant Knn.embeddingPairs stays spec-pinned in KnnSpec)
     "dedup_embed" -> ((s, d) =>
-      Knn.embeddingPairs(embs(s, d), threshold = 0.35)
+      Knn.ivfPairs(embs(s, d), threshold = 0.35, nCells = 16)
         .orderBy(col("vec_a"), col("vec_b"))),
     // 31: language ID. Stopword-hit counts staged as attribute refs
     // (argmax over columns, not over duplicated expression trees).
@@ -107,7 +119,146 @@ object PipelineQueries {
     s"len(list_filter(str_split($NORM, ' '), t -> list_contains($list, t)))"
   }
 
+  /** Shared DuckDB CTE: trigram shingle postings (doc_id, n_sh, s) —
+    * mirrors Dedup.shingles(text, 3). */
+  private val SH3 =
+    s"""toks AS (
+       |  SELECT doc_id, str_split($NORM, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, n_sh, s FROM (
+       |    SELECT doc_id,
+       |      list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |        ELSE list_transform(range(1, len(w) - 1),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ss
+       |    FROM toks
+       |  ), LATERAL (SELECT len(ss) AS n_sh), unnest(ss) AS t(s)
+       |)""".stripMargin
+
+  /** Shared DuckDB CTEs for the IVF pipeline: embeddings as doubles,
+    * the 16 deterministic centroids, and the nearest-cell assignment
+    * (argmax on round(cos,6), ties to the lowest cell — mirrors
+    * Knn.ivfAssign's max(struct(cos, -cell_id))). */
+  private def ivfSql(nCells: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < $nCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cent.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_dot_product(e.v, cent.c) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+       |      cent.cell_id) AS rn
+       |  FROM e CROSS JOIN cent
+       |), assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   val oracleSql: Map[String, String] = Map(
+    // 26: full LSH replay — sha-256-prefix minhash signature, banded
+    // keys, candidate join, exact-Jaccard verify (threshold 0.2).
+    "dedup_minhash" ->
+      s"""WITH $SH3, sig AS (
+         |  SELECT doc_id, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS m
+         |  FROM sh CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i
+         |), band AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 27: sha-based 64-bit simhash recomputed per doc, exact O(n²)
+    // hamming join (the Spark side buckets; pigeonhole is lossless so
+    // the outputs agree).
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS tk FROM documents
+         |), h AS (
+         |  SELECT doc_id, CAST('0x' || substr(sha256(tk), 1, 16) AS UBIGINT) AS hv FROM t
+         |), v AS (
+         |  SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j
+         |), sims AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+         |    THEN CAST(1 AS UBIGINT) << CAST(j AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
+         |  FROM v GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 36: IVF near-dup replay — same-cell pairs, exact cosine verify.
+    "dedup_embed" ->
+      s"""WITH ${ivfSql(16)}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // 37: IVF ANN replay — probe 4 nearest cells of each query vector,
+    // exact re-rank, top-5.
+    "knn_ivf" ->
+      s"""WITH ${ivfSql(16)},
+         |probes AS (
+         |  SELECT query_id, q, cell_id FROM (
+         |    SELECT qe.vec_id AS query_id, qe.v AS q, cent.cell_id,
+         |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+         |        round(${cosSql("qe.v", "cent.c")}, 6) DESC, cent.cell_id) AS rn
+         |    FROM e qe CROSS JOIN cent WHERE qe.vec_id < 10
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id, round(${cosSql("a.v", "p.q")}, 6) AS cos
+         |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+         |  WHERE a.vec_id <> p.query_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand
+         |)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 35: the PNG container is built from (doc_id, text) by formula, so
+    // the oracle predicts the decoded output independently: dimensions
+    // from the meta formula, n_bytes = 57 header/chunk bytes + payload,
+    // feature mass from the fixed-point byte histogram of the utf-8
+    // sample bytes. A broken encode OR decode breaks the match.
+    "mm_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), bytes AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), i ->
+         |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
+         |  FROM b
+         |), feats AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, 8), j ->
+         |      CAST(floor(CAST(coalesce(list_sum(
+         |        list_filter(bs, x -> x % 8 = CAST(j AS INT))), 0) AS DOUBLE)
+         |        * 1000000 / greatest(n, 1)) AS BIGINT)) AS f
+         |  FROM bytes
+         |)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  CAST(57 + n AS BIGINT) AS n_bytes,
+         |  CAST(doc_id % 640 + 64 AS INT) AS width,
+         |  CAST(doc_id % 480 + 48 AS INT) AS height,
+         |  round(CAST(list_sum(f) AS DOUBLE) / 1000000, 6) AS feature_mass
+         |FROM feats ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

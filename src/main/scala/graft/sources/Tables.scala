@@ -24,14 +24,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark does not
-    * map to a timestamp natively; read it as long nanos and truncate to
-    * microseconds (integer arithmetic — ns epochs exceed double's 2^53
-    * mantissa, so no float division here). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * map to a timestamp natively; read it as long nanos (GraftSession
+    * sets spark.sql.legacy.parquet.nanosAsLong at construction — no
+    * mid-session conf mutation here) and truncate to microseconds
+    * (integer arithmetic — ns epochs exceed double's 2^53 mantissa). */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

