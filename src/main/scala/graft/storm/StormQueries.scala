@@ -83,6 +83,46 @@ object StormQueries {
       sum(when(col("source_office") =!= "", 1L).otherwise(0L)).as("n_with_office"),
       sum(when(col("location_distance").isNotNull, 1L).otherwise(0L)).as("n_loc_parsed"),
       countDistinct(col("id")).as("n_unique_ids"))),
+    // cmd/validate phases 3+4 equivalent (main.go:352-541): re-run the
+    // transformation through an INDEPENDENT path (JSON wire-serde
+    // roundtrip -> parse -> enrich), join on the envelope id, and
+    // field-compare every enriched column (float tolerance 1e-9 like
+    // the reference's floatEq); plus the GraphQL-schema enum/required
+    // checks over the direct output. One joined pass, counters out —
+    // the per-record compare is a DataFrame join at any scale.
+    "storm_validate2" -> ((s, d) => {
+      val f = StormFeed.feed(s, d)
+      val direct = enrich(f)
+      val rt = enrich(parseRawJson(toRawJson(f)).where(col("parse_ok")))
+      val floatCols = Set("magnitude", "lat", "lon", "location_distance")
+      val cmpCols = direct.columns.filterNot(_ == "event_id").toSeq
+      val eq = cmpCols.map { c =>
+        val (a, b) = (col(s"a.$c"), col(s"b.$c"))
+        if (floatCols(c)) (a <=> b) || (abs(a - b) < 1e-9) else a <=> b
+      }.reduce(_ && _)
+      val a = direct.alias("a")
+      a.join(rt.alias("b"), "event_id")
+        .agg(
+          count(lit(1)).as("n_joined"),
+          sum(when(eq, 0L).otherwise(1L)).as("n_mismatch"),
+          // schema alignment (validate main.go:467-541) on the direct path
+          sum(when(col("a.event_type") === "", 1L).otherwise(0L)).as("n_empty_type"),
+          sum(when(!col("a.unit").isin("in", "mph", "f_scale") && col("a.unit") =!= "", 1L)
+            .otherwise(0L)).as("n_bad_unit"),
+          sum(when(col("a.severity").isNotNull &&
+            !col("a.severity").isin("minor", "moderate", "severe", "extreme"), 1L)
+            .otherwise(0L)).as("n_bad_severity"),
+          sum(when(col("a.event_type") =!= "" &&
+            !col("a.id").startsWith(concat(col("a.event_type"), lit("-"))), 1L)
+            .otherwise(0L)).as("n_bad_id_prefix"),
+          sum(when((col("a.magnitude") > 0) =!= col("a.severity").isNotNull, 1L)
+            .otherwise(0L)).as("n_mag_sev_incoherent"),
+          sum(when(length(col("a.state")) =!= 2, 1L).otherwise(0L)).as("n_bad_state"),
+          sum(when(col("a.location_name") === "", 1L).otherwise(0L)).as("n_empty_location"),
+          sum(when(col("a.lat") === 0.0 && col("a.lon") === 0.0, 1L).otherwise(0L)).as("n_zero_geo"),
+          sum(when(col("a.event_time_str").isNull || col("a.time_bucket_str").isNull, 1L)
+            .otherwise(0L)).as("n_missing_time"))
+    }),
     // downstream-API style severity rollup per hour bucket dimension
     "storm_rollup" -> ((s, d) => enriched(s, d)
       .groupBy(col("event_type"), coalesce(col("severity"), lit("none")).as("severity"))
@@ -225,6 +265,23 @@ en AS (
          |  CAST(sum(CASE WHEN source_office <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_office,
          |  CAST(sum(CASE WHEN location_distance IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_loc_parsed,
          |  count(DISTINCT id) AS n_unique_ids
+         |FROM en""".stripMargin,
+    // the oracle predicts the validate2 counters independently from the
+    // EN truth chain: the roundtrip path must agree per-record with the
+    // direct path (serde-lossless -> n_mismatch 0), and every enum /
+    // required-field count must match the reference-semantics recompute
+    "storm_validate2" ->
+      s"""$EN SELECT count(*) AS n_joined,
+         |  CAST(0 AS BIGINT) AS n_mismatch,
+         |  CAST(sum(CASE WHEN etype = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_type,
+         |  CAST(sum(CASE WHEN unit NOT IN ('in','mph','f_scale') AND unit <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_unit,
+         |  CAST(sum(CASE WHEN severity IS NOT NULL AND severity NOT IN ('minor','moderate','severe','extreme') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_severity,
+         |  CAST(sum(CASE WHEN etype <> '' AND NOT starts_with(id, etype || '-') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_id_prefix,
+         |  CAST(sum(CASE WHEN (magnitude > 0) <> (severity IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_mag_sev_incoherent,
+         |  CAST(sum(CASE WHEN length(state) <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_state,
+         |  CAST(sum(CASE WHEN location_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_location,
+         |  CAST(sum(CASE WHEN lat_d = 0 AND lon_d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_geo,
+         |  CAST(sum(CASE WHEN event_time_str IS NULL OR time_bucket_str IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_time
          |FROM en""".stripMargin,
     "storm_rollup" ->
       s"""$EN SELECT etype AS event_type, coalesce(severity, 'none') AS severity,
