@@ -37,9 +37,29 @@ object Bench {
     }.filter(_._2 >= minCores).toSeq.sortBy(-_._2)
   }
 
+  /** Single-thread CPU calibration: FNV-mix iterations per ms. A run
+    * whose start/end calibration differs greatly from other runs (or
+    * from each other) executed on a degraded/contended host — measured
+    * host slowdowns of >10× have occurred with zero stray JVMs, so the
+    * probe makes them visible inside the artifact. */
+  def calibrate(): Double = {
+    def loop(iters: Int): Double = {
+      var h = 0x811c9dc5L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < iters) { h = (h ^ i) * 0x01000193L; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (h == 42) System.err.print("") // keep the loop live
+      iters / ms
+    }
+    loop(1 << 22) // JIT warmup, discarded
+    loop(1 << 24)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val calibStart = calibrate()
     val stray = strayJvms()
     if (stray.nonEmpty)
       System.err.println(s"[bench] WARNING: busy JVMs contending for CPU: " +
@@ -56,8 +76,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
       .mkString("[", ",", "]")
+    val calibEnd = calibrate()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson}""")
+      s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
+      s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round}}""")
     spark.stop()
   }
 }

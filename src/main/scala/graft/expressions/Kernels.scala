@@ -210,6 +210,43 @@ object Kernels {
   def cosineF(a: ArrayData, b: ArrayData): Double =
     dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
 
+  /** Plane-weight cache for [[lshSignSha]]: weights depend only on
+    * (plane, dim), so each JVM computes the sha-derived matrix once —
+    * the per-row cost is a plain dot product. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def shaPlane(p: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((p.toLong << 32) | dim, _ => {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val pm = java.lang.Long.remainderUnsigned(sha64(s"hyperplane|$p|$i"), 1000000L)
+        w(i) = pm.toDouble / 1000000.0 - 0.5
+        i += 1
+      }
+      w
+    })
+
+  /** Random-hyperplane sign signature with sha-256-derived plane
+    * weights: component (p,i) = remainderUnsigned(sha64("hyperplane|p|i"),
+    * 1e6)/1e6 - 0.5 — DuckDB reproduces both the weights and the
+    * sequential-fold projection bit-for-bit (knn_lsh oracle). */
+  def lshSignSha(emb: ArrayData, nPlanes: Int): Long = {
+    val dim = emb.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val w = shaPlane(p, dim)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) { proj += emb.getFloat(i).toDouble * w(i); i += 1 }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Random-hyperplane sign signature, replicating Knn.lshSignature:
     * plane component (p,i) = pmod(xxhash64('hyperplane', p, i), 1e6)/1e6
     * - 0.5; bit p set iff the projection is > 0. */

@@ -96,6 +96,17 @@ case class LshSignExpr(child: Expression, nPlanes: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class LshSignShaExpr(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sign_sha"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.lshSignSha(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.lshSignSha($c, $nPlanes)")
+  protected override def withNewChildInternal(newChild: Expression): LshSignShaExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -110,6 +121,8 @@ object native {
     GraftColumnBridge.column(CosineFExpr(expr(a), expr(b)))
   def lshSign(emb: Column, nPlanes: Int): Column =
     GraftColumnBridge.column(LshSignExpr(expr(emb), nPlanes))
+  def lshSignSha(emb: Column, nPlanes: Int): Column =
+    GraftColumnBridge.column(LshSignShaExpr(expr(emb), nPlanes))
 }
 
 /** SparkSessionExtensions injector: exposes the native expressions to

@@ -176,6 +176,64 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")    // shuffle: survivors only
   }
 
+  // --------------------------------- 38: dedup clusters from a pair list
+  /** Connected components over a near-dup pair list → (doc_id,
+    * cluster_id = min doc_id in the component) — the step that turns
+    * pairwise similarity into dedup groups (keep `doc_id == cluster_id`
+    * as the canonical copy, drop the rest).
+    *
+    * Each round does (a) min-label over neighbors and (b) POINTER
+    * JUMPING — every node also adopts its current label's label —
+    * so label distance halves per round and convergence is
+    * O(log diameter) rounds, not O(diameter) (a 10⁶-long near-dup
+    * chain converges in ~20 rounds; plain propagation would need 10⁶
+    * rounds / silently stop at maxIter). Three keyed shuffles of the
+    * tiny label table per round; deterministic fixpoint = min doc_id
+    * per component regardless of execution order.
+    *
+    * Every round `localCheckpoint`s its labels: iterative plans must
+    * TRUNCATE lineage, not just cache it — `persist` keeps the full
+    * logical plan, so round i's plan would embed ~4 copies of round
+    * i-1's and analysis cost grows exponentially (measured: a 200-node
+    * chain never finished). A cluster deployment with flaky executors
+    * would use `checkpoint` to a reliable dir instead (same lineage
+    * truncation, replicated storage).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // (a) adopt the min label among self and neighbors
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val afterNbr = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // (b) pointer jump: follow the label's own label (halves chains)
+      val updated = afterNbr
+        .join(afterNbr.select(col("doc_id").as("cluster_id"), col("cluster_id").as("parent")),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("parent"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------- 28: n-gram Jaccard
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
     * AllPairs/PPJoin candidate rule): a pair with Jaccard >= t must

@@ -66,6 +66,14 @@ object Knn {
   def lshSignature(emb: Column, nPlanes: Int): Column =
     graft.expressions.native.lshSign(emb, nPlanes)
 
+  /** [[lshSignature]] with sha-256-derived plane weights (cached
+    * per-JVM plane matrix, so per row it's a plain dot product) —
+    * engine-reproducible: the knn_lsh DuckDB oracle replays signature,
+    * banding, candidates, and re-rank exactly. Used by the banded
+    * operators below. */
+  def lshSignatureSha(emb: Column, nPlanes: Int): Column =
+    graft.expressions.native.lshSignSha(emb, nPlanes)
+
   /** Reference HOF formulation of [[lshSignature]]. */
   def lshSignatureHof(emb: Column, nPlanes: Int): Column =
     aggregate(
@@ -104,7 +112,7 @@ object Knn {
     val mask = (1L << bb) - 1
     val banded = corpus
       .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), nPlanes).as("sig"))
+        lshSignatureSha(col("embedding"), nPlanes).as("sig"))
       .select(col("vec_id"), col("embedding"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
           b => call_function("shiftrightunsigned", col("sig"), b * bb)
@@ -133,7 +141,7 @@ object Knn {
     val mask = (1L << bb) - 1
     def banded(df: DataFrame, idCol: String, embOut: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
-          lshSignature(col("embedding"), nPlanes).as("sig"))
+          lshSignatureSha(col("embedding"), nPlanes).as("sig"))
         .select(col(idCol), col(embOut),
           posexplode(transform(sequence(lit(0), lit(nBands - 1)),
             b => call_function("shiftrightunsigned", col("sig"), b * bb)

@@ -41,14 +41,20 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // 38: pairwise near-dups -> dedup groups (connected components,
+    // min-label propagation; oracle = recursive-CTE transitive closure)
+    "dedup_cluster" -> ((s, d) =>
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5))
+        .orderBy(col("doc_id"))),
     // 29: brute-force cosine top-k, 10 broadcast query vectors
     "knn_cosine" -> ((s, d) => {
       val e = embs(s, d)
       Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
-    // 30: LSH-bucketed ANN (rows-only; spec checks recall vs #29;
-    // bandBits auto-sizes from corpus count — Knn.autoBandBits)
+    // 30: LSH-bucketed ANN — sha-derived hyperplanes, so the oracle
+    // replays signature/banding/candidates/re-rank exactly (bandBits
+    // auto-sizes from corpus count: 4 bits at this SF)
     "knn_lsh" -> ((s, d) => {
       val e = embs(s, d)
       Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5)
@@ -154,6 +160,43 @@ object PipelineQueries {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   val oracleSql: Map[String, String] = Map(
+    // 30: full sign-LSH replay. Plane weight (p,i) =
+    // unsigned(sha64("hyperplane|p|i")) % 1e6 / 1e6 - 0.5; projection is
+    // the same sequential fold the kernel runs (list_reduce), bands are
+    // 4 × 4 bits (Knn.autoBandBits at this corpus size), exact cosine
+    // re-ranks candidates.
+    "knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_transform(range(0, len(v)), i ->
+         |      v[CAST(i AS INT) + 1] *
+         |      ((CAST('0x' || substr(sha256('hyperplane|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 16) AS UBIGINT)
+         |        % 1000000) / 1000000.0 - 0.5)
+         |    ), (a, x) -> a + x) AS proj
+         |  FROM e CROSS JOIN range(0, 16) r(p)
+         |), sigs AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0
+         |    THEN CAST(1 AS UBIGINT) << CAST(p AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+         |  FROM proj GROUP BY vec_id
+         |), bands AS (
+         |  SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS bucket
+         |  FROM sigs CROSS JOIN range(0, 4) rb(b)
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+         |  FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+         |), ranked AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(${cosSql("ce.v", "qe.v")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |      round(${cosSql("ce.v", "qe.v")}, 6) DESC, c.vec_id) AS rk
+         |  FROM cand c
+         |  JOIN e ce ON ce.vec_id = c.vec_id
+         |  JOIN e qe ON qe.vec_id = c.query_id
+         |)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // 26: full LSH replay — sha-256-prefix minhash signature, banded
     // keys, candidate join, exact-Jaccard verify (threshold 0.2).
     "dedup_minhash" ->
@@ -178,6 +221,26 @@ object PipelineQueries {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // 38: transitive closure over the exact Jaccard>=0.5 pair graph —
+    // min reachable doc_id per node == the min-label-propagation
+    // fixpoint the Spark operator converges to.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // 27: sha-based 64-bit simhash recomputed per doc, exact O(n²)
     // hamming join (the Spark side buckets; pigeonhole is lossless so
     // the outputs agree).

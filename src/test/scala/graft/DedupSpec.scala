@@ -67,6 +67,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 1L)) - 12.0 / 14.0) < 1e-6)
   }
 
+  test("clusters: connected components with min-id labels") {
+    // chain 1-2-3 + pair 10-11 + pair (5,1) joining the chain via 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: a 200-node chain converges (pointer jumping, O(log) rounds)") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain, maxIter = 12) // 2^12 >> 200, log-round proof
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
   test("shingles: set semantics, short-text degenerate case") {
     val sh = Seq((1L, "a b")).toDF("doc_id", "text")
       .select(Dedup.shingles($"text", 3).as("s")).head.getSeq[String](0)
