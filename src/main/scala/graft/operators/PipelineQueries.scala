@@ -46,6 +46,19 @@ object PipelineQueries {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    // 39: the composed training-data pipeline — quality gate + near-dup
+    // cluster dedup (keep each cluster's canonical min-id member):
+    // what a corpus-prep job actually runs, end to end
+    "corpus_clean" -> ((s, d) => {
+      val doc = docs(s, d)
+      val clu = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      doc.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .join(clu, Seq("doc_id"), "left")
+        .where(col("quality") >= 0.5 &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // 29: brute-force cosine top-k, 10 broadcast query vectors
     "knn_cosine" -> ((s, d) => {
       val e = embs(s, d)
@@ -241,6 +254,53 @@ object PipelineQueries {
          |)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // 39: quality formula + cluster closure composed — keep quality
+    // >= 0.5 docs that are not a non-canonical near-dup copy.
+    "corpus_clean" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), q0 AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), q1 AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(${hitsSql(Text.stopwords.head._2).replace(s"str_split($NORM, ' ')", "tk")} AS DOUBLE)
+         |           / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+         |           / CAST(len(tk) AS DOUBLE) END AS mean_token_len
+         |  FROM q0
+         |), q AS (
+         |  SELECT doc_id, round(
+         |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+         |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+         |  FROM q1
+         |)
+         |SELECT q.doc_id, q.quality
+         |FROM q LEFT JOIN clu ON q.doc_id = clu.doc_id
+         |WHERE q.quality >= 0.5 AND (clu.cluster_id IS NULL OR clu.cluster_id = q.doc_id)
+         |ORDER BY q.doc_id""".stripMargin,
     // 27: sha-based 64-bit simhash recomputed per doc, exact O(n²)
     // hamming join (the Spark side buckets; pigeonhole is lossless so
     // the outputs agree).
