@@ -17,5 +17,9 @@ object GraftSession {
       // reads as long behind this flag; set once at construction (it
       // previously leaked out of Tables.events mid-session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed-table data (bucketed-table tests/tools) out of
+      // the repo working dir
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

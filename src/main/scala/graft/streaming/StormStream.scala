@@ -45,6 +45,35 @@ object StormStream {
     StormPipeline.enrich(p.where(col("parse_ok")))
   }
 
+  /** Watermarked hourly severity counts over the enriched stream —
+    * the canonical windowed streaming aggregation: event-time windows,
+    * late data admitted up to `lateness`, state evicted past the
+    * watermark (bounded state at any stream length — the property that
+    * matters on an unbounded 100 TB/day feed). Append output mode
+    * emits each window once, when the watermark passes it. */
+  def windowedSeverityCounts(wire: DataFrame, lateness: String = "1 hour"): DataFrame =
+    enriched(wire)
+      .withColumn("event_time",
+        to_timestamp(col("event_time_str"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 hour"),
+        coalesce(col("severity"), lit("none")).as("severity"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("severity"), col("n"))
+
+  /** Start the windowed-aggregate sink (append mode — requires the
+    * watermark above; finalized windows only). */
+  def startWindowedCounts(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    windowedSeverityCounts(readWire(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$checkpointDir/windowed")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Quarantined poison pills: envelope + raw payload, counted not fatal. */
   def quarantined(wire: DataFrame): DataFrame =
     parsed(wire).where(!col("parse_ok")).select(col("event_id"), col("ts"))

@@ -45,6 +45,38 @@ class StormStreamSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("watermarked windowed aggregation: finalized windows match batch truth") {
+    val base = Files.createTempDirectory("graft-windowed").toString
+    val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
+      .select(col("event_id"), col("ts"), col("raw_value"))
+    wire.coalesce(2).write.mode("overwrite").json(s"$base/in")
+
+    StormStream.startWindowedCounts(spark, s"$base/in", s"$base/out", s"$base/cp")
+      .awaitTermination()
+
+    // batch truth over the same data
+    val enrichedBatch = StormPipeline.enrich(
+      StormPipeline.parseRawJson(wire).where(col("parse_ok")))
+      .withColumn("event_time",
+        to_timestamp(col("event_time_str"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    val truth = enrichedBatch
+      .groupBy(window(col("event_time"), "1 hour"),
+        coalesce(col("severity"), lit("none")).as("severity"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("severity"), col("n"))
+    val maxT = enrichedBatch.agg(max(col("event_time"))).head.getTimestamp(0)
+    // append mode emits a window once the watermark (max event time -
+    // lateness) passes its end: exactly the finalized subset
+    val wmMillis = maxT.getTime - 3600 * 1000L
+    val finalized = truth.where(
+      (col("window_start").cast("long") + 3600) * 1000 <= wmMillis)
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() > 0, "no finalized windows emitted")
+    assert(got.exceptAll(finalized).isEmpty && finalized.exceptAll(got).isEmpty)
+    // bounded state: the open tail windows are withheld, not leaked
+    assert(got.count() < truth.count())
+  }
+
   test("supervised run: restart-with-backoff, readiness, progress metrics") {
     import graft.observability.Metrics
     import graft.streaming.StreamOps
