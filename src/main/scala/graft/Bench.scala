@@ -56,30 +56,76 @@ object Bench {
     loop(1 << 24)
   }
 
+  /** Multi-core calibration: aggregate iters/ms across `threads`
+    * concurrent FNV loops. Catches host oversubscription that a
+    * single-thread probe misses (observed: single-thread healthy while
+    * 32-core throughput was ~5× down). */
+  def calibrateMt(threads: Int = 8): Double = {
+    val per = new java.util.concurrent.atomic.AtomicLong(0)
+    def worker(): Thread = new Thread(() => {
+      var h = 0x811c9dc5L
+      var i = 0
+      val iters = 1 << 24
+      val t0 = System.nanoTime()
+      while (i < iters) { h = (h ^ i) * 0x01000193L; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (h == 42) System.err.print("")
+      per.addAndGet((iters / ms).toLong)
+    })
+    val ts = Seq.fill(threads)(worker())
+    ts.foreach(_.start()); ts.foreach(_.join())
+    per.get.toDouble / threads
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val calibStart = calibrate()
+    val calibMtStart = calibrateMt()
     val stray = strayJvms()
     if (stray.nonEmpty)
       System.err.println(s"[bench] WARNING: busy JVMs contending for CPU: " +
         stray.map { case (p, c) => f"pid=$p%d ${c}%.2f cores" }.mkString(", "))
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // quick probe (~10ms) after each query: pairs every measurement
+    // with the host state at that moment, so a wave of host degradation
+    // is attributable per query, not just per run
+    def quickCalib(): Long = {
+      var h = 0x811c9dc5L
+      var i = 0
+      val iters = 1 << 22
+      val t0 = System.nanoTime()
+      while (i < iters) { h = (h ^ i) * 0x01000193L; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (h == 42) System.err.print("")
+      (iters / ms).toLong
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timer): drop cached plans and nudge
+      // the ContextCleaner so one query's checkpoint/cache blocks don't
+      // become the next query's memory pressure
+      spark.catalog.clearCache()
+      System.gc()
+      name -> (sec, quickCalib())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qCalib = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
       .mkString("[", ",", "]")
     val calibEnd = calibrate()
+    val calibMtEnd = calibrateMt()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
-      s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round}}""")
+      s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
+      s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
+      s""""query_calib":$qCalib}""")
     spark.stop()
   }
 }
