@@ -200,38 +200,45 @@ object Dedup {
     * truncation, replicated storage).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
-    val edges = pairs
+    val spark = pairs.sparkSession
+    val edges0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // per-round parallelism sized to the edge list: a near-dup graph of
+    // a few thousand edges shouldn't pay 32 shuffle tasks × 3 joins ×
+    // O(log n) rounds of fixed overhead; a 10⁹-edge graph keeps the
+    // session's full parallelism (~100k edges per task)
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 100000 + 1)).toInt
+    val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // (a) adopt the min label among self and neighbors
+      // (a) adopt the min label among self and neighbors (carry the old
+      // label along so convergence detection needs no extra join)
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      val afterNbr = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      val step1 = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
       // (b) pointer jump: follow the label's own label (halves chains)
-      val updated = afterNbr
-        .join(afterNbr.select(col("doc_id").as("cluster_id"), col("cluster_id").as("parent")),
-          Seq("cluster_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("parent"), col("cluster_id"))).as("cluster_id"))
+      val updated = step1
+        .join(step1.select(col("doc_id").as("mid"), col("mid").as("parent")), Seq("mid"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("mid"), coalesce(col("parent"), col("mid"))).as("cluster_id"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .where(col("cluster_id") =!= col("old")).count()
-      labels = updated
+      changed = updated.where(col("cluster_id") =!= col("old")).count()
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
-    labels
+    labels.select(col("doc_id"), col("cluster_id"))
   }
 
   // -------------------------------------------------- 28: n-gram Jaccard
