@@ -25,10 +25,13 @@ object Profile {
     time("shingles count")(sh.selectExpr("sum(size(sh))").show())
     time("minhash signatures")(
       sh.select(graft.operators.Dedup.minhashSignature(col("sh"), 32)).count())
-    time("simhash64 values")(
-      docs.select(graft.operators.Dedup.simhash64(col("text"))).count())
-    time("simhash pairs full")(graft.operators.Dedup.simhashPairs(docs, 6).count())
+    time("simhash64 values (sha)")(
+      docs.select(graft.operators.Dedup.simhash64Sha(col("text"))).count())
+    time("simhash pairs full")(graft.operators.Dedup.simhashPairs(docs, 3).count())
     time("jaccard pairs full")(graft.operators.Dedup.jaccardPairs(docs, 3, 0.5).count())
+    time("cluster extraction")(
+      graft.operators.Dedup.clusters(
+        graft.operators.Dedup.jaccardPairs(docs, 3, 0.5)).count())
     spark.stop()
   }
 }
