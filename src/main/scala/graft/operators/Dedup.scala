@@ -17,18 +17,6 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Round-robin the rows across the full shuffle parallelism. ONLY for
-    * terminal narrow pipelines with no downstream shuffle (the RDD
-    * mapPartitions path in Multimodal): everywhere else the operators'
-    * own hash shuffles already parallelize the heavy stages, and an
-    * extra exchange measurably degrades the plan (see QuickJac bisect:
-    * native+spread 150s vs native 11.5s at sf0.1). At real scale input
-    * splits parallelize the scan anyway. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
-
   // ----------------------------------------------------------- 25: exact
   /** Exact dedup groups: normalized-text sha-256 -> group size +
     * canonical (min) doc id. Input may contain replayed rows. */
