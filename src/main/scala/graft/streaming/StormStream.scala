@@ -97,6 +97,27 @@ object StormStream {
       .start()
   }
 
+  /** Enrichment with STATEFUL streaming dedup on the deterministic
+    * event ID: `dropDuplicatesWithinWatermark` keeps id-keyed state
+    * only until the watermark passes (bounded state on an unbounded
+    * at-least-once feed — redeliveries inside the lateness horizon are
+    * dropped in-stream; later ones collapse at the idempotent sink /
+    * StormSinks.mergeById, same as the reference's DB upsert). */
+  def startDedupedEnrichment(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, lateness: String = "1 hour"): StreamingQuery =
+    enriched(readWire(spark, inDir))
+      .withColumn("event_time",
+        to_timestamp(col("event_time_str"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("id")
+      .drop("event_time")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$checkpointDir/deduped")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Start the quarantine sink. */
   def startQuarantine(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =

@@ -45,6 +45,25 @@ class StormStreamSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("stateful streaming dedup: redelivered records collapse on the id") {
+    val base = Files.createTempDirectory("graft-dedup-stream").toString
+    val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
+      .select(col("event_id"), col("ts"), col("raw_value"))
+    // the same batch written twice = at-least-once redelivery; two
+    // files so duplicates can arrive in separate micro-batches
+    wire.coalesce(1).write.mode("overwrite").json(s"$base/in")
+    wire.coalesce(1).write.mode("append").json(s"$base/in")
+
+    StormStream.startDedupedEnrichment(spark, s"$base/in", s"$base/out", s"$base/cp")
+      .awaitTermination()
+
+    val out = spark.read.parquet(s"$base/out")
+    val distinctIds = StormPipeline.enrich(StormPipeline.parseRawJson(wire)
+      .where(col("parse_ok"))).select("id").distinct().count()
+    assert(out.select("id").distinct().count() == distinctIds)
+    assert(out.count() == distinctIds, "stateful dedup leaked duplicate rows")
+  }
+
   test("watermarked windowed aggregation: finalized windows match batch truth") {
     val base = Files.createTempDirectory("graft-windowed").toString
     val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
