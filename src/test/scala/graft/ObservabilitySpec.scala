@@ -26,6 +26,30 @@ class ObservabilitySpec extends SparkSpec {
     m.unregister()
   }
 
+  test("ops server: readiness flips 503 -> 200, /metrics serves Prometheus text") {
+    import graft.observability.OpsServer
+    @volatile var ready = false
+    val counters = new java.util.concurrent.atomic.AtomicLong(0)
+    val srv = OpsServer.start(0, () => ready,
+      () => Map("rows_in" -> counters.get, "poison_pills" -> 2L))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${srv.port}$path")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(get("/ready").statusCode() == 503)
+      ready = true
+      assert(get("/ready").statusCode() == 200)
+      counters.set(41)
+      val m = get("/metrics")
+      assert(m.statusCode() == 200)
+      assert(m.body().contains("graft_rows_in 41"))
+      assert(m.body().contains("graft_poison_pills 2"))
+      assert(m.body().contains("# TYPE graft_rows_in counter"))
+    } finally srv.stop()
+  }
+
   test("observe counters are exactly-once per action (second action re-counts once)") {
     val m = new Metrics(spark)
     val parsed = m.instrumentParsed(
