@@ -71,6 +71,17 @@ class StormFunctionsSpec extends SparkSpec {
     assert(one(normalizeMagnitude(lit("hail"), lit(0.0), lit("in"))) == 0.0)
   }
 
+  test("event-type whitelist is exact-match: case/whitespace variants rejected") {
+    // reference transform_test.go TestNormalizeEventType table
+    val cases = Seq(
+      "hail" -> "hail", "wind" -> "wind", "tornado" -> "tornado",
+      "torn" -> "", "HAIL" -> "", "Hail" -> "", "  hail  " -> "",
+      "WIND" -> "", "TORNADO" -> "", "snow" -> "", "" -> "")
+    cases.foreach { case (in, want) =>
+      assert(one(normalizeEventType(lit(in))) == want, s"input '$in'")
+    }
+  }
+
   test("unit defaulting per type; existing unit lowercased") {
     assert(one(normalizeUnit(lit("hail"), lit(""))) == "in")
     assert(one(normalizeUnit(lit("wind"), lit(""))) == "mph")
