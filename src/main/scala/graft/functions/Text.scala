@@ -93,6 +93,27 @@ object Text {
     round(lenScore * 0.4 + mtlScore * 0.2 + punctScore * 0.2 + swScore * 0.2, 6)
   }
 
+  // ----------------------------------------------------- PII redaction
+  /** Redaction patterns — written in the regex subset Java and RE2
+    * (DuckDB) interpret identically, so the text_redact oracle replays
+    * the scrub bit-for-bit. Applied in a fixed order (emails first:
+    * they contain digit runs; IPs before bare digit runs). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val longDigitsRe = "[0-9]{9,}"
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Scrub emails, IPv4 addresses, and 9+-digit runs (SSN/card-shaped)
+    * to typed placeholder tokens — the standard pre-training PII pass,
+    * as a pure codegen'd Column (no UDF). */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Re, "<IP>")
+    regexp_replace(i, longDigitsRe, "<NUM>")
+  }
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

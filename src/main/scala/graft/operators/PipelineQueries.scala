@@ -119,6 +119,16 @@ object PipelineQueries {
       Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
       Text.estTokensByChars(col("text")).as("n_est_tokens"))
       .orderBy(col("doc_id"))),
+    // 40: PII redaction pass — per-doc match counts + fingerprint of
+    // the scrubbed text (proves the replacement itself, not just the
+    // counts, agrees across engines)
+    "text_redact" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      Text.countMatches(col("text"), Text.emailRe).cast("long").as("n_emails"),
+      Text.countMatches(col("text"), Text.ipv4Re).cast("long").as("n_ipv4"),
+      Text.countMatches(col("text"), Text.longDigitsRe).cast("long").as("n_digit_runs"),
+      sha2(Text.redactPii(col("text")), 256).as("fp_redacted"))
+      .orderBy(col("doc_id"))),
     // 34: document fingerprints (sha-256 full + 64-bit prefix;
     // xxhash64 fingerprint64 is spec-pinned, not oracle-able)
     "text_fingerprint" -> ((s, d) => docs(s, d).select(
@@ -484,5 +494,15 @@ object PipelineQueries {
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact" -> {
+      val (em, ip, dg) = (Text.emailRe, Text.ipv4Re, Text.longDigitsRe)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$dg')) AS BIGINT) AS n_digit_runs,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$dg', '<NUM>', 'g')) AS fp_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
 }

@@ -4,6 +4,21 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 class TextSpec extends SparkSpec {
+
+  test("PII redaction: emails, IPv4, digit runs scrubbed to typed tokens") {
+    import spark.implicits._
+    val got = Seq(
+      "write to jane.doe+x@example.org or bob@sub.host.co today",
+      "server at 10.0.255.7 answered; card 4111111111111111 leaked",
+      "v1.2.3 is not an ip, 12345678 is short, 123456789 is not",
+      "clean text stays untouched").toDF("text")
+      .select(graft.functions.Text.redactPii(org.apache.spark.sql.functions.col("text")))
+      .as[String].collect()
+    assert(got(0) == "write to <EMAIL> or <EMAIL> today")
+    assert(got(1) == "server at <IP> answered; card <NUM> leaked")
+    assert(got(2) == "v1.2.3 is not an ip, 12345678 is short, <NUM> is not")
+    assert(got(3) == "clean text stays untouched")
+  }
   import spark.implicits._
 
   private def one(c: org.apache.spark.sql.Column): Any =
