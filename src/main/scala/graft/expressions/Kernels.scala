@@ -194,6 +194,27 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** |a ∩ b| over string arrays, O(n+m): hash-set of the smaller side,
+    * membership probe of the larger. Equals size(array_intersect(a,b))
+    * whenever both inputs hold distinct elements (shingle sets do by
+    * construction). Replaces the built-in array_intersect in the
+    * near-dup verify joins: the built-in falls back to an O(n·m)
+    * nested-loop for non-atomic comparisons and was evaluated once in
+    * the join condition plus once per projection — this kernel is a
+    * single codegen'd call per candidate pair. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val m = big.numElements()
+    val set = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var cnt = 0
+    var j = 0
+    while (j < m) { if (set.contains(big.getUTF8String(j))) cnt += 1; j += 1 }
+    cnt
+  }
+
   // ----------------------------------------------------------- vectors
   /** Sequential double dot product over float arrays — same order, same
     * arithmetic as aggregate(zip_with(...)) in Knn.dot. */

@@ -85,6 +85,18 @@ case class CosineFExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_count"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intersectCount(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.intersectCount($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountExpr =
+    copy(left = l, right = r)
+}
+
 case class LshSignExpr(child: Expression, nPlanes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_sign"
@@ -119,6 +131,8 @@ object native {
     GraftColumnBridge.column(MinHashSigExpr(expr(text), k, perms))
   def cosineF(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineFExpr(expr(a), expr(b)))
+  def intersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectCountExpr(expr(a), expr(b)))
   def lshSign(emb: Column, nPlanes: Int): Column =
     GraftColumnBridge.column(LshSignExpr(expr(emb), nPlanes))
   def lshSignSha(emb: Column, nPlanes: Int): Column =
@@ -141,6 +155,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LshSignExpr(args(0), constInt(args, 1, "graft_lsh_sign"))))
     ext.injectFunction((FunctionIdentifier("graft_simhash64_sha"), info("graft_simhash64_sha"),
       (args: Seq[Expression]) => SimHashSha64Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),
+      (args: Seq[Expression]) => IntersectCountExpr(args(0), args(1))))
   }
 
   /** Require args(i) to be a foldable integral constant; fail analysis

@@ -69,6 +69,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sigLen = bands * rowsPerBand
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"),
@@ -84,16 +85,20 @@ object Dedup {
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     // candidate ids only through the shuffle (a pair may collide in many
-    // bands); shingle arrays re-attach after the distinct
+    // bands); shingle arrays re-attach after the distinct. Fixed-width
+    // repartition + O(n+m) intersect kernel: see jaccardPairs.
     val cand = a.drop("sh_a").join(b.drop("sh_b"), Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sets = withSig.select(col("doc_id"), col("sh"))
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", inter)
       .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -189,15 +194,19 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
-    val edges0 = pairs
+    // materialize the pair list ONCE before mirroring it: unioning two
+    // selects of the raw `pairs` plan would execute the (expensive)
+    // upstream similarity join twice inside the checkpoint job —
+    // measured as most of dedup_cluster's 426s in BENCH_r02
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges0 = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .unionAll(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // per-round parallelism sized to the edge list: a near-dup graph of
     // a few thousand edges shouldn't pay 32 shuffle tasks × 3 joins ×
     // O(log n) rounds of fixed overhead; a 10⁹-edge graph keeps the
     // session's full parallelism (~100k edges per task)
-    val nEdges = edges0.count()
+    val nEdges = p0.count() * 2
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 100000 + 1)).toInt
     val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
@@ -241,18 +250,37 @@ object Dedup {
     * verified on candidates only, via the full shingle sets.
     *
     * One shuffle on the shingle (candidates), one on doc_id (verify
-    * re-attach); both AQE-managed. Lossless for `jaccard >= threshold`.
+    * re-attach). Lossless for `jaccard >= threshold`.
+    *
+    * Two deliberate non-defaults, both found by profiling sf0.1
+    * (BENCH_r02 recorded 62s; these bring it back to seconds):
+    * - candidate pairs are repartitioned to a FIXED partition count
+    *   before dedup/verify. The pair rows are tiny (two ids), so AQE's
+    *   byte-based coalescing squeezes them into one partition — and then
+    *   the per-pair verify work (the expensive part) runs on one core.
+    *   Work-per-byte here is huge, so bytes are the wrong signal; the
+    *   explicit repartition keeps verify at full parallelism and is
+    *   what you'd want at 100 TB anyway (candidate volume >> 64 MB).
+    * - intersection size is a native O(n+m) kernel
+    *   ([[graft.expressions.Kernels.intersectCount]]), not
+    *   array_intersect: the built-in does O(n·m) non-codegen pairwise
+    *   comparisons for string arrays, and the pushed-down jaccard filter
+    *   made the optimizer evaluate it up to 3× per pair.
     */
   def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
     val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     // global document frequency per shingle (one agg over postings)
     val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rarest-first rank of each doc's shingles; keep the prefix
+    // rarest-first rank of each doc's shingles; keep the prefix.
+    // repartition pins the window's clustering at a fixed width (the
+    // window reuses the exchange), dodging the same AQE-coalesce trap.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = postings.join(dfs, "s")
+      .repartition(parts, col("doc_id"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("s"), col("doc_id"), col("n_sh"))
@@ -263,11 +291,14 @@ object Dedup {
       .where(col("doc_a") < col("doc_b") &&
         col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
       .select(col("doc_a"), col("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", inter)
       .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)

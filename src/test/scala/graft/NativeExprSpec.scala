@@ -36,6 +36,20 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("intersect_count native == size(array_intersect) on shingle-set pairs") {
+    // every adjacent-id doc pair: distinct shingle sets of varying
+    // overlap, including empty-token edge docs
+    val a = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh_a"))
+    val b = docs.select(($"doc_id" - 1).as("doc_id"), Dedup.shingles($"text", 3).as("sh_b"))
+    val joined = a.join(b, "doc_id")
+    val diff = joined.select(
+      graft.expressions.native.intersectCount($"sh_a", $"sh_b").as("x"),
+      size(array_intersect($"sh_a", $"sh_b")).as("y"),
+      graft.expressions.native.intersectCount($"sh_b", $"sh_a").as("z"))
+      .where($"x" =!= $"y" || $"z" =!= $"y").count()
+    assert(diff == 0)
+  }
+
   test("minhash signature native == HOF on corpus") {
     val diff = docs.select(
       graft.expressions.native.minhashSig($"text", 3, 32).as("a"),
