@@ -165,7 +165,54 @@ object Analytics {
       .orderBy(col("user_id"), col("session_num"))
   }
 
+  /** As-of join: each purchase matched to the user's latest
+    * prior-or-simultaneous click (left-outer). Clicks pre-aggregate to
+    * unique (user_id, ts) so the match is deterministic; the operator
+    * itself is the single-shuffle union+window form
+    * ([[graft.operators.Joins.asofJoin]]). */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        col("click_value"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.Joins.asofJoin(purch, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_time", "click_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        col("click_time"), col("click_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Range join: purchases falling inside any error event's 10-minute
+    * impact window, rolled up per window. Keyless interval containment
+    * — the case a naive plan turns into a broadcast nested loop; runs
+    * as a bucketed equi-join instead
+    * ([[graft.operators.Joins.rangeJoin]]). Times compared as integer
+    * epoch micros so the oracle's arithmetic is bit-identical. */
+  def qRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val windows = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("hi"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("pt"), col("value"))
+    graft.operators.Joins.rangeJoin(purch, windows, Nil,
+        "pt", "lo", "hi", bucketWidth = 600000000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        stableSum(col("value"), 6).as("purchase_value"))
+      .orderBy(col("err_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof"       -> (qAsof _),
+    "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
     "q3_join"      -> (q3Join _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -177,6 +224,33 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |    max(value) AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts
+        |), purch AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  c.click_time, c.click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q_range" ->
+      """WITH windows AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS lo, epoch_us(ts) + 600000000 AS hi
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT w.err_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+        |FROM windows w, events p
+        |WHERE p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= w.lo AND epoch_us(p.ts) <= w.hi
+        |GROUP BY w.err_id
+        |ORDER BY w.err_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -114,6 +114,42 @@ object Text {
     regexp_replace(i, longDigitsRe, "<NUM>")
   }
 
+  // ------------------------------------------------------------ chunking
+  /** Raw whitespace tokens with empties dropped: `[ \t\n\r\f]+` split
+    * (explicit class — identical in Java and RE2 regex dialects, so an
+    * oracle can replay it), then filter of the empty leading token a
+    * leading separator produces. */
+  def rawTokens(text: Column): Column =
+    filter(split(text, "[ \t\n\r\f]+"), t => t =!= "")
+
+  /** Chunk start offsets for a token array: 0, stride, 2·stride, …
+    * while < n_tokens (empty array for an empty document — explode
+    * then drops the row). stride = chunkSize − overlap. */
+  def chunkStarts(tokens: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    when(size(tokens) > 0,
+      sequence(lit(0), size(tokens) - 1, lit(chunkSize - overlap)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** Split documents into overlapping fixed-token-count windows — the
+    * standard context-length packing step before tokenization. Emits
+    * (all input columns, chunk_start, chunk_text, n_tokens); documents
+    * with zero tokens emit no chunks; a document's final chunk may be
+    * short. A narrow map + explode: no shuffle, rows grow by
+    * ~n_tokens/stride per doc, so executors size on chunk count. */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      chunkSize: Int = 64, overlap: Int = 16): org.apache.spark.sql.DataFrame =
+    df.withColumn("__toks", rawTokens(textCol))
+      .withColumn("chunk_start",
+        explode(chunkStarts(col("__toks"), chunkSize, overlap)))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkSize)), " "))
+      .withColumn("n_tokens",
+        least(lit(chunkSize), size(col("__toks")) - col("chunk_start")))
+      .drop("__toks")
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

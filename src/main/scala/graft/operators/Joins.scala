@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew- and locality-aware join helpers (SURVEY §5).
@@ -33,5 +34,77 @@ object Joins {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** As-of join: for each left row, attach `payload` from the latest
+    * right row with `right(rightTime) <= left(leftTime)` on the same
+    * `keys` (left-outer: unmatched left rows keep null payload).
+    *
+    * Spark has no ASOF JOIN operator; the naive encoding — a range
+    * theta-join plus a per-left-row max — is a broadcast nested loop.
+    * This is the scalable shape instead: tag both sides, union, and run
+    * one `last(_, ignoreNulls)` window per payload column ordered by
+    * (time, side). Right rows sort before left rows at equal times, so
+    * the match is inclusive (`>=`), like DuckDB's ASOF JOIN. Cost: a
+    * single hash shuffle of n+m rows on `keys` — no join at all, and
+    * the window is a linear scan per key. At 100 TB this is the
+    * merge-join formulation you'd hand-write in a native engine.
+    *
+    * Determinism: right must be unique per (keys, rightTime) — equal
+    * timestamps within a key would make `last` order-dependent.
+    * Pre-aggregate the right side to enforce that (the shipped q_asof
+    * query does).
+    *
+    * `payload` column names must not collide with left's columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    matched.where(col("__side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Range (interval containment) join: points × intervals where
+    * `lo <= point <= hi`, equi-matched on `keys` first (pass Nil for a
+    * keyless interval join). All three bound columns must be numeric
+    * (epoch micros, not timestamps — callers convert).
+    *
+    * Spark plans a bare non-equi join as a broadcast nested loop /
+    * cartesian — O(n·m) and a scale-killer. This instead turns the
+    * range predicate into an equi-join on a coarse bucket: each
+    * interval is exploded to the buckets of width `bucketWidth` it
+    * overlaps, each point maps to exactly one bucket, and the residual
+    * BETWEEN filter runs after the hash join. A (point, interval) match
+    * shares exactly one bucket — the point's — so no dedup is needed.
+    *
+    * Cost: interval replication = ceil(span / bucketWidth) + 1; pick
+    * `bucketWidth` near the median interval span so replication stays
+    * O(1) while bucket population stays balanced. Hot buckets (many
+    * intervals at one time) are ordinary join skew — AQE splits them.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val ints = intervals.withColumn("__b", explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    val pts = points.withColumn("__b",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    pts.join(ints, keys :+ "__b")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
   }
 }

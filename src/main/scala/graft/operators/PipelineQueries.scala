@@ -139,7 +139,24 @@ object PipelineQueries {
     // 35: multimodal plumbing (rows-only; stub codec is Spark-side only)
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(Multimodal.mediaFromDocuments(docs(s, d)))
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+    // 41: deterministic stratified sampling — per-language Bernoulli
+    // rates off a salted md5 bucket (reproducible on any cluster
+    // layout; oracle replays the hash arithmetic exactly)
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(docs(s, d), col("doc_id"), col("lang"),
+          rates = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))),
+    // 42: context-window chunking — 64-token windows, 16-token overlap
+    // (narrow map + explode; no shuffle)
+    "doc_chunk" -> ((s, d) =>
+      Text.chunk(docs(s, d).select(col("doc_id"), col("text")), col("text"),
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_start"))))
 
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -183,6 +200,33 @@ object PipelineQueries {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   val oracleSql: Map[String, String] = Map(
+    // 41: same salted-md5 bucket arithmetic as Sampling.hashBucket
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 1000000 AS BIGINT) AS bucket
+        |  FROM documents
+        |) WHERE bucket < (CASE WHEN lang = 'en' THEN 500000
+        |                       WHEN lang IN ('de','fr') THEN 300000
+        |                       ELSE 100000 END)
+        |ORDER BY doc_id""".stripMargin,
+    // 42: same tokenizer ([ \t\n\r\f]+ split, empties dropped) and the
+    // same 64/16 window arithmetic as Text.chunk
+    "doc_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, tokens,
+        |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+        |  FROM toks WHERE len(tokens) > 0
+        |)
+        |SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+        |  array_to_string(list_slice(tokens, start + 1, start + 64), ' ') AS chunk_text,
+        |  CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
+        |FROM starts ORDER BY doc_id, chunk_start""".stripMargin,
     // 30: full sign-LSH replay. Plane weight (p,i) =
     // unsigned(sha64("hyperplane|p|i")) % 1e6 / 1e6 - 0.5; projection is
     // the same sequential fold the kernel runs (list_reduce), bands are

@@ -22,6 +22,54 @@ class JoinsSpec extends SparkSpec {
     assert(saltedPlan.contains("__salt"))
   }
 
+  test("asof join: equals the naive latest-match join, left-outer, inclusive ties") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("cv"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val got = Joins.asofJoin(purch,
+      clicks.select(col("user_id"), col("ts"), col("ts").as("c_ts"), col("cv")),
+      Seq("user_id"), "ts", "ts", Seq("c_ts", "cv"))
+    // naive: range theta-join, then keep the latest click per purchase
+    val c = clicks.select(col("user_id").as("u"), col("ts").as("c_ts"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("c_ts").desc)
+    val naive = purch
+      .join(c, purch("user_id") === c("u") && c("c_ts") <= purch("ts"), "left")
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("c_ts"), col("cv"))
+    assert(got.count() == purch.count(), "asof must be left-outer: one row per left row")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // inclusive at equal timestamps, like ASOF's t >= match
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "t")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "hit"))
+      .toDF("k", "rt", "x")
+    val tie = Joins.asofJoin(l, r, Seq("k"), "t", "rt", Seq("x")).collect()
+    assert(tie.length == 1 && tie(0).getAs[String]("x") == "hit")
+  }
+
+  test("range join: equals the theta join, and plans with no nested loop") {
+    val ev = Tables.events(spark, sfDir)
+    val windows = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("hi"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+    val got = Joins.rangeJoin(purch, windows, Nil, "pt", "lo", "hi", 600000000L)
+      .select(col("err_id"), col("p_id"))
+    val naive = purch.join(windows,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select(col("err_id"), col("p_id"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(got.count() > 0, "fixture must exercise at least one containment match")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a quadratic plan:\n$plan")
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

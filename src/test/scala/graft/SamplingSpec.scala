@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("stratified sample is deterministic and respects per-stratum thresholds") {
+    val rates = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3)
+    val s1 = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 0.1)
+    val s2 = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 0.1)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // every kept row clears its own stratum's threshold
+    val bad = s1.where(col("bucket") >=
+      when(col("lang") === "en", 500000L)
+        .when(col("lang").isin("de", "fr"), 300000L)
+        .otherwise(100000L)).count()
+    assert(bad == 0)
+    assert(s1.where(col("bucket") < 0 || col("bucket") >= Sampling.Buckets).count() == 0)
+  }
+
+  test("samples are nested: a lower rate is a strict subset at the same salt") {
+    val low = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 0.1)
+    val high = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 0.3)
+    assert(low.select("doc_id").exceptAll(high.select("doc_id")).isEmpty)
+    assert(low.count() < high.count())
+  }
+
+  test("different salts give independent samples; rates land near nominal") {
+    val n = docs.count().toDouble
+    val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 0.3, salt = "a")
+    val b = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 0.3, salt = "b")
+    // md5 buckets ≈ uniform: observed rate within ±0.1 of nominal at n=500
+    assert(math.abs(a.count() / n - 0.3) < 0.1)
+    assert(math.abs(b.count() / n - 0.3) < 0.1)
+    // overlap ≈ rate² (independence), far below either sample's size
+    val overlap = a.select("doc_id").intersect(b.select("doc_id")).count()
+    assert(overlap < a.count() && overlap < b.count())
+    assert(math.abs(overlap / n - 0.09) < 0.08)
+  }
+}

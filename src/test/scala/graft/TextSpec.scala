@@ -50,6 +50,32 @@ class TextSpec extends SparkSpec {
     assert(one(Text.punctRatio(lit(""))) == 0.0)
   }
 
+  test("chunking: window arithmetic, overlap, and empty-doc edge") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 150 tokens -> 4 chunks
+      (2L, "only three tokens"),
+      (3L, ""),            // no tokens -> no chunks
+      (4L, "  \t \n ")     // whitespace-only -> no chunks
+    ).toDF("doc_id", "text")
+    val chunks = graft.functions.Text.chunk(df, col("text"), chunkSize = 64, overlap = 16)
+    val byDoc = chunks.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // starts at 0,48,96,144 for 150 tokens; single short chunk for 3
+    assert(byDoc == Map(1L -> 4L, 2L -> 1L))
+    // n_tokens matches the actual token count of each chunk_text
+    val bad = chunks.where(size(graft.functions.Text.rawTokens(col("chunk_text")))
+      =!= col("n_tokens")).count()
+    assert(bad == 0)
+    // consecutive full chunks overlap by exactly 16 tokens
+    val c = chunks.where(col("doc_id") === 1L).orderBy("chunk_start").collect()
+    val first = c(0).getAs[String]("chunk_text").split(" ")
+    val second = c(1).getAs[String]("chunk_text").split(" ")
+    assert(first.takeRight(16).sameElements(second.take(16)))
+    // tail chunk is short, never empty
+    assert(c.last.getAs[Int]("n_tokens") == 150 - 144)
+  }
+
   test("fingerprints: normalization-invariant, 64-bit variant stable") {
     val a = one(Text.fingerprint(lit("Hello   World")))
     val b = one(Text.fingerprint(lit("hello world ")))
