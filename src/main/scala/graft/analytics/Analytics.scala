@@ -210,7 +210,39 @@ object Analytics {
       .orderBy(col("err_id"))
   }
 
+  /** Pivot: per-cohort event-type counts spread to columns. The pivot
+    * value list is explicit — with it, Spark skips the extra
+    * distinct-values job and plans a single partial-aggregated
+    * shuffle, same shape as a plain groupBy. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select((col("user_id") % 10).as("cohort"), col("event_type"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+  }
+
+  /** Sketch aggregates: HyperLogLog++ distinct users and GK-sketch
+    * quantiles per event type. THE way to count distincts / rank at
+    * 100 TB — fixed-size sketch state, map-side partial merge, no
+    * exact-distinct shuffle of the key universe. Approximate by
+    * design, so no DuckDB hash oracle; ApproxSpec pins the error
+    * against exact answers instead. */
+  def qApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"      -> (qPivot _),
+    "q_approx"     -> (qApprox _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -224,6 +256,14 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS "view",
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_time,

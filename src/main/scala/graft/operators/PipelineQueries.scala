@@ -59,6 +59,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
+    // 45: the composed training-data pipeline end to end — quality
+    // gate + cluster dedup (corpus_clean), stratified sample (#41),
+    // context-window chunking (#42). What a pre-training corpus job
+    // actually ships: parquet in, training chunks out.
+    "corpus_chunks" -> ((s, d) => {
+      val doc = docs(s, d)
+      val clu = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      val kept = doc
+        .select(col("doc_id"), col("lang"), col("text"),
+          Text.qualityScore(col("text")).as("quality"))
+        .join(clu, Seq("doc_id"), "left")
+        .where(col("quality") >= 0.5 &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+      val sampled = Sampling.stratifiedSample(kept, col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3), defaultRate = 0.1)
+      Text.chunk(sampled.select(col("doc_id"), col("text")), col("text"),
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
     // 29: brute-force cosine top-k, 10 broadcast query vectors
     "knn_cosine" -> ((s, d) => {
       val e = embs(s, d)
@@ -199,6 +220,55 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** The corpus_clean pipeline (quality gate + near-dup cluster
+    * closure, keep canonical) WITHOUT a trailing ORDER BY, so the
+    * whole query can nest as a subquery of composed pipelines
+    * (corpus_chunks). Yields (doc_id, quality). */
+  private lazy val CORPUS_CLEAN_BODY =
+    s"""WITH RECURSIVE $SH3, jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 4, 5
+       |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp
+       |), reach AS (
+       |  SELECT src AS id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       |), clu AS (
+       |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+       |), q0 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+       |  FROM documents
+       |), q1 AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(${hitsSql(Text.stopwords.head._2).replace(s"str_split($NORM, ' ')", "tk")} AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE) END AS mean_token_len
+       |  FROM q0
+       |), q AS (
+       |  SELECT doc_id, round(
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+       |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+       |  FROM q1
+       |)
+       |SELECT q.doc_id, q.quality
+       |FROM q LEFT JOIN clu ON q.doc_id = clu.doc_id
+       |WHERE q.quality >= 0.5 AND (clu.cluster_id IS NULL OR clu.cluster_id = q.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // 41: same salted-md5 bucket arithmetic as Sampling.hashBucket
     "sample_stratified" ->
@@ -311,50 +381,36 @@ object PipelineQueries {
     // 39: quality formula + cluster closure composed — keep quality
     // >= 0.5 docs that are not a non-canonical near-dup copy.
     "corpus_clean" ->
-      s"""WITH RECURSIVE $SH3, jp AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 4, 5
-         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM jp
-         |  UNION ALL SELECT doc_b, doc_a FROM jp
-         |), reach AS (
-         |  SELECT src AS id, src AS lab FROM edges
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
-         |), clu AS (
-         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-         |), q0 AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
-         |  FROM documents
-         |), q1 AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-         |    CASE WHEN len(tk) = 0 THEN 0.0
-         |      ELSE CAST(${hitsSql(Text.stopwords.head._2).replace(s"str_split($NORM, ' ')", "tk")} AS DOUBLE)
-         |           / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
-         |    CASE WHEN len(tk) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
-         |           / CAST(len(tk) AS DOUBLE) END AS mean_token_len
-         |  FROM q0
-         |), q AS (
-         |  SELECT doc_id, round(
-         |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
-         |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
-         |  FROM q1
-         |)
-         |SELECT q.doc_id, q.quality
-         |FROM q LEFT JOIN clu ON q.doc_id = clu.doc_id
-         |WHERE q.quality >= 0.5 AND (clu.cluster_id IS NULL OR clu.cluster_id = q.doc_id)
+      s"""$CORPUS_CLEAN_BODY
          |ORDER BY q.doc_id""".stripMargin,
+    // 45: the full training-data pipeline — corpus_clean survivors,
+    // stratified-sampled, chunked to 64/16 context windows. The whole
+    // corpus_clean query nests as a subquery; sampling and chunking
+    // replay the same arithmetic as #41/#42.
+    "corpus_chunks" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id FROM ($CORPUS_CLEAN_BODY)
+         |), samp AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+         |  WHERE CAST(('0x' || substr(md5('smp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000000 AS BIGINT)
+         |    < (CASE WHEN d.lang = 'en' THEN 500000
+         |            WHEN d.lang IN ('de','fr') THEN 300000
+         |            ELSE 100000 END)
+         |), ctoks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
+         |  FROM samp
+         |), cstarts AS (
+         |  SELECT doc_id, tokens,
+         |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+         |  FROM ctoks WHERE len(tokens) > 0
+         |)
+         |SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         |  array_to_string(list_slice(tokens, start + 1, start + 64), ' ') AS chunk_text,
+         |  CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
+         |FROM cstarts ORDER BY doc_id, chunk_start""".stripMargin,
     // 27: sha-based 64-bit simhash recomputed per doc, exact O(n²)
     // hamming join (the Spark side buckets; pigeonhole is lossless so
     // the outputs agree).
