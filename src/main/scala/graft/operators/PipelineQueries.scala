@@ -170,6 +170,14 @@ object PipelineQueries {
           defaultRate = 0.1)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 48: mixture re-weighting — downsample each language to an equal
+    // 20% share of total char mass (en is ~43% of the corpus and gets
+    // hash-downsampled; under-budget languages pass through whole)
+    "sample_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(docs(s, d), col("doc_id"), col("lang"),
+          col("n_chars"), shares = Map.empty, defaultShare = 0.2)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))),
     // 42: context-window chunking — 64-token windows, 16-token overlap
     // (narrow map + explode; no shuffle)
     "doc_chunk" -> ((s, d) =>
@@ -281,6 +289,24 @@ object PipelineQueries {
         |                       WHEN lang IN ('de','fr') THEN 300000
         |                       ELSE 100000 END)
         |ORDER BY doc_id""".stripMargin,
+    // 48: exact-integer group masses; one double rate expression in
+    // the same operation order as Sampling.mixtureSample
+    "sample_mixture" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(sum(mass) AS BIGINT) AS total FROM g
+        |), r AS (
+        |  SELECT lang, CAST(floor(least(1.0,
+        |      0.2 * CAST(total AS DOUBLE) / CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+        |  FROM g, t
+        |)
+        |SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT d.doc_id, d.lang, d.source, r.thr,
+        |    CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 1000000 AS BIGINT) AS bucket
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |) WHERE bucket < thr ORDER BY doc_id""".stripMargin,
     // 42: same tokenizer ([ \t\n\r\f]+ split, empties dropped) and the
     // same 64/16 window arithmetic as Text.chunk
     "doc_chunk" ->

@@ -45,4 +45,41 @@ object Sampling {
     df.withColumn("bucket", hashBucket(idCol, salt))
       .where(col("bucket") < threshold)
   }
+
+  /** Mixture re-weighting: downsample each group so its share of the
+    * total `weightCol` mass (tokens, chars, bytes) lands at
+    * `share(group)` — the standard pre-training mixture step.
+    * Per-group rate = min(1, share · total_mass / group_mass): groups
+    * over their budget are hash-downsampled, groups at or under budget
+    * pass through whole (no upsampling).
+    *
+    * Determinism across engines: group masses stay exact integers
+    * through both aggregations (no double-sum ordering); the rate is
+    * one double expression (share · total / mass) evaluated in the
+    * same operation order everywhere, floored onto the bucket lattice.
+    *
+    * Scale shape: two map-side-partial aggregations over the group
+    * column (a handful of rows out), rates broadcast back, then the
+    * same zero-shuffle hash filter as [[stratifiedSample]]. */
+  def mixtureSample(df: DataFrame, idCol: Column, groupCol: Column,
+      weightCol: Column, shares: Map[String, Double], defaultShare: Double,
+      salt: String = "mix"): DataFrame = {
+    require((shares.values.toSeq :+ defaultShare).forall(s => s >= 0 && s <= 1),
+      "shares must be in [0,1]")
+    val share = shares.foldLeft(lit(defaultShare)) {
+      case (acc, (g, s)) => when(col("__g") === g, lit(s)).otherwise(acc)
+    }
+    val masses = df.groupBy(groupCol.as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__mass"))
+    val total = masses.agg(sum(col("__mass")).as("__total"))
+    val thresholds = masses.crossJoin(broadcast(total))
+      .select(col("__g"),
+        floor(least(lit(1.0),
+          share * col("__total").cast("double") / col("__mass").cast("double"))
+          * Buckets).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), groupCol === col("__g"))
+      .withColumn("bucket", hashBucket(idCol, salt))
+      .where(col("bucket") < col("__thr"))
+      .drop("__g", "__thr")
+  }
 }

@@ -31,6 +31,34 @@ class SamplingSpec extends SparkSpec {
     assert(low.count() < high.count())
   }
 
+  test("mixture sample: over-budget group downsampled toward its share, others whole") {
+    val total = docs.agg(org.apache.spark.sql.functions.sum("n_chars")).first.getLong(0).toDouble
+    val mixed = Sampling.mixtureSample(docs, col("doc_id"), col("lang"),
+      col("n_chars"), Map.empty, defaultShare = 0.2)
+    // under-budget languages (mass < 20% of total) pass through whole
+    val masses = docs.groupBy("lang").agg(
+      org.apache.spark.sql.functions.sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    masses.foreach { case (lang, m) =>
+      if (m <= 0.2 * total) assert(keptByLang(lang) == docsByLang(lang),
+        s"$lang under budget but rows dropped")
+      else assert(keptByLang(lang) < docsByLang(lang),
+        s"$lang over budget but nothing dropped")
+    }
+    // the dominant group's kept DOC fraction tracks its rate (±0.15 at n≈200)
+    val en = masses("en")
+    val enRate = math.min(1.0, 0.2 * total / en)
+    assert(math.abs(keptByLang("en").toDouble / docsByLang("en") - enRate) < 0.15)
+    // deterministic
+    val again = Sampling.mixtureSample(docs, col("doc_id"), col("lang"),
+      col("n_chars"), Map.empty, defaultShare = 0.2)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
   test("different salts give independent samples; rates land near nominal") {
     val n = docs.count().toDouble
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
