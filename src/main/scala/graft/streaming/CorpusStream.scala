@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.Text
+import graft.operators.Sampling
+
+/** Streaming corpus prep: the training-data pipeline as documents
+  * arrive, instead of as a nightly batch.
+  *
+  * Quality gate, hash sampling, and chunking are all stateless narrow
+  * maps, so the SAME transform runs in batch and in Structured
+  * Streaming — `prepare` takes either a static or a streaming
+  * DataFrame, and CorpusStreamSpec asserts the outputs are
+  * row-identical. Determinism is what makes this safe on an
+  * at-least-once source: a redelivered document re-hashes to the same
+  * sample decision and re-chunks to the same windows, so the
+  * idempotent file sink collapses replays.
+  *
+  * Near-dup cluster dedup is deliberately NOT here: connected
+  * components is a global fixpoint over the whole corpus and has no
+  * incremental single-pass form — at scale it runs as a periodic batch
+  * compaction over the chunk lake (Dedup.clusters), not in-stream.
+  * In-stream exact dedup on the content fingerprint is the streaming
+  * analogue (see StormStream.startDedupedEnrichment for the pattern).
+  */
+object CorpusStream {
+
+  /** documents-table schema (streaming sources must declare one). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The batch=stream corpus-prep transform: quality >= 0.5, stratified
+    * language sample, 64/16 context-window chunks. */
+  def prepare(docs: DataFrame): DataFrame = {
+    val gated = docs
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .where(col("quality") >= 0.5)
+    val sampled = Sampling.stratifiedSample(gated, col("doc_id"), col("lang"),
+      rates = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3), defaultRate = 0.1)
+    Text.chunk(sampled.select(col("doc_id"), col("lang"), col("text")),
+        col("text"), chunkSize = 64, overlap = 16)
+      .drop("text")
+  }
+
+  def readDocuments(spark: SparkSession, inDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+
+  /** Start the chunk sink (parquet, checkpointed, AvailableNow). */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    prepare(readDocuments(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$checkpointDir/chunks")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

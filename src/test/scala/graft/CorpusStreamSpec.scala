@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.CorpusStream
+
+/** Streaming corpus prep (SURVEY §2 #49): the stateless training-data
+  * transform produces row-identical output in batch and streaming, and
+  * checkpoint replay does not duplicate chunks. */
+class CorpusStreamSpec extends SparkSpec {
+
+  test("stream chunks == batch chunks; checkpoint replay is idempotent") {
+    val base = Files.createTempDirectory("graft-corpus-stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    // multiple files so the work spans micro-batches
+    docs.coalesce(3).write.mode("overwrite").parquet(s"$base/in")
+
+    CorpusStream.start(spark, s"$base/in", s"$base/out", s"$base/cp")
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = CorpusStream.prepare(docs.select(
+      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+    assert(streamed.count() > 0)
+    val sCols = streamed.select(batch.columns.map(col).toSeq: _*)
+    assert(sCols.exceptAll(batch).isEmpty && batch.exceptAll(sCols).isEmpty)
+
+    // restart on the same checkpoint with no new input: no duplicates
+    CorpusStream.start(spark, s"$base/in", s"$base/out", s"$base/cp")
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == batch.count())
+  }
+}
