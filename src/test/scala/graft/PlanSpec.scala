@@ -55,4 +55,30 @@ class PlanSpec extends SparkSpec {
     assert(plan("knn_ivf").contains("partial_max"),
       "IVF argmax lost its map-side combine")
   }
+
+  test("sampling and chunking stay narrow: no exchange before the sort") {
+    // final orderBy contributes one rangepartitioning exchange; the
+    // operators themselves must add none (hash filter / explode only)
+    for (q <- Seq("sample_stratified", "doc_chunk")) {
+      val exchanges = "Exchange".r.findAllIn(plan(q)).length
+      assert(exchanges <= 1, s"$q shuffles beyond the output sort")
+    }
+  }
+
+  test("asof join plans with no join operator; range join hash-joins on the bucket") {
+    val asof = plan("q_asof")
+    assert(!asof.contains("Join"), s"asof should be union+window, found a join:\n$asof")
+    assert(asof.contains("last("), "asof lost its last(ignoreNulls) window")
+    val range = plan("q_range")
+    assert(range.contains("BroadcastHashJoin") || range.contains("SortMergeJoin") ||
+      range.contains("ShuffledHashJoin"), "range join lost its equi-join form")
+    assert(!range.contains("BroadcastNestedLoopJoin") && !range.contains("CartesianProduct"),
+      s"range join degenerated:\n$range")
+  }
+
+  test("q_pivot plans a single partial-agg shuffle (no distinct-values job)") {
+    val p = plan("q_pivot")
+    assert(p.contains("partial_pivot") || p.contains("partial_count"),
+      "pivot lost its map-side combine")
+  }
 }
