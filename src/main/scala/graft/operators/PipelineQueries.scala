@@ -170,6 +170,16 @@ object PipelineQueries {
           defaultRate = 0.1)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 50: benchmark decontamination — corpus docs sharing any 8-token
+    // shingle with the held-out eval slice (doc_id % 20 == 7), with
+    // the shared-shingle count
+    "decontaminate" -> ((s, d) => {
+      val doc = docs(s, d)
+      Decontaminate.flag(
+          doc.where(col("doc_id") % 20 =!= 7),
+          doc.where(col("doc_id") % 20 === 7), k = 8)
+        .orderBy(col("doc_id"))
+    }),
     // 48: mixture re-weighting — downsample each language to an equal
     // 20% share of total char mass (en is ~43% of the corpus and gets
     // hash-downsampled; under-budget languages pass through whole)
@@ -289,6 +299,26 @@ object PipelineQueries {
         |                       WHEN lang IN ('de','fr') THEN 300000
         |                       ELSE 100000 END)
         |ORDER BY doc_id""".stripMargin,
+    // 50: same normalization + 8-token shingle construction as
+    // Dedup.shingles(text, 8)
+    "decontaminate" ->
+      s"""WITH toks8 AS (
+         |  SELECT doc_id, str_split($NORM, ' ') AS w FROM documents
+         |), sh8 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 6),
+         |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
+         |  FROM toks8
+         |), bench AS (
+         |  SELECT DISTINCT s FROM sh8 WHERE doc_id % 20 = 7
+         |), corp AS (
+         |  SELECT doc_id, s FROM sh8 WHERE doc_id % 20 <> 7
+         |)
+         |SELECT c.doc_id, count(*) AS n_shared
+         |FROM corp c JOIN bench b ON c.s = b.s
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // 48: exact-integer group masses; one double rate expression in
     // the same operation order as Sampling.mixtureSample
     "sample_mixture" ->

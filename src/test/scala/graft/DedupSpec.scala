@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Decontaminate, Dedup}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -87,5 +87,28 @@ class DedupSpec extends SparkSpec {
     val sh = Seq((1L, "a b")).toDF("doc_id", "text")
       .select(Dedup.shingles($"text", 3).as("s")).head.getSeq[String](0)
     assert(sh == Seq("a b"))
+  }
+
+  test("decontaminate: flags exactly the docs sharing an 8-gram, clean() drops them") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark's 8-gram "beta..iota" inside other text
+      (1L, "intro words beta gamma delta epsilon zeta eta theta iota trailing"),
+      // shares 7 consecutive tokens only — below the k=8 bar
+      (2L, "beta gamma delta epsilon zeta eta theta other words here"),
+      (3L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.flag(corpus, bench, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 1L))
+    val kept = Decontaminate.clean(corpus, bench, k = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L)))
+    // the benchmark side is broadcast: corpus never shuffles for the probe
+    val plan = Decontaminate.flag(corpus, bench, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark probe not broadcast:\n$plan")
   }
 }
