@@ -150,6 +150,33 @@ object Text {
         least(lit(chunkSize), size(col("__toks")) - col("chunk_start")))
       .drop("__toks")
 
+  /** Shard-local offset-quota packing: assign chunks to fixed token
+    * budgets — the step between chunking and writing tokenized
+    * examples. Chunks are sharded by doc_id, then within each shard a
+    * running token sum (ordered by doc_id, chunk_start) maps each chunk
+    * to pack `floor(preceding_tokens / budget)`.
+    *
+    * Exact greedy packing is inherently sequential (each decision
+    * depends on the previous pack's fill); this is the deterministic
+    * parallel formulation: packs are budget windows over the running
+    * offset, so a pack can overrun by at most one chunk's tokens.
+    * Shard-local windows keep it scale-correct — one shuffle on the
+    * shard key, ~n/nShards rows per window task, no global sort. Size
+    * nShards to the cluster (here 16 so the tiny test corpus still
+    * exercises multi-chunk packs). */
+  def packChunks(chunks: org.apache.spark.sql.DataFrame, budget: Int,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(budget > 0 && nShards > 0, s"need positive budget/shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble)))
+  }
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

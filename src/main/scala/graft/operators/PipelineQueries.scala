@@ -170,6 +170,17 @@ object PipelineQueries {
           defaultRate = 0.1)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 51: offset-quota packing of the #42 chunk stream — 256-token
+    // packs, 16 shards; per-pack chunk/token rollup
+    "chunk_pack" -> ((s, d) => {
+      val chunks = Text.chunk(docs(s, d).select(col("doc_id"), col("text")),
+        col("text"), chunkSize = 64, overlap = 16)
+      Text.packChunks(chunks, budget = 256, nShards = 16)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
     // 50: benchmark decontamination — corpus docs sharing any 8-token
     // shingle with the held-out eval slice (doc_id % 20 == 7), with
     // the shared-shingle count
@@ -237,6 +248,23 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** #42's chunk stream (doc_id, chunk_start, chunk_text, n_tokens)
+    * WITHOUT a trailing ORDER BY, reusable as a CTE body (chunk_pack). */
+  private lazy val DOC_CHUNK_BODY =
+    """WITH ctoks0 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
+      |  FROM documents
+      |), cstarts0 AS (
+      |  SELECT doc_id, tokens,
+      |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+      |  FROM ctoks0 WHERE len(tokens) > 0
+      |)
+      |SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+      |  array_to_string(list_slice(tokens, start + 1, start + 64), ' ') AS chunk_text,
+      |  CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
+      |FROM cstarts0""".stripMargin
 
   /** The corpus_clean pipeline (quality gate + near-dup cluster
     * closure, keep canonical) WITHOUT a trailing ORDER BY, so the
@@ -340,19 +368,26 @@ object PipelineQueries {
     // 42: same tokenizer ([ \t\n\r\f]+ split, empties dropped) and the
     // same 64/16 window arithmetic as Text.chunk
     "doc_chunk" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
-        |  FROM documents
-        |), starts AS (
-        |  SELECT doc_id, tokens,
-        |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
-        |  FROM toks WHERE len(tokens) > 0
-        |)
-        |SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
-        |  array_to_string(list_slice(tokens, start + 1, start + 64), ' ') AS chunk_text,
-        |  CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
-        |FROM starts ORDER BY doc_id, chunk_start""".stripMargin,
+      s"""$DOC_CHUNK_BODY
+         |ORDER BY doc_id, chunk_start""".stripMargin,
+    // 51: same shard assignment + offset-quota window arithmetic as
+    // Text.packChunks over the #42 chunk stream
+    "chunk_pack" ->
+      s"""WITH chunks AS (
+         |  $DOC_CHUNK_BODY
+         |), sharded AS (
+         |  SELECT doc_id, chunk_start, n_tokens, doc_id % 16 AS shard FROM chunks
+         |), packed AS (
+         |  SELECT shard, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
+         |  FROM sharded
+         |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT shard, pack_id, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM packed GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
     // 30: full sign-LSH replay. Plane weight (p,i) =
     // unsigned(sha64("hyperplane|p|i")) % 1e6 / 1e6 - 0.5; projection is
     // the same sequential fold the kernel runs (list_reduce), bands are

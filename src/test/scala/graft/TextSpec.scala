@@ -76,6 +76,29 @@ class TextSpec extends SparkSpec {
     assert(c.last.getAs[Int]("n_tokens") == 150 - 144)
   }
 
+  test("packing: packs respect the offset quota, full packs fill the budget") {
+    import spark.implicits._
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val chunks = graft.functions.Text.chunk(docsDf, col("text"), 64, 16)
+    val packed = graft.functions.Text.packChunks(chunks, budget = 256, nShards = 16)
+    val stats = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+    // a pack's starting offsets span < budget, so total tokens stay
+    // under budget + one max-size chunk
+    assert(stats.where(col("tok") >= 256 + 64).count() == 0)
+    // every non-final pack of a shard is at least budget-full minus one
+    // chunk (no sparse packs in the middle of a shard)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val nonFinal = stats.withColumn("maxp",
+        org.apache.spark.sql.functions.max("pack_id").over(w))
+      .where(col("pack_id") < col("maxp"))
+    assert(nonFinal.where(col("tok") < 256 - 64).count() == 0)
+    // deterministic
+    val again = graft.functions.Text.packChunks(chunks, 256, 16)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("fingerprints: normalization-invariant, 64-bit variant stable") {
     val a = one(Text.fingerprint(lit("Hello   World")))
     val b = one(Text.fingerprint(lit("hello world ")))
