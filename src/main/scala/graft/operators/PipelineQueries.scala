@@ -355,8 +355,10 @@ object PipelineQueries {
         |), t AS (
         |  SELECT CAST(sum(mass) AS BIGINT) AS total FROM g
         |), r AS (
-        |  SELECT lang, CAST(floor(least(1.0,
-        |      0.2 * CAST(total AS DOUBLE) / CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+        |  SELECT lang, CASE WHEN mass = 0 THEN 1000000
+        |    ELSE CAST(floor(least(1.0,
+        |      0.2 * CAST(total AS DOUBLE) / CAST(mass AS DOUBLE)) * 1000000) AS BIGINT)
+        |    END AS thr
         |  FROM g, t
         |)
         |SELECT doc_id, lang, source, bucket FROM (

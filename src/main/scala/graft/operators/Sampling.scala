@@ -72,11 +72,14 @@ object Sampling {
     val masses = df.groupBy(groupCol.as("__g"))
       .agg(sum(weightCol.cast("long")).as("__mass"))
     val total = masses.agg(sum(col("__mass")).as("__total"))
+    // a zero-mass group is trivially under budget — keep it whole
+    // (otherwise 0/0 → null threshold would silently drop the group)
     val thresholds = masses.crossJoin(broadcast(total))
       .select(col("__g"),
-        floor(least(lit(1.0),
-          share * col("__total").cast("double") / col("__mass").cast("double"))
-          * Buckets).cast("long").as("__thr"))
+        when(col("__mass") === 0, lit(Buckets))
+          .otherwise(floor(least(lit(1.0),
+            share * col("__total").cast("double") / col("__mass").cast("double"))
+            * Buckets).cast("long")).as("__thr"))
     df.join(broadcast(thresholds), groupCol === col("__g"))
       .withColumn("bucket", hashBucket(idCol, salt))
       .where(col("bucket") < col("__thr"))

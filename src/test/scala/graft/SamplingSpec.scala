@@ -59,6 +59,18 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
 
+  test("mixture sample: a zero-mass group is kept whole, not dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "b", 0L), (4L, "b", 0L)
+    ).toDF("doc_id", "grp", "w")
+    val kept = Sampling.mixtureSample(df, col("doc_id"), col("grp"), col("w"),
+      Map.empty, defaultShare = 0.5)
+    assert(kept.where(col("grp") === "b").count() == 2,
+      "zero-mass group must pass through whole")
+  }
+
   test("different salts give independent samples; rates land near nominal") {
     val n = docs.count().toDouble
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
