@@ -64,4 +64,26 @@ object CorpusStream {
       .option("checkpointLocation", s"$checkpointDir/chunks")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Decontaminating variant: drop documents overlapping the STATIC
+    * benchmark before prep. The doc-level anti-join needs a per-doc
+    * aggregation over exploded shingles — stateful (unbounded) as a
+    * pure stream op — so it runs through `foreachBatch`: each
+    * micro-batch is a static DataFrame, [[graft.operators
+    * .Decontaminate.clean]]'s broadcast probe applies as-is, and the
+    * checkpoint replays only uncommitted batches on restart. The
+    * benchmark set is per-session static (an eval suite), broadcast
+    * once per batch — no state grows with the stream. */
+  def startClean(spark: SparkSession, inDir: String,
+      benchmark: org.apache.spark.sql.DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    readDocuments(spark, inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        prepare(graft.operators.Decontaminate.clean(batch, benchmark, k = 8))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$checkpointDir/clean")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

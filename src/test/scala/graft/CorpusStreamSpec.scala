@@ -31,4 +31,26 @@ class CorpusStreamSpec extends SparkSpec {
       .awaitTermination()
     assert(spark.read.parquet(s"$base/out").count() == batch.count())
   }
+
+  test("foreachBatch decontamination == batch clean+prepare; replay adds nothing") {
+    val base = Files.createTempDirectory("graft-corpus-decon").toString
+    val docs = Tables.documents(spark, sfDir)
+    val benchmark = docs.where(col("doc_id") % 20 === 7)
+    val corpus = docs.where(col("doc_id") % 20 =!= 7)
+    corpus.coalesce(3).write.mode("overwrite").parquet(s"$base/in")
+
+    CorpusStream.startClean(spark, s"$base/in", benchmark, s"$base/out", s"$base/cp")
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = CorpusStream.prepare(
+      graft.operators.Decontaminate.clean(corpus, benchmark, k = 8))
+    val sCols = streamed.select(batch.columns.map(col).toSeq: _*)
+    assert(streamed.count() > 0)
+    assert(sCols.exceptAll(batch).isEmpty && batch.exceptAll(sCols).isEmpty)
+
+    CorpusStream.startClean(spark, s"$base/in", benchmark, s"$base/out", s"$base/cp")
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == batch.count())
+  }
 }
