@@ -129,6 +129,19 @@ object Analytics {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** CUBE over (returnflag, linestatus): all 2² grouping sets in one
+    * pass — Spark expands the sets map-side, so it's still a single
+    * partial-aggregated shuffle, rows × #sets. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        stableSum(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Top-k per group via ranked window + filter. */
   def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
@@ -251,6 +264,7 @@ object Analytics {
     "q_window"     -> (qWindow _),
     "q_semi_anti"  -> (qSemiAnti _),
     "q_rollup"     -> (qRollup _),
+    "q_cube"       -> (qCube _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sessionize" -> (qSessionize _))
 
@@ -337,6 +351,14 @@ object Analytics {
         |SELECT 'without_orders' AS grp, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY grp""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

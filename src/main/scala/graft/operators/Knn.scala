@@ -240,4 +240,30 @@ object Knn {
       .where(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))
   }
+
+  // --------------------------------------------------------- quantization
+  /** Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
+    * max|x|), scale = max|x| / 127 — the standard 4× embedding
+    * compression before ANN index build or shipping vectors to a
+    * serving tier. A narrow map (no shuffle); dequantization error is
+    * bounded by scale/2 per component.
+    *
+    * Engine-stable arithmetic: floats widen exactly to doubles, the
+    * per-component expression is one multiply-divide-add-floor chain
+    * evaluated in the same order everywhere, and max is
+    * order-independent — so an independent engine reproduces every
+    * quantized value bit-for-bit (the embed_quantize oracle does).
+    * All-zero vectors quantize to zeros (scale 0). */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val staged = embs
+      .withColumn("__xd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("__mx", array_max(transform(col("__xd"), x => abs(x))))
+    staged
+      .withColumn("q",
+        when(col("__mx") === 0d, transform(col("__xd"), _ => lit(0)))
+          .otherwise(transform(col("__xd"),
+            x => floor(x * lit(127.0) / col("__mx") + lit(0.5)).cast("int"))))
+      .withColumn("scale", round(col("__mx") / lit(127.0), 6))
+      .drop("__xd", "__mx")
+  }
 }

@@ -108,6 +108,18 @@ object PipelineQueries {
     "dedup_embed" -> ((s, d) =>
       Knn.ivfPairs(embs(s, d), threshold = 0.35, nCells = 16)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // 52: int8 embedding quantization — per-vector scale + component
+    // stats (sums/extremes prove every quantized value without an
+    // array-typed output column)
+    "embed_quantize" -> ((s, d) =>
+      Knn.quantizeInt8(embs(s, d))
+        .select(col("vec_id"), col("scale"),
+          size(col("q")).cast("long").as("n_dims"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("sum_q2"),
+          array_min(col("q")).as("min_q"),
+          array_max(col("q")).as("max_q"))
+        .orderBy(col("vec_id"))),
     // 31: language ID. Stopword-hit counts staged as attribute refs
     // (argmax over columns, not over duplicated expression trees).
     "text_langid" -> ((s, d) => {
@@ -327,6 +339,28 @@ object PipelineQueries {
         |                       WHEN lang IN ('de','fr') THEN 300000
         |                       ELSE 100000 END)
         |ORDER BY doc_id""".stripMargin,
+    // 52: same widen-to-double + multiply-divide-add-floor chain as
+    // Knn.quantizeInt8
+    "embed_quantize" ->
+      """WITH staged AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), quant AS (
+        |  SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(xd, x -> 0)
+        |      ELSE list_transform(xd, x -> CAST(floor(x * 127.0 / mx + 0.5) AS INT))
+        |    END AS q
+        |  FROM staged
+        |)
+        |SELECT vec_id, round(mx / 127.0, 6) AS scale,
+        |  CAST(len(q) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sum_q2,
+        |  CAST(list_min(q) AS INT) AS min_q,
+        |  CAST(list_max(q) AS INT) AS max_q
+        |FROM quant ORDER BY vec_id""".stripMargin,
     // 50: same normalization + 8-token shingle construction as
     // Dedup.shingles(text, 8)
     "decontaminate" ->

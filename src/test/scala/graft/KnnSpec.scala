@@ -97,4 +97,28 @@ class KnnSpec extends SparkSpec {
     // every approx hit must be a real corpus vector with a computable score
     assert(approx.forall(_._2 >= 0))
   }
+
+  test("int8 quantization: values in range, round-trip error <= scale/2") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = Knn.quantizeInt8(e)
+    assert(q.count() == e.count())
+    // every component within int8 symmetric range
+    assert(q.where(exists(col("q"), x => x > 127 || x < -127)).count() == 0)
+    // dequantized error bound: |x - q*scale_raw| <= scale_raw/2 per
+    // component (use the un-rounded scale = max|x|/127)
+    val err = q
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .where(col("mx") > 0)
+      .withColumn("bad",
+        exists(zip_with(col("embedding"), col("q"),
+            (x, qi) => abs(x.cast("double") - qi * col("mx") / lit(127.0))),
+          d => d > col("mx") / lit(127.0) / 2 + lit(1e-12)))
+      .where(col("bad")).count()
+    assert(err == 0, "quantization error exceeded half a step")
+    // zero vector edge: all-zero quantizes to zeros with scale 0
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zq = Knn.quantizeInt8(z).select("scale", "q").head
+    assert(zq.getDouble(0) == 0.0 && zq.getSeq[Int](1).forall(_ == 0))
+  }
 }
