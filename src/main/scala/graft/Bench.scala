@@ -88,9 +88,13 @@ object Bench {
         stray.map { case (p, c) => f"pid=$p%d ${c}%.2f cores" }.mkString(", "))
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // quick probe (~10ms) after each query: pairs every measurement
-    // with the host state at that moment, so a wave of host degradation
-    // is attributable per query, not just per run
+    // quick probes (~10ms and ~40ms) after each query: pair every
+    // measurement with the host state at that moment, so a wave of host
+    // degradation is attributable per query, not just per run. The
+    // multi-thread probe matters separately: hosts have been observed
+    // with a healthy single-thread probe while aggregate multi-core
+    // throughput was down 25%+ — which non-linearly amplifies 32-way
+    // stages (stragglers hold stage barriers).
     def quickCalib(): Long = {
       var h = 0x811c9dc5L
       var i = 0
@@ -101,6 +105,21 @@ object Bench {
       if (h == 42) System.err.print("")
       (iters / ms).toLong
     }
+    def quickCalibMt(threads: Int = 8): Long = {
+      val per = new java.util.concurrent.atomic.AtomicLong(0)
+      val ts = Seq.fill(threads)(new Thread(() => {
+        var h = 0x811c9dc5L
+        var i = 0
+        val iters = 1 << 22
+        val t0 = System.nanoTime()
+        while (i < iters) { h = (h ^ i) * 0x01000193L; i += 1 }
+        val ms = (System.nanoTime() - t0) / 1e6
+        if (h == 42) System.err.print("")
+        per.addAndGet((iters / ms).toLong)
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      per.get / threads
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -110,11 +129,13 @@ object Bench {
       // become the next query's memory pressure
       spark.catalog.clearCache()
       System.gc()
-      name -> (sec, quickCalib())
+      name -> (sec, quickCalib(), quickCalibMt())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qCalib = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val qCalibMt = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
@@ -125,7 +146,7 @@ object Bench {
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
-      s""""query_calib":$qCalib}""")
+      s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt}""")
     spark.stop()
   }
 }

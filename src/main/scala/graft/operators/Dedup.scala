@@ -213,6 +213,18 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    // localCheckpoint blocks are only reclaimed when the ContextCleaner
+    // notices the RDD got GC'd — in a long-lived session the per-round
+    // checkpoints of MANY clusters() calls pile up in the block manager
+    // and strangle execution memory (measured: the same composite query
+    // 5.9s early in a 51-query JVM, 54s late). Free each round's blocks
+    // deterministically the moment the next round is materialized.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    freeCheckpoint(p0) // edges is checkpointed; p0's blocks are dead weight
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -232,9 +244,13 @@ object Dedup {
           least(col("mid"), coalesce(col("parent"), col("mid"))).as("cluster_id"))
         .localCheckpoint()
       changed = updated.where(col("cluster_id") =!= col("old")).count()
+      // `updated` is eagerly checkpointed (self-contained), so the
+      // previous round's blocks can go now
+      freeCheckpoint(labels)
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    freeCheckpoint(edges)
     labels.select(col("doc_id"), col("cluster_id"))
   }
 
