@@ -142,6 +142,22 @@ object Analytics {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Unpivot (melt): wide measure columns to (measure, value) rows via
+    * the first-class Dataset.unpivot — a narrow map (each input row
+    * emits #measures rows), no shuffle beyond the output sort. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
   /** Top-k per group via ranked window + filter. */
   def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
@@ -265,6 +281,7 @@ object Analytics {
     "q_semi_anti"  -> (qSemiAnti _),
     "q_rollup"     -> (qRollup _),
     "q_cube"       -> (qCube _),
+    "q_unpivot"    -> (qUnpivot _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sessionize" -> (qSessionize _))
 
@@ -351,6 +368,17 @@ object Analytics {
         |SELECT 'without_orders' AS grp, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY grp""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |    CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey <= 100
+        |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
