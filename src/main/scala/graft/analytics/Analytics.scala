@@ -253,6 +253,69 @@ object Analytics {
       .orderBy(col("cohort"))
   }
 
+  /** Time-series gap fill: hourly per-type event rollup, resampled onto
+    * a dense hour spine (missing hours materialized) with zero-filled
+    * counts and forward-filled (last-observation-carried-forward)
+    * values. Scale shape: the rollup is one partial-aggregated shuffle;
+    * the spine is generated per group from min/max (tiny — hours, not
+    * events) and the fill window re-uses the per-type partitioning.
+    * Interpolation over irregular telemetry is a standard downstream
+    * query the reference's hourly `TimeBucket` rollup feeds. */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), stableSum(col("value"), 6).as("hour_value"))
+    val spine = base.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.cast("int").as("is_gap"),
+        last(col("hour_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_events"), col("is_gap"), col("filled_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Funnel analysis: users progressing click → view → purchase in
+    * strict event-time order. One shuffle on user_id collects each
+    * user's (bounded, as in qSessionize) event list sorted by (time,
+    * type); a single aggregate() scan walks the stage machine greedily
+    * — taking the earliest qualifying event at each stage is optimal
+    * for chain existence, and equals the oracle's nested min-over-
+    * subquery chain. No self-joins of the fact table. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type").as("et"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("evs"))
+    val scan = aggregate(col("evs"),
+      struct(lit(0).as("stage"), lit(Long.MinValue).as("t")),
+      (acc, x) => {
+        val (stage, t) = (acc.getField("stage"), acc.getField("t"))
+        val (xt, xe) = (x.getField("t"), x.getField("et"))
+        when(stage === 0 && xe === "click",
+            struct(lit(1).as("stage"), xt.as("t")))
+          .when(stage === 1 && xe === "view" && xt > t,
+            struct(lit(2).as("stage"), xt.as("t")))
+          .when(stage === 2 && xe === "purchase" && xt > t,
+            struct(lit(3).as("stage"), xt.as("t")))
+          .otherwise(acc)
+      })
+    perUser.select(scan.getField("stage").as("stage"))
+      .agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_viewed_after"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchased_after"))
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct users and GK-sketch
     * quantiles per event type. THE way to count distincts / rank at
     * 100 TB — fixed-size sketch state, map-side partial merge, no
@@ -272,6 +335,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot"      -> (qPivot _),
     "q_approx"     -> (qApprox _),
+    "q_gapfill"    -> (qGapfill _),
+    "q_funnel"     -> (qFunnel _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -287,6 +352,43 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_value
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM base GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds
+        |), joined AS (
+        |  SELECT s.event_type, s.hour, b.n_events, b.hour_value
+        |  FROM spine s LEFT JOIN base b
+        |    ON s.event_type = b.event_type AND s.hour = b.hour
+        |)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+        |  last_value(hour_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM joined ORDER BY event_type, hour""".stripMargin,
+    "q_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |), v AS (
+        |  SELECT c.user_id, min(e.ts) AS t2 FROM c JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'view' AND e.ts > c.t1
+        |  GROUP BY c.user_id
+        |), p AS (
+        |  SELECT v.user_id, min(e.ts) AS t3 FROM v JOIN events e
+        |    ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.t2
+        |  GROUP BY v.user_id
+        |)
+        |SELECT (SELECT count(*) FROM c) AS n_clicked,
+        |       (SELECT count(*) FROM v) AS n_viewed_after,
+        |       (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,
         |  count(*) FILTER (event_type = 'click') AS click,

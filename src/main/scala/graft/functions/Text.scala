@@ -177,6 +177,30 @@ object Text {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble)))
   }
 
+  // -------------------------------------------------------- repetition
+  /** Adjacent-token bigrams of a token array: n−1 entries, `[]` for
+    * arrays shorter than 2 (sequence() would count down otherwise). */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of the most frequent token (0 for an empty array). The
+    * O(n·distinct) HOF is fine here: it runs inside the per-document
+    * quality scan (docs are KB-scale), not in a join hot path. */
+  def topTokenCount(toks: Column): Column =
+    when(size(toks) === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))))
+
+  /** Fraction of array entries that are repeats of an earlier entry:
+    * 1 − distinct/total, 0 for empty. The Gopher-class repetition
+    * signal over tokens or n-grams. */
+  def dupRatio(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

@@ -152,6 +152,57 @@ object PipelineQueries {
       Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
       Text.estTokensByChars(col("text")).as("n_est_tokens"))
       .orderBy(col("doc_id"))),
+    // 55: repetition signals (Gopher-class quality filters) — duplicate
+    // token / most-frequent-token / duplicate-bigram fractions, all
+    // narrow per-document array math (no shuffle at any corpus size)
+    "text_repetition" -> ((s, d) => {
+      val staged = docs(s, d).select(col("doc_id"),
+          when(Text.normalize(col("text")) === "", array().cast("array<string>"))
+            .otherwise(Text.tokens(col("text"))).as("tk"))
+        .withColumn("bg", Text.bigramsOf(col("tk")))
+      staged.select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        round(Text.dupRatio(col("tk")), 6).as("dup_token_ratio"),
+        round(when(size(col("tk")) === 0, 0.0).otherwise(
+          Text.topTokenCount(col("tk")).cast("double") / size(col("tk")).cast("double")), 6)
+          .as("top_token_ratio"),
+        round(Text.dupRatio(col("bg")), 6).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    // 56: corpus vocabulary build — the tokenizer-training primitive:
+    // one partial-aggregated shuffle on token, deterministic top-100
+    // by (count desc, token). TakeOrdered, not a global sort.
+    "text_vocab" -> ((s, d) =>
+      docs(s, d).select(explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+    // 57: tf-idf top terms per document — tf from one (doc,token)
+    // shuffle (doc length and document frequency both derive from it,
+    // reusing the aggregate), ln-idf, top-3 per doc by ranked window
+    "text_tfidf" -> ((s, d) => {
+      val doc = docs(s, d)
+      val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ndocs = doc.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dl, "doc_id").join(dfreq, "token")
+        .crossJoin(broadcast(ndocs))
+        .select(col("doc_id"), col("token"),
+          round((col("tf").cast("double") *
+              log(col("n_docs").cast("double") / col("df").cast("double"))) /
+            col("dl").cast("double"), 6).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
     // 40: PII redaction pass — per-doc match counts + fingerprint of
     // the scrubbed text (proves the replacement itself, not just the
     // counts, agrees across engines)
@@ -718,6 +769,65 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // 55: same token/bigram array math, list-op mirror
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+         |  END, 6) AS dup_token_ratio,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE CAST(list_max(list_transform(list_distinct(tk),
+         |        u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE)
+         |  END, 6) AS top_token_ratio,
+         |  round(CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         |  END, 6) AS dup_bigram_ratio
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // 56: plain wordcount, deterministic top-100
+    "text_vocab" ->
+      s"""WITH t AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |)
+         |SELECT token, count(*) AS n FROM t WHERE token <> ''
+         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // 57: same tf·ln(N/df)/len arithmetic, same parenthesization
+    "text_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round((CAST(tf.tf AS DOUBLE) *
+         |        ln(CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE))) /
+         |      CAST(dl.dl AS DOUBLE), 6) AS tfidf
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN nd
+         |), ranked AS (
+         |  SELECT doc_id, token, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+         |  FROM scored
+         |)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, token, tfidf FROM ranked
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix
