@@ -241,6 +241,94 @@ object Knn {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------------------------------- k-means
+  /** Cosine that accepts double-array centroids (the native kernel is
+    * float-typed): identical sequential double arithmetic via the HOF
+    * form, so trained-centroid scores replay across engines. */
+  private def cosineD(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Nearest-centroid assignment against (possibly trained, double-
+    * array) centroids. Same shuffle shape as [[ivfAssign]]: broadcast
+    * centroids, map-side partial argmax, n-row exchange. */
+  private def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(round(cosineD(col("embedding"), col("centroid")), 6).as("cos"),
+          (-col("cell_id")).as("neg")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.neg")).as("cell_id"), col("best.cos").as("cos"))
+
+  /** Deterministic Lloyd k-means over the embedding column — the
+    * trained-centroid upgrade of the IVF coarse quantizer (and the
+    * clustering step semantic dedup / corpus curation pipelines run).
+    *
+    * Engine-replayable by construction (the embed_kmeans oracle
+    * re-runs every iteration):
+    *  - init: the first k vectors by vec_id, widened to double;
+    *  - assignment: argmax of round(cos, 6), ties to the lowest cell
+    *    (max of struct(cos, -cell_id) — cross-engine-stable exactly
+    *    like [[ivfAssign]]);
+    *  - update: per-dimension EXACT mean — components quantize to a
+    *    1e-6 grid as longs, long sums are order-independent, and the
+    *    mean is the single division s/(n·1e6) — so the trained
+    *    centroids are bit-identical on any engine or partitioning;
+    *  - cells that lose all members drop out (standard Lloyd death).
+    *
+    * Scale shape per iteration: one broadcast-assignment pass (n rows
+    * shuffled once by the partial argmax) + one (cell, dim) partial
+    * aggregation (k·d rows out). k centroids ≈ k·d·8 bytes broadcast —
+    * at 10⁹ vectors / k=√n≈32k / d=64 that is ~16 MB, still
+    * broadcastable, same as the IVF sizing note.
+    *
+    * Output: (vec_id, embedding, cell_id, cos) against the FINAL
+    * trained centroids. */
+  def kmeansAssignments(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.where(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    var r = 0
+    while (r < iters) {
+      cents = kmAssign(corpus, cents)
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .select(col("cell_id"), col("pos"),
+          floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("qc"))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(col("qc")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s").cast("double") /
+            (x.getField("n").cast("double") * lit(1000000.0))).as("centroid"))
+      r += 1
+    }
+    kmAssign(corpus, cents)
+  }
+
+  /** Semantic dedup (SemDeDup-shaped): k-means-cluster the corpus,
+    * then inside each cell drop every vector that has a lower-id
+    * neighbor with cosine ≥ threshold. Greedy-by-id (not transitive
+    * closure — a dropped vector still suppresses its own neighbors),
+    * which keeps the operator a single same-cell pair join + anti
+    * join: deterministic and fully oracle-replayable. Pair work is
+    * bounded by cell occupancy (k ≈ √n at scale), as in [[ivfPairs]]. */
+  def semanticKeep(corpus: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansAssignments(corpus, k, iters)
+    val a = assigned.select(col("cell_id"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell_id"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(cosine(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell_id"))
+  }
+
   // --------------------------------------------------------- quantization
   /** Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
     * max|x|), scale = max|x| / 127 — the standard 4× embedding

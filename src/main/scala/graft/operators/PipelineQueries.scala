@@ -108,6 +108,18 @@ object PipelineQueries {
     "dedup_embed" -> ((s, d) =>
       Knn.ivfPairs(embs(s, d), threshold = 0.35, nCells = 16)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // 58: deterministic Lloyd k-means — trained coarse quantizer;
+    // exact-integer centroid means make every iteration replayable,
+    // so the oracle re-runs the full training loop
+    "embed_kmeans" -> ((s, d) =>
+      Knn.kmeansAssignments(embs(s, d), k = 8, iters = 2)
+        .select(col("vec_id"), col("cell_id"), col("cos"))
+        .orderBy(col("vec_id"))),
+    // 59: semantic dedup — k-means cells + same-cell cosine prune
+    // (drop vectors with a lower-id neighbor ≥ threshold)
+    "dedup_semantic" -> ((s, d) =>
+      Knn.semanticKeep(embs(s, d), k = 8, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id"))),
     // 52: int8 embedding quantization — per-vector scale + component
     // stats (sums/extremes prove every quantized value without an
     // array-typed output column)
@@ -311,6 +323,49 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB replay of Knn.kmeansAssignments: c0 = first k vectors as
+    * doubles; each round r assigns by rounded-cosine argmax (ties to
+    * the lowest cell) then rebuilds centroids from exact 1e-6-grid
+    * long sums — the same order-independent arithmetic the Spark
+    * operator uses, so the trained centroids match bit-for-bit.
+    * Yields CTEs up to `afin` = (vec_id, cell_id, cos) vs c<iters>. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assignSql(name: String, cents: String, withCos: Boolean): String = {
+      val cosCol = if (withCos) s", round(${cosSql("e.v", s"$cents.c")}, 6) AS cos" else ""
+      val outCos = if (withCos) ", cos" else ", v"
+      val keepV = if (withCos) "" else ", e.v"
+      s"""$name AS (
+         |  SELECT vec_id, cell_id$outCos FROM (
+         |    SELECT e.vec_id, $cents.cell_id$keepV$cosCol,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${cosSql("e.v", s"$cents.c")}, 6) DESC, $cents.cell_id) AS rn
+         |    FROM e CROSS JOIN $cents
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < $k)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(",\n").append(assignSql(s"a$r", s"c${r - 1}", withCos = false))
+      sb.append(s""",
+         |q$r AS (
+         |  SELECT cell_id, i,
+         |    CAST(floor(v[CAST(i AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT) AS qc
+         |  FROM a$r, unnest(range(0, len(v))) AS t(i)
+         |), s$r AS (
+         |  SELECT cell_id, i, sum(qc) AS s, count(*) AS n FROM q$r GROUP BY 1, 2
+         |), c$r AS (
+         |  SELECT cell_id,
+         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS c
+         |  FROM s$r GROUP BY cell_id
+         |)""".stripMargin)
+    }
+    sb.append(",\n").append(assignSql("afin", s"c$iters", withCos = true))
+    sb.toString
+  }
 
   /** #42's chunk stream (doc_id, chunk_start, chunk_text, n_tokens)
     * WITHOUT a trailing ORDER BY, reusable as a CTE body (chunk_pack). */
@@ -618,6 +673,23 @@ object PipelineQueries {
          |FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // 58: full k-means training replay (2 unrolled iterations)
+    "embed_kmeans" ->
+      s"""WITH ${kmeansSql(8, 2)}
+         |SELECT vec_id, cell_id, cos FROM afin ORDER BY vec_id""".stripMargin,
+    // 59: k-means cells + same-cell greedy-by-id cosine prune
+    "dedup_semantic" ->
+      s"""WITH ${kmeansSql(8, 2)},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM afin a JOIN afin b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= 0.35
+         |)
+         |SELECT f.vec_id, f.cell_id FROM afin f
+         |WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY f.vec_id""".stripMargin,
     // 37: IVF ANN replay — probe 4 nearest cells of each query vector,
     // exact re-rank, top-5.
     "knn_ivf" ->

@@ -98,6 +98,41 @@ class KnnSpec extends SparkSpec {
     assert(approx.forall(_._2 >= 0))
   }
 
+  test("k-means: partition-layout-invariant, valid cells, assignment is argmax") {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = Knn.kmeansAssignments(e, k = 8, iters = 2)
+      .select("vec_id", "cell_id", "cos")
+    // exact-integer centroid arithmetic => bit-identical results on any
+    // partitioning (the property that makes the oracle replay possible)
+    val b = Knn.kmeansAssignments(e.repartition(7), k = 8, iters = 2)
+      .select("vec_id", "cell_id", "cos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val rows = a.collect()
+    assert(rows.length == e.count())
+    val cells = rows.map(_.getAs[Long]("cell_id")).distinct
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(cells.length > 1, "k-means collapsed to one cell")
+  }
+
+  test("semantic dedup: kept set has no same-cell lower-id neighbor >= threshold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val t = 0.35
+    val kept = Knn.semanticKeep(e, k = 8, iters = 2, threshold = t)
+    val assigned = Knn.kmeansAssignments(e, k = 8, iters = 2)
+    // every kept vector: no kept-or-dropped lower-id neighbor in its
+    // cell clears the threshold
+    val a = assigned.select($"cell_id", $"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = assigned.select($"cell_id", $"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    val offending = kept.join(
+      a.join(b, Seq("cell_id")).where($"vec_a" < $"vec_b")
+        .where(round(Knn.cosine($"emb_a", $"emb_b"), 6) >= t)
+        .select($"vec_b".as("vec_id")).distinct(),
+      Seq("vec_id"))
+    assert(offending.count() == 0)
+    assert(kept.count() > 0 && kept.count() < e.count(),
+      "semantic dedup dropped nothing or everything")
+  }
+
   test("int8 quantization: values in range, round-trip error <= scale/2") {
     val e = Tables.embeddings(spark, sfDir)
     val q = Knn.quantizeInt8(e)
