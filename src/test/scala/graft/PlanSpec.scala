@@ -81,4 +81,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_pivot") || p.contains("partial_count"),
       "pivot lost its map-side combine")
   }
+
+  test("q_funnel is pure aggregation: no joins of the fact table") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel grew a self-join:\n$p")
+    assert(p.contains("partial_"), "funnel lost its map-side combine")
+  }
+
+  test("q_gapfill joins spine to rollup keyed, then windows per type") {
+    val p = plan("q_gapfill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gapfill spine join degenerated:\n$p")
+    assert(p.contains("last("), "gapfill lost its forward-fill window")
+  }
+
+  test("text_repetition stays narrow; text_vocab takes top-k, not a global sort") {
+    val rep = plan("text_repetition")
+    assert("Exchange".r.findAllIn(rep).length <= 1,
+      s"repetition signals shuffle beyond the output sort:\n$rep")
+    assert(plan("text_vocab").contains("TakeOrderedAndProject"),
+      "vocab top-100 planned as a global sort")
+  }
+
+  test("text_tfidf: keyed joins only, plus the one-row corpus-count broadcast") {
+    val p = plan("text_tfidf")
+    assert(!p.contains("CartesianProduct"), s"tfidf has a cartesian:\n$p")
+    assert(p.contains("partial_count"), "tfidf lost its map-side combine")
+  }
+
+  test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
+    assert(plan("embed_kmeans").contains("partial_max"),
+      "k-means argmax lost its map-side combine")
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"semantic dedup has a cartesian:\n$p")
+    assert(p.contains("LeftAnti"), "semantic dedup lost its anti join")
+  }
 }
