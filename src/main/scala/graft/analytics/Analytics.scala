@@ -316,6 +316,50 @@ object Analytics {
         sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchased_after"))
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * props column (schema-on-read) and roll it up per event type.
+    * get_json_object is a codegen'd path expression — the scan stays
+    * narrow (events prunes to two columns) and the rollup is one
+    * partial-aggregated shuffle; all-integer outputs, so the oracle
+    * is exact. */
+  def qJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hot"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Z-order layout demonstration: Morton-interleave (customer,
+    * order-day), then show per-z-bucket min/max spans of BOTH
+    * dimensions — the ranges parquet footers would prune on after a
+    * [[graft.operators.Layout.clusterByZ]] write. The z-value itself
+    * is pure integer bit arithmetic (oracle-exact). */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    // `div` (integer division) — plain `/` on longs is double division
+    // in Spark SQL, and midnight timestamps sit exactly on the
+    // quotient boundary where a float round-off would flip the day
+    val staged = ord.select(
+      col("o_custkey").as("ck"),
+      // NTZ -> TIMESTAMP is wall-clock-preserving under the UTC session
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("dy"))
+    staged
+      .select(col("ck"), col("dy"),
+        graft.operators.Layout.zorderValue(col("ck"), col("dy")).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"))
+      .orderBy(col("zbucket"))
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct users and GK-sketch
     * quantiles per event type. THE way to count distincts / rank at
     * 100 TB — fixed-size sketch state, map-side partial merge, no
@@ -337,6 +381,8 @@ object Analytics {
     "q_approx"     -> (qApprox _),
     "q_gapfill"    -> (qGapfill _),
     "q_funnel"     -> (qFunnel _),
+    "q_json"       -> (qJson _),
+    "q_zorder"     -> (qZorder _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -350,8 +396,38 @@ object Analytics {
     "q_topk_group" -> (qTopkGroup _),
     "q_sessionize" -> (qSessionize _))
 
+  /** DuckDB mirror of [[graft.operators.Layout.zorderValue]]: the
+    * statically-unrolled 16-bit Morton interleave as one bit-arithmetic
+    * expression over pre-masked terms `x`/`y`. */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
+
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_json" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zorder" ->
+      s"""WITH staged AS (
+         |  SELECT o_custkey & 65535 AS ck0, o_custkey AS ck,
+         |    (epoch_us(o_orderdate) // 86400000000) & 65535 AS dy0,
+         |    epoch_us(o_orderdate) // 86400000000 AS dy
+         |  FROM orders
+         |), z AS (
+         |  SELECT ck, dy, ${zorderSql("ck0", "dy0")} AS z FROM staged
+         |)
+         |SELECT z >> 12 AS zbucket, count(*) AS n,
+         |  min(ck) AS min_ck, max(ck) AS max_ck,
+         |  min(dy) AS min_dy, max(dy) AS max_dy
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
     "q_gapfill" ->
       """WITH base AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,

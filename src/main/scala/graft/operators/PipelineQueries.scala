@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -214,6 +215,35 @@ object PipelineQueries {
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
+    }),
+    // 62: bigram-LM fluency scoring (KenLM-class quality filter): train
+    // add-one-smoothed bigram stats on the corpus itself, score each
+    // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
+    // the per-doc mean goes through exact decimal summation (order-
+    // independent), so the oracle replays it despite double logs.
+    "text_lmscore" -> ((s, d) => {
+      val doc = docs(s, d)
+      val bgInst = doc.select(col("doc_id"),
+          explode(Text.bigramsOf(Text.tokens(col("text")))).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val uni = doc.select(explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val c1 = uni.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      val vocab = broadcast(uni.agg(countDistinct(col("token")).as("v")))
+      val c2 = bgInst.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val terms = bgInst
+        .join(c2, "bg")
+        .join(c1.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(vocab)
+        .select(col("doc_id"),
+          log((col("c2") + lit(1L)).cast("double") /
+              (col("c1") + col("v")).cast("double"))
+            .cast(DecimalType(28, 12)).as("lp"))
+      terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_logprob"))
+        .orderBy(col("doc_id"))
     }),
     // 40: PII redaction pass — per-doc match counts + fingerprint of
     // the scrubbed text (proves the replacement itself, not just the
@@ -841,6 +871,36 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // 62: same add-one-smoothed ln P(w2|w1), decimal-stabilized mean
+    "text_lmscore" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+         |  FROM documents
+         |), bg0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS bg
+         |  FROM tk
+         |), b2 AS (
+         |  SELECT doc_id, bg, str_split(bg, ' ')[1] AS w1 FROM bg0
+         |), c2 AS (
+         |  SELECT bg, count(*) AS c2 FROM b2 GROUP BY bg
+         |), uni AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), c1 AS (
+         |  SELECT token, count(*) AS c1 FROM uni WHERE token <> '' GROUP BY token
+         |), vv AS (
+         |  SELECT count(DISTINCT token) AS v FROM uni WHERE token <> ''
+         |), terms AS (
+         |  SELECT b2.doc_id,
+         |    CAST(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE))
+         |      AS DECIMAL(28,12)) AS lp
+         |  FROM b2 JOIN c2 USING (bg) JOIN c1 ON c1.token = b2.w1 CROSS JOIN vv
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 55: same token/bigram array math, list-op mirror
     "text_repetition" ->
       s"""WITH t AS (

@@ -109,6 +109,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "tfidf lost its map-side combine")
   }
 
+  test("q_json scan prunes to (event_type, props); q_zorder stays join-free") {
+    assert(plan("q_json").contains("struct<event_type:string,props:string>"),
+      "json rollup reads more than (event_type, props)")
+    val p = plan("q_zorder")
+    assert(!p.contains("Join"), s"zorder rollup grew a join:\n$p")
+    assert(p.contains("partial_"), "zorder rollup lost its map-side combine")
+  }
+
+  test("text_lmscore joins stay keyed; the one-row vocab count broadcasts") {
+    val p = plan("text_lmscore")
+    assert(!p.contains("CartesianProduct"), s"lmscore has a cartesian:\n$p")
+    assert(p.contains("partial_count"), "lmscore lost its map-side combine")
+  }
+
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
     assert(plan("embed_kmeans").contains("partial_max"),
       "k-means argmax lost its map-side combine")
