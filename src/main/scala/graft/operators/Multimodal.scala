@@ -6,29 +6,38 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2 #35).
   *
   * Images/audio/video ride through Spark as opaque `binary` columns
-  * with a typed metadata struct. Payloads here are REAL PNG containers:
-  * an 8-byte signature, an IHDR chunk holding big-endian width/height
-  * with a correct CRC-32, a data chunk carrying the sample bytes, and
-  * IEND. The decode kernel does honest format work — it validates the
-  * signature, parses IHDR dimensions, and checks the IHDR CRC before
-  * touching the data. The one declared stub is compression: the data
-  * chunk stores raw bytes where a real encoder would zlib-compress
-  * scanlines (this container has no image codec libs), so the chunk is
-  * tagged "grFT" (a private ancillary chunk id, as the PNG spec
-  * prescribes for application data) rather than a fake IDAT.
+  * with a typed metadata struct. Payloads are REAL PNG files
+  * (non-interlaced 8-bit grayscale): signature, IHDR with correct
+  * CRC-32, a zlib-compressed IDAT holding filtered scanlines, IEND —
+  * any standard PNG reader opens them. The decoder does the full
+  * format work: signature + CRC validation, IHDR parse, multi-IDAT
+  * reassembly, zlib inflate, and per-scanline unfiltering for all
+  * five PNG filter types (None/Sub/Up/Average/Paeth).
   *
   * Scale notes: feature extraction is `Dataset.mapPartitions` with a
   * case-class encoder — per-partition codec init, streaming iterator,
   * no driver collect, no RDD round-trip (Tungsten row format in and
   * out). Metadata-only queries prune the binary column at the scan.
+  * The oracle-checked query surface exposes only decode-derived values
+  * (dimensions, pixel count, feature mass) — container byte counts
+  * depend on the deflate implementation and stay out of the oracle.
   */
 object Multimodal {
 
   val featureDim = 8
 
+  /** Image dimensions for a sample-byte payload: width caps at 64,
+    * height = ceil(len/width), floor 1×1 (integer arithmetic — the
+    * oracle replays it). Pixels beyond the payload pad with zeros. */
+  def dims(len: Int): (Int, Int) = {
+    val w = math.min(64, math.max(1, len))
+    val h = math.max(1, (len + w - 1) / w)
+    (w, h)
+  }
+
   /** (media_id, media_type, payload, meta{n_bytes,width,height}) —
     * deterministic media synthesized from `documents`: text bytes stand
-    * in for the encoded samples, wrapped in a real PNG container. */
+    * in for the samples, encoded as a real zlib-compressed PNG. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -36,10 +45,9 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new PngCodec
         rows.map { case (docId, text) =>
-          val w = (docId % 640 + 64).toInt
-          val h = (docId % 480 + 48).toInt
-          val payload = codec.encode(w, h,
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h) = dims(data.length)
+          val payload = codec.encode(data)
           val mt = (docId % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
@@ -49,18 +57,20 @@ object Multimodal {
       .toDF()
   }
 
-  /** Decode + feature extraction: parse the PNG header (real format
-    * work), then an 8-bin value-weighted byte histogram over the sample
-    * bytes. Integer accumulation end-to-end; the fixed-point features
-    * are floor((acc * 1e6) / n) so any engine reproduces them exactly. */
+  /** Decode + feature extraction: full PNG decode (inflate +
+    * unfilter), then an 8-bin value-weighted histogram over the
+    * decoded pixels. Integer accumulation end-to-end; the fixed-point
+    * features are floor((acc * 1e6) / n_pixels) so any engine
+    * reproduces them exactly (zero padding adds no mass but counts in
+    * the denominator). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init — where a real decoder or feature
-        // model would be constructed once per task
+        // per-partition codec init — one Inflater/Deflater pair per
+        // task, not per row
         val codec = new PngCodec
         rows.map { case (id, mt, payload) =>
           val d = codec.decode(payload)
@@ -70,14 +80,15 @@ object Multimodal {
       }
   }
 
-  /** Query surface: decoded dimensions + fixed-point feature mass;
-    * binary column pruned away. feature_mass = sum of the integer
-    * fixed-point features / 1e6 (order-free integer sum → engine-stable
-    * double), rounded to 6 places. */
+  /** Query surface: decode-derived values only (see class doc) —
+    * dimensions, pixel count, fixed-point feature mass; the binary
+    * column is pruned away and no deflate-dependent byte count leaks
+    * into the oracle-checked output. */
   def featureSummary(media: DataFrame): DataFrame =
     extractFeatures(media).toDF()
-      .select(col("media_id"), col("media_type"), col("n_bytes"),
+      .select(col("media_id"), col("media_type"),
         col("width"), col("height"),
+        (col("width").cast("long") * col("height").cast("long")).as("n_pixels"),
         round(aggregate(col("features"), lit(0L), (a, x) => a + x)
           .cast("double") / 1e6, 6).as("feature_mass"))
 
@@ -88,9 +99,10 @@ object Multimodal {
       n_bytes: Long, width: Int, height: Int, features: Array[Long])
   final case class Decoded(width: Int, height: Int, data: Array[Byte])
 
-  /** Minimal PNG container codec. Header handling is real (signature,
-    * IHDR layout, CRC-32); sample compression is the declared stub —
-    * raw bytes in a private "grFT" chunk instead of zlib'd IDAT. */
+  /** PNG codec for non-interlaced 8-bit grayscale. Encode writes
+    * filter-0 scanlines through zlib; decode validates signature and
+    * chunk CRCs, reassembles IDAT, inflates, and unfilters all five
+    * spec filter types. Pure JDK (`java.util.zip`), no image libs. */
   final class PngCodec extends Serializable {
     private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     private val crc = new java.util.zip.CRC32
@@ -114,40 +126,133 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** signature + IHDR(w, h, 8-bit grayscale) + grFT(data) + IEND. */
-    def encode(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    /** Wrap an already-filtered scanline stream (height rows of
+      * 1 filter byte + width pixels) into a complete PNG: deflate,
+      * IHDR/IDAT/IEND with CRCs. Exposed so tests can exercise decode
+      * against non-zero filter types. */
+    def encodeRaw(width: Int, height: Int, scanlines: Array[Byte]): Array[Byte] = {
+      require(scanlines.length == height * (width + 1),
+        s"scanline stream ${scanlines.length} != $height*(${width}+1)")
       val ihdr = new Array[Byte](13)
       System.arraycopy(beInt(width), 0, ihdr, 0, 4)
       System.arraycopy(beInt(height), 0, ihdr, 4, 4)
       ihdr(8) = 8 // bit depth
       ihdr(9) = 0 // color type: grayscale
-      val out = new java.io.ByteArrayOutputStream(57 + data.length)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(scanlines); deflater.finish()
+      val zOut = new java.io.ByteArrayOutputStream(scanlines.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        zOut.write(buf, 0, n)
+      }
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream(64 + zOut.size())
       out.write(SIG)
       out.write(chunk("IHDR", ihdr))
-      out.write(chunk("grFT", data))
+      out.write(chunk("IDAT", zOut.toByteArray))
       out.write(chunk("IEND", Array.emptyByteArray))
       out.toByteArray
     }
 
-    /** Validate signature + IHDR CRC, parse dimensions, return the
-      * sample bytes. Throws on a corrupt container (callers quarantine,
-      * mirroring the poison-pill rule). */
+    /** Encode sample bytes as a real PNG: dims from [[dims]], zero
+      * padding to fill the last row, filter type 0 per scanline. */
+    def encode(data: Array[Byte]): Array[Byte] = {
+      val (w, h) = dims(data.length)
+      val scan = new Array[Byte](h * (w + 1))
+      var row = 0
+      while (row < h) {
+        // scan(row*(w+1)) stays 0: filter type None
+        val srcOff = row * w
+        val n = math.min(w, math.max(0, data.length - srcOff))
+        if (n > 0) System.arraycopy(data, srcOff, scan, row * (w + 1) + 1, n)
+        row += 1
+      }
+      encodeRaw(w, h, scan)
+    }
+
+    private def checkCrc(payload: Array[Byte], off: Int, len: Int): Unit = {
+      crc.reset(); crc.update(payload, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBeInt(payload, off + 8 + len),
+        s"chunk CRC mismatch at offset $off")
+    }
+
+    /** Full decode: signature, IHDR (8-bit grayscale only), chunk walk
+      * with per-chunk CRC validation, IDAT reassembly, inflate, and
+      * unfiltering of all five PNG filter types. Throws on a corrupt
+      * container (callers quarantine, mirroring the poison-pill rule). */
     def decode(payload: Array[Byte]): Decoded = {
-      require(payload.length >= 57, s"truncated PNG: ${payload.length} bytes")
+      require(payload.length >= 45, s"truncated PNG: ${payload.length} bytes")
       var i = 0
       while (i < 8) {
         require(payload(i) == SIG(i), s"bad PNG signature at byte $i")
         i += 1
       }
-      val ihdrLen = readBeInt(payload, 8)
-      require(ihdrLen == 13, s"bad IHDR length $ihdrLen")
-      crc.reset(); crc.update(payload, 12, 4 + ihdrLen)
-      require(crc.getValue.toInt == readBeInt(payload, 16 + ihdrLen), "IHDR CRC mismatch")
+      require(readBeInt(payload, 8) == 13, "bad IHDR length")
+      checkCrc(payload, 8, 13)
       val width = readBeInt(payload, 16)
       val height = readBeInt(payload, 20)
-      val dataLen = readBeInt(payload, 33)
-      val data = java.util.Arrays.copyOfRange(payload, 41, 41 + dataLen)
-      Decoded(width, height, data)
+      require(payload(24) == 8 && payload(25) == 0,
+        "decoder supports 8-bit grayscale only")
+      // chunk walk: collect IDAT, stop at IEND
+      val zData = new java.io.ByteArrayOutputStream(payload.length)
+      var off = 33
+      var seenEnd = false
+      while (!seenEnd) {
+        require(off + 12 <= payload.length, "truncated chunk stream")
+        val len = readBeInt(payload, off)
+        require(off + 12 + len <= payload.length, "chunk overruns payload")
+        val tag = new String(payload, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        checkCrc(payload, off, len)
+        tag match {
+          case "IDAT" => zData.write(payload, off + 8, len)
+          case "IEND" => seenEnd = true
+          case _ => () // ancillary chunk: skip
+        }
+        off += 12 + len
+      }
+      // inflate to height scanlines of (filter byte + width pixels)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(zData.toByteArray)
+      val scan = new Array[Byte](height * (width + 1))
+      var got = 0
+      while (got < scan.length && !inflater.finished()) {
+        val n = inflater.inflate(scan, got, scan.length - got)
+        require(n > 0 || inflater.finished(), "truncated IDAT stream")
+        got += n
+      }
+      inflater.end()
+      require(got == scan.length, s"inflated $got of ${scan.length} bytes")
+      // unfilter (bpp = 1 for 8-bit grayscale)
+      val px = new Array[Byte](height * width)
+      var row = 0
+      while (row < height) {
+        val ft = scan(row * (width + 1)) & 0xff
+        require(ft <= 4, s"bad filter type $ft in row $row")
+        var c = 0
+        while (c < width) {
+          val x = scan(row * (width + 1) + 1 + c) & 0xff
+          val left = if (c > 0) px(row * width + c - 1) & 0xff else 0
+          val up = if (row > 0) px((row - 1) * width + c) & 0xff else 0
+          val ul = if (c > 0 && row > 0) px((row - 1) * width + c - 1) & 0xff else 0
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => // Paeth predictor
+              val p = left + up - ul
+              val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              x + pred
+          }
+          px(row * width + c) = (recon & 0xff).toByte
+          c += 1
+        }
+        row += 1
+      }
+      Decoded(width, height, px)
     }
 
     /** 8-bin value-weighted byte histogram, fixed-point (×1e6 / n,

@@ -223,10 +223,15 @@ object PipelineQueries {
     // independent), so the oracle replays it despite double logs.
     "text_lmscore" -> ((s, d) => {
       val doc = docs(s, d)
-      val bgInst = doc.select(col("doc_id"),
-          explode(Text.bigramsOf(Text.tokens(col("text")))).as("bg"))
+      // token array staged as an attribute ref BEFORE bigramsOf: a
+      // lambda body re-evaluates non-lambda subexpressions per element,
+      // so composing bigramsOf(tokens(text)) directly re-tokenizes the
+      // whole document once per bigram (measured 23s -> ~2s at sf0.1)
+      val tokd = doc.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      val bgInst = tokd.select(col("doc_id"),
+          explode(Text.bigramsOf(col("tk"))).as("bg"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
-      val uni = doc.select(explode(Text.tokens(col("text"))).as("token"))
+      val uni = tokd.select(explode(col("tk")).as("token"))
         .where(col("token") =!= "")
       val c1 = uni.groupBy(col("token")).agg(count(lit(1)).as("c1"))
       val vocab = broadcast(uni.agg(countDistinct(col("token")).as("v")))
@@ -742,34 +747,41 @@ object PipelineQueries {
          |)
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
-    // 35: the PNG container is built from (doc_id, text) by formula, so
-    // the oracle predicts the decoded output independently: dimensions
-    // from the meta formula, n_bytes = 57 header/chunk bytes + payload,
-    // feature mass from the fixed-point byte histogram of the utf-8
-    // sample bytes. A broken encode OR decode breaks the match.
+    // 35: the PNG is built from (doc_id, text) by formula, so the
+    // oracle predicts the DECODED output independently: dimensions
+    // from the integer dims formula, n_pixels = w·h, feature mass
+    // from the fixed-point histogram of the utf-8 sample bytes over
+    // the padded pixel count. A broken encode, deflate/inflate, or
+    // unfilter step breaks the match. Container byte counts are
+    // deflate-dependent and deliberately absent.
     "mm_features" ->
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
          |  FROM documents
+         |), dims AS (
+         |  SELECT doc_id, hx, n,
+         |    least(64, greatest(1, n)) AS w,
+         |    greatest(1, (n + least(64, greatest(1, n)) - 1)
+         |      // least(64, greatest(1, n))) AS h
+         |  FROM b
          |), bytes AS (
-         |  SELECT doc_id, n,
+         |  SELECT doc_id, w, h,
          |    list_transform(range(0, n), i ->
          |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
-         |  FROM b
+         |  FROM dims
          |), feats AS (
-         |  SELECT doc_id, n,
+         |  SELECT doc_id, w, h,
          |    list_transform(range(0, 8), j ->
          |      CAST(floor(CAST(coalesce(list_sum(
          |        list_filter(bs, x -> x % 8 = CAST(j AS INT))), 0) AS DOUBLE)
-         |        * 1000000 / greatest(n, 1)) AS BIGINT)) AS f
+         |        * 1000000 / (w * h)) AS BIGINT)) AS f
          |  FROM bytes
          |)
          |SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
          |       ELSE 'video' END AS media_type,
-         |  CAST(57 + n AS BIGINT) AS n_bytes,
-         |  CAST(doc_id % 640 + 64 AS INT) AS width,
-         |  CAST(doc_id % 480 + 48 AS INT) AS height,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
          |  round(CAST(list_sum(f) AS DOUBLE) / 1000000, 6) AS feature_mass
          |FROM feats ORDER BY media_id""".stripMargin,
     "dedup_exact" ->

@@ -12,23 +12,65 @@ class MultimodalSpec extends SparkSpec {
     val r = media.where(col("media_id") === 0).head
     val meta = r.getStruct(r.fieldIndex("meta"))
     assert(meta.getAs[Long]("n_bytes") > 0)
-    assert(meta.getAs[Int]("width") >= 64 && meta.getAs[Int]("height") >= 48)
+    assert(meta.getAs[Int]("width") >= 1 && meta.getAs[Int]("width") <= 64)
+    assert(meta.getAs[Int]("height") >= 1)
   }
 
-  test("PNG codec: real header roundtrip, CRC validated, corrupt rejected") {
+  test("PNG codec: real zlib roundtrip, CRC validated, corrupt rejected") {
     val codec = new Multimodal.PngCodec
-    val data = "sample payload bytes".getBytes("UTF-8")
-    val png = codec.encode(321, 123, data)
-    // real PNG signature + big-endian IHDR dims at the spec offsets
+    val data = "sample payload bytes for the real png codec round trip, " +
+      "long enough to span several 64-pixel scanlines of the image." * 3
+    val bytes = data.getBytes("UTF-8")
+    val png = codec.encode(bytes)
+    // real PNG signature + IHDR at the spec offsets
     assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
-    assert(png.length == 57 + data.length)
+    val (w, h) = Multimodal.dims(bytes.length)
     val d = codec.decode(png)
-    assert(d.width == 321 && d.height == 123)
-    assert(java.util.Arrays.equals(d.data, data))
+    assert(d.width == w && d.height == h)
+    assert(d.data.length == w * h)
+    assert(java.util.Arrays.equals(d.data.take(bytes.length), bytes))
+    assert(d.data.drop(bytes.length).forall(_ == 0), "padding pixels not zero")
     // flip a header byte -> CRC mismatch must be detected
     val corrupt = png.clone(); corrupt(17) = (corrupt(17) ^ 1).toByte
     intercept[IllegalArgumentException](codec.decode(corrupt))
     intercept[IllegalArgumentException](codec.decode(Array[Byte](1, 2, 3)))
+    // empty payload still yields a valid 1x1 image
+    val empty = codec.decode(codec.encode(Array.emptyByteArray))
+    assert(empty.width == 1 && empty.height == 1 && empty.data.forall(_ == 0))
+  }
+
+  test("PNG decoder unfilters all five scanline filter types") {
+    val codec = new Multimodal.PngCodec
+    val w = 4; val h = 5
+    val px = Array.tabulate(h, w)((r, c) => (r * 40 + c * 7) % 256)
+    def left(r: Int, c: Int) = if (c > 0) px(r)(c - 1) else 0
+    def up(r: Int, c: Int) = if (r > 0) px(r - 1)(c) else 0
+    def ul(r: Int, c: Int) = if (r > 0 && c > 0) px(r - 1)(c - 1) else 0
+    def paeth(a: Int, b: Int, cc: Int) = {
+      val p = a + b - cc
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - cc))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+    }
+    // row r filtered with type r, per the PNG spec definitions
+    val scan = new Array[Byte](h * (w + 1))
+    for (r <- 0 until h) {
+      scan(r * (w + 1)) = r.toByte
+      for (c <- 0 until w) {
+        val x = px(r)(c)
+        val filtered = r match {
+          case 0 => x
+          case 1 => x - left(r, c)
+          case 2 => x - up(r, c)
+          case 3 => x - (left(r, c) + up(r, c)) / 2
+          case 4 => x - paeth(left(r, c), up(r, c), ul(r, c))
+        }
+        scan(r * (w + 1) + 1 + c) = (filtered & 0xff).toByte
+      }
+    }
+    val d = codec.decode(codec.encodeRaw(w, h, scan))
+    assert(d.width == w && d.height == h)
+    for (r <- 0 until h; c <- 0 until w)
+      assert((d.data(r * w + c) & 0xff) == px(r)(c), s"pixel ($r,$c)")
   }
 
   test("decoded dimensions match the encoded metadata end-to-end") {
