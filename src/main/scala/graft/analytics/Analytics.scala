@@ -360,6 +360,22 @@ object Analytics {
       .orderBy(col("zbucket"))
   }
 
+  /** Exact per-group percentiles (sort-based `percentile`, (n−1)·p
+    * linear interpolation — the same definition DuckDB's
+    * quantile_cont implements). The exact complement of q_approx's
+    * GK sketches: right when groups fit a sort, wrong at 100 TB
+    * (q_approx is the scale path; this is the verifier). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct users and GK-sketch
     * quantiles per event type. THE way to count distincts / rank at
     * 100 TB — fixed-size sketch state, map-side partial merge, no
@@ -383,6 +399,7 @@ object Analytics {
     "q_funnel"     -> (qFunnel _),
     "q_json"       -> (qJson _),
     "q_zorder"     -> (qZorder _),
+    "q_percentile" -> (qPercentile _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -406,6 +423,12 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json" ->
       """WITH t AS (
         |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events

@@ -80,6 +80,38 @@ object Multimodal {
       }
   }
 
+  /** Resize + frame-sample summary (SURVEY §2 #65): decode, 8×8
+    * nearest-neighbor thumbnail, and a stride-h/4 row sample (the
+    * "frame sample" for row-as-frame payloads) — the standard
+    * multimodal preprocessing transforms, over real decoded pixels.
+    * Pure integer arithmetic (floor index mapping, integer sums), so
+    * the oracle replays thumbnail and frame sums exactly. */
+  def thumbSummary(media: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new PngCodec
+        rows.map { case (id, mt, payload) =>
+          val d = codec.decode(payload)
+          val thumb = codec.resizeNN(d, tw, th)
+          var ts = 0L
+          var i = 0
+          while (i < thumb.length) { ts += thumb(i) & 0xff; i += 1 }
+          val stride = math.max(1, d.height / 4)
+          var fs = 0L; var nf = 0L
+          var r = 0
+          while (r < d.height) {
+            var c = 0
+            while (c < d.width) { fs += d.data(r * d.width + c) & 0xff; c += 1 }
+            nf += 1; r += stride
+          }
+          MediaThumb(id, mt, d.width, d.height, ts, nf, fs)
+        }
+      }.toDF()
+  }
+
   /** Query surface: decode-derived values only (see class doc) —
     * dimensions, pixel count, fixed-point feature mass; the binary
     * column is pruned away and no deflate-dependent byte count leaks
@@ -97,6 +129,8 @@ object Multimodal {
       payload: Array[Byte], meta: Meta)
   final case class MediaFeatures(media_id: Long, media_type: String,
       n_bytes: Long, width: Int, height: Int, features: Array[Long])
+  final case class MediaThumb(media_id: Long, media_type: String,
+      width: Int, height: Int, thumb_sum: Long, frame_rows: Long, frame_sum: Long)
   final case class Decoded(width: Int, height: Int, data: Array[Byte])
 
   /** PNG codec for non-interlaced 8-bit grayscale. Encode writes
@@ -253,6 +287,23 @@ object Multimodal {
         row += 1
       }
       Decoded(width, height, px)
+    }
+
+    /** Nearest-neighbor resize: out(r,c) = in((r·h)/oh, (c·w)/ow) —
+      * floor index mapping, the standard NN downsample. */
+    def resizeNN(d: Decoded, ow: Int, oh: Int): Array[Byte] = {
+      val out = new Array[Byte](ow * oh)
+      var r = 0
+      while (r < oh) {
+        val sr = r * d.height / oh
+        var c = 0
+        while (c < ow) {
+          out(r * ow + c) = d.data(sr * d.width + c * d.width / ow)
+          c += 1
+        }
+        r += 1
+      }
+      out
     }
 
     /** 8-bin value-weighted byte histogram, fixed-point (×1e6 / n,

@@ -271,6 +271,12 @@ object PipelineQueries {
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy(col("media_id"))),
+    // 65: multimodal resize + frame-sample (decode -> 8x8 NN thumbnail
+    // + stride-h/4 row sample; integer index mapping and sums, so the
+    // oracle replays both transforms over the predicted pixels)
+    "mm_resize" -> ((s, d) =>
+      Multimodal.thumbSummary(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy(col("media_id"))),
     // 41: deterministic stratified sampling — per-language Bernoulli
     // rates off a salted md5 bucket (reproducible on any cluster
     // layout; oracle replays the hash arithmetic exactly)
@@ -784,6 +790,46 @@ object PipelineQueries {
          |  CAST(w * h AS BIGINT) AS n_pixels,
          |  round(CAST(list_sum(f) AS DOUBLE) / 1000000, 6) AS feature_mass
          |FROM feats ORDER BY media_id""".stripMargin,
+    // 65: NN-thumbnail + frame-sample replay over the predicted pixel
+    // grid (pixel(i) = byte i of the utf-8 text, zero beyond; same
+    // integer floor index mapping as PngCodec.resizeNN)
+    "mm_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), dims AS (
+         |  SELECT doc_id, hx, n,
+         |    least(64, greatest(1, n)) AS w,
+         |    greatest(1, (n + least(64, greatest(1, n)) - 1)
+         |      // least(64, greatest(1, n))) AS h
+         |  FROM b
+         |), bytes AS (
+         |  SELECT doc_id, n, w, h,
+         |    list_transform(range(0, n), i ->
+         |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
+         |  FROM dims
+         |), sums AS (
+         |  SELECT doc_id, w, h,
+         |    list_sum(list_transform(range(0, 64), t ->
+         |      CASE WHEN (((t // 8) * h // 8) * w + ((t % 8) * w // 8)) < n
+         |        THEN bs[CAST((((t // 8) * h // 8) * w + ((t % 8) * w // 8)) AS INT) + 1]
+         |        ELSE 0 END)) AS thumb_sum,
+         |    (h + greatest(1, h // 4) - 1) // greatest(1, h // 4) AS frame_rows,
+         |    list_sum(list_transform(
+         |      range(0, ((h + greatest(1, h // 4) - 1) // greatest(1, h // 4)) * w), t ->
+         |      CASE WHEN ((t // w) * greatest(1, h // 4) * w + (t % w)) < n
+         |        THEN bs[CAST(((t // w) * greatest(1, h // 4) * w + (t % w)) AS INT) + 1]
+         |        ELSE 0 END)) AS frame_sum
+         |  FROM bytes
+         |)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(coalesce(thumb_sum, 0) AS BIGINT) AS thumb_sum,
+         |  CAST(frame_rows AS BIGINT) AS frame_rows,
+         |  CAST(coalesce(frame_sum, 0) AS BIGINT) AS frame_sum
+         |FROM sums ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

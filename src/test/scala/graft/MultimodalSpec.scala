@@ -73,6 +73,18 @@ class MultimodalSpec extends SparkSpec {
       assert((d.data(r * w + c) & 0xff) == px(r)(c), s"pixel ($r,$c)")
   }
 
+  test("nearest-neighbor resize: floor index mapping, hand-checked") {
+    val codec = new Multimodal.PngCodec
+    // 4x2 image, pixel value = index
+    val d = Multimodal.Decoded(4, 2, Array.tabulate(8)(_.toByte))
+    val t = codec.resizeNN(d, 2, 2)
+    // out(r,c) = in((r*2)/2, (c*4)/2) = in(r, 2c) -> indices 0,2,4,6
+    assert(t.map(_ & 0xff).toSeq == Seq(0, 2, 4, 6))
+    val up = codec.resizeNN(d, 8, 4) // upsample: rows repeat
+    assert(up.length == 32)
+    assert((up(0) & 0xff) == 0 && (up(1) & 0xff) == 0 && (up(2) & 0xff) == 1)
+  }
+
   test("decoded dimensions match the encoded metadata end-to-end") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(100))
     val joined = Multimodal.extractFeatures(media).toDF()
