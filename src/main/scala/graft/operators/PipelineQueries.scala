@@ -307,6 +307,13 @@ object PipelineQueries {
           doc.where(col("doc_id") % 20 === 7), k = 8)
         .orderBy(col("doc_id"))
     }),
+    // 67b: per-group cap — at most 50 docs per language by hash rank
+    // (exact output size per group, reproducible pick)
+    "sample_percap" -> ((s, d) =>
+      Sampling.capPerGroup(docs(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"), k = 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("doc_id"))),
     // 48: mixture re-weighting — downsample each language to an equal
     // 20% share of total char mass (en is ~43% of the corpus and gets
     // hash-downsampled; under-budget languages pass through whole)
@@ -528,6 +535,14 @@ object PipelineQueries {
          |SELECT c.doc_id, count(*) AS n_shared
          |FROM corp c JOIN bench b ON c.s = b.s
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // 67b: same md5 hash-rank window arithmetic
+    "sample_percap" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
     // 48: exact-integer group masses; one double rate expression in
     // the same operation order as Sampling.mixtureSample
     "sample_mixture" ->

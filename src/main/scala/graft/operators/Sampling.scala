@@ -46,6 +46,21 @@ object Sampling {
       .where(col("bucket") < threshold)
   }
 
+  /** Per-group cap: keep at most `k` rows per group, chosen by hash
+    * rank — the "at most k examples per source/domain" curation rule.
+    * Unlike a rate sample, the output size per group is exact
+    * (min(k, group size)); hash order makes the pick reproducible and
+    * unbiased by storage order. One shuffle on the group key feeding a
+    * ranked window; a skewed group is one window partition — at 100 TB
+    * cap the skew by pre-filtering with a rate sample sized to ~k·10
+    * expected survivors, then rank the survivors. */
+  def capPerGroup(df: DataFrame, idCol: Column, groupCol: Column, k: Int,
+      salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(concat_ws(":", lit(salt), idCol.cast("string"))), idCol)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** Mixture re-weighting: downsample each group so its share of the
     * total `weightCol` mass (tokens, chars, bytes) lands at
     * `share(group)` — the standard pre-training mixture step.
