@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "lmscore lost its map-side combine")
   }
 
+  test("mm_resize prunes to (doc_id, text); percap windows without a join") {
+    assert(plan("mm_resize").contains("struct<doc_id:bigint,text:string>"),
+      "resize pipeline reads more than (doc_id, text)")
+    val p = plan("sample_percap")
+    assert(!p.contains("Join"), s"per-group cap grew a join:\n$p")
+    assert(p.contains("Window"), "per-group cap lost its ranked window")
+  }
+
+  test("q_percentile is one partial-aggregated shuffle") {
+    val p = plan("q_percentile")
+    assert(p.contains("partial_percentile") || p.contains("partial_count"),
+      "percentile lost its map-side combine")
+    assert(!p.contains("Join"), s"percentile grew a join:\n$p")
+  }
+
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
     assert(plan("embed_kmeans").contains("partial_max"),
       "k-means argmax lost its map-side combine")
