@@ -360,6 +360,28 @@ object Analytics {
       .orderBy(col("zbucket"))
   }
 
+  /** SCD2 dimension-history merge over a synthesized snapshot: some
+    * customers change segment, some disappear, some keys are new —
+    * the classifier emits unchanged/closed/opened version rows
+    * ([[graft.operators.Scd.scd2Merge]], one keyed full-outer join). */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val current = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+      lit("1990-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val snapshot = cust.where(col("c_custkey") % 97 =!= 5)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 3, "MOVED")
+          .otherwise(col("c_mktsegment")).as("segment"))
+      .unionAll(cust.where(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("NEWKEY").as("segment")))
+    graft.operators.Scd.scd2Merge(current, snapshot,
+        keys = Seq("c_custkey"), attrs = Seq("segment"),
+        effectiveDate = "2024-06-01")
+      .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+  }
+
   /** Exact per-group percentiles (sort-based `percentile`, (n−1)·p
     * linear interpolation — the same definition DuckDB's
     * quantile_cont implements). The exact complement of q_approx's
@@ -400,6 +422,7 @@ object Analytics {
     "q_json"       -> (qJson _),
     "q_zorder"     -> (qZorder _),
     "q_percentile" -> (qPercentile _),
+    "q_scd2"       -> (qScd2 _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -423,6 +446,31 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, '1990-01-01' AS valid_from,
+        |    CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+        |  FROM customer
+        |), snap AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS segment
+        |  FROM customer WHERE c_custkey % 97 <> 5
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWKEY' FROM customer WHERE c_custkey % 50 = 0
+        |), j AS (
+        |  SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to,
+        |    cur.is_current, snap.c_custkey AS s_key, snap.segment AS s_segment
+        |  FROM cur FULL OUTER JOIN snap ON cur.c_custkey = snap.c_custkey
+        |)
+        |SELECT c_custkey, segment, valid_from, valid_to, is_current FROM j
+        |WHERE c_custkey IS NOT NULL AND s_key IS NOT NULL AND segment = s_segment
+        |UNION ALL
+        |SELECT c_custkey, segment, valid_from, '2024-06-01', false FROM j
+        |WHERE c_custkey IS NOT NULL AND (s_key IS NULL OR segment <> s_segment)
+        |UNION ALL
+        |SELECT s_key, s_segment, '2024-06-01', CAST(NULL AS VARCHAR), true FROM j
+        |WHERE s_key IS NOT NULL AND (c_custkey IS NULL OR segment <> s_segment)
+        |ORDER BY 1, 3, 5""".stripMargin,
     "q_percentile" ->
       """SELECT event_type, count(*) AS n,
         |  round(quantile_cont(value, 0.25), 6) AS p25,
