@@ -360,6 +360,23 @@ object Analytics {
       .orderBy(col("zbucket"))
   }
 
+  /** Correlated scalar subquery through the spark.sql surface: each
+    * customer's max order total (NULL when orderless). Catalyst
+    * de-correlates this to a left-outer aggregate join — the query a
+    * SQL user writes naively still plans scale-correctly. max() is
+    * order-independent, so no decimal stabilization is needed. */
+  def qSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+        |    AS max_order
+        |FROM customer
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** SCD2 dimension-history merge over a synthesized snapshot: some
     * customers change segment, some disappear, some keys are new —
     * the classifier emits unchanged/closed/opened version rows
@@ -423,6 +440,7 @@ object Analytics {
     "q_zorder"     -> (qZorder _),
     "q_percentile" -> (qPercentile _),
     "q_scd2"       -> (qScd2 _),
+    "q_subquery"   -> (qSubquery _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -446,6 +464,13 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+        |    AS max_order
+        |FROM customer
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin,
     "q_scd2" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_mktsegment AS segment, '1990-01-01' AS valid_from,
