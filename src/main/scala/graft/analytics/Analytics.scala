@@ -360,6 +360,41 @@ object Analytics {
       .orderBy(col("zbucket"))
   }
 
+  /** Table profiling (the ANALYZE/stats-collection pass a CBO feeds
+    * on): null counts, exact distinct counts, min/max per column in
+    * ONE scan. Multiple distinct aggregates plan through Expand —
+    * still a single pass over the fact table, which is the point at
+    * 100 TB (per-column jobs would be N scans). */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("qty_nulls"),
+      countDistinct(col("l_quantity")).as("qty_distinct"),
+      round(min(col("l_quantity")), 6).as("qty_min"),
+      round(max(col("l_quantity")), 6).as("qty_max"),
+      countDistinct(col("l_returnflag")).as("flag_distinct"),
+      min(col("l_returnflag")).as("flag_min"),
+      max(col("l_returnflag")).as("flag_max"),
+      countDistinct(col("l_orderkey")).as("orderkey_distinct"),
+      min(col("l_orderkey")).as("orderkey_min"),
+      max(col("l_orderkey")).as("orderkey_max"))
+  }
+
+  /** INTERSECT / EXCEPT set operators through spark.sql (they plan to
+    * the same semi/anti joins qSemiAnti uses explicitly). */
+  def qSetop(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT 'with_orders' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin)
+  }
+
   /** Correlated scalar subquery through the spark.sql surface: each
     * customer's max order total (NULL when orderless). Catalyst
     * de-correlates this to a left-outer aggregate join — the query a
@@ -441,6 +476,8 @@ object Analytics {
     "q_percentile" -> (qPercentile _),
     "q_scd2"       -> (qScd2 _),
     "q_subquery"   -> (qSubquery _),
+    "q_profile"    -> (qProfile _),
+    "q_setop"      -> (qSetop _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -464,6 +501,26 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+        |  count(DISTINCT l_quantity) AS qty_distinct,
+        |  round(min(l_quantity), 6) AS qty_min,
+        |  round(max(l_quantity), 6) AS qty_max,
+        |  count(DISTINCT l_returnflag) AS flag_distinct,
+        |  min(l_returnflag) AS flag_min,
+        |  max(l_returnflag) AS flag_max,
+        |  count(DISTINCT l_orderkey) AS orderkey_distinct,
+        |  min(l_orderkey) AS orderkey_min,
+        |  max(l_orderkey) AS orderkey_max
+        |FROM lineitem""".stripMargin,
+    "q_setop" ->
+      """SELECT 'with_orders' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin,
     "q_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
