@@ -360,6 +360,31 @@ object Analytics {
       .orderBy(col("zbucket"))
   }
 
+  /** Point-in-time dimension lookup (temporal join): each order joined
+    * to the customer-segment VERSION valid at order time — the read
+    * side of the history [[qScd2]] maintains. Runs on the as-of
+    * machinery (one keyed shuffle + linear window,
+    * [[graft.operators.Joins.asofJoin]]) — the naive encoding is a
+    * range nested loop. */
+  def qTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def vf(iso: String) = tsLit(ord, "o_orderdate", iso)
+    val versions = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), vf("1990-01-01T00:00:00").as("vf"))
+      .unionAll(cust.select(col("c_custkey"),
+        concat(lit("V2:"), col("c_mktsegment")).as("segment"),
+        vf("1996-01-01T00:00:00").as("vf")))
+    val left = ord.select(col("o_custkey").as("c_custkey"),
+      col("o_orderkey"), col("o_orderdate"))
+    graft.operators.Joins.asofJoin(left, versions, Seq("c_custkey"),
+        "o_orderdate", "vf", Seq("segment"))
+      .select(col("o_orderkey"), col("c_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("segment"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Table profiling (the ANALYZE/stats-collection pass a CBO feeds
     * on): null counts, exact distinct counts, min/max per column in
     * ONE scan. Multiple distinct aggregates plan through Expand —
@@ -478,6 +503,7 @@ object Analytics {
     "q_subquery"   -> (qSubquery _),
     "q_profile"    -> (qProfile _),
     "q_setop"      -> (qSetop _),
+    "q_temporal"   -> (qTemporal _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -501,6 +527,19 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_temporal" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    TIMESTAMP '1990-01-01 00:00:00' AS vf FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'V2:' || c_mktsegment,
+        |    TIMESTAMP '1996-01-01 00:00:00' FROM customer
+        |)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, v.segment
+        |FROM orders o ASOF LEFT JOIN v
+        |  ON o.o_custkey = v.c_custkey AND o.o_orderdate >= v.vf
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q_profile" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
