@@ -294,6 +294,17 @@ object Analytics {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("click", "view", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type").as("et"))
+    funnelStages(ev)
+      .agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_viewed_after"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchased_after"))
+  }
+
+  /** Per-user funnel stage (0–3) reached over (user_id, t, et) rows —
+    * the greedy array scan qFunnel aggregates; exposed so the property
+    * spec can compare it against a brute-force chain search. */
+  def funnelStages(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("evs"))
     val scan = aggregate(col("evs"),
@@ -309,11 +320,7 @@ object Analytics {
             struct(lit(3).as("stage"), xt.as("t")))
           .otherwise(acc)
       })
-    perUser.select(scan.getField("stage").as("stage"))
-      .agg(
-        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_clicked"),
-        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_viewed_after"),
-        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchased_after"))
+    perUser.select(col("user_id"), scan.getField("stage").as("stage"))
   }
 
   /** Semi-structured extraction: pull a typed field out of the JSON

@@ -1,0 +1,85 @@
+package graft
+
+import graft.analytics.Analytics
+import graft.operators.Scd
+import scala.util.Random
+
+/** Randomized equivalence properties for the newer operators: the
+  * scalable forms must agree with independent brute-force
+  * reimplementations on arbitrary inputs — ties, duplicate
+  * timestamps, empty groups, deleted keys, interleaved stages. Fixed
+  * seeds keep the suite deterministic. */
+class OperatorPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel greedy scan == brute-force chain existence on random event sets") {
+    // independent reference: stage via explicit existential chain search
+    def brute(ev: Seq[(Long, String)]): Int = {
+      val cs = ev.collect { case (t, "click") => t }
+      val vs = ev.collect { case (t, "view") => t }
+      val ps = ev.collect { case (t, "purchase") => t }
+      if (cs.isEmpty) 0
+      else if (!cs.exists(c => vs.exists(_ > c))) 1
+      else if (!cs.exists(c => vs.exists(v => v > c && ps.exists(_ > v)))) 2
+      else 3
+    }
+    val types = Seq("click", "view", "purchase")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val events = for {
+        u <- 0 until 20
+        _ <- 0 until (1 + rnd.nextInt(12))
+      } yield (u.toLong, rnd.nextInt(8).toLong /* many ties */,
+        types(rnd.nextInt(3)))
+      val got = Analytics.funnelStages(events.toDF("user_id", "t", "et"))
+        .as[(Long, Int)].collect().toMap
+      val want = events.groupBy(_._1).map { case (u, evs) =>
+        u -> brute(evs.map(e => (e._2, e._3)))
+      }
+      assert(got == want, s"seed=$seed: funnel stages diverge")
+    }
+  }
+
+  test("scd2 merge == independent per-key classification on random snapshots") {
+    val attrs = "ABCDE"
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val nKeys = 3 + rnd.nextInt(8)
+      val open = (0 until nKeys).filter(_ => rnd.nextBoolean()).map { k =>
+        (k.toLong, attrs(rnd.nextInt(5)).toString, "2020-01-01",
+          None: Option[String], true)
+      }
+      val history = (0 until nKeys).filter(_ => rnd.nextInt(3) == 0).map { k =>
+        (k.toLong, attrs(rnd.nextInt(5)).toString, "2010-01-01",
+          Option("2020-01-01"), false)
+      }
+      val snap = (0 until nKeys + 2).filter(_ => rnd.nextBoolean()).map { k =>
+        (k.toLong, attrs(rnd.nextInt(5)).toString)
+      }
+      val current = (history ++ open)
+        .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      val got = Scd.scd2Merge(current, snap.toDF("k", "attr"),
+          Seq("k"), Seq("attr"), "2024-01-01")
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+
+      // independent classification
+      val openMap = open.map(r => r._1 -> r).toMap
+      val snapMap = snap.toMap
+      val expected = history.toSet ++
+        (openMap.keySet ++ snapMap.keySet).flatMap { k =>
+          (openMap.get(k), snapMap.get(k)) match {
+            case (Some(o), Some(a)) if o._2 == a => Set(o)
+            case (Some(o), Some(a)) => Set(
+              (k, o._2, o._3, Option("2024-01-01"), false),
+              (k, a, "2024-01-01", None: Option[String], true))
+            case (Some(o), None) =>
+              Set((k, o._2, o._3, Option("2024-01-01"), false))
+            case (None, Some(a)) =>
+              Set((k, a, "2024-01-01", None: Option[String], true))
+            case (None, None) => Set.empty[(Long, String, String, Option[String], Boolean)]
+          }
+        }
+      assert(got == expected, s"seed=$seed: scd2 classification diverges")
+    }
+  }
+}
