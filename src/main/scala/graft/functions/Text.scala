@@ -186,6 +186,20 @@ object Text {
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** All k-token ngram INSTANCES of a token array in position order
+    * (n−k+1 entries, `[]` when shorter than k) — instance-level,
+    * unlike Dedup's distinct shingle sets, so positional duplication
+    * mass can be measured. Pass an attribute ref, not a composed
+    * expression (lambda bodies re-evaluate outer subexpressions per
+    * element). */
+  def ngramsOf(toks: Column, k: Int): Column = {
+    require(k >= 1, s"ngram size must be >= 1, got $k")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Count of the most frequent token (0 for an empty array). The
     * O(n·distinct) HOF is fine here: it runs inside the per-document
     * quality scan (docs are KB-scale), not in a join hot path. */

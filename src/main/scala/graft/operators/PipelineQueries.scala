@@ -216,6 +216,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     }),
+    // 75: cross-document repeated-substring mass (ExactSubstr-style
+    // dedup signal): fraction of each doc's 8-token windows that also
+    // appear in another document — the positional-duplication measure
+    // behind substring-level training-data dedup. Instance-level
+    // ngrams; shingle df is a vocabulary-sized aggregate.
+    "text_dupsubstr" -> ((s, d) => {
+      val tokd = docs(s, d).select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      val inst = tokd.select(col("doc_id"),
+        explode(Text.ngramsOf(col("tk"), 8)).as("s"))
+      val df8 = inst.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("nd"))
+      val dup = inst.join(df8.where(col("nd") >= 2), "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      tokd.select(col("doc_id"),
+          when(size(col("tk")) >= 8, size(col("tk")) - 7).otherwise(0)
+            .cast("long").as("n_windows"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+          round(when(col("n_windows") === 0, 0.0)
+            .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") /
+              col("n_windows").cast("double")), 6).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
     // 62: bigram-LM fluency scoring (KenLM-class quality filter): train
     // add-one-smoothed bigram stats on the corpus itself, score each
     // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
@@ -944,6 +967,38 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // 75: same instance-level 8-token windows; df >= 2 marks a window
+    // as duplicated across documents
+    "text_dupsubstr" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+         |  FROM documents
+         |), inst AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+         |    THEN list_transform(range(1, len(w) - 6),
+         |      i -> array_to_string(list_slice(w, i, i + 7), ' '))
+         |    ELSE [] END) AS s
+         |  FROM tk
+         |), df8 AS (
+         |  SELECT s, count(DISTINCT doc_id) AS nd FROM inst GROUP BY s
+         |), dup AS (
+         |  SELECT inst.doc_id, count(*) AS n_dup
+         |  FROM inst JOIN df8 ON inst.s = df8.s AND df8.nd >= 2
+         |  GROUP BY inst.doc_id
+         |), base AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(w) >= 8 THEN len(w) - 7 ELSE 0 END AS BIGINT)
+         |      AS n_windows
+         |  FROM tk
+         |)
+         |SELECT b.doc_id, b.n_windows,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  round(CASE WHEN b.n_windows = 0 THEN 0.0
+         |    ELSE CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(b.n_windows AS DOUBLE)
+         |  END, 6) AS dup_ratio
+         |FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     // 62: same add-one-smoothed ln P(w2|w1), decimal-stabilized mean
     "text_lmscore" ->
       s"""WITH tk AS (
