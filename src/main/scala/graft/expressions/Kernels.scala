@@ -194,14 +194,16 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
-  /** |a ∩ b| over string arrays, O(n+m): hash-set of the smaller side,
-    * membership probe of the larger. Equals size(array_intersect(a,b))
-    * whenever both inputs hold distinct elements (shingle sets do by
-    * construction). Replaces the built-in array_intersect in the
-    * near-dup verify joins: the built-in falls back to an O(n·m)
-    * nested-loop for non-atomic comparisons and was evaluated once in
-    * the join condition plus once per projection — this kernel is a
-    * single codegen'd call per candidate pair. */
+  /** |distinct(a) ∩ distinct(b)| over string arrays, O(n+m): hash-set
+    * of the smaller side, remove-on-match probe of the larger (so
+    * duplicates on either side count once) — exactly
+    * size(array_intersect(a, b)) for ARBITRARY inputs, which lets the
+    * injected optimizer rule rewrite that pattern blindly. Replaces
+    * the built-in array_intersect in the near-dup verify joins: the
+    * built-in falls back to an O(n·m) nested-loop for non-atomic
+    * comparisons and was evaluated once in the join condition plus
+    * once per projection — this kernel is a single codegen'd call per
+    * candidate pair. */
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
@@ -211,7 +213,7 @@ object Kernels {
     while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
     var cnt = 0
     var j = 0
-    while (j < m) { if (set.contains(big.getUTF8String(j))) cnt += 1; j += 1 }
+    while (j < m) { if (set.remove(big.getUTF8String(j))) cnt += 1; j += 1 }
     cnt
   }
 

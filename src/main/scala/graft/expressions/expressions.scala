@@ -139,8 +139,35 @@ object native {
     GraftColumnBridge.column(LshSignShaExpr(expr(emb), nPlanes))
 }
 
+/** Injected optimizer rule: rewrite `size(array_intersect(a, b))`
+  * over string arrays to the codegen'd [[IntersectCountExpr]] kernel.
+  * The built-in pair materializes the intersection array (O(n·m)
+  * nested-loop membership for non-atomic comparisons) only to take
+  * its length; the kernel computes the same count hash-based in
+  * O(n+m) with no allocation — semantics identical for arbitrary
+  * inputs (duplicates count once, null input → null, size's
+  * non-legacy null contract). Users writing the natural form get the
+  * near-dup verify-join fix automatically. */
+object IntersectCountRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
+  private def stringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), legacySizeOfNull)
+          if !legacySizeOfNull && stringArray(a) && stringArray(b) =>
+        IntersectCountExpr(a, b)
+    }
+}
+
 /** SparkSessionExtensions injector: exposes the native expressions to
-  * SQL (`SELECT graft_simhash64(text) ...`). Wire with
+  * SQL (`SELECT graft_simhash64(text) ...`) and installs the
+  * [[IntersectCountRewrite]] optimizer rule. Wire with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -157,6 +184,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHashSha64Expr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),
       (args: Seq[Expression]) => IntersectCountExpr(args(0), args(1))))
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 
   /** Require args(i) to be a foldable integral constant; fail analysis

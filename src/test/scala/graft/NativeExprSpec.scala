@@ -36,18 +36,45 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
-  test("intersect_count native == size(array_intersect) on shingle-set pairs") {
+  test("intersect_count native == HOF intersection count on shingle-set pairs") {
     // every adjacent-id doc pair: distinct shingle sets of varying
-    // overlap, including empty-token edge docs
+    // overlap, including empty-token edge docs. The reference is a HOF
+    // composition the IntersectCountRewrite rule does NOT match (a
+    // size(array_intersect) reference would now be rewritten to the
+    // kernel itself and prove nothing).
+    def ref(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(array_distinct(a), x => array_contains(b, x)))
     val a = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh_a"))
     val b = docs.select(($"doc_id" - 1).as("doc_id"), Dedup.shingles($"text", 3).as("sh_b"))
     val joined = a.join(b, "doc_id")
     val diff = joined.select(
       graft.expressions.native.intersectCount($"sh_a", $"sh_b").as("x"),
-      size(array_intersect($"sh_a", $"sh_b")).as("y"),
+      ref($"sh_a", $"sh_b").as("y"),
       graft.expressions.native.intersectCount($"sh_b", $"sh_a").as("z"))
       .where($"x" =!= $"y" || $"z" =!= $"y").count()
     assert(diff == 0)
+  }
+
+  test("size(array_intersect) auto-rewrites to the kernel; dups count once") {
+    // built over range() so constant folding cannot collapse the plan
+    // before the rewrite is observable
+    val df = spark.range(4).select(
+      when($"id" === 0, array(lit("x")))
+        .when($"id" === 1, array(lit("a"), lit("a"), lit("b")))
+        .when($"id" === 2, array().cast("array<string>"))
+        .otherwise(array(lit("u"), lit("v"))).as("a"),
+      when($"id" === 0, array(lit("x"), lit("x")))
+        .when($"id" === 1, array(lit("b"), lit("b"), lit("a"), lit("c")))
+        .when($"id" === 2, array(lit("a")))
+        .otherwise(lit(null).cast("array<string>")).as("b"),
+      $"id")
+    val q = df.select($"id", size(array_intersect($"a", $"b")).as("n"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"),
+      "optimizer rule did not rewrite size(array_intersect)")
+    val got = q.orderBy($"id").select($"n").collect()
+    // dups count once (rows 0,1), empty -> 0, null side -> null
+    assert(got(0).getInt(0) == 1 && got(1).getInt(0) == 2 && got(2).getInt(0) == 0)
+    assert(got(3).isNullAt(0))
   }
 
   test("minhash signature native == HOF on corpus") {
