@@ -323,6 +323,57 @@ object Analytics {
     perUser.select(col("user_id"), scan.getField("stage").as("stage"))
   }
 
+  /** RANGE-frame window: each event's trailing-1-hour event count and
+    * value sum per type — frames defined by the TIME VALUE, not row
+    * counts (qWindow's ROWS complement; equal timestamps share one
+    * frame, so ties are deterministic by construction). Decimal
+    * accumulation keeps the frame sums engine-stable. Output filtered
+    * to a small user slice AFTER the window (frames see all rows). */
+  def qTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), col("value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tu"))
+      .rangeBetween(-3600000000L, 0)
+    ev.withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_value",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .where(col("user_id") < 5)
+      .select(col("event_type"), col("event_id"), col("tu"),
+        col("trail_n"), col("trail_value"))
+      .orderBy(col("event_type"), col("tu"), col("event_id"))
+  }
+
+  /** Trailing-window anomaly detection over the hourly rollup: flag
+    * hours whose value is more than 3σ from the trailing-24h mean.
+    * Mean and variance come from exact decimal sums (Σv, Σv²) so the
+    * flags replay across engines; the rollup is one shuffle and the
+    * scan is per-type linear. The monitoring query the reference's
+    * Prometheus counters feed in spirit — here over the lake. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(stableSum(col("value"), 6).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val stats = base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v").cast(DecimalType(28, 6))).over(w).cast("double"))
+      .withColumn("s2", sum((col("v") * col("v")).cast(DecimalType(28, 6))).over(w).cast("double"))
+      .where(col("n") >= 12)
+      .withColumn("mean", col("s1") / col("n").cast("double"))
+      .withColumn("variance",
+        col("s2") / col("n").cast("double") - col("mean") * col("mean"))
+      .withColumn("dev", abs(col("v") - col("mean")))
+    stats.where(col("dev") > lit(3.0) * sqrt(greatest(col("variance"), lit(0.0))))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        round(col("v"), 6).as("v"), round(col("mean"), 6).as("trail_mean"),
+        round(col("dev"), 6).as("deviation"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * props column (schema-on-read) and roll it up per event type.
     * get_json_object is a codegen'd path expression — the scan stays
@@ -511,6 +562,8 @@ object Analytics {
     "q_profile"    -> (qProfile _),
     "q_setop"      -> (qSetop _),
     "q_temporal"   -> (qTemporal _),
+    "q_trailing"   -> (qTrailing _),
+    "q_anomaly"    -> (qAnomaly _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -534,6 +587,41 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_trailing" ->
+      """SELECT event_type, event_id, epoch_us(ts) AS tu,
+        |  count(*) OVER w AS trail_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |QUALIFY user_id < 5
+        |ORDER BY event_type, tu, event_id""".stripMargin,
+    "q_anomaly" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, hour, v,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(v * v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), scored AS (
+        |  SELECT event_type, hour, v,
+        |    s1 / CAST(n AS DOUBLE) AS mean,
+        |    s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS variance,
+        |    abs(v - s1 / CAST(n AS DOUBLE)) AS dev
+        |  FROM stats WHERE n >= 12
+        |)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  round(v, 6) AS v, round(mean, 6) AS trail_mean,
+        |  round(dev, 6) AS deviation
+        |FROM scored
+        |WHERE dev > 3.0 * sqrt(greatest(variance, 0.0))
+        |ORDER BY event_type, hour""".stripMargin,
     "q_temporal" ->
       """WITH v AS (
         |  SELECT c_custkey, c_mktsegment AS segment,

@@ -129,6 +129,19 @@ object StormQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("magnitude").cast("decimal(18,4)")).cast("double").as("sum_magnitude"))
       .orderBy(col("event_type"), col("severity"))),
+    // geo-grid rollup: storm activity per 0.5-degree cell — the map
+    // view a downstream severity dashboard renders. floor(coord*2) is
+    // the integer cell id (bit-identical across engines); one
+    // partial-aggregated shuffle over (cell, type).
+    "storm_geo" -> ((s, d) => enriched(s, d)
+      .where(col("event_type") =!= "")
+      .groupBy(
+        floor(col("lat") * 2).cast("long").as("cell_lat"),
+        floor(col("lon") * 2).cast("long").as("cell_lon"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("magnitude").cast("decimal(18,4)")).cast("double").as("sum_magnitude"))
+      .orderBy(col("cell_lat"), col("cell_lon"), col("event_type"))),
     // cmd/genmock equivalent: deterministic synthetic storm records
     "storm_genmock" -> ((s, d) => {
       val i = col("id")
@@ -288,6 +301,13 @@ en AS (
          |  count(*) AS n,
          |  CAST(sum(CAST(magnitude AS DECIMAL(18,4))) AS DOUBLE) AS sum_magnitude
          |FROM en GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "storm_geo" ->
+      s"""$EN SELECT CAST(floor(lat_d * 2) AS BIGINT) AS cell_lat,
+         |  CAST(floor(lon_d * 2) AS BIGINT) AS cell_lon,
+         |  etype AS event_type, count(*) AS n,
+         |  CAST(sum(CAST(magnitude AS DECIMAL(18,4))) AS DOUBLE) AS sum_magnitude
+         |FROM en WHERE etype <> ''
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "storm_genmock" ->
       s"""WITH g AS (
          |  SELECT i,
