@@ -464,6 +464,28 @@ object Analytics {
       max(col("l_orderkey")).as("orderkey_max"))
   }
 
+  /** Cross-table referential-integrity audit: orphaned fact rows per
+    * relationship (anti-join counts) plus the parent-key coverage —
+    * the inter-table complement of [[qProfile]]'s single-table stats,
+    * and the lake-side analogue of the reference validator's
+    * cross-source consistency phase. Anti joins broadcast the smaller
+    * key set; each check is one pass. */
+  def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val orphanOrders = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("orders_without_customer").as("check"), col("n"))
+    val orphanLines = li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("lineitems_without_order").as("check"), col("n"))
+    val childlessOrders = ord.join(li.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("orders_without_lineitems").as("check"), col("n"))
+    orphanOrders.unionAll(orphanLines).unionAll(childlessOrders)
+      .orderBy(col("check"))
+  }
+
   /** INTERSECT / EXCEPT set operators through spark.sql (they plan to
     * the same semi/anti joins qSemiAnti uses explicitly). */
   def qSetop(spark: SparkSession, dir: String): DataFrame = {
@@ -564,6 +586,7 @@ object Analytics {
     "q_temporal"   -> (qTemporal _),
     "q_trailing"   -> (qTrailing _),
     "q_anomaly"    -> (qAnomaly _),
+    "q_integrity"  -> (qIntegrity _),
     "q_asof"       -> (qAsof _),
     "q_range"      -> (qRange _),
     "q1_agg"       -> (q1Agg _),
@@ -587,6 +610,16 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    "q_integrity" ->
+      """SELECT 'lineitems_without_order' AS "check", count(*) AS n FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_without_customer', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'orders_without_lineitems', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY "check"""".stripMargin,
     "q_trailing" ->
       """SELECT event_type, event_id, epoch_us(ts) AS tu,
         |  count(*) OVER w AS trail_n,
