@@ -286,6 +286,7 @@ object Knn {
     * Output: (vec_id, embedding, cell_id, cos) against the FINAL
     * trained centroids. */
   def kmeansAssignments(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got $k/$iters")
     var cents = corpus.where(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))

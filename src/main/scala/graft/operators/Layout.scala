@@ -20,7 +20,10 @@ object Layout {
   /** 32-bit Morton interleave of two dimensions, each masked to its
     * low 16 bits: bit i of x lands at position 2i, bit i of y at
     * 2i+1. Pure integer bit arithmetic — an independent engine
-    * replays it exactly (q_zorder oracle). */
+    * replays it exactly (q_zorder oracle). Negative inputs contribute
+    * their two's-complement low 16 bits (same on every engine);
+    * shift/offset dimensions into [0, 2^16) first when sign order
+    * matters for locality. */
   def zorderValue(x: Column, y: Column): Column = {
     val xb = x.cast("long").bitwiseAND(lit(0xFFFFL))
     val yb = y.cast("long").bitwiseAND(lit(0xFFFFL))

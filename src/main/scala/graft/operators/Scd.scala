@@ -26,9 +26,12 @@ object Scd {
   /** `current` must carry (key..., attrs..., valid_from, valid_to,
     * is_current); `snapshot` carries (key..., attrs...). Only
     * `is_current = true` rows participate — closed history passes
-    * through untouched. */
+    * through untouched. Preconditions: at most ONE open row per key
+    * (an SCD2 invariant the writer maintains — duplicates would fan
+    * out through the join) and at most one snapshot row per key. */
   def scd2Merge(current: DataFrame, snapshot: DataFrame, keys: Seq[String],
       attrs: Seq[String], effectiveDate: String): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "scd2Merge needs keys and attrs")
     val history = current.where(!col("is_current"))
     val open = current.where(col("is_current"))
     val snap = snapshot.select(

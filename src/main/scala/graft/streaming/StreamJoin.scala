@@ -31,6 +31,7 @@ object StreamJoin {
     * watermark (lateness budget / state-eviction horizon). */
   def joined(clicks: DataFrame, purchases: DataFrame, maxLagSec: Int,
       delay: String = "10 minutes"): DataFrame = {
+    require(maxLagSec > 0, s"maxLagSec must be positive, got $maxLagSec")
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
