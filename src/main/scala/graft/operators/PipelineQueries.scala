@@ -47,6 +47,21 @@ object PipelineQueries {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    // 79: triangle enumeration over the near-dup graph (graph motif
+    // counting): triples of mutually-similar documents — the signal
+    // that separates pairwise noise from genuinely replicated content.
+    // Ordered-edge form (a<b<c by construction) counts each triangle
+    // once and bounds join work by degree, the standard scalable shape.
+    "graph_triangles" -> ((s, d) => {
+      val e = Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("doc_a"), col("e1.b").as("doc_b"),
+          col("e2.b").as("doc_c"))
+        .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+    }),
     // 39: the composed training-data pipeline — quality gate + near-dup
     // cluster dedup (keep each cluster's canonical min-id member):
     // what a corpus-prep job actually runs, end to end
@@ -670,6 +685,21 @@ object PipelineQueries {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // 79: same exact-Jaccard edge set, ordered three-way self-join
+    "graph_triangles" ->
+      s"""WITH $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |)
+         |SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY 1, 2, 3""".stripMargin,
     // 38: transitive closure over the exact Jaccard>=0.5 pair graph —
     // min reachable doc_id per node == the min-label-propagation
     // fixpoint the Spark operator converges to.
