@@ -61,6 +61,28 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws u from its deterministic hash lattice and keys as
+    * u^(1/w) — taking the k LARGEST keys is exactly a weight-
+    * proportional sample without replacement. Here u is the salted-md5
+    * bucket (reproducible, engine-replayable) instead of rand(), and
+    * keys round to 9 decimals with an id tie-break so the selection
+    * is stable across engines. orderBy+limit plans as TakeOrdered
+    * (per-partition top-k + driver merge of k·partitions rows — no
+    * global sort) — the quality-weighted curation pick at any scale.
+    * Rows with non-positive weight key to 0 (never chosen before any
+    * positive-weight row). */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column, k: Int,
+      salt: String = "wtd"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (hashBucket(idCol, salt).cast("double") + 0.5) / lit(1000000.0)
+    df.withColumn("wkey",
+        when(weightCol.cast("double") <= 0, lit(0.0))
+          .otherwise(round(pow(u, lit(1.0) / weightCol.cast("double")), 9)))
+      .orderBy(col("wkey").desc, idCol)
+      .limit(k)
+  }
+
   /** Mixture re-weighting: downsample each group so its share of the
     * total `weightCol` mass (tokens, chars, bytes) lands at
     * `share(group)` — the standard pre-training mixture step.

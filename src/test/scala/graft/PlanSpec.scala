@@ -138,6 +138,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"percentile grew a join:\n$p")
   }
 
+  test("trailing/anomaly/geo/integrity keep their aggregate-window shapes") {
+    for (q <- Seq("q_trailing", "q_anomaly", "storm_geo", "q_integrity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested loop:\n$p")
+    }
+    assert(plan("q_trailing").contains("Window"), "trailing lost its RANGE window")
+    assert(plan("q_anomaly").contains("Window"), "anomaly lost its trailing window")
+    assert(plan("storm_geo").contains("partial_"), "geo rollup lost map-side combine")
+  }
+
+  test("scd2/temporal/triangles: keyed joins only") {
+    // Catalyst specializes the logical full-outer join per union branch
+    // (inner for unchanged, outer-with-null-filter for closed/opened) —
+    // assert the joins stay hash-keyed, whatever the specialization
+    val s2 = plan("q_scd2")
+    assert(s2.contains("HashJoin") || s2.contains("SortMergeJoin"),
+      s"scd2 lost its keyed join:\n$s2")
+    assert(!s2.contains("CartesianProduct") && !s2.contains("BroadcastNestedLoopJoin"),
+      s"scd2 degenerated:\n$s2")
+    val t = plan("q_temporal")
+    assert(!t.contains("Join"), s"temporal should ride the asof union+window:\n$t")
+    val g = plan("graph_triangles")
+    assert(!g.contains("CartesianProduct") && !g.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated:\n$g")
+  }
+
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
     assert(plan("embed_kmeans").contains("partial_max"),
       "k-means argmax lost its map-side combine")

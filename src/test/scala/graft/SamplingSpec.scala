@@ -71,6 +71,25 @@ class SamplingSpec extends SparkSpec {
       "zero-mass group must pass through whole")
   }
 
+  test("weighted sample: exact size, layout-invariant, biased toward heavy rows") {
+    val k = 100
+    val picked = Sampling.weightedSample(docs.select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars"), k)
+    assert(picked.count() == k)
+    // deterministic under any partitioning (hash draw, not rand())
+    val again = Sampling.weightedSample(
+      docs.select(col("doc_id"), col("n_chars")).repartition(7),
+      col("doc_id"), col("n_chars"), k)
+    assert(picked.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // weight-proportional: the sample's mean length must exceed the
+    // corpus mean (big margin at these weights; a uniform sample would
+    // straddle it)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = picked.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("different salts give independent samples; rates land near nominal") {
     val n = docs.count().toDouble
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
