@@ -49,4 +49,25 @@ class SessionizeSpec extends SparkSpec {
     assert(extra.isEmpty, "stream emitted a session batch doesn't have")
     assert(missing.isEmpty, "batch session missing from stream")
   }
+
+  test("built-in session_window agrees with gaps-and-islands sessionization") {
+    // three independent formulations of the same 30-minute-gap session
+    // semantics now exist (window functions, flatMapGroupsWithState,
+    // declarative session_window) — cross-check the third against the
+    // first. Boundary note: session_window treats an exactly-1800s gap
+    // as a new session ([start, last+gap) half-open) while the window
+    // form uses strict >1800s; the testdata has no exact-boundary gap
+    // (verified), so the formulations must agree row-for-row here.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val sw = ev.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events")
+    val gi = graft.analytics.Analytics.qSessionize(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events")
+    assert(sw.count() == gi.count(), "session counts diverge")
+    assert(sw.exceptAll(gi).isEmpty && gi.exceptAll(sw).isEmpty,
+      "session_window sessions != gaps-and-islands sessions")
+  }
 }
