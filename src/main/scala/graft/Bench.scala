@@ -120,33 +120,55 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       per.get / threads
     }
+    // a failed query must NOT contribute a meaningless wall time: its
+    // timing is dropped and the failure is recorded per query in
+    // "errors" (BENCH_r02-class regressions can't hide as fast timings)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // between queries (outside the timer): drop cached plans and nudge
       // the ContextCleaner so one query's checkpoint/cache blocks don't
       // become the next query's memory pressure
       spark.catalog.clearCache()
       System.gc()
-      name -> (sec, quickCalib(), quickCalibMt())
+      name -> (sec, quickCalib(), quickCalibMt(), err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.filter(_._2._4.isEmpty)
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v._1 }
       .mkString("{", ",", "}")
-    val qCalib = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+    val qCalib = results.map { case (k, v) => jstr(k) + ":" + v._2 }
       .mkString("{", ",", "}")
-    val qCalibMt = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
+    val qCalibMt = results.map { case (k, v) => jstr(k) + ":" + v._3 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val errs = results.collect { case (k, (_, _, _, Some(e))) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
       .mkString("[", ",", "]")
     val calibEnd = calibrate()
     val calibMtEnd = calibrateMt()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
-      s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt}""")
+      s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt}"""
+    println(line)
+    // stdout tails get truncated (BENCH_r03.json lost its per-query map
+    // exactly that way) — persist the identical line to a file too
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
     spark.stop()
   }
 }

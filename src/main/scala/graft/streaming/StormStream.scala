@@ -118,6 +118,25 @@ object StormStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Config-driven enrichment entry point: paths, micro-batch size
+    * (`BATCH_SIZE` → maxFilesPerTrigger) and checkpoint root all from
+    * [[graft.GraftConfig]] — the reference's env-configured startup
+    * (`cmd/etl/main.go:20-33`) for the file-mode deployment. */
+  def startEnrichment(spark: SparkSession, cfg: graft.GraftConfig): StreamingQuery = {
+    val p = parsed(readWire(spark, cfg.sourceDir, maxFilesPerTrigger = cfg.batchSize))
+    StormPipeline.enrich(p.where(col("parse_ok")))
+      .writeStream
+      .format("parquet")
+      .option("path", cfg.sinkDir)
+      .option("checkpointLocation", s"${cfg.checkpointDir}/enriched")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Config-driven quarantine sink (same env surface). */
+  def startQuarantine(spark: SparkSession, cfg: graft.GraftConfig): StreamingQuery =
+    startQuarantine(spark, cfg.sourceDir, cfg.quarantineDir, cfg.checkpointDir)
+
   /** Start the quarantine sink. */
   def startQuarantine(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =

@@ -115,4 +115,19 @@ object StreamOps {
       (listener, restarts)
     } finally spark.streams.removeListener(listener)
   }
+
+  /** Config-driven supervised run: paths, restart cap and backoff
+    * bounds from [[graft.GraftConfig]] (the reference's env-loaded
+    * `config.Load()` + `pipeline.go:68-71` backoff constants). */
+  def runEnrichmentSupervised(spark: SparkSession, cfg: graft.GraftConfig,
+      metrics: Option[Metrics]): (StreamMetrics, Int) = {
+    val listener = new StreamMetrics(metrics)
+    spark.streams.addListener(listener)
+    try {
+      val restarts = runSupervised(() => StormStream.startEnrichment(spark, cfg),
+        maxRestarts = cfg.maxRestarts,
+        baseBackoffMs = cfg.backoffBaseMs, maxBackoffMs = cfg.backoffMaxMs)
+      (listener, restarts)
+    } finally spark.streams.removeListener(listener)
+  }
 }

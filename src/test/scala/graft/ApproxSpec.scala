@@ -4,10 +4,18 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
 import graft.sources.Tables
 
-/** q_approx has no DuckDB oracle by design (sketch internals differ
-  * across engines); this spec pins the sketches against exact answers
-  * computed on the same data instead. */
+/** Sketch values can't hash-match another engine (sketch internals
+  * differ); this spec pins the raw sketches against exact answers,
+  * and the shipped q_approx query (qApproxChecked) additionally
+  * carries its error bounds as oracle-checkable booleans. */
 class ApproxSpec extends SparkSpec {
+
+  test("checked form: every error-bound boolean is true (oracle shape)") {
+    val rows = Analytics.qApproxChecked(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; c <- Seq("users_within_3rsd", "p50_within_rank_eps", "p95_within_rank_eps"))
+      assert(r.getBoolean(r.fieldIndex(c)), s"$c false in $r")
+  }
 
   test("HLL distinct users within the configured 2% rsd (5% hard cap)") {
     val ev = Tables.events(spark, sfDir)

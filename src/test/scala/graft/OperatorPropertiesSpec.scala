@@ -40,6 +40,23 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("funnel survives one adversarial hot user (10^6 events, spill-safe state)") {
+    // a bot key with a million events: a collect_list form would
+    // materialize them all in ONE aggregation row; the window form
+    // spills to disk instead. The hot user's event cycle contains the
+    // full chain; a control user with no click must stay at stage 0.
+    val types = Seq("click", "view", "purchase")
+    val hot = spark.range(1000000).selectExpr(
+      "CAST(0 AS LONG) AS user_id", "id + 3 AS t",
+      s"element_at(array(${types.map("'" + _ + "'").mkString(",")}), CAST(id % 3 AS INT) + 1) AS et")
+    val control = Seq((0L, 0L, "click"), (1L, 1L, "view"), (1L, 2L, "purchase"))
+      .toDF("user_id", "t", "et")
+    val got = Analytics.funnelStages(hot.unionByName(control))
+      .as[(Long, Int)].collect().toMap
+    assert(got(0L) == 3, s"hot user should complete the funnel: $got")
+    assert(got(1L) == 0, s"view/purchase without click is stage 0: $got")
+  }
+
   test("scd2 merge == independent per-key classification on random snapshots") {
     val attrs = "ABCDE"
     for (seed <- 1 to 5) {
