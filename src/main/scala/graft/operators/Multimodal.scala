@@ -256,8 +256,15 @@ object Multimodal {
         require(n > 0 || inflater.finished(), "truncated IDAT stream")
         got += n
       }
-      inflater.end()
       require(got == scan.length, s"inflated $got of ${scan.length} bytes")
+      // the stream must END here: a corrupt IDAT carrying surplus
+      // decompressed data would otherwise pass CRC+length validation
+      // silently instead of being quarantined
+      val surplus = new Array[Byte](1)
+      require(inflater.finished() || inflater.inflate(surplus, 0, 1) == 0
+          && inflater.finished(),
+        "IDAT stream continues past the expected scanline bytes")
+      inflater.end()
       // unfilter (bpp = 1 for 8-bit grayscale)
       val px = new Array[Byte](height * width)
       var row = 0

@@ -354,18 +354,21 @@ object PipelineQueries {
     }),
     // 67b: per-group cap — at most 50 docs per language by hash rank
     // (exact output size per group, reproducible pick)
+    // skew-safe form: groups beyond 10·k rows are pre-thinned on the
+    // same md5 ordering before the ranked window (row-identical to the
+    // plain cap — the oracle replays the unfiltered rank)
     "sample_percap" -> ((s, d) =>
-      Sampling.capPerGroup(docs(s, d).select(col("doc_id"), col("lang")),
+      Sampling.capPerGroupSkewSafe(docs(s, d).select(col("doc_id"), col("lang")),
           col("doc_id"), col("lang"), k = 50)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("doc_id"))),
     // 80: weighted sampling without replacement — 200 docs picked
     // proportionally to n_chars (the quality/length-weighted curation
-    // draw); deterministic A-ES keys replayed by the oracle
+    // draw); deterministic A-ES −ln(u)/w keys replayed by the oracle
     "sample_weighted" -> ((s, d) =>
       Sampling.weightedSample(docs(s, d).select(col("doc_id"), col("lang"),
           col("n_chars")), col("doc_id"), col("n_chars"), k = 200)
-        .orderBy(col("wkey").desc, col("doc_id"))),
+        .orderBy(col("wkey").asc, col("doc_id"))),
     // 48: mixture re-weighting — downsample each language to an equal
     // 20% share of total char mass (en is ~43% of the corpus and gets
     // hash-downsampled; under-budget languages pass through whole)
@@ -595,17 +598,19 @@ object PipelineQueries {
         |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
-    // 80: same u=(bucket+0.5)/1e6 draw and u^(1/w) key arithmetic
+    // 80: same u=(bucket+0.5)/1e6 draw; key = -round(ln(u),9)/w — the
+    // ln is rounded onto a grid both engines agree on, the division is
+    // a single IEEE-exact op, so wkey is bit-identical to Spark's
     "sample_weighted" ->
       """SELECT doc_id, lang, n_chars, wkey FROM (
         |  SELECT doc_id, lang, n_chars,
-        |    CASE WHEN CAST(n_chars AS DOUBLE) <= 0 THEN 0.0
-        |      ELSE round(pow(
+        |    CASE WHEN CAST(n_chars AS DOUBLE) <= 0 THEN CAST('inf' AS DOUBLE)
+        |      ELSE -round(ln(
         |        (CAST(('0x' || substr(md5('wtd:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |          % 1000000 AS BIGINT) + 0.5) / 1000000.0,
-        |        1.0 / CAST(n_chars AS DOUBLE)), 9) END AS wkey
+        |          % 1000000 AS BIGINT) + 0.5) / 1000000.0), 9)
+        |        / CAST(n_chars AS DOUBLE) END AS wkey
         |  FROM documents
-        |) ORDER BY wkey DESC, doc_id LIMIT 200""".stripMargin,
+        |) ORDER BY wkey ASC, doc_id LIMIT 200""".stripMargin,
     // 48: exact-integer group masses; one double rate expression in
     // the same operation order as Sampling.mixtureSample
     "sample_mixture" ->

@@ -63,24 +63,69 @@ object Sampling {
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each row draws u from its deterministic hash lattice and keys as
-    * u^(1/w) — taking the k LARGEST keys is exactly a weight-
-    * proportional sample without replacement. Here u is the salted-md5
-    * bucket (reproducible, engine-replayable) instead of rand(), and
-    * keys round to 9 decimals with an id tie-break so the selection
-    * is stable across engines. orderBy+limit plans as TakeOrdered
-    * (per-partition top-k + driver merge of k·partitions rows — no
-    * global sort) — the quality-weighted curation pick at any scale.
-    * Rows with non-positive weight key to 0 (never chosen before any
+    * −ln(u)/w — taking the k SMALLEST keys is exactly a weight-
+    * proportional sample without replacement (the exponent-form
+    * equivalent of taking the largest u^(1/w); the log form keeps full
+    * double precision at large weights, where u^(1/w) collapses onto
+    * 1.0 and the pick degenerates to the id tie-break). Here u is the
+    * salted-md5 bucket (reproducible, engine-replayable) instead of
+    * rand(). Engine stability: ln(u) is rounded to 9 decimals (libm
+    * ulp differences vanish far below that grid), and the remaining
+    * −x/w is a single IEEE-exact division — bit-identical on any
+    * engine, as the DuckDB oracle replays. orderBy+limit plans as
+    * TakeOrdered (per-partition top-k + driver merge — no global
+    * sort) — the quality-weighted curation pick at any scale. Rows
+    * with non-positive weight key to +∞ (never chosen before any
     * positive-weight row). */
   def weightedSample(df: DataFrame, idCol: Column, weightCol: Column, k: Int,
       salt: String = "wtd"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
     val u = (hashBucket(idCol, salt).cast("double") + 0.5) / lit(1000000.0)
     df.withColumn("wkey",
-        when(weightCol.cast("double") <= 0, lit(0.0))
-          .otherwise(round(pow(u, lit(1.0) / weightCol.cast("double")), 9)))
-      .orderBy(col("wkey").desc, idCol)
+        when(weightCol.cast("double") <= 0, lit(Double.PositiveInfinity))
+          .otherwise(-round(log(u), 9) / weightCol.cast("double")))
+      .orderBy(col("wkey").asc, idCol)
       .limit(k)
+  }
+
+  /** Skew-capped [[capPerGroup]]: identical selection, but a group far
+    * over the cap is first thinned by a rate filter on the SAME md5 the
+    * rank orders by, so the ranked window never buffers a 10⁸-row hot
+    * group — only ~`survivorFactor`·k rows of it.
+    *
+    * Exactness: the window ranks by md5 string ascending; the
+    * pre-filter keeps exactly the rows whose md5 starts below a
+    * per-group hex threshold — a PREFIX of that same ordering — so as
+    * long as ≥ k rows survive, the survivors contain the true top-k
+    * and the result is row-identical to [[capPerGroup]] (pinned by
+    * SamplingSpec's giant-group case). Survivors are
+    * Binomial(n, ~factor·k/n): with the default factor 10 the
+    * shortfall probability at k=50 is < 10⁻³⁰⁰ — if a cosmic-ray draw
+    * ever hits it, the group returns fewer than k rows (fail-small,
+    * never wrong rows).
+    *
+    * Scale shape: one partial-agg count per group (tiny output,
+    * broadcast back) + the narrow hash filter, then the same ranked
+    * window over bounded partitions. */
+  def capPerGroupSkewSafe(df: DataFrame, idCol: Column, groupCol: Column, k: Int,
+      salt: String = "cap", survivorFactor: Int = 10): DataFrame = {
+    require(k > 0 && survivorFactor >= 2,
+      s"need k > 0 and survivorFactor >= 2, got $k/$survivorFactor")
+    val target = k.toLong * survivorFactor
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    // per-group threshold as an 8-hex-digit string compared against the
+    // md5 prefix; "g" sorts above every hex digit, so small groups keep
+    // all rows without a separate code path
+    val thr = counts.select(col("__g"),
+      when(col("__n") <= target, lit("g"))
+        .otherwise(lpad(lower(hex(
+          ceil(lit(4294967296.0) * target / col("__n")).cast("long"))), 8, "0"))
+        .as("__thr"))
+    val h = md5(concat_ws(":", lit(salt), idCol.cast("string")))
+    val filtered = df.join(broadcast(thr), groupCol === col("__g"))
+      .where(h < col("__thr"))
+      .drop("__g", "__thr")
+    capPerGroup(filtered, idCol, groupCol, k, salt)
   }
 
   /** Mixture re-weighting: downsample each group so its share of the

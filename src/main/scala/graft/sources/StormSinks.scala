@@ -38,9 +38,23 @@ object StormSinks {
     * millions of tiny files dominates reads. Rewrites the directory
     * to `targetFiles` files per (event_type, event_date) partition
     * (the write stays partition-parallel: one shuffle keyed on the
-    * partition columns), atomically swapping via a temp dir + rename
-    * so a reader never sees a half-compacted lake. Content is
-    * byte-identical rows, just re-packed. */
+    * partition columns), then swapping directories via two renames.
+    * Content is byte-identical rows, just re-packed.
+    *
+    * Crash-safety of the swap (NOT atomic — directory rename is a
+    * metadata op on HDFS/local but copy+delete on object stores, and
+    * two renames always leave a gap): the live dir is renamed ASIDE
+    * first (`dir` → `dir.compact-old`), then the compacted tmp takes
+    * its place, then the old copy is deleted. A crash at any point
+    * leaves EVERY row recoverable on disk — either the lake is intact,
+    * or the full pre-compaction copy sits at `dir.compact-old` (a
+    * previous fs.delete(dst)-then-rename ordering could crash holding
+    * only the tmp dir, i.e. silent lake unavailability at the live
+    * path). Readers racing the swap can observe a missing dir for the
+    * instant between the renames — schedule compaction in the
+    * maintenance window, or serve readers through a versioned-pointer
+    * layout (manifest file naming the current version dir) when
+    * 24/7 reads must never block. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
@@ -59,9 +73,18 @@ object StormSinks {
       .parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val (src, dst) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
-    fs.delete(dst, true)
-    fs.rename(src, dst)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    fs.delete(old, true) // leftover from a crashed previous run
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: could not move $dst aside to $old")
+    if (!fs.rename(src, dst)) {
+      // restore the original lake before failing — nothing is lost
+      fs.rename(old, dst)
+      throw new java.io.IOException(s"compact: could not promote $src to $dst")
+    }
+    fs.delete(old, true)
   }
 
   /** Idempotent merge into an existing lake dir: drop incoming rows

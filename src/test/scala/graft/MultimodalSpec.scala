@@ -73,6 +73,38 @@ class MultimodalSpec extends SparkSpec {
       assert((d.data(r * w + c) & 0xff) == px(r)(c), s"pixel ($r,$c)")
   }
 
+  test("PNG decoder rejects IDAT with surplus decompressed bytes") {
+    // a corrupt stream whose deflate payload inflates to MORE than the
+    // scanline buffer passes chunk CRC validation (the CRC covers the
+    // compressed bytes) — the decoder must still quarantine it
+    val codec = new Multimodal.PngCodec
+    val w = 4; val h = 2
+    val scan = new Array[Byte](h * (w + 1))
+    val good = codec.encodeRaw(w, h, scan)
+    // deflate (scanlines ++ 3 surplus bytes) and splice it in as the
+    // IDAT of an otherwise-valid PNG (header reused, CRC recomputed)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(scan ++ Array[Byte](7, 7, 7)); deflater.finish()
+    val zbuf = new Array[Byte](1024)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) z.write(zbuf, 0, deflater.deflate(zbuf))
+    deflater.end()
+    val zdata = z.toByteArray
+    def beInt(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tag = "IDAT".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(tag); crc.update(zdata)
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(good, 0, 33) // SIG + IHDR chunk
+    bad.write(beInt(zdata.length)); bad.write(tag); bad.write(zdata)
+    bad.write(beInt(crc.getValue.toInt))
+    bad.write(good, good.length - 12, 12) // IEND chunk
+    intercept[IllegalArgumentException](codec.decode(bad.toByteArray))
+    // sanity: the same splice with the exact scanline stream decodes
+    assert(codec.decode(good).data.length == w * h)
+  }
+
   test("nearest-neighbor resize: floor index mapping, hand-checked") {
     val codec = new Multimodal.PngCodec
     // 4x2 image, pixel value = index

@@ -90,6 +90,34 @@ class SamplingSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("weighted sample keys stay discriminating at huge weights (w ~ 1e8)") {
+    // u^(1/w) collapses onto 1.0 for w ≳ 1e8 and the old rounded key
+    // degenerated to the id tie-break; the -ln(u)/w key must still
+    // order by the draw. Two rows with equal weight but different
+    // hashes must produce distinct keys.
+    import spark.implicits._
+    val big = (0L until 1000L).map(i => (i, 100000000L + i)).toDF("doc_id", "w")
+    val keys = Sampling.weightedSample(big, col("doc_id"), col("w"), 1000)
+      .select("wkey").as[Double].collect()
+    assert(keys.distinct.length > 900,
+      s"keys collapsed: only ${keys.distinct.length} distinct of 1000")
+  }
+
+  test("skew-safe cap == plain cap, including one giant group (2*10^5 rows)") {
+    import spark.implicits._
+    val giant = spark.range(200000).selectExpr("id AS doc_id", "'big' AS g")
+    val small = (500000L until 500120L).map(i => (i, "small")).toDF("doc_id", "g")
+    val df = giant.unionByName(small)
+    val plain = Sampling.capPerGroup(df, col("doc_id"), col("g"), k = 50)
+      .select("doc_id", "g", "rk")
+    val safe = Sampling.capPerGroupSkewSafe(df, col("doc_id"), col("g"), k = 50)
+      .select("doc_id", "g", "rk")
+    assert(plain.exceptAll(safe).isEmpty && safe.exceptAll(plain).isEmpty,
+      "skew-safe cap diverged from the plain ranked cap")
+    assert(safe.where(col("g") === "big").count() == 50)
+    assert(safe.where(col("g") === "small").count() == 50)
+  }
+
   test("different salts give independent samples; rates land near nominal") {
     val n = docs.count().toDouble
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
