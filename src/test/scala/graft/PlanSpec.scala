@@ -123,11 +123,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "lmscore lost its map-side combine")
   }
 
-  test("mm_resize prunes to (doc_id, text); percap windows without a join") {
+  test("mm_resize prunes to (doc_id, text); percap joins only the broadcast thresholds") {
     assert(plan("mm_resize").contains("struct<doc_id:bigint,text:string>"),
       "resize pipeline reads more than (doc_id, text)")
+    // skew-safe cap: ONE broadcast hash join of the (group, threshold)
+    // rows (a handful) onto the fact — never a shuffled or nested-loop
+    // join — feeding the ranked window
     val p = plan("sample_percap")
-    assert(!p.contains("Join"), s"per-group cap grew a join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group cap lost its broadcast threshold pre-thin:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"per-group cap thresholds must broadcast, not shuffle:\n$p")
     assert(p.contains("Window"), "per-group cap lost its ranked window")
   }
 
@@ -163,6 +170,13 @@ class PlanSpec extends SparkSpec {
     val g = plan("graph_triangles")
     assert(!g.contains("CartesianProduct") && !g.contains("BroadcastNestedLoopJoin"),
       s"triangle join degenerated:\n$g")
+    // the edge list must be MATERIALIZED once (localCheckpoint → RDD
+    // scans): a plan that still contains the documents parquet scan
+    // re-executes the corpus-scale similarity join per self-join alias
+    assert(g.contains("ExistingRDD"),
+      s"triangle edges not checkpointed:\n$g")
+    assert(!g.toLowerCase.contains("parquet"),
+      s"triangle plan re-reads the corpus (similarity join re-executed):\n$g")
   }
 
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
