@@ -69,10 +69,16 @@ object StormPipeline {
         parseFloatOrZero(col("lon")).as("lon_d"),
         parseEventTime(col("ts"), col("time")).as("event_time"),
         normalizeEventType(col("event_type")).as("etype"))
-      .select(col("*"),
-        normalizeUnit(col("etype"), lit("")).as("unit_n"),
-        generateId(col("event_type"), col("state"), col("lat_d"), col("lon_d"),
-          col("time"), col("mag_raw")).as("id"))
+      .select(col("*") +:
+        (Seq(
+          normalizeUnit(col("etype"), lit("")).as("unit_n"),
+          generateId(col("event_type"), col("state"), col("lat_d"), col("lon_d"),
+            col("time"), col("mag_raw")).as("id")) ++
+          // location regex runs ONCE here as staged attributes; the
+          // final projection's three location outputs are cheap whens
+          // over these (the standalone trio would re-execute locRe per
+          // output column)
+          locationParts(col("location")).map { case (n, c) => c.as(n) }): _*)
       .select(col("*"),
         normalizeMagnitude(col("etype"), col("mag_raw"), col("unit_n")).as("mag_n"))
       .select(
@@ -87,8 +93,9 @@ object StormPipeline {
         rfc3339(deriveTimeBucket(col("event_time"))).as("time_bucket_str"),
         extractSourceOffice(col("comments")).as("source_office"),
         col("location").as("location_raw"),
-        locationName(col("location")).as("location_name"),
-        locationDistance(col("location")).as("location_distance"),
-        locationDirection(col("location")).as("location_direction"),
+        locationNameFromParts(col("loc_t"), col("loc_dir_s"), col("loc_name_s"))
+          .as("location_name"),
+        locationDistanceFromParts(col("loc_dist_s")).as("location_distance"),
+        locationDirectionFromParts(col("loc_dir_s")).as("location_direction"),
         col("state"), col("county"))
 }
