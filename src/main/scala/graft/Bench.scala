@@ -130,12 +130,26 @@ object Bench {
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // SECOND timing with every output column force-evaluated:
+      // count() prunes projections, so a narrow-map query's count time
+      // is its SCAN time, not its compute time (storm_enrich "0.25s"
+      // never ran the enrichment expressions — found in round 4 when
+      // the same expressions cost ~2.8s inside storm_dedup's grouping
+      // key). toRdd executes the full physical plan per row. The
+      // count-based series stays the headline for cross-round
+      // comparability; this map is the honest per-row-work number.
+      val tf = System.nanoTime()
+      val errF = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
+        case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
+      val secForced = (System.nanoTime() - tf) / 1e9
       // between queries (outside the timer): drop cached plans and nudge
       // the ContextCleaner so one query's checkpoint/cache blocks don't
       // become the next query's memory pressure
       spark.catalog.clearCache()
       System.gc()
-      name -> (sec, quickCalib(), quickCalibMt(), err)
+      name -> (sec, quickCalib(), quickCalibMt(), err.orElse(errF), secForced)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -145,11 +159,14 @@ object Bench {
     val ok = results.filter(_._2._4.isEmpty)
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v._1 }
       .mkString("{", ",", "}")
+    val qsForced = ok.map { case (k, v) => jstr(k) + ":" + v._5 }
+      .mkString("{", ",", "}")
+    val totalForced = if (ok.nonEmpty) ok.values.map(_._5).sum else 0.0
     val qCalib = results.map { case (k, v) => jstr(k) + ":" + v._2 }
       .mkString("{", ",", "}")
     val qCalibMt = results.map { case (k, v) => jstr(k) + ":" + v._3 }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, _, _, Some(e))) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, (_, _, _, Some(e), _)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
@@ -158,6 +175,7 @@ object Bench {
     val calibMtEnd = calibrateMt()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_forced":$qsForced,"value_forced":$totalForced,""" +
       s""""errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
