@@ -87,6 +87,113 @@ object StormSinks {
     fs.delete(old, true)
   }
 
+  // ---------------------------------------------- versioned lake layout
+  // The 24/7-reader alternative to the rename-aside swap in [[compact]]:
+  //   dir/_current          one line naming the live version, e.g. "v-17"
+  //   dir/v-16/  dir/v-17/  immutable version directories
+  // Readers resolve _current then read an immutable dir, so maintenance
+  // NEVER makes the lake transiently unreadable: publish is one
+  // single-file rename (atomic on POSIX; a single object PUT on object
+  // stores), old versions are deleted only after the pointer moves.
+  // This is the pointer-swap core of the table-format idea (what
+  // Delta/Iceberg generalize with a transaction log) sized to this
+  // library's needs.
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_current")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(s.matches("v-[0-9]+"), s"corrupt _current pointer: '$s'")
+      Some(s.stripPrefix("v-").toInt -> s)
+    }
+  }
+
+  /** Publish `version` as current: write the pointer to a temp name,
+    * then one rename over _current (replace-if-exists). A crash before
+    * the rename leaves the previous version live. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      version: Int): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/._current.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
+    val out = fs.create(tmp, true)
+    try out.write(s"v-$version\n".getBytes("UTF-8")) finally out.close()
+    // rename(src, dst) with dst existing fails on some FS — go through
+    // the Options.Rename.OVERWRITE-equivalent two-step only if needed
+    if (fs.exists(cur) && !fs.delete(cur, false))
+      throw new java.io.IOException(s"cannot replace $cur")
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"cannot publish pointer $tmp -> $cur")
+  }
+
+  /** Write a NEW version of the lake and atomically point readers at
+    * it. Returns the published version number. Old versions are kept
+    * (see [[vacuumVersions]]) so in-flight readers finish against the
+    * immutable dir they resolved. */
+  def writeVersioned(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val next = readPointer(fs, dir).map(_._1 + 1).getOrElse(0)
+    df.withColumn("event_date", substring(col("event_time_str"), 1, 10))
+      .write
+      .partitionBy("event_type", "event_date")
+      .mode("overwrite")
+      .parquet(s"$dir/v-$next")
+    publish(fs, dir, next)
+    next
+  }
+
+  /** Read the current version (resolves _current, reads the immutable
+    * version dir — never racing a swap). */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val (_, name) = readPointer(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"no _current pointer under $dir"))
+    spark.read.parquet(s"$dir/$name")
+  }
+
+  /** Compaction, versioned flavor: re-pack the CURRENT version into a
+    * new version dir (same per-partition file-count control as
+    * [[compact]]), publish, return the new version. Readers see either
+    * the old or the new version — never an absent directory. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 1): Int = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val fs = fsFor(spark, dir)
+    val (n, name) = readPointer(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"no _current pointer under $dir"))
+    spark.read.parquet(s"$dir/$name")
+      .repartition(col("event_type"), col("event_date"),
+        pmod(xxhash64(col("id")), lit(targetFiles.toLong)))
+      .write
+      .partitionBy("event_type", "event_date")
+      .mode("overwrite")
+      .parquet(s"$dir/v-${n + 1}")
+    publish(fs, dir, n + 1)
+    n + 1
+  }
+
+  /** Delete version dirs older than the current minus `keep` (the
+    * retention window for in-flight readers). Returns deleted names. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Int = 1): Seq[String] = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val fs = fsFor(spark, dir)
+    val (cur, _) = readPointer(fs, dir).getOrElse(return Seq.empty)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.matches("v-[0-9]+") &&
+        p.getName.stripPrefix("v-").toInt < cur - keep)
+      .map { p => fs.delete(p, true); p.getName }
+  }
+
   /** Idempotent merge into an existing lake dir: drop incoming rows
     * whose deterministic `id` already exists (ON CONFLICT DO NOTHING,
     * reference transform.go:127-139 rationale), then append the rest.

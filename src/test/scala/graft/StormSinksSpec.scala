@@ -70,6 +70,53 @@ class StormSinksSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("versioned layout: pointer-swap publish, reader never sees a gap") {
+    val dir = Files.createTempDirectory("graft-versioned").toString + "/lake"
+    val enriched = StormPipeline.enrich(StormFeed.feed(spark, sfDir)).limit(200)
+      .localCheckpoint()
+    val n = enriched.count()
+
+    // v0: write + publish
+    assert(StormSinks.writeVersioned(enriched, dir) == 0)
+    assert(StormSinks.readVersioned(spark, dir).count() == n)
+
+    // an in-flight reader resolves v0's immutable dir...
+    val inFlight = StormSinks.readVersioned(spark, dir)
+
+    // ...while compaction publishes v1
+    assert(StormSinks.compactVersioned(spark, dir, targetFiles = 1) == 1)
+    val after = StormSinks.readVersioned(spark, dir)
+    assert(after.count() == n)
+    assert(after.agg(sum(crc32(col("id")))).head.getLong(0) ==
+      enriched.agg(sum(crc32(col("id")))).head.getLong(0),
+      "compaction changed content")
+    // the in-flight reader still completes against v0 (not vacuumed yet)
+    assert(inFlight.count() == n)
+
+    // a crash BEFORE publish leaves the previous version live: simulate
+    // by dropping an orphan version dir next to the lake — the pointer
+    // still names v1 and reads are unaffected
+    new java.io.File(s"$dir/v-99").mkdirs()
+    assert(StormSinks.readVersioned(spark, dir).count() == n)
+
+    // vacuum with keep=0 removes v0 but never the current version
+    val deleted = StormSinks.vacuumVersions(spark, dir, keep = 0)
+    assert(deleted.contains("v-0") && !deleted.contains("v-1"), deleted.toString)
+    assert(StormSinks.readVersioned(spark, dir).count() == n)
+
+    // a new versioned write continues the sequence past the pointer
+    assert(StormSinks.writeVersioned(enriched, dir) == 2)
+    assert(StormSinks.readVersioned(spark, dir).count() == n)
+
+    // corrupt pointer is an error, not a silent empty read (written via
+    // the Hadoop fs so the checksum matches and the VALIDATION fires)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val o = fsys.create(new org.apache.hadoop.fs.Path(s"$dir/_current"), true)
+    o.write("garbage".getBytes("UTF-8")); o.close()
+    intercept[IllegalArgumentException](StormSinks.readVersioned(spark, dir))
+  }
+
   test("schema evolution: mergeSchema reads old and new file generations") {
     val out = Files.createTempDirectory("graft-evolve").toString + "/lake"
     val enriched = StormPipeline.enrich(StormFeed.feed(spark, sfDir))
