@@ -222,7 +222,16 @@ object PipelineQueries {
       val doc = docs(s, d)
       val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
+      // materialize the (doc, token, tf) aggregate ONCE: it feeds three
+      // consumers (the score join, doc length, document frequency) and
+      // exchange reuse does NOT fire across these branches — the
+      // un-checkpointed form re-ran the tokenize+explode+aggregate
+      // subtree per consumer (8 parquet scans in the executed plan;
+      // same recompute class as graph_triangles). tf is Σtokens-sized:
+      // at 100 TB use a reliable checkpoint dir or a pre-materialized
+      // table instead of executor-local blocks.
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val ndocs = doc.agg(count(lit(1)).as("n_docs"))
