@@ -332,7 +332,13 @@ object Knn {
     * join: deterministic and fully oracle-replayable. Pair work is
     * bounded by cell occupancy (k ≈ √n at scale), as in [[ivfPairs]]. */
   def semanticKeep(corpus: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
-    val assigned = kmeansAssignments(corpus, k, iters)
+    // materialize the assignment ONCE: it feeds three consumers (both
+    // pair-join sides + the anti-join base) and each alias would re-run
+    // the whole trained-assignment subtree (12 parquet scans measured
+    // in the un-checkpointed plan — the graph_triangles recompute
+    // class). n rows of (id, embedding, cell) — corpus-sized; at
+    // 100 TB persist to a reliable checkpoint dir instead.
+    val assigned = kmeansAssignments(corpus, k, iters).localCheckpoint()
     val a = assigned.select(col("cell_id"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("cell_id"),

@@ -282,13 +282,22 @@ object PipelineQueries {
       // so composing bigramsOf(tokens(text)) directly re-tokenizes the
       // whole document once per bigram (measured 23s -> ~2s at sf0.1)
       val tokd = doc.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      // bigram instances feed BOTH the c2 aggregate and the scoring
+      // join — materialize once (exchange reuse doesn't fire across
+      // the branches; instance-level, so corpus-sized: use a reliable
+      // checkpoint dir at 100 TB)
       val bgInst = tokd.select(col("doc_id"),
           explode(Text.bigramsOf(col("tk"))).as("bg"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .localCheckpoint()
       val uni = tokd.select(explode(col("tk")).as("token"))
         .where(col("token") =!= "")
+      // c1 has exactly one row per distinct token, so the vocabulary
+      // size is count(c1) — deriving it there saves the second full
+      // tokenize+explode pass the countDistinct scan used to make
       val c1 = uni.groupBy(col("token")).agg(count(lit(1)).as("c1"))
-      val vocab = broadcast(uni.agg(countDistinct(col("token")).as("v")))
+        .localCheckpoint()
+      val vocab = broadcast(c1.agg(count(lit(1)).as("v")))
       val c2 = bgInst.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       val terms = bgInst
         .join(c2, "bg")
