@@ -37,7 +37,12 @@ object Scd {
     val snap = snapshot.select(
       keys.map(k => col(k).as(s"s_$k")) ++ attrs.map(a => col(a).as(s"s_$a")): _*)
     val joinCond = keys.map(k => col(k) === col(s"s_$k")).reduce(_ && _)
-    val j = open.join(snap, joinCond, "full_outer")
+    // the classified join feeds THREE branches (unchanged/closed/
+    // opened); exchange reuse does not fire across union branches, so
+    // an un-materialized join would execute three times (verified by a
+    // scans-per-plan audit). Dimension-sized — at extreme dimension
+    // cardinality use a reliable checkpoint dir.
+    val j = open.join(snap, joinCond, "full_outer").localCheckpoint()
     val inSnap = col(s"s_${keys.head}").isNotNull
     val inCur = col(keys.head).isNotNull
     val changed = attrs.map(a => !(col(a) <=> col(s"s_$a"))).reduce(_ || _)

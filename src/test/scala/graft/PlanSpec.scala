@@ -157,12 +157,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scd2/temporal/triangles: keyed joins only") {
-    // Catalyst specializes the logical full-outer join per union branch
-    // (inner for unchanged, outer-with-null-filter for closed/opened) —
-    // assert the joins stay hash-keyed, whatever the specialization
+    // the classified full-outer join is materialized ONCE (localCheckpoint
+    // — it feeds three union branches; see Scd.scd2Merge), so the final
+    // plan unions projections of the RDD scan instead of re-running the
+    // join per class
     val s2 = plan("q_scd2")
-    assert(s2.contains("HashJoin") || s2.contains("SortMergeJoin"),
-      s"scd2 lost its keyed join:\n$s2")
+    assert(s2.contains("ExistingRDD"),
+      s"scd2 classified join not materialized:\n$s2")
     assert(!s2.contains("CartesianProduct") && !s2.contains("BroadcastNestedLoopJoin"),
       s"scd2 degenerated:\n$s2")
     val t = plan("q_temporal")
@@ -177,6 +178,25 @@ class PlanSpec extends SparkSpec {
       s"triangle edges not checkpointed:\n$g")
     assert(!g.toLowerCase.contains("parquet"),
       s"triangle plan re-reads the corpus (similarity join re-executed):\n$g")
+  }
+
+  test("no query's plan fans a subtree out into more than 6 parquet scans") {
+    // the multi-consumer recompute guard: exchange reuse does NOT fire
+    // across union/join consumer branches, so an un-materialized
+    // subtree referenced k times scans (and computes) k times — found
+    // live in graph_triangles (3x similarity join), text_tfidf (8
+    // scans), dedup_semantic (12), text_lmscore, and scd2Merge, all
+    // fixed by materializing the shared subtree once. The widest
+    // LEGITIMATE plans are q5_multijoin (5 tables), dedup_jaccard and
+    // q_integrity (6 scans by documented design), so 6 is the budget:
+    // a regression of this class lands at 8+.
+    val scanRe = "(FileScan|Scan) parquet".r
+    val over = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val n = scanRe.findAllIn(p).length
+      if (n > 6) Some(s"$name=$n") else None
+    }
+    assert(over.isEmpty, s"queries over the scan budget (recompute?): $over")
   }
 
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
