@@ -45,6 +45,39 @@ class StormStreamSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("config-driven entry points: env-built config drives the same pipeline") {
+    val base = Files.createTempDirectory("graft-cfg-stream").toString
+    val cfg = GraftConfig.fromEnv(Map(
+      "GRAFT_SOURCE_DIR" -> s"$base/in",
+      "GRAFT_SINK_DIR" -> s"$base/out",
+      "GRAFT_QUARANTINE_DIR" -> s"$base/quarantine",
+      "GRAFT_CHECKPOINT_DIR" -> s"$base/cp",
+      "BATCH_SIZE" -> "4", // -> maxFilesPerTrigger
+      "HTTP_ADDR" -> ":0")).toOption.get
+
+    val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
+      .withColumn("raw_value",
+        when(col("event_id") % 97 === 0, substring(col("raw_value"), 1, 10))
+          .otherwise(col("raw_value")))
+      .select(col("event_id"), col("ts"), col("raw_value"))
+    wire.coalesce(2).write.mode("overwrite").json(cfg.sourceDir)
+    val nBad = wire.where(col("event_id") % 97 === 0).count()
+    val nTotal = wire.count()
+
+    StormStream.startEnrichment(spark, cfg).awaitTermination()
+    StormStream.startQuarantine(spark, cfg).awaitTermination()
+    assert(spark.read.parquet(cfg.sinkDir).count() == nTotal - nBad)
+    assert(spark.read.parquet(cfg.quarantineDir).count() == nBad)
+
+    // the ops surface binds on the configured port (0 = ephemeral)
+    val srv = graft.observability.OpsServer.start(cfg, () => true, () => Map("up" -> 1L))
+    try {
+      val url = new java.net.URI(s"http://localhost:${srv.port}/ready").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+    } finally srv.stop()
+  }
+
   test("stateful streaming dedup: redelivered records collapse on the id") {
     val base = Files.createTempDirectory("graft-dedup-stream").toString
     val wire = StormPipeline.toRawJson(StormFeed.feed(spark, sfDir))
