@@ -120,6 +120,15 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       per.get / threads
     }
+    // uncounted session warmup: the first measured query otherwise pays
+    // the generic engine/JIT start-up (~2s observed on whichever query
+    // happens to iterate first — text_quality in the current map order)
+    {
+      import org.apache.spark.sql.functions._
+      spark.range(1 << 20).select((col("id") * 2).as("x"))
+        .groupBy(col("x") % 7).agg(sum(col("x"))).count()
+      spark.catalog.clearCache(); System.gc()
+    }
     // a failed query must NOT contribute a meaningless wall time: its
     // timing is dropped and the failure is recorded per query in
     // "errors" (BENCH_r02-class regressions can't hide as fast timings)
