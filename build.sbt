@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM/conf experiments without editing this file, e.g.
+  // SPARK_EXTRA_OPTS="-XX:+UseParallelGC -Dspark.memory.fraction=0.1"
+  sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -182,11 +182,18 @@ object Bench {
       .mkString("[", ",", "]")
     val calibEnd = calibrate()
     val calibMtEnd = calibrateMt()
+    // heap + GC attribution (VERDICT r4 item 2): BENCH_r04's 255.7s was
+    // caused by an oversized driver heap (HEAPCHECK.md) and took a judge
+    // re-run to attribute because the artifact didn't record -Xmx
+    val heapMax = Runtime.getRuntime.maxMemory()
+    val gcNames = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => jstr(b.getName)).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_forced":$qsForced,"value_forced":$totalForced,""" +
       s""""errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
+      s""""heap_max_bytes":$heapMax,"gc_collectors":$gcNames,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
       s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt}"""
@@ -196,6 +203,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
+    // ...and ALSO print a short totals-only line after the big one: a
+    // 2000-char stdout tail always captures this, so the driver's
+    // artifact carries parseable totals even when the full line's head
+    // is truncated (the BENCH_r03/r04 "parsed: null" failure class)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","value_forced":$totalForced,""" +
+      s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
+      s""""heap_max_bytes":$heapMax,"clean_machine":${stray.isEmpty},"sf":"$sfDir","full_line":"bench_last.json"}""")
     spark.stop()
   }
 }

