@@ -184,13 +184,15 @@ object Dedup {
     * tiny label table per round; deterministic fixpoint = min doc_id
     * per component regardless of execution order.
     *
-    * Every round `localCheckpoint`s its labels: iterative plans must
-    * TRUNCATE lineage, not just cache it — `persist` keeps the full
-    * logical plan, so round i's plan would embed ~4 copies of round
-    * i-1's and analysis cost grows exponentially (measured: a 200-node
-    * chain never finished). A cluster deployment with flaky executors
-    * would use `checkpoint` to a reliable dir instead (same lineage
-    * truncation, replicated storage).
+    * Every round materializes its labels ([[graft.Materialize.once]]):
+    * iterative plans must TRUNCATE lineage, not just cache it —
+    * `persist` keeps the full logical plan, so round i's plan would
+    * embed ~4 copies of round i-1's and analysis cost grows
+    * exponentially (measured: a 200-node chain never finished). A
+    * cluster deployment with flaky executors sets
+    * `spark.graft.materialize=reliable` and every round checkpoints to
+    * the replicated dir instead (same lineage truncation, survives
+    * executor loss).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
@@ -198,7 +200,7 @@ object Dedup {
     // selects of the raw `pairs` plan would execute the (expensive)
     // upstream similarity join twice inside the checkpoint job —
     // measured as most of dedup_cluster's 426s in BENCH_r02
-    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val p0 = graft.Materialize.once(pairs.select(col("doc_a"), col("doc_b")))
     val edges0 = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -209,22 +211,17 @@ object Dedup {
     val nEdges = p0.count() * 2
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 100000 + 1)).toInt
-    val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    // localCheckpoint blocks are only reclaimed when the ContextCleaner
+    val edges = graft.Materialize.once(edges0.repartition(parts, col("dst")))
+    var labels = graft.Materialize.once(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
+    // local-mode blocks are only reclaimed when the ContextCleaner
     // notices the RDD got GC'd — in a long-lived session the per-round
     // checkpoints of MANY clusters() calls pile up in the block manager
     // and strangle execution memory (measured: the same composite query
     // 5.9s early in a 51-query JVM, 54s late). Free each round's blocks
     // deterministically the moment the next round is materialized.
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
-    freeCheckpoint(p0) // edges is checkpointed; p0's blocks are dead weight
+    graft.Materialize.free(p0) // edges is materialized; p0's blocks are dead weight
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -238,19 +235,18 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
       // (b) pointer jump: follow the label's own label (halves chains)
-      val updated = step1
+      val updated = graft.Materialize.once(step1
         .join(step1.select(col("doc_id").as("mid"), col("mid").as("parent")), Seq("mid"), "left")
         .select(col("doc_id"), col("old"),
-          least(col("mid"), coalesce(col("parent"), col("mid"))).as("cluster_id"))
-        .localCheckpoint()
+          least(col("mid"), coalesce(col("parent"), col("mid"))).as("cluster_id")))
       changed = updated.where(col("cluster_id") =!= col("old")).count()
-      // `updated` is eagerly checkpointed (self-contained), so the
+      // `updated` is eagerly materialized (self-contained), so the
       // previous round's blocks can go now
-      freeCheckpoint(labels)
+      graft.Materialize.free(labels)
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
-    freeCheckpoint(edges)
+    graft.Materialize.free(edges)
     labels.select(col("doc_id"), col("cluster_id"))
   }
 

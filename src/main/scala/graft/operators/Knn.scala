@@ -337,8 +337,8 @@ object Knn {
     // the whole trained-assignment subtree (12 parquet scans measured
     // in the un-checkpointed plan — the graph_triangles recompute
     // class). n rows of (id, embedding, cell) — corpus-sized; at
-    // 100 TB persist to a reliable checkpoint dir instead.
-    val assigned = kmeansAssignments(corpus, k, iters).localCheckpoint()
+    // 100 TB set spark.graft.materialize=reliable (Materialize).
+    val assigned = graft.Materialize.once(kmeansAssignments(corpus, k, iters))
     val a = assigned.select(col("cell_id"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("cell_id"),

@@ -57,9 +57,9 @@ object PipelineQueries {
     // prefix-filter + verify similarity join (~3x measured), while the
     // edge list itself is tiny next to the corpus scan.
     "graph_triangles" -> ((s, d) => {
-      val e = Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint()
+      val e = graft.Materialize.once(
+        Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
       e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
         .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -228,10 +228,9 @@ object PipelineQueries {
       // un-checkpointed form re-ran the tokenize+explode+aggregate
       // subtree per consumer (8 parquet scans in the executed plan;
       // same recompute class as graph_triangles). tf is Σtokens-sized:
-      // at 100 TB use a reliable checkpoint dir or a pre-materialized
-      // table instead of executor-local blocks.
-      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      // at 100 TB set spark.graft.materialize=reliable (Materialize).
+      val tf = graft.Materialize.once(
+        toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val ndocs = doc.agg(count(lit(1)).as("n_docs"))
@@ -284,19 +283,18 @@ object PipelineQueries {
       val tokd = doc.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       // bigram instances feed BOTH the c2 aggregate and the scoring
       // join — materialize once (exchange reuse doesn't fire across
-      // the branches; instance-level, so corpus-sized: use a reliable
-      // checkpoint dir at 100 TB)
-      val bgInst = tokd.select(col("doc_id"),
+      // the branches; instance-level, so corpus-sized: set
+      // spark.graft.materialize=reliable at 100 TB)
+      val bgInst = graft.Materialize.once(tokd.select(col("doc_id"),
           explode(Text.bigramsOf(col("tk"))).as("bg"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .localCheckpoint()
+        .withColumn("w1", split(col("bg"), " ").getItem(0)))
       val uni = tokd.select(explode(col("tk")).as("token"))
         .where(col("token") =!= "")
       // c1 has exactly one row per distinct token, so the vocabulary
       // size is count(c1) — deriving it there saves the second full
       // tokenize+explode pass the countDistinct scan used to make
-      val c1 = uni.groupBy(col("token")).agg(count(lit(1)).as("c1"))
-        .localCheckpoint()
+      val c1 = graft.Materialize.once(
+        uni.groupBy(col("token")).agg(count(lit(1)).as("c1")))
       val vocab = broadcast(c1.agg(count(lit(1)).as("v")))
       val c2 = bgInst.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       val terms = bgInst

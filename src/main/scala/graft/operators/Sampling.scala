@@ -122,7 +122,10 @@ object Sampling {
           ceil(lit(4294967296.0) * target / col("__n")).cast("long"))), 8, "0"))
         .as("__thr"))
     val h = md5(concat_ws(":", lit(salt), idCol.cast("string")))
-    val filtered = df.join(broadcast(thr), groupCol === col("__g"))
+    // null-SAFE join key: capPerGroup's window keeps a NULL group as
+    // its own partition, so the pre-thin must too (=== would drop
+    // every null-group row and break the row-identical claim)
+    val filtered = df.join(broadcast(thr), groupCol <=> col("__g"))
       .where(h < col("__thr"))
       .drop("__g", "__thr")
     capPerGroup(filtered, idCol, groupCol, k, salt)

@@ -37,12 +37,17 @@ object Scd {
     val snap = snapshot.select(
       keys.map(k => col(k).as(s"s_$k")) ++ attrs.map(a => col(a).as(s"s_$a")): _*)
     val joinCond = keys.map(k => col(k) === col(s"s_$k")).reduce(_ && _)
-    // the classified join feeds THREE branches (unchanged/closed/
+    // The classified join feeds THREE branches (unchanged/closed/
     // opened); exchange reuse does not fire across union branches, so
     // an un-materialized join would execute three times (verified by a
-    // scans-per-plan audit). Dimension-sized — at extreme dimension
-    // cardinality use a reliable checkpoint dir.
-    val j = open.join(snap, joinCond, "full_outer").localCheckpoint()
+    // scans-per-plan audit). Materialization is EAGER — the join
+    // executes at call time, before any action on the result — and in
+    // the default local mode has no lineage fallback on executor loss;
+    // dimension-sized data makes that cheap, and at extreme dimension
+    // cardinality (or on clusters with churn) set
+    // spark.graft.materialize=reliable on the session (Materialize).
+    // Streaming inputs are not supported (checkpoint throws).
+    val j = graft.Materialize.once(open.join(snap, joinCond, "full_outer"))
     val inSnap = col(s"s_${keys.head}").isNotNull
     val inCur = col(keys.head).isNotNull
     val changed = attrs.map(a => !(col(a) <=> col(s"s_$a"))).reduce(_ || _)

@@ -117,20 +117,33 @@ object StormSinks {
   }
 
   /** Publish `version` as current: write the pointer to a temp name,
-    * then one rename over _current (replace-if-exists). A crash before
-    * the rename leaves the previous version live. */
+    * then ONE overwrite-rename onto _current. `FileContext.rename`
+    * with `Options.Rename.OVERWRITE` replaces an existing destination
+    * atomically on POSIX/HDFS — a crash or a racing reader at any
+    * instant sees either the old pointer or the new one, never an
+    * absent pointer (a delete-then-rename ordering has exactly that
+    * gap, and [[readVersioned]] would throw through it). Only if the
+    * filesystem has no FileContext binding (some Hadoop-compatible FS
+    * shims) do we fall back to delete+rename; readers compensate by
+    * retrying a just-missing pointer once (see [[readPointer]]). */
   private def publish(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       version: Int): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/._current.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
     val out = fs.create(tmp, true)
     try out.write(s"v-$version\n".getBytes("UTF-8")) finally out.close()
-    // rename(src, dst) with dst existing fails on some FS — go through
-    // the Options.Rename.OVERWRITE-equivalent two-step only if needed
-    if (fs.exists(cur) && !fs.delete(cur, false))
-      throw new java.io.IOException(s"cannot replace $cur")
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"cannot publish pointer $tmp -> $cur")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // non-atomic fallback: the only window where no pointer exists
+        if (fs.exists(cur) && !fs.delete(cur, false))
+          throw new java.io.IOException(s"cannot replace $cur")
+        if (!fs.rename(tmp, cur))
+          throw new java.io.IOException(s"cannot publish pointer $tmp -> $cur")
+    }
   }
 
   /** Write a NEW version of the lake and atomically point readers at
@@ -151,10 +164,14 @@ object StormSinks {
   }
 
   /** Read the current version (resolves _current, reads the immutable
-    * version dir — never racing a swap). */
+    * version dir — never racing a swap). A missing pointer is retried
+    * briefly before failing: on filesystems where [[publish]] had to
+    * take the non-atomic fallback there is a sub-millisecond window
+    * with no pointer, and one retry hides it from 24/7 readers. */
   def readVersioned(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val fs = fsFor(spark, dir)
-    val (_, name) = readPointer(fs, dir).getOrElse(
+    val ptr = readPointer(fs, dir).orElse { Thread.sleep(100); readPointer(fs, dir) }
+    val (_, name) = ptr.getOrElse(
       throw new java.io.FileNotFoundException(s"no _current pointer under $dir"))
     spark.read.parquet(s"$dir/$name")
   }
@@ -204,8 +221,8 @@ object StormSinks {
     val existing =
       try spark.read.parquet(outDir).select(col("id"))
       catch { case _: Throwable => return { writePartitioned(enriched, outDir); enriched.count() } }
-    val fresh = enriched.join(existing, Seq("id"), "left_anti")
-      .localCheckpoint() // materialize BEFORE writing into the dir we read
+    val fresh = graft.Materialize.once( // materialize BEFORE writing into the dir we read
+      enriched.join(existing, Seq("id"), "left_anti"))
     val n = fresh.count()
     if (n > 0) writePartitioned(fresh, outDir)
     n

@@ -167,18 +167,38 @@ object StormFunctions {
   /** Hourly UTC time bucket (transform.go:302-310). */
   def deriveTimeBucket(eventTime: Column): Column = date_trunc("hour", eventTime)
 
-  /** Deterministic event ID: sha-256 of the raw key fields, first 8
-    * bytes hex, `type-` prefix (transform.go:127-139). Replay-safe /
-    * idempotent: the downstream dedup key. */
-  /** Fixed-scale decimal rendering for the ID payload: numerically the
-    * same %.Nf string (exact-binary-value HALF_UP rounding, trailing
-    * zeros to scale, driver-hash-verified identical over the full feed
-    * domain at three SFs) but ~6x cheaper per call — Java Formatter
-    * dominated the whole id path (~3µs per format_string call,
-    * measured; three calls per row on the flagship hot map). */
-  private def fixed(c: Column, scale: Int): Column =
+  /** Fixed-scale decimal rendering for the ID payload — ID SPEC v2.
+    *
+    * Renders the double's SHORTEST-DECIMAL representation
+    * (`Double.toString`) rounded HALF_UP to `scale`, with trailing
+    * zeros; negative zero renders unsigned ("0.0000"). ~6x cheaper per
+    * call than `format_string("%.Nf")` — Java Formatter dominated the
+    * whole id path (~3µs per call, three calls per row on the flagship
+    * hot map).
+    *
+    * v1→v2 MIGRATION NOTE: v1 (`format_string("%.Nf")`) formats from
+    * the SAME shortest-decimal representation (java.util.Formatter
+    * renders doubles through FloatingDecimal, not the exact binary
+    * expansion — property-verified), so halfway values like 1.005 mint
+    * IDENTICAL ids in both versions ("1.01"). The one divergence class
+    * is NEGATIVE ZERO: any payload double in [-0.5·10⁻ⁿ, -0.0] rounds
+    * to -0 and v2 renders it unsigned ("0.0000") where v1 kept the
+    * sign ("-0.0000") — a feed carrying such a value would mint a
+    * different id across the upgrade; re-derive ids (one pass over the
+    * lake) when migrating such a feed. The deterministic feed adapter
+    * cannot produce them (integer-derived decimals; ids hash-verified
+    * identical at three SFs). C-family engines (printf, Go fmt) round
+    * the exact binary value instead, so an oracle replay must use a
+    * decimal-cast render, not printf — the DuckDB oracle does (SURVEY
+    * §1 documents the reference deviation). Pinned by
+    * StormFunctionsSpec's halfway/negative-zero property cases. */
+  private[graft] def fixed(c: Column, scale: Int): Column =
     c.cast(org.apache.spark.sql.types.DecimalType(18, scale)).cast("string")
 
+  /** Deterministic event ID: sha-256 of the raw key fields, first 8
+    * bytes hex, `type-` prefix (transform.go:127-139). Replay-safe /
+    * idempotent: the downstream dedup key. Payload doubles render via
+    * [[fixed]] (ID spec v2 — see its migration note). */
   def generateId(rawType: Column, state: Column, lat: Column, lon: Column,
       timeRaw: Column, magnitudeRaw: Column): Column = {
     val payload = concat_ws("|",

@@ -53,13 +53,21 @@ object KafkaWire {
     * `value`, the envelope id is the partition-qualified offset (unique
     * and replay-stable within a topic; the file stand-in's synthetic
     * `event_id` plays the same role), event ts is the broker timestamp.
+    * Packing: partition rides the TOP 20 bits (≤1M partitions), the
+    * offset the low 44 (≈1.8·10¹³ per partition — beyond any retention
+    * window at any throughput); a 2⁴⁰ offset field was reachable on
+    * long-lived high-volume partitions and would have bled into the
+    * partition bits and collided across partitions.
     * Works on any DataFrame with Kafka's (value, partition, offset,
     * timestamp) columns — which is what `format("kafka").load()`
     * exposes, and what the spec builds statically. */
   def toWire(kafka: DataFrame): DataFrame =
     kafka.select(
-      (col("partition").cast("long") * lit(1L << 40) + col("offset"))
-        .as("event_id"),
+      // bitwise, not arithmetic: partitions >= 2^19 would overflow the
+      // signed multiply and ANSI mode (Spark 4 default) makes that a
+      // runtime error; shift+or is the actual bit-concatenation
+      call_function("shiftleft", col("partition").cast("long"), lit(44))
+        .bitwiseOR(col("offset")).as("event_id"),
       col("timestamp").as("ts"),
       col("value").cast("string").as("raw_value"))
 

@@ -82,6 +82,25 @@ class KafkaWireSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("event_type", "processed_at"))
   }
 
+  test("envelope ids stay collision-free past 2^40 offsets (20-bit partition field)") {
+    import spark.implicits._
+    // long-lived high-volume partitions reach offsets >= 2^40 (~1.1e12);
+    // the old partition*2^40 packing bled them into the partition field
+    // (partition 0 offset 2^40 collided with partition 1 offset 0)
+    val rows = Seq(
+      (0, (1L << 40)),      // old packing: collides with (1, 0)
+      (1, 0L),
+      (0, (1L << 42) + 7L), // old packing: collides with (4, 7)
+      (4, 7L),
+      (1048575, (1L << 44) - 1L) // max partition, max offset: top of the id space
+    ).toDF("partition", "offset")
+      .select(col("partition"), col("offset"),
+        lit(null).cast("binary").as("value"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    val ids = KafkaWire.toWire(rows).select("event_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == rows.count(), s"envelope ids collided: ${ids.toSeq}")
+  }
+
   test("config-driven entry points compile against the shared surface") {
     // compile-time proof the cfg overloads exist and typecheck; not
     // started (no broker). The file-mode equivalents run in

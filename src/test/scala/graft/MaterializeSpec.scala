@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The materialization policy point (Materialize.once): local mode is
+  * the default; reliable mode must produce row-identical results while
+  * actually writing replicated checkpoint files — the executor-loss-
+  * safe path a 1000-executor deployment switches on. */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withReliable[A](f: => A): A = {
+    val dir = Files.createTempDirectory("graft-reliable-ckpt").toString
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    spark.conf.set(Materialize.DirKey, dir)
+    spark.sparkContext.setCheckpointDir(dir)
+    try f
+    finally {
+      spark.conf.set(Materialize.ModeKey, "local")
+      spark.conf.unset(Materialize.DirKey)
+    }
+  }
+
+  test("reliable mode checkpoints to the configured dir and preserves rows") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("a", "b")
+    withReliable {
+      val m = Materialize.once(df)
+      assert(m.collect().toSet == df.collect().toSet)
+      // the subtree is gone from the plan: no in-memory-lineage source
+      assert(m.queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.execution.LogicalRDD => 1
+      }.nonEmpty)
+      val ckptFiles = new java.io.File(
+        spark.sparkContext.getCheckpointDir.get.stripPrefix("file:")).listFiles()
+      assert(ckptFiles != null && ckptFiles.nonEmpty,
+        "reliable mode must write checkpoint files")
+    }
+  }
+
+  test("Dedup.clusters is mode-invariant (reliable == local), including free()") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // one chain
+      (10L, 11L), (11L, 12L),       // second component
+      (20L, 21L)                    // third
+    ).toDF("doc_a", "doc_b")
+    val local = operators.Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = withReliable {
+      operators.Dedup.clusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(reliable == local)
+    assert(local == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("scd2Merge is mode-invariant (reliable == local)") {
+    val current = Seq(
+      ("k1", "v1", "2024-01-01", null.asInstanceOf[String], true),
+      ("k2", "v2", "2024-01-01", null.asInstanceOf[String], true),
+      ("k0", "v0", "2023-01-01", "2024-01-01", false)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val snapshot = Seq(("k1", "v1b"), ("k3", "v3")).toDF("k", "v")
+    def run() = operators.Scd.scd2Merge(current, snapshot, Seq("k"), Seq("v"), "2024-06-01")
+      .collect().map(_.toSeq).toSet
+    val local = run()
+    val reliable = withReliable(run())
+    assert(reliable == local)
+  }
+
+  test("unknown mode is rejected") {
+    spark.conf.set(Materialize.ModeKey, "bogus")
+    try intercept[IllegalArgumentException](
+      Materialize.once(Seq((1, 2)).toDF("a", "b")))
+    finally spark.conf.set(Materialize.ModeKey, "local")
+  }
+}

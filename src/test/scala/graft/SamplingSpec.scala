@@ -118,6 +118,24 @@ class SamplingSpec extends SparkSpec {
     assert(safe.where(col("g") === "small").count() == 50)
   }
 
+  test("skew-safe cap keeps NULL groups (null-safe pre-thin join)") {
+    import spark.implicits._
+    // capPerGroup's window treats NULL as its own partition; the
+    // skew-safe pre-thin joins on the group key and a non-null-safe ===
+    // silently dropped every null-group row (ADVICE r4)
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (10L, null), (11L, null), (12L, null), (13L, null))
+      .toDF("doc_id", "g")
+    val plain = Sampling.capPerGroup(df, col("doc_id"), col("g"), k = 2)
+      .select("doc_id", "g", "rk")
+    val safe = Sampling.capPerGroupSkewSafe(df, col("doc_id"), col("g"), k = 2)
+      .select("doc_id", "g", "rk")
+    assert(safe.where(col("g").isNull).count() == 2,
+      "null group must be capped like any other, not dropped")
+    assert(plain.exceptAll(safe).isEmpty && safe.exceptAll(plain).isEmpty)
+  }
+
   test("different salts give independent samples; rates land near nominal") {
     val n = docs.count().toDouble
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),

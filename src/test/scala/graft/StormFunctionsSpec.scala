@@ -136,4 +136,31 @@ class StormFunctionsSpec extends SparkSpec {
     assert(id1 != id3)
     assert(id1.asInstanceOf[String].matches("hail-[0-9a-f]{16}"))
   }
+
+  test("ID spec v2: fixed() pins shortest-decimal HALF_UP, unsigned zero (migration note)") {
+    // The ID payload renderer rounds the double's SHORTEST-DECIMAL
+    // representation (Double.toString) HALF_UP — NOT the exact binary
+    // value like v1's format_string. These are exactly the adversarial
+    // inputs where the two diverge (ADVICE r4); pinning them makes the
+    // v2 contract explicit rather than empirical on the test feeds.
+    def f4(d: Double): String = one(fixed(lit(d), 4)).asInstanceOf[String]
+    def f2(d: Double): String = one(fixed(lit(d), 2)).asInstanceOf[String]
+    def v1_2(d: Double): String = one(format_string("%.2f", lit(d))).asInstanceOf[String]
+    assert(f2(1.005) == "1.01")      // C printf would render "1.00" (binary 1.00499..)
+    assert(f2(2.675) == "2.68")      // C printf: "2.67"
+    assert(f4(0.00005) == "0.0001")  // halfway at scale, HALF_UP
+    // v1 (format_string) formats from the SAME shortest-decimal repr
+    // (java.util.Formatter goes through FloatingDecimal, not the exact
+    // binary expansion), so halfway cases do NOT change ids across the
+    // v1 -> v2 upgrade:
+    assert(v1_2(1.005) == "1.01" && v1_2(2.675) == "2.68")
+    // ...the ONLY divergence class is negative zero, where v2 drops
+    // the sign (BigDecimal has no -0):
+    assert(f4(-0.0) == "0.0000")     // v1 rendered "-0.0000"
+    assert(f4(-0.00004) == "0.0000") // rounds to -0, renders unsigned
+    assert(one(format_string("%.4f", lit(-0.0))).asInstanceOf[String] == "-0.0000")
+    // and on the feed's integer-derived domain the renders are plain
+    assert(f4(32.1) == "32.1000" && f4(-97.5) == "-97.5000")
+    assert(f2(1.75) == "1.75" && f2(0.0) == "0.00")
+  }
 }
