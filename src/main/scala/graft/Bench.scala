@@ -129,6 +129,30 @@ object Bench {
         .groupBy(col("x") % 7).agg(sum(col("x"))).count()
       spark.catalog.clearCache(); System.gc()
     }
+    // Forced-series input: the testdata tables are SINGLE-FILE,
+    // SINGLE-ROW-GROUP parquet, and parquet scans split at row-group
+    // granularity — so a narrow-map query's forced (full-plan) timing
+    // ran its entire per-row work on ONE core (VERDICT r4 item 4;
+    // lowering maxPartitionBytes cannot help with one row group).
+    // Re-pack each table once into `cpus` files in tmp (row-identical;
+    // write time is outside every timer) and run the forced series
+    // against the split copy, making it a true local[N] wall-clock.
+    // The count series stays on the original dir for cross-round
+    // comparability.
+    val splitDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-bench-split-$cpus-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    locally {
+      val marker = new java.io.File(splitDir, "_SPLIT_OK")
+      if (!marker.exists) {
+        graft.sources.Tables.all.foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$splitDir/$t.parquet")
+        }
+        marker.createNewFile()
+      }
+      spark.catalog.clearCache(); System.gc()
+    }
     // a failed query must NOT contribute a meaningless wall time: its
     // timing is dropped and the failure is recorded per query in
     // "errors" (BENCH_r02-class regressions can't hide as fast timings)
@@ -148,7 +172,7 @@ object Bench {
       // count-based series stays the headline for cross-round
       // comparability; this map is the honest per-row-work number.
       val tf = System.nanoTime()
-      val errF = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
+      val errF = try { fn(spark, splitDir).queryExecution.toRdd.count(); None } catch {
         case t: Throwable =>
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
@@ -193,6 +217,7 @@ object Bench {
       s""""queries_forced":$qsForced,"value_forced":$totalForced,""" +
       s""""errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
+      s""""forced_input":"$cpus-file split copy of sf dir (row-identical; single-file scans are one partition)",""" +
       s""""heap_max_bytes":$heapMax,"gc_collectors":$gcNames,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
