@@ -103,12 +103,27 @@ object StormSinks {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** All pointer I/O goes through FileContext when the filesystem has
+    * an AbstractFileSystem binding: on the local FS that is the RAW
+    * filesystem (no `.crc` sidecars — ChecksumFileSystem's sidecar is
+    * a SECOND file, so no sidecar-based path can ever rename a pointer
+    * atomically: the data rename and the crc rename are separate ops,
+    * and a racing reader sees new data with the old checksum — found
+    * by GraftLakeSpec's publish race), and on HDFS it is the native
+    * client (checksums live in the protocol, not sidecar files).
+    * Filesystems with no binding fall back to the FileSystem API. */
+  private def fcFor(fs: org.apache.hadoop.fs.FileSystem): Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[(Int, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_current")
-    if (!fs.exists(p)) None
+    val fc = fcFor(fs)
+    val exists = fc.map(_.util().exists(p)).getOrElse(fs.exists(p))
+    if (!exists) None
     else {
-      val in = fs.open(p)
+      val in = fc.map(_.open(p)).getOrElse(fs.open(p))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       require(s.matches("v-[0-9]+"), s"corrupt _current pointer: '$s'")
@@ -130,15 +145,23 @@ object StormSinks {
       version: Int): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/._current.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
-    val out = fs.create(tmp, true)
-    try out.write(s"v-$version\n".getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException |
-           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // non-atomic fallback: the only window where no pointer exists
+    fcFor(fs) match {
+      case Some(fc) =>
+        // write tmp AND rename through the same (raw / native) channel,
+        // then ONE overwrite-rename: a crash or racing reader at any
+        // instant sees the old pointer or the new one, never none
+        val out = fc.create(tmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        try out.write(s"v-$version\n".getBytes("UTF-8")) finally out.close()
+        fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        // non-atomic fallback for filesystems without an
+        // AbstractFileSystem binding: the only window where no pointer
+        // exists (readVersioned's retry covers racing readers)
+        val out = fs.create(tmp, true)
+        try out.write(s"v-$version\n".getBytes("UTF-8")) finally out.close()
         if (fs.exists(cur) && !fs.delete(cur, false))
           throw new java.io.IOException(s"cannot replace $cur")
         if (!fs.rename(tmp, cur))
@@ -163,18 +186,24 @@ object StormSinks {
     next
   }
 
-  /** Read the current version (resolves _current, reads the immutable
-    * version dir — never racing a swap). A missing pointer is retried
-    * briefly before failing: on filesystems where [[publish]] had to
-    * take the non-atomic fallback there is a sub-millisecond window
-    * with no pointer, and one retry hides it from 24/7 readers. */
-  def readVersioned(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Resolve the live immutable version dir (`$dir/v-N` named by
+    * `_current`). A missing pointer is retried briefly before failing:
+    * on filesystems where [[publish]] had to take the non-atomic
+    * fallback there is a sub-millisecond window with no pointer, and
+    * one retry hides it from 24/7 readers. Also the resolution step of
+    * the `graftlake` DataSourceV2 format ([[GraftLakeSource]]). */
+  def currentVersionDir(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val fs = fsFor(spark, dir)
     val ptr = readPointer(fs, dir).orElse { Thread.sleep(100); readPointer(fs, dir) }
     val (_, name) = ptr.getOrElse(
       throw new java.io.FileNotFoundException(s"no _current pointer under $dir"))
-    spark.read.parquet(s"$dir/$name")
+    s"$dir/$name"
   }
+
+  /** Read the current version (resolves _current, reads the immutable
+    * version dir — never racing a swap). */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(currentVersionDir(spark, dir))
 
   /** Compaction, versioned flavor: re-pack the CURRENT version into a
     * new version dir (same per-partition file-count control as
