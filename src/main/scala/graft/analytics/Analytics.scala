@@ -496,6 +496,21 @@ object Analytics {
 
   /** INTERSECT / EXCEPT set operators through spark.sql (they plan to
     * the same semi/anti joins qSemiAnti uses explicitly). */
+  /** Fuzzy (edit-distance ≤ 1) self-join over the part-name vocabulary
+    * via the FastSS deletion-neighborhood rule — the entity-resolution
+    * primitive (typo'd product names, near-identical source labels).
+    * The banding does the scaling ([[graft.operators.Joins
+    * .fuzzyPairsDist1]]: variants equi-join, no O(n²) nested loop);
+    * the DuckDB oracle is the naive theta join, feasible at oracle SF
+    * and lossless-equal by the FastSS property. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+    graft.operators.Joins.fuzzyPairsDist1(names, col("p_name"), col("p_name"))
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   def qSetop(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
@@ -627,6 +642,7 @@ object Analytics {
     "q_subquery"   -> (qSubquery _),
     "q_profile"    -> (qProfile _),
     "q_setop"      -> (qSetop _),
+    "fuzzy_join"   -> (qFuzzyJoin _),
     "q_temporal"   -> (qTemporal _),
     "q_trailing"   -> (qTrailing _),
     "q_anomaly"    -> (qAnomaly _),
@@ -654,6 +670,17 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // the naive theta join IS the spec; the Spark side's deletion-
+    // neighborhood banding is lossless for dist <= 1 (FastSS property),
+    // so the two agree exactly. DuckDB and Spark both implement classic
+    // unit-cost Levenshtein.
+    "fuzzy_join" ->
+      """SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM (SELECT DISTINCT p_name FROM part) a,
+        |     (SELECT DISTINCT p_name FROM part) b
+        |WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_integrity" ->
       """SELECT 'lineitems_without_order' AS "check", count(*) AS n FROM lineitem
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)

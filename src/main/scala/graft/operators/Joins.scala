@@ -107,4 +107,43 @@ object Joins {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
   }
+
+  // ------------------------------------------------------ fuzzy self-join
+  /** Edit-distance ≤ 1 self-join via 1-DELETION NEIGHBORHOODS (the
+    * FastSS / SymSpell candidate rule): each string posts itself plus
+    * its `len` single-character deletions; two strings within
+    * Levenshtein distance 1 necessarily share a variant (equality →
+    * the string itself; substitution at i → both delete i;
+    * insert/delete → the longer's deletion equals the shorter), so the
+    * variant equi-join is a LOSSLESS candidate generator and the exact
+    * `levenshtein` verify only prices candidates.
+    *
+    * Scale shape: one explode (len+1 variants per string — bounded by
+    * the key length, so cap/truncate keys upstream for long text), one
+    * shuffle on the variant, exact verify on survivors. The naive form
+    * is an O(n²) cross join with a levenshtein filter — a broadcast
+    * nested loop that dies at any scale; here pair work is driven by
+    * variant collisions, which for natural-key vocabularies are the
+    * near-duplicates themselves. Returns (id_a, id_b, str_a, str_b,
+    * dist ≤ 1) with id_a < id_b. */
+  def fuzzyPairsDist1(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      strCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(idCol.as("fid"), strCol.as("fstr"))
+    // s + all single-deletions of s (distinct — deleting either of a
+    // doubled letter yields the same variant)
+    val variants = base.select(col("fid"), col("fstr"),
+      explode(array_distinct(transform(
+        sequence(lit(0), length(col("fstr"))),
+        i => when(i === 0, col("fstr")).otherwise(concat(
+          col("fstr").substr(lit(1), i - 1),
+          col("fstr").substr(i + 1, length(col("fstr")) - i)))))).as("v"))
+    val a = variants.select(col("v"), col("fid").as("id_a"), col("fstr").as("str_a"))
+    val b = variants.select(col("v"), col("fid").as("id_b"), col("fstr").as("str_b"))
+    a.join(b, Seq("v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may share several variants
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .where(col("dist") <= 1)
+  }
 }

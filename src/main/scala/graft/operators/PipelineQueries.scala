@@ -67,6 +67,15 @@ object PipelineQueries {
           col("e2.b").as("doc_c"))
         .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
     }),
+    // 81: deterministic integer PageRank over the same near-dup graph —
+    // similarity-graph centrality as the canonical-copy signal (hub
+    // docs rank high, satellites low). Integer mass arithmetic makes
+    // the full 3-round training loop engine-exact; the oracle replays
+    // it (the k-means trick applied to graph iteration).
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pagerankInt(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5),
+          iters = 3)
+        .orderBy(col("doc_id"))),
     // 39: the composed training-data pipeline — quality gate + near-dup
     // cluster dedup (keep each cluster's canonical min-id member):
     // what a corpus-prep job actually runs, end to end
@@ -746,6 +755,49 @@ object PipelineQueries {
          |FROM e e1 JOIN e e2 ON e1.b = e2.a
          |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          |ORDER BY 1, 2, 3""".stripMargin,
+    // 81: the SAME jaccard edge CTE, then three integer PageRank
+    // rounds unrolled — every step is BIGINT div/sum, so the replay is
+    // bit-exact regardless of execution order. base/teleport literals
+    // mirror Graph.pagerankInt (massScale 10^12, damping 85/100).
+    "graph_pagerank" ->
+      s"""WITH $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), deg AS (
+         |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1
+         |), consts AS (
+         |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base,
+         |         CAST(15 * (1000000000000 // count(*)) // 100 AS BIGINT) AS tp
+         |  FROM deg
+         |), r0 AS (
+         |  SELECT id, deg, (SELECT base FROM consts) AS r FROM deg
+         |), r1 AS (
+         |  SELECT d.id, d.deg, (SELECT tp FROM consts)
+         |    + CAST(85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r // r.deg) AS s
+         |    FROM edges e JOIN r0 r ON r.id = e.src GROUP BY 1) i ON i.id = d.id
+         |), r2 AS (
+         |  SELECT d.id, d.deg, (SELECT tp FROM consts)
+         |    + CAST(85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r // r.deg) AS s
+         |    FROM edges e JOIN r1 r ON r.id = e.src GROUP BY 1) i ON i.id = d.id
+         |), r3 AS (
+         |  SELECT d.id, d.deg, (SELECT tp FROM consts)
+         |    + CAST(85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r // r.deg) AS s
+         |    FROM edges e JOIN r2 r ON r.id = e.src GROUP BY 1) i ON i.id = d.id
+         |)
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_i
+         |FROM r3 ORDER BY doc_id""".stripMargin,
     // 38: transitive closure over the exact Jaccard>=0.5 pair graph —
     // min reachable doc_id per node == the min-label-propagation
     // fixpoint the Spark operator converges to.

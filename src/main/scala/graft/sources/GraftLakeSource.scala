@@ -30,9 +30,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * under a running query — readers see the old or the new version,
   * never a gap (GraftLakeSpec races them).
   *
-  * Options: `path` (the lake root containing `_current`). Writes go
-  * through [[StormSinks.writeVersioned]] (publishing is a pointer
-  * protocol, not a file append — a DSv2 write would bypass it).
+  * Options: `path` (the lake root containing `_current`), and
+  * optionally `version` (`"3"` or `"v-3"`) for time travel onto any
+  * retained immutable version — the read side of
+  * [[StormSinks.vacuumVersions]]'s retention window.
+  *
+  * Writes go through [[StormSinks.writeVersioned]] (publishing is a
+  * pointer protocol, not a file append — a DSv2 write would bypass
+  * it).
   */
 class GraftLakeSource extends TableProvider with DataSourceRegister {
 
@@ -50,7 +55,13 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 
   private def delegate(options: CaseInsensitiveStringMap): ParquetTable = {
     val spark = SparkSession.active
-    val versionDir = StormSinks.currentVersionDir(spark, lakeDir(options))
+    val versionDir = Option(options.get("version")) match {
+      case Some(v) =>
+        val n = v.stripPrefix("v-")
+        require(n.matches("[0-9]+"), s"version must be N or v-N, got '$v'")
+        s"${lakeDir(options)}/v-$n" // time travel: any retained version
+      case None => StormSinks.currentVersionDir(spark, lakeDir(options))
+    }
     ParquetTable(s"graftlake ${lakeDir(options)} ($versionDir)", spark, options,
       Seq(versionDir), None, classOf[ParquetFileFormat])
   }

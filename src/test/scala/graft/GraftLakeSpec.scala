@@ -73,6 +73,17 @@ class GraftLakeSpec extends SparkSpec {
     assert(plan.contains("v-5"), plan.take(400))
   }
 
+  test("time travel: option(version) reads a retained older version") {
+    val (dir, n, enriched) = freshLake()
+    // v1 drops half the rows; v0 stays readable via time travel
+    StormSinks.writeVersioned(enriched.limit(100), dir)
+    assert(spark.read.format("graftlake").load(dir).count() == 100)
+    assert(spark.read.format("graftlake").option("version", "0").load(dir).count() == n)
+    assert(spark.read.format("graftlake").option("version", "v-0").load(dir).count() == n)
+    intercept[IllegalArgumentException](
+      spark.read.format("graftlake").option("version", "latest").load(dir))
+  }
+
   test("missing pointer is a clear error, and path is required") {
     val empty = Files.createTempDirectory("graft-lake-empty").toString
     intercept[java.io.FileNotFoundException](

@@ -100,4 +100,25 @@ class JoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("fuzzyPairsDist1 == brute-force levenshtein<=1 (FastSS is lossless)") {
+    import spark.implicits._
+    // equality, substitution, deletion, insertion, doubled letters,
+    // plus decoys at distance 2+
+    val words = Seq("storm", "storn", "stor", "storms", "sttorm", "stoorm",
+      "hail", "hails", "bail", "rail", "trail", "wind", "winds", "mind",
+      "aa", "ab", "a", "b", "xyzzy").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val fast = graft.operators.Joins.fuzzyPairsDist1(words, col("id"), col("w"))
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = words.as("a").crossJoin(words.as("b"))
+      .where(col("a.id") < col("b.id") &&
+        levenshtein(col("a.w"), col("b.w")) <= 1)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.w"), col("b.w")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty) // the case actually exercises matches
+  }
 }
