@@ -67,6 +67,16 @@ object PipelineQueries {
           col("e2.b").as("doc_c"))
         .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
     }),
+    // 83: audio modality — deterministic PCM clips (text bytes →
+    // int16 samples) through a REAL WAV container round-trip, then
+    // signal-level quality features (energy, zero-crossing rate,
+    // peak): the audio leg of the multimodal surface. Features are
+    // exact integer sums over decoded samples — the oracle replays
+    // them from the same bytes; the container itself is spec-pinned
+    // against the JDK's javax.sound reader.
+    "mm_audio" -> ((s, d) =>
+      Audio.extractFeatures(Audio.audioFromDocuments(docs(s, d))).toDF()
+        .orderBy(col("media_id"))),
     // 81: deterministic integer PageRank over the same near-dup graph —
     // similarity-graph centrality as the canonical-copy signal (hub
     // docs rank high, satellites low). Integer mass arithmetic makes
@@ -755,6 +765,29 @@ object PipelineQueries {
          |FROM e e1 JOIN e e2 ON e1.b = e2.a
          |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          |ORDER BY 1, 2, 3""".stripMargin,
+    // 83: replay of sample_i = (byte_i - 128) * 256 and the integer
+    // signal sums; zero counts as non-negative in the sign-change
+    // test, exactly as the codec computes it
+    "mm_audio" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), ss AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), i ->
+         |      (CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT) - 128) * 256) AS s
+         |  FROM b
+         |)
+         |SELECT doc_id AS media_id,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+         |  CAST(coalesce(list_sum(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+         |  CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sum_sq,
+         |  CAST(coalesce(list_sum(list_transform(range(1, n), i ->
+         |    CASE WHEN (s[CAST(i AS INT)] < 0) <> (s[CAST(i AS INT) + 1] < 0)
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+         |  CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS INT) AS peak
+         |FROM ss ORDER BY media_id""".stripMargin,
     // 81: the SAME jaccard edge CTE, then three integer PageRank
     // rounds unrolled — every step is BIGINT div/sum, so the replay is
     // bit-exact regardless of execution order. base/teleport literals
