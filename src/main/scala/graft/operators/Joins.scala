@@ -108,6 +108,59 @@ object Joins {
       .drop("__b")
   }
 
+  // ---------------------------------------------------- spatial self-join
+  /** All point pairs within an L∞ radius (|Δlat| ≤ r AND |Δlon| ≤ r,
+    * in integer micro-degrees) — the spatial neighborhood join behind
+    * duplicate-report collapse, DBSCAN-style clustering and
+    * co-location analysis.
+    *
+    * Scale shape: GRID BUCKETING, the spatial analogue of [[rangeJoin]]
+    * — the plane is tiled into r×r cells, each point lands in exactly
+    * one home cell, and one side additionally probes its 9-cell
+    * neighborhood (a 9× map-side replication, no data-dependent
+    * blowup). Any L∞-close pair shares (probe-cell == home-cell) for
+    * exactly one of the 9 probes — lossless, and no pair-dedup needed.
+    * The join is a plain hash equi-join on the cell id; a naive
+    * |Δlat| ≤ r theta join would plan as a broadcast nested loop.
+    * Hot cells (urban clusters) are ordinary join skew — AQE splits
+    * them, or cut `radiusMicroDeg`.
+    *
+    * Coordinates quantize via floor(deg · 10⁶) — IEEE multiply +
+    * floor, bit-identical in any engine; all subsequent arithmetic is
+    * integer (floor-division cells via the pmod identity, exact for
+    * negative coordinates where `div` truncation would mis-bucket).
+    * Returns (id_a, id_b, dlat_u, dlon_u), id_a < id_b. */
+  def spatialNeighborPairs(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      latCol: org.apache.spark.sql.Column, lonCol: org.apache.spark.sql.Column,
+      radiusMicroDeg: Long): DataFrame = {
+    require(radiusMicroDeg > 0, s"radius must be positive, got $radiusMicroDeg")
+    val r = radiusMicroDeg
+    val pts = df.select(idCol.as("sid"),
+      floor(latCol * 1000000.0).cast("long").as("lat_u"),
+      floor(lonCol * 1000000.0).cast("long").as("lon_u"))
+    // floor division that is correct for negatives: x - pmod(x, r) is
+    // the largest multiple of r at or below x, and dividing an exact
+    // multiple is exact
+    def cell(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(r))) / lit(r)).cast("long")
+    val home = pts.select(col("sid"), col("lat_u"), col("lon_u"),
+      cell(col("lat_u")).as("cx"), cell(col("lon_u")).as("cy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val probe = home.select(col("sid").as("id_a"),
+      col("lat_u").as("la"), col("lon_u").as("lo"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+      }: _*)).as("c"))
+      .select(col("id_a"), col("la"), col("lo"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .where(col("id_a") < col("sid") &&
+        abs(col("la") - col("lat_u")) <= r && abs(col("lo") - col("lon_u")) <= r)
+      .select(col("id_a"), col("sid").as("id_b"),
+        abs(col("la") - col("lat_u")).as("dlat_u"),
+        abs(col("lo") - col("lon_u")).as("dlon_u"))
+  }
+
   // ------------------------------------------------------ fuzzy self-join
   /** Edit-distance ≤ 1 self-join via 1-DELETION NEIGHBORHOODS (the
     * FastSS / SymSpell candidate rule): each string posts itself plus

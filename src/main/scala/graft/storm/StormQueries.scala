@@ -142,6 +142,18 @@ object StormQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("magnitude").cast("decimal(18,4)")).cast("double").as("sum_magnitude"))
       .orderBy(col("cell_lat"), col("cell_lon"), col("event_type"))),
+    // 84: spatial neighborhood self-join — event pairs within 0.02°
+    // L∞ (duplicate-report collapse / co-located storm activity).
+    // Grid-bucketed (9-cell probe, one hash equi-join on the cell id —
+    // no nested loop); the oracle is the naive band theta join, equal
+    // because the grid candidate rule is lossless.
+    "storm_neighbors" -> ((s, d) => {
+      val ev = enriched(s, d).where(col("event_type") =!= "")
+        .select(col("event_id"), col("lat"), col("lon"))
+      graft.operators.Joins.spatialNeighborPairs(ev,
+          col("event_id"), col("lat"), col("lon"), radiusMicroDeg = 20000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // cmd/genmock equivalent: deterministic synthetic storm records
     "storm_genmock" -> ((s, d) => {
       val i = col("id")
@@ -308,6 +320,25 @@ en AS (
          |  CAST(sum(CAST(magnitude AS DECIMAL(18,4))) AS DOUBLE) AS sum_magnitude
          |FROM en WHERE etype <> ''
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // 84: naive band theta join over the same floor(deg*1e6) integer
+    // coordinates — DuckDB plans the BETWEEN bands as an IEJoin, so
+    // the replay stays feasible at sf0.1
+    "storm_neighbors" ->
+      s"""$EN SELECT a.event_id AS id_a, b.event_id AS id_b,
+         |  abs(CAST(floor(a.lat_d * 1000000.0) AS BIGINT)
+         |    - CAST(floor(b.lat_d * 1000000.0) AS BIGINT)) AS dlat_u,
+         |  abs(CAST(floor(a.lon_d * 1000000.0) AS BIGINT)
+         |    - CAST(floor(b.lon_d * 1000000.0) AS BIGINT)) AS dlon_u
+         |FROM en a JOIN en b
+         |  ON a.event_id < b.event_id
+         | AND CAST(floor(b.lat_d * 1000000.0) AS BIGINT)
+         |   BETWEEN CAST(floor(a.lat_d * 1000000.0) AS BIGINT) - 20000
+         |       AND CAST(floor(a.lat_d * 1000000.0) AS BIGINT) + 20000
+         | AND CAST(floor(b.lon_d * 1000000.0) AS BIGINT)
+         |   BETWEEN CAST(floor(a.lon_d * 1000000.0) AS BIGINT) - 20000
+         |       AND CAST(floor(a.lon_d * 1000000.0) AS BIGINT) + 20000
+         |WHERE a.etype <> '' AND b.etype <> ''
+         |ORDER BY id_a, id_b""".stripMargin,
     "storm_genmock" ->
       s"""WITH g AS (
          |  SELECT i,

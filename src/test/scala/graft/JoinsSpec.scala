@@ -101,6 +101,36 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("spatialNeighborPairs == brute-force L-inf theta join, negative coords included") {
+    import spark.implicits._
+    // deterministic scatter straddling the equator/prime meridian so
+    // negative micro-degrees exercise the floor-division cells (a
+    // truncating div would mis-bucket negatives and drop pairs)
+    val pts = (0L until 400L).map { i =>
+      (i, -0.05 + (i % 37).toDouble * 0.003, -0.04 + (i % 53).toDouble * 0.002)
+    }.toDF("pid", "plat", "plon")
+    val r = 2500L // 0.0025 degrees
+    val fast = graft.operators.Joins
+      .spatialNeighborPairs(pts, col("pid"), col("plat"), col("plon"), r)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val q = pts.select(col("pid"),
+      floor(col("plat") * 1000000.0).cast("long").as("u"),
+      floor(col("plon") * 1000000.0).cast("long").as("v"))
+    val brute = q.as("a").crossJoin(q.as("b"))
+      .where(col("a.pid") < col("b.pid") &&
+        abs(col("a.u") - col("b.u")) <= r && abs(col("a.v") - col("b.v")) <= r)
+      .select(col("a.pid"), col("b.pid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty)
+    // the plan is a hash equi-join on the cell, not a nested loop
+    val plan = graft.operators.Joins
+      .spatialNeighborPairs(pts, col("pid"), col("plat"), col("plon"), r)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      plan.take(500))
+  }
+
   test("fuzzyPairsDist1 == brute-force levenshtein<=1 (FastSS is lossless)") {
     import spark.implicits._
     // equality, substitution, deletion, insertion, doubled letters,
