@@ -143,8 +143,14 @@ object Joins {
     // multiple is exact
     def cell(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(r))) / lit(r)).cast("long")
-    val home = pts.select(col("sid"), col("lat_u"), col("lon_u"),
-      cell(col("lat_u")).as("cx"), cell(col("lon_u")).as("cy"))
+    // the home table feeds BOTH sides of the self-join and exchange
+    // reuse does not fire across consumer branches — un-materialized,
+    // the upstream subtree (e.g. a full enrichment) executes twice
+    // (measured 2x on storm_neighbors). Eager, like every
+    // Materialize.once operator.
+    val home = graft.Materialize.once(
+      pts.select(col("sid"), col("lat_u"), col("lon_u"),
+        cell(col("lat_u")).as("cx"), cell(col("lon_u")).as("cy")))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
     val probe = home.select(col("sid").as("id_a"),
       col("lat_u").as("la"), col("lon_u").as("lo"),
