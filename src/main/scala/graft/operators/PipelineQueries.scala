@@ -265,6 +265,41 @@ object PipelineQueries {
         .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     }),
+    // 85: Okapi BM25 per-(doc, term) index weights, top-3 per doc —
+    // the ranked-retrieval complement of text_tfidf (what a search /
+    // retrieval-augmentation index stores). Same one-aggregate shape:
+    // tf feeds dl, df AND the score join, materialized once; idf is
+    // the Lucene-style ln((N - df + 0.5)/(df + 0.5) + 1) (always
+    // positive); every double expression is mirrored operation-for-
+    // operation in the oracle, so round(.,6) hash-checks.
+    "text_bm25" -> ((s, d) => {
+      val doc = docs(s, d)
+      val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val tf = graft.Materialize.once(
+        toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // one-row (n_docs, avgdl): avgdl computed ONCE as a value so the
+      // oracle's CTE reproduces the identical double
+      val stats = doc.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+      val scored = tf.join(dl, "doc_id").join(dfreq, "token")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          round(idf * (tfD * 2.2) / denom, 6).as("bm25"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("bm25"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
     // 75: cross-document repeated-substring mass (ExactSubstr-style
     // dedup signal): fraction of each doc's 8-token windows that also
     // appear in another document — the positional-duplication measure
@@ -1248,6 +1283,36 @@ object PipelineQueries {
          |  FROM scored
          |)
          |SELECT doc_id, CAST(rk AS INT) AS rk, token, tfidf FROM ranked
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // 85: the same tf/dl/df aggregates, BM25 formula mirrored
+    // operation-for-operation (k1=1.2, b=0.75, Lucene idf)
+    "text_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+         |), ranked AS (
+         |  SELECT doc_id, token, bm25,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, token) AS rk
+         |  FROM scored
+         |)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, token, bm25 FROM ranked
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
