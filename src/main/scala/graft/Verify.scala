@@ -13,6 +13,14 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails to plan/execute must stay VISIBLE in the round
+    // artifacts: its output dir is simply absent, which a correctness
+    // harness keyed on present outputs can mis-read as a smaller-but-
+    // fully-green suite (that is exactly how 27 analysis failures hid in
+    // round 6). Record every failure in _verify_errors.json beside the
+    // outputs and exit non-zero so nothing downstream can call the run
+    // clean.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -20,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val expected = SparkEntry.queries.keys
+      .filter(n => only.isEmpty || only(n)).size
+    println(s"[verify] ${expected - errors.size}/$expected queries dumped, " +
+      s"${errors.size} failed")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

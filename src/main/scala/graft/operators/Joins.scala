@@ -189,16 +189,29 @@ object Joins {
       strCol: org.apache.spark.sql.Column): DataFrame = {
     val base = df.select(idCol.as("fid"), strCol.as("fstr"))
     // s + all single-deletions of s (distinct — deleting either of a
-    // doubled letter yields the same variant)
-    val variants = base.select(col("fid"), col("fstr"),
+    // doubled letter yields the same variant). The variant table feeds
+    // BOTH sides of the self-join and exchange reuse does not fire
+    // across consumer branches — un-materialized, the upstream scan +
+    // explode executed twice and the whole right side planned as a
+    // BroadcastExchange (fine for a dim table, fatal for a corpus).
+    // Materialized, the sides hash-shuffle on `v` (SMJ/shuffled-hash
+    // under AQE) like every other self-join in the library.
+    val variants = graft.Materialize.once(base.select(col("fid"), col("fstr"),
       explode(array_distinct(transform(
         sequence(lit(0), length(col("fstr"))),
         i => when(i === 0, col("fstr")).otherwise(concat(
           col("fstr").substr(lit(1), i - 1),
-          col("fstr").substr(i + 1, length(col("fstr")) - i)))))).as("v"))
+          col("fstr").substr(i + 1, length(col("fstr")) - i)))))).as("v")))
     val a = variants.select(col("v"), col("fid").as("id_a"), col("fstr").as("str_a"))
     val b = variants.select(col("v"), col("fid").as("id_b"), col("fstr").as("str_b"))
-    a.join(b, Seq("v"))
+    // force a shuffled join on the variant: the static size estimate
+    // under the explode is blind to the (len+1)× multiplier (measured:
+    // a 9·10⁵-row variant table still planned BuildRight broadcast),
+    // and at corpus scale that mis-estimate broadcasts the corpus.
+    // With the merge hint the join hash-shuffles on `v` — AQE still
+    // skew-splits hot variants, and the tiny-input cost is one small
+    // shuffle.
+    a.join(b.hint("merge"), Seq("v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
       .dropDuplicates("id_a", "id_b") // a pair may share several variants

@@ -23,14 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark does not
-    * map to a timestamp natively; read it as long nanos (GraftSession
-    * sets spark.sql.legacy.parquet.nanosAsLong at construction — no
-    * mid-session conf mutation here) and truncate to microseconds
-    * (integer arithmetic — ns epochs exceed double's 2^53 mantissa). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped under two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (reads as long nanos behind
+    * spark.sql.legacy.parquet.nanosAsLong, set once in GraftSession) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-UTC TimestampType so
+    * every downstream query sees one stable type:
+    *  - long nanos → truncate to micros in integer arithmetic (ns epochs
+    *    exceed double's 2^53 mantissa) → timestamp_micros;
+    *  - TIMESTAMP_NTZ → cast (wall-clock preserving; session tz is UTC,
+    *    matching DuckDB's naive-TIMESTAMP reading on the oracle side);
+    *  - already TimestampType → pass through. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -97,6 +97,107 @@ class HotKeyStressSpec extends SparkSpec {
       s"skew-safe cap shuffled $shuffled records — pre-thin not engaged")
   }
 
+  test("spatialNeighborPairs: one urban-dense cell stays pair-work, never pair-shuffle") {
+    // 3000 points inside ONE grid cell (the Manhattan-downtown shape) +
+    // a sparse scatter elsewhere. The O(c²) same-cell pair evaluation is
+    // inherent to the semantics; the scale claim under test is that it
+    // happens STREAMING through the hash join — the shuffle only ever
+    // carries the 9× probe replication (~10·n rows), never the n² pairs,
+    // so a hot cell costs CPU, not memory or shuffle volume.
+    val r = 20000L // 0.02° cells; any two points in one cell are L∞-close
+    val hot = spark.range(3000).select(col("id").as("pid"),
+      (lit(40.0) + col("id") * 5.0e-9).as("plat"),     // all inside one cell
+      (lit(-74.0) + col("id") * 5.0e-9).as("plon"))
+    val sparsePts = spark.range(3000, 3200).select(col("id").as("pid"),
+      (lit(10.0) + (col("id") % 50) * 1.0).as("plat"), // ≥1° apart: no pairs
+      (lit(20.0) + (col("id") % 40) * 1.0).as("plon"))
+    val pts = hot.unionByName(sparsePts)
+    val (cnt, peak, shuffled, _) = metered {
+      graft.operators.Joins
+        .spatialNeighborPairs(pts, col("pid"), col("plat"), col("plon"), r)
+        .count()
+    }
+    // correctness: exactly the C(3000,2) hot-cell pairs (sparse points
+    // are ≥1° from everything; hot points are pairwise within r on both
+    // axes by construction)
+    assert(cnt == 3000L * 2999L / 2, s"expected all hot-cell pairs, got $cnt")
+    // mechanism: shuffle volume ~ 9·n probes + n home rows (+ partial-agg
+    // count rows) — nothing within an order of magnitude of the 4.5M
+    // pairs the join evaluates
+    assert(shuffled < 100000L,
+      s"neighbors shuffled $shuffled records — pairs reached a shuffle")
+    assert(peak < (1L << 30), s"peakExecutionMemory $peak >= 1 GiB")
+  }
+
+  test("spatialNeighborPairs: AQE skew split spreads a hot cell across tasks") {
+    // the scaladoc's "hot cells are ordinary join skew — AQE splits
+    // them" claim, proven mechanically: with test-scaled skew thresholds
+    // the final adaptive plan marks the sort-merge join skew=true (the
+    // hot cell's partition is split into multiple tasks) and the result
+    // is unchanged. At cluster scale the default 256 MB threshold plays
+    // this role; only the threshold is scaled here, not the mechanism.
+    val r = 20000L
+    val hot = spark.range(2000).select(col("id").as("pid"),
+      (lit(40.0) + col("id") * 5.0e-9).as("plat"),
+      (lit(-74.0) + col("id") * 5.0e-9).as("plon"))
+    val confs = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = graft.operators.Joins
+        .spatialNeighborPairs(hot, col("pid"), col("plat"), col("plon"), r)
+      // drive q's OWN QueryExecution (df.count() plans a separate
+      // aggregate query and would leave this plan un-finalized)
+      assert(q.queryExecution.toRdd.count() == 2000L * 1999L / 2)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot-cell join partition was not skew-split:\n${plan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("fuzzyPairsDist1: 10^5-key vocabulary joins shuffled, not broadcast") {
+    // corpus-scale shape: 100k distinct 8-char keys (26^8 space — hash
+    // scatter, no accidental hot variants) + 50 planted one-substitution
+    // near-duplicates. The variants subtree must materialize ONCE and
+    // the self-join must plan as a shuffled join on the variant — the
+    // un-materialized form re-ran the explode per side and broadcast the
+    // entire right side, which at this row count is already a >40 MB
+    // broadcast and at corpus scale an OOM.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def w8(seed: org.apache.spark.sql.Column) = concat(
+      (1 to 8).map(j => substring(lit(alpha),
+        (pmod(hash(seed * 31 + j), lit(26)) + 1).cast("int"), lit(1))): _*)
+    val base = spark.range(100000).select(col("id"), w8(col("id")).as("w"))
+    // ids 200000+i: copy of word i with the first char substituted
+    val planted = spark.range(50).select((col("id") + 200000).as("id"),
+      concat(lit("Z"), substring(w8(col("id")), 2, 7)).as("w"))
+    val words = base.unionByName(planted)
+    val (pairs, peak, _, _) = metered {
+      graft.operators.Joins.fuzzyPairsDist1(words, col("id"), col("w"))
+        .where(col("id_b") >= 200000).collect()
+    }
+    // every planted pair surfaces (substitution ⇒ shared deletion variant)
+    assert(pairs.count(r => r.getLong(1) == r.getLong(0) + 200000) == 50,
+      s"planted near-dups missing: ${pairs.length} pairs")
+    assert(peak < (1L << 30), s"peakExecutionMemory $peak >= 1 GiB")
+    val q = graft.operators.Joins.fuzzyPairsDist1(words, col("id"), col("w"))
+    q.queryExecution.toRdd.count() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), "variants not materialized once")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"fuzzy join degenerated:\n${plan.take(500)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"fuzzy join did not shuffle on the variant:\n${plan.take(500)}")
+  }
+
   test("jaccard verify: a 2000-doc hot vocabulary generates no hot-shingle candidates") {
     // every doc shares a hot 3-word header (hot bigrams, df=2000) but
     // carries enough unique shingles that the AllPairs prefix never
