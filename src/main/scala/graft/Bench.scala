@@ -14,6 +14,17 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
+  /** One query's measurements: the count-pruned and force-evaluated
+    * wall times, a host-calibration stamp taken right after EACH (so
+    * a mid-run host wave is attributable per series), STW GC-pause and
+    * process-CPU deltas per series, and the persistent-RDD count found
+    * lingering after the query (Materialize.once residue — must be
+    * freed between queries, not left to the async ContextCleaner). */
+  final case class BenchRow(sec: Double, calib: Long, calibMt: Long,
+    err: Option[String], secForced: Double, calibForced: Long,
+    calibMtForced: Long, gcMsCount: Long, gcMsForced: Long,
+    cpuMsCount: Long, cpuMsForced: Long, residBlocks: Int)
+
   /** (pid, cores-of-CPU) for non-ancestor java processes busier than
     * `minCores` over a ~`sampleMs` window. */
   def strayJvms(sampleMs: Long = 500, minCores: Double = 0.05): Seq[(Long, Double)] = {
@@ -153,16 +164,51 @@ object Bench {
       }
       spark.catalog.clearCache(); System.gc()
     }
+    // STW GC pause ms across all collector beans (concurrent G1 cycles
+    // additionally steal CPU invisibly — the cpu_ratio field catches
+    // that: measured work / wall below ~cores means starved workers)
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def procCpuMs(): Long =
+      ProcessHandle.current().info().totalCpuDuration()
+        .map[Long](_.toMillis).orElse(0L)
+    // Residue hygiene between executions. "gc" (historical): drop
+    // cached plans and hope the ContextCleaner's weak-ref path frees
+    // Materialize.once blocks after System.gc(). "unpersist" (default
+    // since round 7): additionally unpersist every leftover persistent
+    // RDD DETERMINISTICALLY (blocking) — between queries nothing may
+    // legitimately stay persisted, and the async path leaves tens of
+    // GB of localCheckpoint block residue alive at big heaps (the
+    // BENCH_r04/r05 in-suite forced-series melt: residue keeps G1
+    // concurrent cycles scanning a fat old gen DURING measured
+    // queries; at 8g eviction pressure hid it).
+    val hygiene = sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "unpersist")
+    def cleanBetween(): Int = {
+      spark.catalog.clearCache()
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      if (hygiene == "unpersist")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      System.gc()
+      leftover
+    }
     // a failed query must NOT contribute a meaningless wall time: its
     // timing is dropped and the failure is recorded per query in
     // "errors" (BENCH_r02-class regressions can't hide as fast timings)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val gc0 = gcMs(); val cpu0 = procCpuMs()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case t: Throwable =>
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcCount = gcMs() - gc0; val cpuCount = procCpuMs() - cpu0
+      val calibC = quickCalib(); val calibMtC = quickCalibMt()
+      // between the two executions (outside both timers): the count
+      // execution's Materialize blocks must not become the forced
+      // execution's heap pressure
+      cleanBetween()
       // SECOND timing with every output column force-evaluated:
       // count() prunes projections, so a narrow-map query's count time
       // is its SCAN time, not its compute time (storm_enrich "0.25s"
@@ -171,37 +217,45 @@ object Bench {
       // key). toRdd executes the full physical plan per row. The
       // count-based series stays the headline for cross-round
       // comparability; this map is the honest per-row-work number.
+      val gc1 = gcMs(); val cpu1 = procCpuMs()
       val tf = System.nanoTime()
       val errF = try { fn(spark, splitDir).queryExecution.toRdd.count(); None } catch {
         case t: Throwable =>
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
       val secForced = (System.nanoTime() - tf) / 1e9
-      // between queries (outside the timer): drop cached plans and nudge
-      // the ContextCleaner so one query's checkpoint/cache blocks don't
-      // become the next query's memory pressure
-      spark.catalog.clearCache()
-      System.gc()
-      name -> (sec, quickCalib(), quickCalibMt(), err.orElse(errF), secForced)
+      val gcForced = gcMs() - gc1; val cpuForced = procCpuMs() - cpu1
+      // forced-series calibration stamps (VERDICT r5 #7): the forced
+      // timing gets its OWN host probes, so a host wave during the
+      // forced execution is attributable from the artifact alone
+      val calibF = quickCalib(); val calibMtF = quickCalibMt()
+      val resid = cleanBetween()
+      name -> BenchRow(sec, calibC, calibMtC, err.orElse(errF), secForced,
+        calibF, calibMtF, gcCount, gcForced, cpuCount, cpuForced, resid)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filter(_._2._4.isEmpty)
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v._1 }
-      .mkString("{", ",", "}")
-    val qsForced = ok.map { case (k, v) => jstr(k) + ":" + v._5 }
-      .mkString("{", ",", "}")
-    val totalForced = if (ok.nonEmpty) ok.values.map(_._5).sum else 0.0
-    val qCalib = results.map { case (k, v) => jstr(k) + ":" + v._2 }
-      .mkString("{", ",", "}")
-    val qCalibMt = results.map { case (k, v) => jstr(k) + ":" + v._3 }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, _, _, Some(e), _)) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    def qmap(f: BenchRow => Any, rs: Map[String, BenchRow] = results): String =
+      rs.map { case (k, v) => jstr(k) + ":" + f(v) }.mkString("{", ",", "}")
+    val ok = results.filter(_._2.err.isEmpty)
+    val qs = qmap(_.sec, ok)
+    val qsForced = qmap(_.secForced, ok)
+    val totalForced = if (ok.nonEmpty) ok.values.map(_.secForced).sum else 0.0
+    val qCalib = qmap(_.calib)
+    val qCalibMt = qmap(_.calibMt)
+    val qCalibF = qmap(_.calibForced)
+    val qCalibMtF = qmap(_.calibMtForced)
+    val qGc = qmap(_.gcMsCount)
+    val qGcF = qmap(_.gcMsForced)
+    val qCpu = qmap(_.cpuMsCount)
+    val qCpuF = qmap(_.cpuMsForced)
+    val qResid = qmap(_.residBlocks)
+    val errs = results.collect { case (k, r) if r.err.isDefined =>
+      jstr(k) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.map(_.sec).sum else 0.0
     val strayJson = stray.map { case (p, c) => s"""{"pid":$p,"cores":$c}""" }
       .mkString("[", ",", "]")
     val calibEnd = calibrate()
@@ -221,7 +275,12 @@ object Bench {
       s""""heap_max_bytes":$heapMax,"gc_collectors":$gcNames,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
-      s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt}"""
+      s""""hygiene":${jstr(hygiene)},""" +
+      s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt,""" +
+      s""""query_calib_forced":$qCalibF,"query_calib_mt_forced":$qCalibMtF,""" +
+      s""""query_gc_ms":$qGc,"query_gc_ms_forced":$qGcF,""" +
+      s""""query_cpu_ms":$qCpu,"query_cpu_ms_forced":$qCpuF,""" +
+      s""""query_resid_blocks":$qResid}"""
     println(line)
     // stdout tails get truncated (BENCH_r03.json lost its per-query map
     // exactly that way) — persist the identical line to a file too

@@ -17,6 +17,14 @@ object GraftSession {
       // reads as long behind this flag; set once at construction (it
       // previously leaked out of Tables.events mid-session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable-materialize mode (spark.graft.materialize=reliable)
+      // writes Dataset.checkpoint files that nothing deletes by
+      // default — an 83-query session would accumulate every
+      // checkpointed subtree on the replicated store for the app's
+      // lifetime. Let the ContextCleaner remove a checkpoint's files
+      // once its RDD is unreachable (the same lifecycle local mode's
+      // blocks already follow).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // keep managed-table data (bucketed-table tests/tools) out of
       // the repo working dir
       .config("spark.sql.warehouse.dir",

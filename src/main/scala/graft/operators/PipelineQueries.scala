@@ -300,6 +300,57 @@ object PipelineQueries {
         .select(col("doc_id"), col("rk"), col("token"), col("bm25"))
         .orderBy(col("doc_id"), col("rk"))
     }),
+    // 86: sparse retrieval top-k — the SERVING side of the text_bm25
+    // index (what a retrieval-augmentation stack executes per query):
+    // 10 deterministic query vectors (each query doc's top-3 BM25
+    // terms) retrieve the 3 highest-scoring documents by sparse dot
+    // product over the inverted index. Weights land on an exact 1e-6
+    // integer grid, so dot products accumulate as order-free BIGINT
+    // sums and the oracle replays them bit-exactly (the k-means /
+    // pagerank trick applied to retrieval scores). Scale shape: the
+    // query side is tiny and broadcast — the index never reshuffles
+    // for the probe (the decontaminate pattern); per (query, doc)
+    // partial sums are one agg shuffle bounded by Σ_t df(t) over query
+    // terms. The final top-3 window runs over |queries| groups; a
+    // 10⁶-query batch would swap it for per-query TakeOrdered, but the
+    // window is exactly right at interactive batch sizes.
+    "text_retrieval" -> ((s, d) => {
+      val doc = docs(s, d)
+      val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val tf = graft.Materialize.once(
+        toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = doc.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+      // FULL index (no top-3 truncation), on the integer grid; feeds
+      // both the query-vector build and the postings join
+      val weights = graft.Materialize.once(
+        tf.join(dl, "doc_id").join(dfreq, "token")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("token"),
+            round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i")))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
+      val qterms = weights.where(col("doc_id") <= 10)
+        .withColumn("qrk", row_number().over(wq)).where(col("qrk") <= 3)
+        .select(col("doc_id").as("query_id"), col("token"), col("w_i").as("qw_i"))
+      val hits = weights.join(broadcast(qterms), "token")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("qw_i") * col("w_i")).as("score_i"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score_i").desc, col("doc_id"))
+      hits.withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("score_i"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
     // 75: cross-document repeated-substring mass (ExactSubstr-style
     // dedup signal): fraction of each doc's 8-token windows that also
     // appear in another document — the positional-duplication measure
@@ -1314,6 +1365,42 @@ object PipelineQueries {
          |)
          |SELECT doc_id, CAST(rk AS INT) AS rk, token, bm25 FROM ranked
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_retrieval" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+         |), wts AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(round(round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) * 1000000) AS BIGINT) AS w_i
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+         |), qterms AS (
+         |  SELECT doc_id AS query_id, token, w_i AS qw_i,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_i DESC, token) AS qrk
+         |  FROM wts WHERE doc_id <= 10
+         |), hits AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(q.qw_i * w.w_i) AS BIGINT) AS score_i
+         |  FROM wts w JOIN (SELECT * FROM qterms WHERE qrk <= 3) q USING (token)
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, doc_id, score_i,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk
+         |  FROM hits
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_i FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix

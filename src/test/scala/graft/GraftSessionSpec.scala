@@ -17,4 +17,10 @@ class GraftSessionSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
+
+  test("reliable-materialize checkpoints are cleaner-managed") {
+    // without this, reliable mode's Dataset.checkpoint files outlive
+    // every query in the session (nothing deletes them by default)
+    assert(spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints") == "true")
+  }
 }

@@ -198,6 +198,41 @@ class HotKeyStressSpec extends SparkSpec {
       s"fuzzy join did not shuffle on the variant:\n${plan.take(500)}")
   }
 
+  test("pagerankInt: a 2*10^4-degree hub at iters=10 stays bounded and bit-exact") {
+    // one pathological hub (the celebrity-document shape of a real
+    // similarity graph) and a deep iteration count. Claims under test:
+    // the checkpoint cadence keeps plan depth independent of iters
+    // (the final frame is a self-contained materialized scan), task
+    // memory stays bounded despite every src-partition row landing on
+    // the hub's key, and the integer arithmetic replays bit-exactly —
+    // a star graph's closed-form replay needs two Longs per round.
+    val m = 20000L
+    val pairs = spark.range(1, m + 1)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val (rows, peak, _, _) = metered {
+      graft.operators.Graph.pagerankInt(pairs, iters = 10).collect()
+    }
+    val r = rows.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // exact replay: deg(hub)=m, deg(sat)=1, n=m+1
+    val massScale = 1000000000000L
+    val base = massScale / (m + 1)
+    val teleport = 15L * base / 100L
+    var (rh, rs) = (base, base)
+    for (_ <- 1 to 10) {
+      val nh = teleport + (85L * (m * rs)) / 100L
+      val ns = teleport + (85L * (rh / m)) / 100L
+      rh = nh; rs = ns
+    }
+    assert(r(0L) == rh, s"hub rank ${r(0L)} != replay $rh")
+    assert(r(1L) == rs && r(m) == rs, s"satellite rank ${r(1L)} != replay $rs")
+    assert(r.size == m + 1)
+    assert(peak < (1L << 30), s"peakExecutionMemory $peak >= 1 GiB")
+    // plan depth is iters-independent: the result is a materialized scan
+    val q = graft.operators.Graph.pagerankInt(pairs, iters = 10)
+    val nNodes = { var c = 0; q.queryExecution.analyzed.foreach(_ => c += 1); c }
+    assert(nNodes <= 4, s"pagerank result plan has $nNodes nodes — lineage leaked")
+  }
+
   test("jaccard verify: a 2000-doc hot vocabulary generates no hot-shingle candidates") {
     // every doc shares a hot 3-word header (hot bigrams, df=2000) but
     // carries enough unique shingles that the AllPairs prefix never
