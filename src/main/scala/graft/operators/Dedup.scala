@@ -104,6 +104,52 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------ 26b: incremental (batch ⋈ corpus)
+  /** Asymmetric MinHash-LSH: near-dup pairs between a NEW batch and an
+    * EXISTING corpus only — the daily-ingest dedup shape. Same
+    * signatures/banding as [[minhashPairs]], but candidates come from a
+    * batch-bands ⋈ corpus-bands join, so no corpus-corpus pair is ever
+    * generated or verified: per-ingest work scales with the batch and
+    * its collisions, not with |corpus|². At scale the corpus band
+    * table is the persistent index — computed once, stored in the
+    * lake (graftlake), and only the batch side is built per run; the
+    * join shuffles band keys (64-bit entropy → bounded buckets), never
+    * documents. Returns (doc_new, doc_old, jaccard ≥ threshold). */
+  def minhashPairsAgainst(corpus: DataFrame, batch: DataFrame, k: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val sigLen = bands * rowsPerBand
+    def sig(df: DataFrame) = df.select(col("doc_id"),
+      shingles(col("text"), k).as("sh"),
+      graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
+    // each side's signature table feeds TWO consumers (band explode +
+    // verify re-attach) and exchange reuse does not fire across
+    // consumer branches — materialize once (PlanSpec's scan budget
+    // caught the un-materialized form at 12 parquet scans). At scale
+    // the corpus one is the persistent index you'd store anyway.
+    val sigN = graft.Materialize.once(sig(batch))
+    val sigO = graft.Materialize.once(sig(corpus))
+    def banded(sigDf: DataFrame) = sigDf.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded(sigN).select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+    val b = banded(sigO).select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .select(col("doc_new"), col("doc_old"))
+      .repartition(parts, col("doc_new"), col("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+    val setsN = sigN.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    val setsO = sigO.select(col("doc_id").as("doc_old"), col("sh").as("sh_b"))
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
+    cand.join(setsN, "doc_new").join(setsO, "doc_old")
+      .withColumn("inter", inter)
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("doc_new"), col("doc_old"), round(col("inter") / col("uni"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------- 27: SimHash
   /** 64-bit SimHash over word unigrams: per bit, sum +1/-1 votes of
     * each token's xxhash64; sign becomes the bit. Native codegen'd

@@ -32,6 +32,37 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), k = 3, bands = 8, rowsPerBand = 4, threshold = 0.2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // 90: incremental-ingest dedup — the daily-ingest shape: a new
+    // batch (fresh docs 451..500 + 50 exact re-ingests of docs 1..50)
+    // is classified against the EXISTING corpus (docs 1..450) without
+    // ever generating a corpus-corpus pair: exact re-ingests by
+    // fingerprint semi-join, near-dups by the asymmetric band join
+    // (Dedup.minhashPairsAgainst). Per batch doc: (dup_exact,
+    // dup_near, kept). At scale the corpus band table is a persistent
+    // index and only the batch side is computed per run.
+    "dedup_incremental" -> ((s, d) => {
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = doc.where(col("doc_id") <= 450)
+      val batch = doc.where(col("doc_id") > 450)
+        .unionAll(doc.where(col("doc_id") <= 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val near = Dedup.minhashPairsAgainst(corpus, batch, k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.2)
+        .select(col("doc_new").as("doc_id")).distinct()
+        .withColumn("dn", lit(true))
+      val fpOld = corpus.select(Text.fingerprint(col("text")).as("fp")).distinct()
+      val exact = batch.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .join(fpOld, Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("de", lit(true))
+      batch.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("de"), lit(false)).as("dup_exact"),
+          coalesce(col("dn"), lit(false)).as("dup_near"))
+        .withColumn("kept", !col("dup_exact") && !col("dup_near"))
+        .orderBy(col("doc_id"))
+    }),
     // 27: SimHash near-dup pairs. maxHamming=3 -> 16-bit pigeonhole
     // chunks (65,536 buckets/chunk — scale-safe; see Dedup.simhashPairs)
     "dedup_simhash" -> ((s, d) =>
@@ -350,6 +381,105 @@ object PipelineQueries {
       hits.withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
         .select(col("query_id"), col("rk"), col("doc_id"), col("score_i"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+    // 87: hybrid dense+sparse retrieval re-rank — the production RAG
+    // serving shape (Elasticsearch/Vespa hybrid search): a dense
+    // cosine ranking over embeddings and a sparse BM25 ranking over
+    // the inverted index, fused by Reciprocal Rank Fusion
+    // (score = Σ 1e9 div (60 + rank), exact BIGINT arithmetic — RRF
+    // needs only the two rank columns, so the fusion is trivially
+    // engine-replayable where a weighted score-sum would fight float
+    // normalization). Embeddings.vec_id indexes documents.doc_id (the
+    // corpus convention), so the two rankings join on ids. Scale: the
+    // dense side here is the brute-force baseline (swap in ivfTopK at
+    // corpus scale — same output contract); the sparse side never
+    // reshuffles the index (broadcast probe); the fusion joins two
+    // top-20-per-query lists — thousands of rows at ANY corpus size.
+    "hybrid_rerank" -> ((s, d) => {
+      val e = embs(s, d)
+      val dense = Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").as("rk_d"))
+      val doc = docs(s, d)
+      val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val tf = graft.Materialize.once(
+        toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = doc.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+      val weights = graft.Materialize.once(
+        tf.join(dl, "doc_id").join(dfreq, "token")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("token"),
+            round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i")))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
+      val qterms = weights.where(col("doc_id") < 10)
+        .withColumn("qrk", row_number().over(wq)).where(col("qrk") <= 3)
+        .select(col("doc_id").as("query_id"), col("token"), col("w_i").as("qw_i"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score_i").desc, col("doc_id"))
+      val sparse = weights.join(broadcast(qterms), "token")
+        .where(col("doc_id") =!= col("query_id")) // match the dense self-exclusion
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("qw_i") * col("w_i")).as("score_i"))
+        .withColumn("rk_s", row_number().over(wr)).where(col("rk_s") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rk_s"))
+      val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_d)"), lit(0L)) +
+           coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_s)"), lit(0L))).as("rrf_i"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rrf_i").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // 88: deterministic training-order shard manifest — the export
+    // step every training run needs: a reproducible global shuffle
+    // (training-order randomization) plus shard assignment, keyed on
+    // the same salted-md5 lattice the samplers use (engine-replayable;
+    // different salt → independent order). Output is the manifest
+    // (shard_id, pos, doc_id). Scale: shard assignment is a narrow
+    // map; the per-shard position is one hash shuffle on shard_id +
+    // a per-shard sort — exactly the work the sharded write itself
+    // pays, and WindowExec spills rather than buffering a shard.
+    "corpus_shard" -> ((s, d) => {
+      val nShards = 8
+      val key = md5(concat_ws(":", lit("shard"), col("doc_id").cast("string")))
+      val keyed = docs(s, d).select(col("doc_id"), key.as("k"),
+        pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(nShards)).as("shard_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("shard_id"), col("pos"), col("doc_id"))
+        .orderBy(col("shard_id"), col("pos"))
+    }),
+    // 89: BPE merge-pair counting — the tokenizer-training primitive
+    // (one BPE iteration = "count adjacent symbol pairs across the
+    // vocabulary weighted by corpus frequency, merge the top pair").
+    // Computing it over the distinct-token vocabulary (not token
+    // instances) is the standard trick: pair work scales with
+    // |vocab| · avg_len, not corpus tokens — the corpus is touched
+    // once for the frequency aggregate and never again.
+    "text_bpe" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("f"))
+      val pairs = freq.where(length(col("token")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(token)-1), i -> substring(token, i, 2))")).as("pair"))
+      pairs.groupBy(col("pair")).agg(sum(col("f")).as("w"))
+        .orderBy(col("w").desc, col("pair")).limit(20)
     }),
     // 75: cross-document repeated-substring mass (ExactSubstr-style
     // dedup signal): fraction of each doc's 8-token windows that also
@@ -836,6 +966,53 @@ object PipelineQueries {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // 90: asymmetric LSH replay over the reconstructed corpus+batch —
+    // same signature/band arithmetic as dedup_minhash, candidates
+    // restricted to (new, old) pairs, plus the exact-fingerprint path
+    "dedup_incremental" ->
+      s"""WITH di AS (
+         |  SELECT doc_id, text, 0 AS is_new FROM documents WHERE doc_id <= 450
+         |  UNION ALL SELECT doc_id, text, 1 FROM documents WHERE doc_id > 450
+         |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents WHERE doc_id <= 50
+         |), toks AS (
+         |  SELECT doc_id, is_new, str_split($NORM, ' ') AS w FROM di
+         |), sh AS (
+         |  SELECT doc_id, is_new, n_sh, s FROM (
+         |    SELECT doc_id, is_new,
+         |      list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |        ELSE list_transform(range(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ss
+         |    FROM toks
+         |  ), LATERAL (SELECT len(ss) AS n_sh), unnest(ss) AS t(s)
+         |), sig AS (
+         |  SELECT doc_id, is_new, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS m
+         |  FROM sh CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, is_new, i
+         |), band AS (
+         |  SELECT doc_id, is_new, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY doc_id, is_new, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.is_new = 1 AND b.is_new = 0
+         |), pairs AS (
+         |  SELECT c.doc_new, a.n_sh AS n_a, b.n_sh AS n_b, c.doc_old, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  JOIN cand c ON c.doc_new = a.doc_id AND c.doc_old = b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), nearids AS (
+         |  SELECT DISTINCT doc_new AS doc_id FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
+         |), fpo AS (
+         |  SELECT DISTINCT sha256($NORM) AS fp FROM di WHERE is_new = 0
+         |), fpn AS (
+         |  SELECT doc_id, sha256($NORM) AS fp FROM di WHERE is_new = 1
+         |)
+         |SELECT n.doc_id,
+         |  (n.fp IN (SELECT fp FROM fpo)) AS dup_exact,
+         |  (n.doc_id IN (SELECT doc_id FROM nearids)) AS dup_near,
+         |  NOT ((n.fp IN (SELECT fp FROM fpo))
+         |    OR (n.doc_id IN (SELECT doc_id FROM nearids))) AS kept
+         |FROM fpn n ORDER BY n.doc_id""".stripMargin,
     // 79: same exact-Jaccard edge set, ordered three-way self-join
     "graph_triangles" ->
       s"""WITH $SH3, jp AS (
@@ -1401,6 +1578,90 @@ object PipelineQueries {
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_i FROM ranked
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "hybrid_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |dscored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         |), dense AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk_d
+         |  FROM dscored QUALIFY rk_d <= 20
+         |), t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+         |), wts AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(round(round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) * 1000000) AS BIGINT) AS w_i
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+         |), qterms AS (
+         |  SELECT doc_id AS query_id, token, w_i AS qw_i,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_i DESC, token) AS qrk
+         |  FROM wts WHERE doc_id < 10
+         |), shits AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(q.qw_i * w.w_i) AS BIGINT) AS score_i
+         |  FROM wts w JOIN (SELECT * FROM qterms WHERE qrk <= 3) q USING (token)
+         |  WHERE w.doc_id <> q.query_id
+         |  GROUP BY 1, 2
+         |), sparse AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk_s
+         |  FROM shits QUALIFY rk_s <= 20
+         |), fused AS (
+         |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |    coalesce(d.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(1000000000 // (60 + d.rk_d), 0)
+         |      + coalesce(1000000000 // (60 + s.rk_s), 0) AS rrf_i
+         |  FROM dense d FULL JOIN sparse s
+         |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+         |), ranked AS (
+         |  SELECT query_id, doc_id, CAST(rrf_i AS BIGINT) AS rrf_i,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_i DESC, doc_id) AS rk
+         |  FROM fused
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_i FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "corpus_shard" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 8 AS BIGINT) AS shard_id
+        |  FROM documents
+        |)
+        |SELECT shard_id, CAST(row_number() OVER
+        |    (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM keyed ORDER BY shard_id, pos""".stripMargin,
+    "text_bpe" ->
+      s"""WITH t AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), freq AS (
+         |  SELECT token, count(*) AS f FROM t WHERE token <> '' GROUP BY 1
+         |), pos AS (
+         |  SELECT token, f, unnest(range(1, length(token))) AS i
+         |  FROM freq WHERE length(token) >= 2
+         |), pairs AS (
+         |  SELECT substr(token, CAST(i AS INT), 2) AS pair, f FROM pos
+         |)
+         |SELECT pair, CAST(sum(f) AS BIGINT) AS w FROM pairs
+         |GROUP BY pair ORDER BY w DESC, pair LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix

@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhashPairsAgainst == symmetric pairs restricted to cross (batch, corpus)") {
+    // the asymmetric band join must find exactly the symmetric join's
+    // cross-boundary pairs (same signatures, same banding, same
+    // verify) — no corpus-corpus pair, no missed batch-corpus pair
+    val corpus = docs.where($"doc_id" <= 2)
+    val batch = docs.where($"doc_id" > 2)
+    val asym = Dedup.minhashPairsAgainst(corpus, batch,
+        k = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_new", "doc_old", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sym = Dedup.minhashPairs(docs, k = 3, bands = 16, rowsPerBand = 2,
+        threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a <= 2) != (b <= 2) }
+      .map { case (a, b, j) => if (a > 2) (a, b, j) else (b, a, j) }.toSet
+    assert(asym == sym, s"asym=$asym sym=$sym")
+    assert(asym.exists { case (n, o, j) => n == 3L && o == 0L && j == 1.0 },
+      "the exact re-ingest (3 vs 0) must surface with jaccard 1.0")
+    assert(asym.forall { case (n, o, _) => n > 2 && o <= 2 })
+  }
+
   test("simhash: identical text -> distance 0; near-dup closer than unrelated") {
     val sims = docs.select($"doc_id", Dedup.simhash64Sha($"text").as("s"))
       .as[(Long, Long)].collect().toMap
