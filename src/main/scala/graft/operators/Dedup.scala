@@ -116,19 +116,35 @@ object Dedup {
     * join shuffles band keys (64-bit entropy → bounded buckets), never
     * documents. Returns (doc_new, doc_old, jaccard ≥ threshold). */
   def minhashPairsAgainst(corpus: DataFrame, batch: DataFrame, k: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val sigLen = bands * rowsPerBand
-    def sig(df: DataFrame) = df.select(col("doc_id"),
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsAgainstIndex(minhashIndex(corpus, k, bands, rowsPerBand),
+      batch, k, bands, rowsPerBand, threshold)
+
+  /** Materialized MinHash signature index of a corpus:
+    * (doc_id, sh, sig). Compute ONCE and reuse across
+    * [[minhashPairsAgainstIndex]] probes — streaming micro-batches,
+    * repeated daily ingests; at 100 TB this table is what you persist
+    * to the lake as the dedup index (signatures are ~200 bytes/doc
+    * regardless of document size). */
+  def minhashIndex(docs: DataFrame, k: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame =
+    graft.Materialize.once(docs.select(col("doc_id"),
       shingles(col("text"), k).as("sh"),
-      graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
-    // each side's signature table feeds TWO consumers (band explode +
+      graft.expressions.native
+        .minhashSigSha(col("text"), k, bands * rowsPerBand).as("sig")))
+
+  /** [[minhashPairsAgainst]] with a pre-built corpus index
+    * ([[minhashIndex]] with the SAME k/bands/rowsPerBand). */
+  def minhashPairsAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val parts = batch.sparkSession.sessionState.conf.numShufflePartitions
+    // the batch signature table feeds TWO consumers (band explode +
     // verify re-attach) and exchange reuse does not fire across
     // consumer branches — materialize once (PlanSpec's scan budget
-    // caught the un-materialized form at 12 parquet scans). At scale
-    // the corpus one is the persistent index you'd store anyway.
-    val sigN = graft.Materialize.once(sig(batch))
-    val sigO = graft.Materialize.once(sig(corpus))
+    // caught the un-materialized form at 12 parquet scans).
+    val sigN = minhashIndex(batch, k, bands, rowsPerBand)
+    val sigO = corpusIndex
     def banded(sigDf: DataFrame) = sigDf.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))

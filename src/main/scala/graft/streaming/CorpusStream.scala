@@ -86,4 +86,43 @@ object CorpusStream {
       .option("checkpointLocation", s"$checkpointDir/clean")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Incremental-ingest dedup variant: drop documents that exactly or
+    * nearly duplicate the EXISTING corpus before prep — the streaming
+    * form of the `dedup_incremental` batch query. The corpus minhash
+    * index and fingerprint set are built ONCE per session
+    * (materialized static frames — the persistent index a lake
+    * deployment stores); each micro-batch probes them through the
+    * asymmetric band join ([[graft.operators.Dedup
+    * .minhashPairsAgainstIndex]]) and a fingerprint anti-join, so no
+    * corpus-corpus work ever happens and no state grows with the
+    * stream. At-least-once safe: the probes are deterministic, so a
+    * replayed batch filters identically and the idempotent sink
+    * collapses it. */
+  def startIncrementalDedup(spark: SparkSession, inDir: String,
+      corpus: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import graft.operators.Dedup
+    val index = Dedup.minhashIndex(corpus.select(col("doc_id"), col("text")))
+    val fps = graft.Materialize.once(
+      corpus.select(Text.fingerprint(col("text")).as("fp")).distinct())
+    readDocuments(spark, inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val near = Dedup
+          .minhashPairsAgainstIndex(index,
+            batch.select(col("doc_id"), col("text")), threshold = 0.2)
+          .select(col("doc_new").as("doc_id")).distinct()
+        val kept = batch
+          .withColumn("fp", Text.fingerprint(col("text")))
+          .join(fps, Seq("fp"), "left_anti")
+          .join(near, Seq("doc_id"), "left_anti")
+          .drop("fp")
+        prepare(kept).write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/incdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
