@@ -63,6 +63,32 @@ object PipelineQueries {
         .withColumn("kept", !col("dup_exact") && !col("dup_near"))
         .orderBy(col("doc_id"))
     }),
+    // 91: dedup-index quality audit — recall of the MinHash-LSH index
+    // against exact ground truth at the same threshold (jaccardPairs
+    // is lossless for J >= t, so it IS the truth set; minhash verify
+    // recomputes exact jaccard on candidates, so found ⊆ true and the
+    // only question is recall). The one-row report (n_true, n_found,
+    // n_missed, recall basis points — all exact integers) is what a
+    // production dedup pipeline monitors to tune bands×rows. Scale:
+    // both pair sets are the operators' own bounded shapes; the audit
+    // adds one anti-join + three scalar aggregates.
+    "dedup_recall" -> ((s, d) => {
+      val doc = docs(s, d)
+      val exact = graft.Materialize.once(
+        Dedup.jaccardPairs(doc, k = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val found = graft.Materialize.once(
+        Dedup.minhashPairs(doc, k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val t = exact.agg(count(lit(1)).as("n_true"))
+      val f = found.agg(count(lit(1)).as("n_found"))
+      val m = exact.join(found, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      t.crossJoin(f).crossJoin(m)
+        .select(col("n_true"), col("n_found"), col("n_missed"),
+          expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE (10000 * (n_true - n_missed)) div n_true END").as("recall_bp"))
+    }),
     // 27: SimHash near-dup pairs. maxHamming=3 -> 16-bit pigeonhole
     // chunks (65,536 buckets/chunk — scale-safe; see Dedup.simhashPairs)
     "dedup_simhash" -> ((s, d) =>
@@ -480,6 +506,37 @@ object PipelineQueries {
           "transform(sequence(1, length(token)-1), i -> substring(token, i, 2))")).as("pair"))
       pairs.groupBy(col("pair")).agg(sum(col("f")).as("w"))
         .orderBy(col("w").desc, col("pair")).limit(20)
+    }),
+    // 92: span-corruption masking (T5/UL2 denoising-objective prep):
+    // deterministically select non-overlapping 3-token spans and
+    // collapse each to a sentinel. Spans live inside fixed 8-token
+    // blocks — block b of a doc masks iff md5('mask:doc:b') lands
+    // under the rate, at offset md5('off:doc:b') % 6 — so masking is
+    // embarrassingly parallel (no sequential "skip if overlapping"
+    // state), reproducible, and block-local: the same md5-lattice
+    // trick the samplers use, applied to positions. Narrow map, zero
+    // shuffle; the oracle rebuilds every masked token list and
+    // hash-checks the full masked text. ~11% of tokens masked
+    // (30% of full blocks × 3/8).
+    "doc_mask" -> ((s, d) => {
+      val off = "CAST(CAST(conv(substring(md5(concat('off:', CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 6 AS INT)"
+      val gate = "CAST(conv(substring(md5(concat('mask:', CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 30"
+      val tok = docs(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      tok.select(col("doc_id"), col("n"), expr(
+        s"""flatten(transform(sequence(0, CAST(greatest(ceil(n / 8.0) - 1, 0) AS INT)),
+           |  b -> CASE WHEN n - 8*b >= 8 AND $gate
+           |    THEN concat(
+           |      slice(tk, 8*b + 1, $off),
+           |      array('<extra_id>'),
+           |      slice(tk, 8*b + $off + 4, 5 - $off))
+           |    ELSE slice(tk, 8*b + 1, least(8, n - 8*b)) END))""".stripMargin).as("mtk"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          (lit(3L) * ((col("n") - size(col("mtk"))) / 2).cast("long")).as("n_masked"),
+          sha2(array_join(col("mtk"), " "), 256).as("masked_sha"))
+        .orderBy(col("doc_id"))
     }),
     // 75: cross-document repeated-substring mass (ExactSubstr-style
     // dedup signal): fraction of each doc's 8-token windows that also
@@ -1013,6 +1070,44 @@ object PipelineQueries {
          |  NOT ((n.fp IN (SELECT fp FROM fpo))
          |    OR (n.doc_id IN (SELECT doc_id FROM nearids))) AS kept
          |FROM fpn n ORDER BY n.doc_id""".stripMargin,
+    // 91: exact truth set (lossless prefix-filter equivalent) + full
+    // minhash replay at the same threshold, integer recall report
+    "dedup_recall" ->
+      s"""WITH $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), sig AS (
+         |  SELECT doc_id, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS m
+         |  FROM sh CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i
+         |), band AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT c.doc_a, c.doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         |      count(*) AS inter
+         |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    JOIN cand c2 ON c2.doc_a = a.doc_id AND c2.doc_b = b.doc_id
+         |    GROUP BY 1, 2, 3, 4
+         |  ) c
+         |  WHERE round(CAST(c.inter AS DOUBLE) / CAST(c.n_a + c.n_b - c.inter AS DOUBLE), 6) >= 0.5
+         |), tr AS (SELECT count(*) AS n_true FROM jp),
+         |fo AS (SELECT count(*) AS n_found FROM mh),
+         |mi AS (
+         |  SELECT count(*) AS n_missed FROM jp
+         |  WHERE NOT EXISTS (SELECT 1 FROM mh
+         |    WHERE mh.doc_a = jp.doc_a AND mh.doc_b = jp.doc_b)
+         |)
+         |SELECT n_true, n_found, n_missed,
+         |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+         |    ELSE CAST((10000 * (n_true - n_missed)) // n_true AS BIGINT) END AS recall_bp
+         |FROM tr, fo, mi""".stripMargin,
     // 79: same exact-Jaccard edge set, ordered three-way self-join
     "graph_triangles" ->
       s"""WITH $SH3, jp AS (
@@ -1638,6 +1733,29 @@ object PipelineQueries {
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_i FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "doc_mask" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, tk, len(tk) AS n FROM t
+         |), m AS (
+         |  SELECT doc_id, n,
+         |    flatten(list_transform(range(0, CAST(greatest(ceil(n / 8.0), 1) AS BIGINT)),
+         |      b -> CASE WHEN n - 8*b >= 8
+         |          AND ('0x' || substr(md5('mask:' || doc_id || ':' || b), 1, 8))::UBIGINT % 100 < 30
+         |        THEN list_concat(list_concat(
+         |          tk[8*b + 1 : 8*b + CAST(('0x' || substr(md5('off:' || doc_id || ':' || b), 1, 8))::UBIGINT % 6 AS INT)],
+         |          ['<extra_id>']),
+         |          tk[8*b + CAST(('0x' || substr(md5('off:' || doc_id || ':' || b), 1, 8))::UBIGINT % 6 AS INT) + 4 : 8*b + 8])
+         |        ELSE tk[8*b + 1 : CAST(least(8*b + 8, n) AS INT)] END)) AS mtk
+         |  FROM s
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(3 * ((n - len(mtk)) // 2) AS BIGINT) AS n_masked,
+         |  sha256(array_to_string(mtk, ' ')) AS masked_sha
+         |FROM m ORDER BY doc_id""".stripMargin,
     "corpus_shard" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
