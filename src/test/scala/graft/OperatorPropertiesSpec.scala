@@ -99,4 +99,42 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(got == expected, s"seed=$seed: scd2 classification diverges")
     }
   }
+
+  test("doc_mask: block invariants + independent md5-lattice replay of the mask count") {
+    val rows = SparkEntry.queries("doc_mask")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent JVM-side replay of the gate lattice (third
+    // implementation beside the Column expr and the DuckDB oracle)
+    def bucket(s: String, mod: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % mod
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_tokens")
+      val m = r.getAs[Long]("n_masked")
+      assert(m % 3 == 0 && m >= 0 && m <= n, s"doc $id: bad mask count $m/$n")
+      if (n < 8) assert(m == 0, s"doc $id: short doc masked")
+      val expected = 3L * (0L until math.max((n + 7) / 8, 1L)).count(b =>
+        n - 8 * b >= 8 && bucket(s"mask:$id:$b", 100) < 30)
+      assert(m == expected, s"doc $id: mask count $m != lattice replay $expected")
+    }
+  }
+
+  test("corpus_shard: exact partition of the corpus with dense per-shard positions") {
+    val rows = SparkEntry.queries("corpus_shard")(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "a doc appears twice in the manifest")
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == all, "manifest is not an exact partition of the corpus")
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (sid, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (1L to rs.length).toSeq, s"shard $sid positions not dense: $pos")
+    }
+    // reproducible: a second evaluation yields the identical manifest
+    val again = SparkEntry.queries("corpus_shard")(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
