@@ -377,4 +377,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------ 93: asymmetric containment
+  /** Asymmetric containment join (quote / inclusion detection):
+    * pairs with C(A,B) = |A∩B| / |A| ≥ threshold — "A is mostly
+    * inside B". Jaccard misses these when B is much larger (a quoted
+    * paragraph inside a long page has tiny Jaccard but containment
+    * ~1), which is why substring-level dedup pipelines track
+    * containment separately.
+    *
+    * One-sided prefix filter (lossless): if every one of A's
+    * |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles misses B, then
+    * |A∩B| < ⌈t·|A|⌉ — so only A's prefix posts to the candidate
+    * join, against B's FULL posting list. Pair work is
+    * Σ_{s ∈ prefixes} df(s): prefixes are each doc's rarest shingles,
+    * so hot (boilerplate) shingles never probe — the same reason
+    * [[jaccardPairs]] survives a common-vocabulary corpus. The size
+    * filter |B| ≥ t·|A| is necessary for C ≥ t and prunes the rest.
+    * Exact verify prices candidates only. Returns directed pairs
+    * (doc_a contained-in doc_b, containment). */
+  def containmentPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // shingle sets feed postings AND the verify re-attach — materialize
+    val sets = graft.Materialize.once(
+      docs.select(col("doc_id"), shingles(col("text"), k).as("sh")))
+    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = postings.join(dfs, "s")
+      .repartition(parts, col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val all = postings.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    val cand = prefix.join(all, Seq("s"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= col("n_a") * threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", inter)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / size(col("sh_a")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

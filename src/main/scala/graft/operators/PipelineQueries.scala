@@ -89,6 +89,12 @@ object PipelineQueries {
           expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
             "ELSE (10000 * (n_true - n_missed)) div n_true END").as("recall_bp"))
     }),
+    // 93: asymmetric containment pairs (quote/inclusion detection) —
+    // directed "A mostly inside B" at C >= 0.6; the case Jaccard
+    // misses when the container is much larger
+    "text_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), k = 3, threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // 27: SimHash near-dup pairs. maxHamming=3 -> 16-bit pigeonhole
     // chunks (65,536 buckets/chunk — scale-safe; see Dedup.simhashPairs)
     "dedup_simhash" -> ((s, d) =>
@@ -1108,6 +1114,20 @@ object PipelineQueries {
          |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
          |    ELSE CAST((10000 * (n_true - n_missed)) // n_true AS BIGINT) END AS recall_bp
          |FROM tr, fo, mi""".stripMargin,
+    // 93: shared-shingle join (any pair with C >= t shares shingles),
+    // directed containment on the probe side's set size
+    "text_containment" ->
+      s"""WITH $SH3, cp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 4
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS containment
+         |FROM cp
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // 79: same exact-Jaccard edge set, ordered three-way self-join
     "graph_triangles" ->
       s"""WITH $SH3, jp AS (

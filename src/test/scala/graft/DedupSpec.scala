@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     assert(asym.forall { case (n, o, _) => n > 2 && o <= 2 })
   }
 
+  test("containmentPairs: finds the quote-inside-page case Jaccard misses, directed") {
+    import spark.implicits._
+    val quote = "the storm surge flooded the coastal road before dawn"
+    val page = quote + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val cdocs = Seq((0L, quote), (1L, page),
+      (2L, "entirely unrelated content about query optimizers and joins"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, k = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 3-shingle of the quote appears in the page: containment 1.0,
+    // and only in the quote→page direction (the page is NOT in the quote)
+    assert(cont.toSeq == Seq((0L, 1L, 1.0)), cont.toSeq.toString)
+    // jaccard at the same threshold misses it (|page| >> |quote|)
+    val jac = Dedup.jaccardPairs(cdocs, k = 3, threshold = 0.8).collect()
+    assert(jac.isEmpty, jac.toSeq.toString)
+  }
+
   test("simhash: identical text -> distance 0; near-dup closer than unrelated") {
     val sims = docs.select($"doc_id", Dedup.simhash64Sha($"text").as("s"))
       .as[(Long, Long)].collect().toMap
