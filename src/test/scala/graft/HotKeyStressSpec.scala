@@ -233,6 +233,37 @@ class HotKeyStressSpec extends SparkSpec {
     assert(nNodes <= 4, s"pagerank result plan has $nNodes nodes — lineage leaked")
   }
 
+  test("containment: a 2000-doc hot header generates no hot-shingle candidates") {
+    // same boilerplate shape as the jaccard case, for the ONE-SIDED
+    // prefix: the container side posts its full shingle list (hot
+    // header included), but candidates only form where a PROBE's
+    // prefix — its rarest shingles — matches, so the hot header never
+    // pairs anything. 10 planted quotes (each fully contained in its
+    // page, C = 1.0) are the only true inclusions.
+    import spark.implicits._
+    val pages = spark.range(2000).select(col("id").cast("long").as("doc_id"),
+      concat(lit("storm warning issued for the county today "),
+        concat_ws(" ", (0 to 11).map(j => concat(lit(s"w${j}q"), col("id"))): _*))
+        .as("text"))
+    // quote i = the unique tail of page i (its rarest shingles)
+    val quotes = spark.range(10).select((col("id") + 50000).cast("long").as("doc_id"),
+      concat_ws(" ", (4 to 11).map(j => concat(lit(s"w${j}q"), col("id"))): _*)
+        .as("text"))
+    val docs = pages.unionByName(quotes)
+    val (pairs, _, shuffled, _) = metered {
+      graft.operators.Dedup.containmentPairs(docs, k = 3, threshold = 0.9).collect()
+    }
+    val planted = pairs.filter(r => r.getLong(0) >= 50000)
+    assert(planted.length == 10, s"expected 10 planted inclusions, got ${planted.length}")
+    assert(planted.forall(r => r.getLong(1) == r.getLong(0) - 50000 && r.getDouble(2) == 1.0))
+    // no page is contained in anything (pages share only the hot header)
+    assert(pairs.length == 10, s"hot header generated pairs: ${pairs.length}")
+    // shuffle volume ~ postings + prefixes + verified pairs, never the
+    // ~2*10^6 hot-header candidate pairs a naive shingle join would emit
+    assert(shuffled < 400000L,
+      s"containment shuffled $shuffled records — hot shingles reached the join")
+  }
+
   test("jaccard verify: a 2000-doc hot vocabulary generates no hot-shingle candidates") {
     // every doc shares a hot 3-word header (hot bigrams, df=2000) but
     // carries enough unique shingles that the AllPairs prefix never
