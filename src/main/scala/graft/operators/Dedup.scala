@@ -313,15 +313,20 @@ object Dedup {
   }
 
   // -------------------------------------------------- 28: n-gram Jaccard
-  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
-    * AllPairs/PPJoin candidate rule): a pair with Jaccard >= t must
-    * share at least one shingle among each side's prefix — its
-    * `|s| - ceil(t*|s|) + 1` globally-rarest shingles. Only prefix
-    * postings are joined, so hot (high-document-frequency) shingles
-    * never generate candidate pairs: pair work is driven by RARE
-    * shingles, which is what makes this survive a corpus where every
-    * document shares the common vocabulary. Exact Jaccard is then
-    * verified on candidates only, via the full shingle sets.
+  /** Exact n-gram Jaccard similarity join with PREFIX + POSITIONAL
+    * FILTERING (the full PPJoin candidate rule): a pair with
+    * Jaccard >= t must share at least one shingle among each side's
+    * prefix — its `|s| - ceil(t*|s|) + 1` globally-rarest shingles.
+    * Only prefix postings are joined, so hot (high-document-frequency)
+    * shingles never generate candidate pairs: pair work is driven by
+    * RARE shingles, which is what makes this survive a corpus where
+    * every document shares the common vocabulary. On top of the prefix,
+    * PPJoin's positional upper bound (see
+    * [[jaccardCandidatesFromSets]]) prunes collisions that happen too
+    * deep in both sorted lists to ever reach the threshold — lossless,
+    * and nearly free since the prefix rank is already computed. Exact
+    * Jaccard is then verified on candidates only, via the full shingle
+    * sets.
     *
     * One shuffle on the shingle (candidates), one on doc_id (verify
     * re-attach). Lossless for `jaccard >= threshold`.
@@ -341,9 +346,19 @@ object Dedup {
     *   comparisons for string arrays, and the pushed-down jaccard filter
     *   made the optimizer evaluate it up to 3× per pair.
     */
-  def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+  /** Candidate (doc_a, doc_b) pairs from the prefix index, deduped —
+    * the pre-verify half of [[jaccardPairs]], exposed so specs can
+    * measure the candidate count with/without the positional filter.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, k: Int = 2,
+      threshold: Double = 0.5, positional: Boolean = true): DataFrame =
+    jaccardCandidatesFromSets(
+      docs.select(col("doc_id"), shingles(col("text"), k).as("sh")),
+      threshold, positional)
+
+  private def jaccardCandidatesFromSets(sets: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
     val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     // global document frequency per shingle (one agg over postings)
@@ -357,16 +372,41 @@ object Dedup {
       .repartition(parts, col("doc_id"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("s"), col("doc_id"), col("n_sh"))
-    val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    val cand = a.join(b, Seq("s"))
-      // size filter: t|b| <= |a| <= |b|/t is necessary for J >= t
-      .where(col("doc_a") < col("doc_b") &&
-        col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
+      .select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+    val a = prefix.select(col("s"), col("doc_id").as("doc_a"),
+      col("n_sh").as("n_a"), col("rk").as("rk_a"))
+    val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    // size filter: t|b| <= |a| <= |b|/t is necessary for J >= t
+    val sizeOk = col("n_a") * threshold <= col("n_b") &&
+      col("n_b") * threshold <= col("n_a")
+    // PPJoin POSITIONAL filter: rk is the shared shingle's 1-based
+    // position in each doc's full (df, s)-sorted list, so the overlap
+    // can be at most 1 + min(n_a - rk_a, n_b - rk_b) — every other
+    // common shingle sits strictly after it on at least one side when
+    // this row's shingle is the pair's FIRST common one. J >= t needs
+    // overlap >= t(n_a+n_b)/(1+t); a pair survives iff SOME generating
+    // row passes (rows are per shared prefix shingle, dedup comes
+    // after), and for J >= t the first common shingle lies in BOTH
+    // prefixes and always passes — so the filter is lossless while
+    // pruning the candidates hot shingles generate at positions too
+    // deep for the threshold. Integer bound vs real target compared in
+    // cross-multiplied form (no ceil), 1e-9 slack for fp safety.
+    val posOk =
+      if (!positional) lit(true)
+      else (lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
+        .cast("double") * (1.0 + threshold) >=
+        (col("n_a") + col("n_b")).cast("double") * threshold - 1e-9
+    a.join(b, Seq("s"))
+      .where(col("doc_a") < col("doc_b") && sizeOk && posOk)
       .select(col("doc_a"), col("doc_b"))
       .repartition(parts, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val cand = jaccardCandidatesFromSets(sets, threshold, positional = true)
     val inter = graft.expressions.native
       .intersectCount(col("sh_a"), col("sh_b")).cast("double")
     cand

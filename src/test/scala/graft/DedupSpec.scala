@@ -107,6 +107,38 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 1L)) - 12.0 / 14.0) < 1e-6)
   }
 
+  test("PPJoin positional filter: prunes candidates, loses no pair (brute-force truth)") {
+    // heavy-shared-vocabulary corpus: 40 docs are 30-word windows
+    // rotating through a 60-word ring, so neighbors are true near-dups
+    // (J well over 0.5) while mid-distance rotations share plenty of
+    // PREFIX shingles yet sit far below the threshold — exactly the
+    // candidate class the positional bound exists to kill.
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until 30).map(j => f"w${(i + j) % 60}%02d").mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val t = 0.5
+    val candPrefix = Dedup.jaccardCandidates(d, k = 2, threshold = t, positional = false).count()
+    val candPos = Dedup.jaccardCandidates(d, k = 2, threshold = t, positional = true).count()
+    info(s"candidates: prefix+size=$candPrefix, +positional=$candPos " +
+      f"(${100.0 * (candPrefix - candPos) / candPrefix}%.1f%% pruned)")
+    assert(candPos < candPrefix, "positional filter should prune on this corpus")
+    // lossless: verified output == brute-force exact Jaccard over the
+    // SAME shingle definition (sets pulled through Dedup.shingles)
+    val sets = d.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      j = inter / (sets(a).size + sets(b).size - inter)
+      if j >= t
+    } yield (a, b)).toSet
+    val got = Dedup.jaccardPairs(d, k = 2, threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(truth.nonEmpty, "corpus must actually contain over-threshold pairs")
+  }
+
   test("clusters: connected components with min-id labels") {
     // chain 1-2-3 + pair 10-11 + pair (5,1) joining the chain via 1
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 5L))
