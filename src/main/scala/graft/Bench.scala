@@ -17,13 +17,16 @@ object Bench {
   /** One query's measurements: the count-pruned and force-evaluated
     * wall times, a host-calibration stamp taken right after EACH (so
     * a mid-run host wave is attributable per series), STW GC-pause and
-    * process-CPU deltas per series, and the persistent-RDD count found
-    * lingering after the query (Materialize.once residue — must be
-    * freed between queries, not left to the async ContextCleaner). */
+    * process-CPU deltas per series, and the persistent-RDD counts found
+    * lingering after EACH series (Materialize.once residue — must be
+    * freed between queries, not left to the async ContextCleaner):
+    * `residBlocksCount` after the count execution, `residBlocks` after
+    * the forced one. */
   final case class BenchRow(sec: Double, calib: Long, calibMt: Long,
     err: Option[String], secForced: Double, calibForced: Long,
     calibMtForced: Long, gcMsCount: Long, gcMsForced: Long,
-    cpuMsCount: Long, cpuMsForced: Long, residBlocks: Int)
+    cpuMsCount: Long, cpuMsForced: Long, residBlocks: Int,
+    residBlocksCount: Int)
 
   /** (pid, cores-of-CPU) for non-ancestor java processes busier than
     * `minCores` over a ~`sampleMs` window. */
@@ -192,6 +195,41 @@ object Bench {
       System.gc()
       leftover
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // Per-stage wall/CPU/task attribution for the FORCED series, dumped
+    // to bench_stages.json (VERDICT r7: graph_triangles' 9.2s forced
+    // wall on 107.6s task CPU could not be adjudicated from the
+    // artifact — an occupancy gap needs to name its straggler STAGE).
+    // wall = stage submission→completion; a stage whose wall greatly
+    // exceeds run/tasks-parallelism has a scheduling/skew problem, and
+    // max_task_ms pins within-stage skew specifically.
+    val stageTag = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stageRecs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val maxTaskMs = new scala.collection.concurrent.TrieMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxTaskMs.updateWith(e.stageId)(o =>
+            Some(math.max(o.getOrElse(0L), e.taskInfo.duration)))
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val tag = stageTag.get
+        if (tag != null) {
+          val si = e.stageInfo
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+            yield c - s).getOrElse(-1L)
+          stageRecs.add(s"""{"query":${jstr(tag)},"stage":${si.stageId},""" +
+            s""""name":${jstr(si.name.takeWhile(_ != '\n').take(80))},""" +
+            s""""wall_ms":$wall,"cpu_ms":${si.taskMetrics.executorCpuTime / 1000000},""" +
+            s""""run_ms":${si.taskMetrics.executorRunTime},"tasks":${si.numTasks},""" +
+            s""""max_task_ms":${maxTaskMs.getOrElse(si.stageId, -1L)}}""")
+        }
+      }
+    })
     // a failed query must NOT contribute a meaningless wall time: its
     // timing is dropped and the failure is recorded per query in
     // "errors" (BENCH_r02-class regressions can't hide as fast timings)
@@ -208,7 +246,7 @@ object Bench {
       // between the two executions (outside both timers): the count
       // execution's Materialize blocks must not become the forced
       // execution's heap pressure
-      cleanBetween()
+      val residCount = cleanBetween()
       // SECOND timing with every output column force-evaluated:
       // count() prunes projections, so a narrow-map query's count time
       // is its SCAN time, not its compute time (storm_enrich "0.25s"
@@ -218,12 +256,15 @@ object Bench {
       // count-based series stays the headline for cross-round
       // comparability; this map is the honest per-row-work number.
       val gc1 = gcMs(); val cpu1 = procCpuMs()
+      stageTag.set(name)
       val tf = System.nanoTime()
       val errF = try { fn(spark, splitDir).queryExecution.toRdd.count(); None } catch {
         case t: Throwable =>
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
       val secForced = (System.nanoTime() - tf) / 1e9
+      Thread.sleep(50) // let async stage-completed events land on the tag
+      stageTag.set(null)
       val gcForced = gcMs() - gc1; val cpuForced = procCpuMs() - cpu1
       // forced-series calibration stamps (VERDICT r5 #7): the forced
       // timing gets its OWN host probes, so a host wave during the
@@ -231,13 +272,9 @@ object Bench {
       val calibF = quickCalib(); val calibMtF = quickCalibMt()
       val resid = cleanBetween()
       name -> BenchRow(sec, calibC, calibMtC, err.orElse(errF), secForced,
-        calibF, calibMtF, gcCount, gcForced, cpuCount, cpuForced, resid)
+        calibF, calibMtF, gcCount, gcForced, cpuCount, cpuForced, resid,
+        residCount)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     def qmap(f: BenchRow => Any, rs: Map[String, BenchRow] = results): String =
       rs.map { case (k, v) => jstr(k) + ":" + f(v) }.mkString("{", ",", "}")
     val ok = results.filter(_._2.err.isEmpty)
@@ -253,6 +290,7 @@ object Bench {
     val qCpu = qmap(_.cpuMsCount)
     val qCpuF = qmap(_.cpuMsForced)
     val qResid = qmap(_.residBlocks)
+    val qResidCount = qmap(_.residBlocksCount)
     val errs = results.collect { case (k, r) if r.err.isDefined =>
       jstr(k) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.map(_.sec).sum else 0.0
@@ -280,13 +318,16 @@ object Bench {
       s""""query_calib_forced":$qCalibF,"query_calib_mt_forced":$qCalibMtF,""" +
       s""""query_gc_ms":$qGc,"query_gc_ms_forced":$qGcF,""" +
       s""""query_cpu_ms":$qCpu,"query_cpu_ms_forced":$qCpuF,""" +
-      s""""query_resid_blocks":$qResid}"""
+      s""""query_resid_blocks":$qResid,"query_resid_blocks_count":$qResidCount}"""
     println(line)
     // stdout tails get truncated (BENCH_r03.json lost its per-query map
     // exactly that way) — persist the identical line to a file too
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_stages.json"),
+      (stageRecs.asScala.mkString("[\n", ",\n", "\n]") + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"[bench] stages write failed: $t") }
     // ...and ALSO print a short totals-only line after the big one: a
     // 2000-char stdout tail always captures this, so the driver's
     // artifact carries parseable totals even when the full line's head

@@ -124,8 +124,13 @@ object Dedup {
     * (doc_id, sh, sig). Compute ONCE and reuse across
     * [[minhashPairsAgainstIndex]] probes — streaming micro-batches,
     * repeated daily ingests; at 100 TB this table is what you persist
-    * to the lake as the dedup index (signatures are ~200 bytes/doc
-    * regardless of document size). */
+    * to the lake as the dedup index. Note the stored size is NOT
+    * constant per doc: `sig` is ~8 bytes × bands × rowsPerBand, but
+    * the index also carries the full shingle-set column `sh` (needed
+    * for the exact-Jaccard verify), which scales with document
+    * length — budget O(document) storage, or persist the band table
+    * alone and re-derive `sh` from text at probe time if storage
+    * dominates. */
   def minhashIndex(docs: DataFrame, k: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame =
     graft.Materialize.once(docs.select(col("doc_id"),
@@ -134,16 +139,34 @@ object Dedup {
         .minhashSigSha(col("text"), k, bands * rowsPerBand).as("sig")))
 
   /** [[minhashPairsAgainst]] with a pre-built corpus index
-    * ([[minhashIndex]] with the SAME k/bands/rowsPerBand). */
+    * ([[minhashIndex]] with the SAME k/bands/rowsPerBand).
+    *
+    * The batch-side index this builds internally stays materialized
+    * for the session — a long-lived caller probing many batches
+    * (streaming foreachBatch) must instead build it explicitly via
+    * [[minhashIndex]], probe through
+    * [[minhashPairsBetweenIndexes]], and `Materialize.free` it after
+    * the batch's action completes, or blocks accumulate per batch. */
   def minhashPairsAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val parts = batch.sparkSession.sessionState.conf.numShufflePartitions
+      threshold: Double = 0.5): DataFrame =
     // the batch signature table feeds TWO consumers (band explode +
     // verify re-attach) and exchange reuse does not fire across
     // consumer branches — materialize once (PlanSpec's scan budget
     // caught the un-materialized form at 12 parquet scans).
-    val sigN = minhashIndex(batch, k, bands, rowsPerBand)
+    minhashPairsBetweenIndexes(corpusIndex,
+      minhashIndex(batch, k, bands, rowsPerBand), bands, rowsPerBand, threshold)
+
+  /** Core asymmetric band join over two pre-built [[minhashIndex]]
+    * tables (same bands/rowsPerBand on both). Builds nothing and
+    * materializes nothing itself, so the caller controls both index
+    * lifetimes — the streaming ingest path frees the batch side after
+    * every micro-batch. */
+  def minhashPairsBetweenIndexes(corpusIndex: DataFrame, batchIndex: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val parts = batchIndex.sparkSession.sessionState.conf.numShufflePartitions
+    val sigN = batchIndex
     val sigO = corpusIndex
     def banded(sigDf: DataFrame) = sigDf.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -527,8 +527,13 @@ object PipelineQueries {
     "doc_mask" -> ((s, d) => {
       val off = "CAST(CAST(conv(substring(md5(concat('off:', CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 6 AS INT)"
       val gate = "CAST(conv(substring(md5(concat('mask:', CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 30"
+      // mirror Text.tokenCount's empty guard: split('') yields [''],
+      // but the oracle maps NORM='' (empty or space-only text) to []
       val tok = docs(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          when(Text.normalize(col("text")) === "",
+            array().cast("array<string>"))
+            .otherwise(Text.tokens(col("text"))).as("tk"))
         .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       tok.select(col("doc_id"), col("n"), expr(
         s"""flatten(transform(sequence(0, CAST(greatest(ceil(n / 8.0) - 1, 0) AS INT)),

@@ -100,25 +100,32 @@ object CorpusStream {
     * replayed batch filters identically and the idempotent sink
     * collapses it. */
   def startIncrementalDedup(spark: SparkSession, inDir: String,
-      corpus: DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      corpus: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import graft.operators.Dedup
     val index = Dedup.minhashIndex(corpus.select(col("doc_id"), col("text")))
     val fps = graft.Materialize.once(
       corpus.select(Text.fingerprint(col("text")).as("fp")).distinct())
-    readDocuments(spark, inDir)
+    readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val near = Dedup
-          .minhashPairsAgainstIndex(index,
-            batch.select(col("doc_id"), col("text")), threshold = 0.2)
-          .select(col("doc_new").as("doc_id")).distinct()
-        val kept = batch
-          .withColumn("fp", Text.fingerprint(col("text")))
-          .join(fps, Seq("fp"), "left_anti")
-          .join(near, Seq("doc_id"), "left_anti")
-          .drop("fp")
-        prepare(kept).write.mode("append").parquet(outDir)
+        // the batch-side signature index is materialized (multi-consumer
+        // subtree) — build it HERE, not inside the probe, so its blocks
+        // can be freed once the sink write lands; otherwise every
+        // micro-batch leaks one materialized frame for the stream's
+        // lifetime (the block-residue melt class from HEAPCHECK).
+        val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
+        try {
+          val near = Dedup
+            .minhashPairsBetweenIndexes(index, batchIdx, threshold = 0.2)
+            .select(col("doc_new").as("doc_id")).distinct()
+          val kept = batch
+            .withColumn("fp", Text.fingerprint(col("text")))
+            .join(fps, Seq("fp"), "left_anti")
+            .join(near, Seq("doc_id"), "left_anti")
+            .drop("fp")
+          prepare(kept).write.mode("append").parquet(outDir)
+        } finally graft.Materialize.free(batchIdx)
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incdedup")

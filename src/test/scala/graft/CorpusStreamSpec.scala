@@ -93,4 +93,25 @@ class CorpusStreamSpec extends SparkSpec {
       .awaitTermination()
     assert(spark.read.parquet(s"$base/out").count() == batch.count())
   }
+
+  test("incremental-dedup stream holds no per-batch state: blocks do not grow with batch count") {
+    // maxFilesPerTrigger=1 over 3 input files forces 3 micro-batches —
+    // the single-batch AvailableNow runs above cannot see a per-batch
+    // materialized-frame leak. Only the session-lifetime corpus index +
+    // fingerprint set may remain persisted after the stream ends.
+    val base = Files.createTempDirectory("graft-corpus-incdedup-blocks").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") <= 60)
+    docs.where(col("doc_id") > 60).coalesce(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startIncrementalDedup(spark, s"$base/in", corpus,
+        s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(spark.read.parquet(s"$base/out").count() > 0)
+    assert(after - before <= 2,
+      s"per-batch blocks leaked: $before persistent RDDs before, $after after " +
+        "(expected only the corpus index + fingerprint set to remain)")
+  }
 }

@@ -122,6 +122,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("doc_mask: empty/whitespace-only documents count zero tokens (oracle's semantics)") {
+    // the testdata has no empty docs, so this divergence class is
+    // invisible to the hash gate: Spark's split('') yields [''] →
+    // n_tokens=1 unless guarded, while the oracle maps '' to []
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mask-empty").toString
+    graft.sources.Tables.documents(spark, sfDir).limit(3)
+      .unionByName(Seq(
+        (9001L, "", "en", "unit", 0L),
+        (9002L, "   \t  ", "en", "unit", 6L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val rows = SparkEntry.queries("doc_mask")(spark, base).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"))).toMap
+    assert(rows(9001L) == (0L, 0L), s"empty doc: ${rows(9001L)}")
+    // tab-only doc: trim strips SPACES only in Spark and DuckDB alike,
+    // so NORM is " " (not ""), and both engines split it to ['', ''] —
+    // n_tokens=2 is the PARITY answer, quirky as it is
+    assert(rows(9002L) == (2L, 0L), s"tab-only doc: ${rows(9002L)}")
+  }
+
   test("corpus_shard: exact partition of the corpus with dense per-shard positions") {
     val rows = SparkEntry.queries("corpus_shard")(spark, sfDir).collect()
     val ids = rows.map(_.getAs[Long]("doc_id"))
