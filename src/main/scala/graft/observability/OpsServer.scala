@@ -5,21 +5,38 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** Operational HTTP surface — the Spark-native equivalent of the
-  * reference's readiness endpoint + Prometheus exporter
-  * (/root/reference/internal/httpadapter/server.go,
+  * reference's liveness/readiness endpoints + Prometheus exporter
+  * (/root/reference/internal/adapter/httpadapter/server.go:34-36,
   * internal/observability/metrics.go), on the JDK's built-in
   * HttpServer (zero extra dependencies):
   *
-  *   GET /ready   → 200 "ok" once the supplied probe is true
-  *                  (e.g. StreamOps.StreamMetrics.isReady — first
+  *   GET /healthz → 200 "ok" whenever the process can serve — the k8s
+  *                  LIVENESS probe contract (a deployment with a
+  *                  liveness probe hits this on day one; a hung JVM
+  *                  simply never answers and gets restarted).
+  *   GET /readyz  → 200 "ok" once the supplied probe is true
+  *   GET /ready      (e.g. StreamOps.StreamMetrics.isReady — first
   *                  committed batch), else 503. The k8s readiness
-  *                  probe contract.
+  *                  probe contract; both spellings serve it (the
+  *                  reference routes /readyz).
   *   GET /metrics → Prometheus text exposition of the supplied
   *                  counter snapshots (`graft_<name> <value>` lines).
   */
 final class OpsServer private (server: HttpServer) {
   def port: Int = server.getAddress.getPort
+
+  /** Immediate stop — tests and abnormal exits. In-flight exchanges
+    * are abandoned. */
   def stop(): Unit = server.stop(0)
+
+  /** Graceful shutdown: close the listening socket (new connections
+    * refused), then block until in-flight exchanges complete, bounded
+    * by the deadline — the reference's `httpServer.Shutdown(ctx)`
+    * under `ShutdownTimeout` (cmd/etl/main.go:57-63). Call with
+    * [[graft.GraftConfig.shutdownTimeoutMs]] in a deployment's
+    * signal handler, before stopping streams and the SparkSession. */
+  def shutdown(timeoutMs: Long): Unit =
+    server.stop(math.max(1L, (timeoutMs + 999) / 1000).toInt)
 }
 
 object OpsServer {
@@ -37,8 +54,12 @@ object OpsServer {
       try os.write(bytes) finally os.close()
     }
 
-    server.createContext("/ready", (x: HttpExchange) =>
-      if (ready()) respond(x, 200, "ok\n") else respond(x, 503, "not ready\n"))
+    server.createContext("/healthz", (x: HttpExchange) =>
+      respond(x, 200, "ok\n"))
+    val readyHandler = (x: HttpExchange) =>
+      if (ready()) respond(x, 200, "ok\n") else respond(x, 503, "not ready\n")
+    server.createContext("/ready", readyHandler(_))
+    server.createContext("/readyz", readyHandler(_))
     server.createContext("/metrics", (x: HttpExchange) => {
       val body = metrics().toSeq.sortBy(_._1).map { case (k, v) =>
         val name = "graft_" + k.replaceAll("[^A-Za-z0-9_]", "_")
