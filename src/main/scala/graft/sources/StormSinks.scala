@@ -186,6 +186,29 @@ object StormSinks {
     next
   }
 
+  /** Versioned-pointer publish of an ARBITRARY table — the generic
+    * counterpart of [[writeVersioned]] (which writes the storm
+    * enrichment's partition layout). Same protocol: write the next
+    * immutable `v-N` dir, then one atomic pointer swap. This is the
+    * persistence path for derived tables the pipeline builds once and
+    * probes per ingest — the dedup signature index
+    * (`Dedup.minhashIndex`) and the BM25 retrieval index — so a fresh
+    * session (or another cluster) reads them through `graftlake` /
+    * [[readVersioned]] instead of recomputing the corpus aggregate.
+    * Optional `partitionCols` become the on-disk partition layout
+    * (e.g. band id for a band-probed index). */
+  def writeVersionedTable(df: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val next = readPointer(fs, dir).map(_._1 + 1).getOrElse(0)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/v-$next")
+    publish(fs, dir, next)
+    next
+  }
+
   /** Resolve the live immutable version dir (`$dir/v-N` named by
     * `_current`). A missing pointer is retried briefly before failing:
     * on filesystems where [[publish]] had to take the non-atomic

@@ -73,6 +73,50 @@ class GraftLakeSpec extends SparkSpec {
     assert(plan.contains("v-5"), plan.take(400))
   }
 
+  test("persisted dedup index: publish -> fresh read -> probe == in-session probe") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") <= 60)
+    val batch = docs.where(col("doc_id") > 60)
+    val lake = Files.createTempDirectory("graft-idx-lake").toString + "/minhash"
+    // publish the corpus signature index (generic versioned table)
+    assert(StormSinks.writeVersionedTable(Dedup.minhashIndex(corpus), lake) == 0)
+    // probe from a FRESH read of the published version — the daily
+    // ingest never recomputes the corpus side
+    val idx = spark.read.format("graftlake").load(lake)
+    val viaLake = Dedup.minhashPairsBetweenIndexes(idx,
+        Dedup.minhashIndex(batch), threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inSession = Dedup.minhashPairsAgainst(corpus, batch, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLake == inSession, s"lake=$viaLake inSession=$inSession")
+    assert(viaLake.nonEmpty, "fixture must produce at least one near-dup pair")
+    // republish (v-1) and re-probe: readers follow the pointer
+    assert(StormSinks.writeVersionedTable(Dedup.minhashIndex(corpus), lake) == 1)
+    val again = Dedup.minhashPairsBetweenIndexes(
+        spark.read.format("graftlake").load(lake),
+        Dedup.minhashIndex(batch), threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == inSession)
+  }
+
+  test("persisted BM25 index: publish -> fresh read -> sparse top-k == in-session") {
+    import graft.operators.PipelineQueries
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val lake = Files.createTempDirectory("graft-idx-lake").toString + "/bm25"
+    assert(StormSinks.writeVersionedTable(
+      PipelineQueries.bm25WeightsOf(docs), lake) == 0)
+    val viaLake = PipelineQueries
+      .sparseTopK(spark.read.format("graftlake").load(lake))
+      .collect().map(_.toSeq).toSeq
+    val inSession = PipelineQueries
+      .sparseTopK(graft.Materialize.once(PipelineQueries.bm25WeightsOf(docs)))
+      .collect().map(_.toSeq).toSeq
+    assert(viaLake == inSession)
+    assert(viaLake.nonEmpty)
+  }
+
   test("time travel: option(version) reads a retained older version") {
     val (dir, n, enriched) = freshLake()
     // v1 drops half the rows; v0 stays readable via time travel

@@ -144,6 +144,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(rows(9002L) == (2L, 0L), s"tab-only doc: ${rows(9002L)}")
   }
 
+  test("text_dupcut: cuts exactly the planted cross-document span, leaves unique text") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dupcut").toString
+    val span = (1 to 9).map(i => s"shared$i").mkString(" ") // 9 tokens: two 8-windows
+    val rows = Seq(
+      (1L, s"alpha beta $span gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"one two three $span four five six seven eight nine ten"),
+      (3L, "entirely unique content with no repeated windows at all here today"))
+    rows.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = SparkEntry.queries("text_dupcut")(spark, base).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"), r.getAs[String]("kept_sha"))).toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // both holders lose exactly the 9 span tokens; the edited text is
+    // the doc with the span excised (brute-force replay)
+    assert(got(1L) == (19L, 9L,
+      sha("alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    assert(got(2L) == (19L, 9L,
+      sha("one two three four five six seven eight nine ten")))
+    assert(got(3L)._2 == 0L && got(3L)._1 == 11L, s"unique doc touched: ${got(3L)}")
+  }
+
   test("corpus_shard: exact partition of the corpus with dense per-shard positions") {
     val rows = SparkEntry.queries("corpus_shard")(spark, sfDir).collect()
     val ids = rows.map(_.getAs[Long]("doc_id"))
