@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent scale rehearsal (VERDICT r7 #7): run the heaviest
+  * queries against SPARK_GRAFT_SF_DIR and against a synthetic
+  * `mult`× corpus, and report the per-query wall-clock scaling
+  * factor. A query scaling worse than ~`mult` + overhead is
+  * super-linear beyond data growth and needs a named cause.
+  *
+  * The synthetic corpus must grow the DATA without changing the
+  * problem's local structure — naive replication fails both ways:
+  * identical copies make every replica of a doc a mutual near-dup
+  * (pair count explodes quadratically BY CONSTRUCTION, not by scale),
+  * while fresh random text changes df profiles. Instead:
+  * - documents: per-replica bijective token renaming (suffix `zR` on
+  *   every token). A bijection preserves every within-replica set
+  *   relation exactly — shingle sizes, pairwise Jaccard, df profile —
+  *   while making cross-replica similarity zero, so expected pairs,
+  *   clusters, triangles all scale ×mult, linearly.
+  * - embeddings: per-replica rotation of the DIMENSION order —
+  *   preserves every within-replica cosine exactly, scrambles
+  *   cross-replica ones.
+  * Min-of-2 per (query, dir) in one JVM; the small series runs first
+  * as additional JIT warmup for the big one (comparing min-of-2
+  * across dirs, warmup asymmetry favors neither precisely because
+  * both timings are second-run minima).
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-scale-${mult}x-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    val marker = new java.io.File(bigDir, "_SCALE_OK")
+    if (!marker.exists) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until mult).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1z" + r).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until mult).map { r =>
+        emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          expr(s"transform(sequence(0, size(embedding) - 1), " +
+            s"i -> embedding[(i + $r) % size(embedding)])").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      marker.createNewFile()
+    }
+
+    val names = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
+      "graph_pagerank", "corpus_clean", "corpus_chunks", "dedup_recall",
+      "dedup_semantic", "dedup_embed", "embed_kmeans", "text_tfidf",
+      "text_bm25")
+    def cleanBetween(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def minOf2(name: String, dir: String): (Double, Long) = {
+      var rows = 0L
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = SparkEntry.queries(name)(spark, dir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        cleanBetween()
+        s
+      }
+      (times.min, rows)
+    }
+    val results = names.map { n =>
+      val (t1, rows1) = minOf2(n, sfDir)
+      val (tN, rowsN) = minOf2(n, bigDir)
+      val line = f"""{"query":"$n","sec_base":$t1%.3f,"sec_${mult}x":$tN%.3f,""" +
+        f""""factor":${tN / t1}%.2f,"rows_base":$rows1,"rows_${mult}x":$rowsN}"""
+      println(s"[scale] $line")
+      line
+    }
+    val out = results.mkString("[\n", ",\n", "\n]") + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("scalecheck_last.json"),
+      out.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
