@@ -35,6 +35,14 @@ object ProfilePpjoin {
       t(s"pairs_full_$i")(graft.operators.Dedup
         .jaccardPairs(docs, k = 3, threshold = 0.5).count())
     }
+    for (i <- 1 to 2) {
+      t(s"contain_cand_prefixOnly_$i")(graft.operators.Dedup
+        .containmentCandidates(docs, k = 3, threshold = 0.6, positional = false).count())
+      t(s"contain_cand_positional_$i")(graft.operators.Dedup
+        .containmentCandidates(docs, k = 3, threshold = 0.6, positional = true).count())
+      t(s"contain_pairs_full_$i")(graft.operators.Dedup
+        .containmentPairs(docs, k = 3, threshold = 0.6).count())
+    }
     spark.stop()
   }
 }

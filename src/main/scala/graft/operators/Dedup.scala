@@ -138,6 +138,73 @@ object Dedup {
       graft.expressions.native
         .minhashSigSha(col("text"), k, bands * rowsPerBand).as("sig")))
 
+  /** One row per (doc, band): the band's signature slice as a join
+    * key — the banded-probe form of a [[minhashIndex]]. */
+  private def bandedOf(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigDf.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Publish a corpus dedup index to the versioned lake in the SPLIT
+    * layout a 100 TB deployment wants (the [[minhashIndex]] frame
+    * carries the O(document) shingle sets, so persisting it whole
+    * makes the PROBE side pay document-sized reads):
+    *
+    *   `$dir/bands` — (doc_id, band, bucket), ~bands × 70 bytes/doc
+    *                  REGARDLESS of document size; the only table the
+    *                  candidate join reads, partitioned by band.
+    *   `$dir/sets`  — (doc_id, sh), the exact-verify sets; only
+    *                  candidate doc_ids' rows ever flow past its scan.
+    *
+    * Both via [[graft.sources.StormSinks.writeVersionedTable]]
+    * (immutable v-N + atomic pointer), so a republish never races a
+    * running probe. Probe with [[minhashPairsAgainstLake]] (same
+    * k/bands/rowsPerBand). */
+  def publishMinhashLake(corpus: DataFrame, dir: String, k: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val idx = minhashIndex(corpus, k, bands, rowsPerBand)
+    try {
+      graft.sources.StormSinks.writeVersionedTable(
+        bandedOf(idx, bands, rowsPerBand), s"$dir/bands", Seq("band"))
+      graft.sources.StormSinks.writeVersionedTable(
+        idx.select(col("doc_id"), col("sh")), s"$dir/sets")
+    } finally graft.Materialize.free(idx)
+  }
+
+  /** Asymmetric near-dup probe of a [[publishMinhashLake]] split
+    * index: candidates from batch-bands ⋈ lake-bands (the compact
+    * table), exact verify fetches lake shingle sets for CANDIDATE
+    * doc_ids only. Row-identical to [[minhashPairsAgainst]] on the
+    * same corpus (GraftLakeSpec pins it). Like
+    * [[minhashPairsAgainstIndex]], the batch-side index this builds
+    * stays materialized for the session — a foreachBatch caller
+    * should build/free its own via [[minhashIndex]]. */
+  def minhashPairsAgainstLake(batch: DataFrame, dir: String, k: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val corpusBands = spark.read.format("graftlake").load(s"$dir/bands")
+    val setsO = spark.read.format("graftlake").load(s"$dir/sets")
+    val sigN = minhashIndex(batch, k, bands, rowsPerBand)
+    val a = bandedOf(sigN, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+    val b = corpusBands.select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .select(col("doc_new"), col("doc_old"))
+      .repartition(parts, col("doc_new"), col("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+    val setsN = sigN.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
+    cand.join(setsN, "doc_new")
+      .join(setsO.select(col("doc_id").as("doc_old"), col("sh").as("sh_b")), "doc_old")
+      .withColumn("inter", inter)
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("doc_new"), col("doc_old"), round(col("inter") / col("uni"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** [[minhashPairsAgainst]] with a pre-built corpus index
     * ([[minhashIndex]] with the SAME k/bands/rowsPerBand).
     *
@@ -168,12 +235,10 @@ object Dedup {
     val parts = batchIndex.sparkSession.sessionState.conf.numShufflePartitions
     val sigN = batchIndex
     val sigO = corpusIndex
-    def banded(sigDf: DataFrame) = sigDf.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded(sigN).select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
-    val b = banded(sigO).select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+    val a = bandedOf(sigN, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+    val b = bandedOf(sigO, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
     val cand = a.join(b, Seq("band", "bucket"))
       .select(col("doc_new"), col("doc_old"))
       .repartition(parts, col("doc_new"), col("doc_old"))
@@ -460,27 +525,10 @@ object Dedup {
     * Exact verify prices candidates only. Returns directed pairs
     * (doc_a contained-in doc_b, containment). */
   def containmentPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // shingle sets feed postings AND the verify re-attach — materialize
     val sets = graft.Materialize.once(
       docs.select(col("doc_id"), shingles(col("text"), k).as("sh")))
-    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
-    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = postings.join(dfs, "s")
-      .repartition(parts, col("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val all = postings.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    val cand = prefix.join(all, Seq("s"))
-      .where(col("doc_a") =!= col("doc_b") &&
-        col("n_b") >= col("n_a") * threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .repartition(parts, col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = containmentCandidatesFromSets(sets, threshold, positional = true)
     val inter = graft.expressions.native
       .intersectCount(col("sh_a"), col("sh_b")).cast("double")
     cand
@@ -490,5 +538,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / size(col("sh_a")).cast("double"), 6).as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** Candidate (doc_a, doc_b) pairs for [[containmentPairs]], deduped —
+    * exposed so specs can measure the positional filter's candidate
+    * reduction.
+    *
+    * With `positional`, BOTH sides of the candidate join carry their
+    * shingle's rank in the full (df, s)-sorted list, bought by ranking
+    * the posting table once (both branches read the same ranked
+    * frame), and the containment analogue of PPJoin's bound applies:
+    * C(A,B) ≥ t needs overlap ≥ t·|A|, and a row whose shingle is the
+    * pair's FIRST common one bounds overlap by
+    * 1 + min(n_a − rk_a, n_b − rk_b) — for C ≥ t that first common
+    * shingle lies within A's prefix (position ≤ |A| − ⌈t·|A|⌉ + 1)
+    * and its row always passes, so keep-if-ANY-row-passes is
+    * lossless. Hot boilerplate shingles sort LAST (highest df), so
+    * their rows have the weakest bounds and are pruned first —
+    * exactly the candidate class a boilerplate-heavy corpus drowns
+    * in. */
+  private[graft] def containmentCandidates(docs: DataFrame, k: Int,
+      threshold: Double, positional: Boolean = true): DataFrame =
+    containmentCandidatesFromSets(graft.Materialize.once(
+      docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))),
+      threshold, positional)
+
+  private def containmentCandidatesFromSets(sets: DataFrame,
+      threshold: Double, positional: Boolean): DataFrame = {
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = postings.join(dfs, "s")
+      .repartition(parts, col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+    val prefix = ranked
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("rk").as("rk_a"))
+    val all = ranked.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    val posOk =
+      if (!positional) lit(true)
+      else (lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
+        .cast("double") >= col("n_a").cast("double") * threshold - 1e-9
+    prefix.join(all, Seq("s"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= col("n_a") * threshold && posOk)
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -139,6 +139,34 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "corpus must actually contain over-threshold pairs")
   }
 
+  test("containment positional filter: prunes candidates, loses no pair (brute-force truth)") {
+    // same rotating-window corpus as the Jaccard PPJoin test, plus a
+    // planted quote-inside-page pair (the asymmetric case itself)
+    val quote = (100 to 107).map(i => f"q$i").mkString(" ")
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until 30).map(j => f"w${(i + j) % 60}%02d").mkString(" "))
+    } :+ (200L, quote) :+
+      (201L, quote + " " + (0 until 40).map(j => s"page$j").mkString(" "))
+    val d = rows.toDF("doc_id", "text")
+    val t = 0.6
+    val candPrefix = Dedup.containmentCandidates(d, k = 2, threshold = t, positional = false).count()
+    val candPos = Dedup.containmentCandidates(d, k = 2, threshold = t, positional = true).count()
+    info(s"candidates: prefix+size=$candPrefix, +positional=$candPos " +
+      f"(${100.0 * (candPrefix - candPos) / candPrefix}%.1f%% pruned)")
+    assert(candPos < candPrefix, "positional filter should prune on this corpus")
+    val sets = d.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = (sets(a) & sets(b)).size.toDouble / sets(a).size
+      if c >= t
+    } yield (a, b)).toSet
+    val got = Dedup.containmentPairs(d, k = 2, threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(truth((200L, 201L)), "planted quote-in-page must be a true containment")
+  }
+
   test("clusters: connected components with min-id labels") {
     // chain 1-2-3 + pair 10-11 + pair (5,1) joining the chain via 1
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 5L))

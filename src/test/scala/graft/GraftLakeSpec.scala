@@ -101,6 +101,29 @@ class GraftLakeSpec extends SparkSpec {
     assert(again == inSession)
   }
 
+  test("split lake index: compact band table probes, verify sets fetched per candidate") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") <= 60)
+    val batch = docs.where(col("doc_id") > 60)
+    val lake = Files.createTempDirectory("graft-split-lake").toString + "/dedup"
+    Dedup.publishMinhashLake(corpus, lake)
+    // probe-side table is COMPACT: band/bucket/doc_id only — no
+    // O(document) shingle column (the storage claim the split layout
+    // exists to make true), and it is partitioned by band on disk
+    val bandsTbl = spark.read.format("graftlake").load(s"$lake/bands")
+    assert(bandsTbl.columns.sorted.toSeq == Seq("band", "bucket", "doc_id"))
+    assert(new java.io.File(s"$lake/bands/v-0").listFiles()
+      .exists(_.getName.startsWith("band=")), "band table should be partitioned by band")
+    val viaLake = Dedup.minhashPairsAgainstLake(batch, lake, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inSession = Dedup.minhashPairsAgainst(corpus, batch, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLake == inSession, s"lake=$viaLake inSession=$inSession")
+    assert(viaLake.nonEmpty)
+  }
+
   test("persisted BM25 index: publish -> fresh read -> sparse top-k == in-session") {
     import graft.operators.PipelineQueries
     val docs = graft.sources.Tables.documents(spark, sfDir)
