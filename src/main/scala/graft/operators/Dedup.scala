@@ -181,12 +181,23 @@ object Dedup {
     * stays materialized for the session — a foreachBatch caller
     * should build/free its own via [[minhashIndex]]. */
   def minhashPairsAgainstLake(batch: DataFrame, dir: String, k: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsLakeVsIndex(dir, minhashIndex(batch, k, bands, rowsPerBand),
+      bands, rowsPerBand, threshold)
+
+  /** [[minhashPairsAgainstLake]] with a pre-built batch-side
+    * [[minhashIndex]], so a long-lived caller (streaming
+    * foreachBatch) can free the batch index after each action. The
+    * lake's `_current` pointer resolves per CALL: a caller creating
+    * this frame per micro-batch follows corpus-index republishes
+    * without a restart. */
+  def minhashPairsLakeVsIndex(dir: String, batchIndex: DataFrame,
       bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val spark = batch.sparkSession
+    val spark = batchIndex.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val corpusBands = spark.read.format("graftlake").load(s"$dir/bands")
     val setsO = spark.read.format("graftlake").load(s"$dir/sets")
-    val sigN = minhashIndex(batch, k, bands, rowsPerBand)
+    val sigN = batchIndex
     val a = bandedOf(sigN, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
     val b = corpusBands.select(col("band"), col("bucket"), col("doc_id").as("doc_old"))

@@ -132,4 +132,56 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Publish everything [[startIncrementalDedupFromLake]] probes: the
+    * split minhash lake ([[graft.operators.Dedup.publishMinhashLake]]:
+    * compact band table + verify sets) plus the exact-dup fingerprint
+    * set, all through the versioned-pointer protocol. Run by the
+    * corpus-side batch job (e.g. after each nightly compaction); the
+    * streaming ingest only ever READS these tables. */
+  def publishDedupLake(corpus: DataFrame, dir: String, k: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    graft.operators.Dedup.publishMinhashLake(
+      corpus.select(col("doc_id"), col("text")), dir, k, bands, rowsPerBand)
+    graft.sources.StormSinks.writeVersionedTable(
+      corpus.select(Text.fingerprint(col("text")).as("fp")).distinct(),
+      s"$dir/fps")
+    ()
+  }
+
+  /** [[startIncrementalDedup]] probing a [[publishDedupLake]] lake
+    * instead of an in-session corpus frame — the deployment shape:
+    * the publisher owns the corpus-sized jobs, the stream reads only
+    * the compact band table, the fingerprint set, and (for candidate
+    * doc_ids alone) the verify sets. Lake pointers resolve per
+    * micro-batch, so a corpus-index republish takes effect on the
+    * next batch without restarting the stream; each batch's own
+    * signature index is freed once its write lands (no state grows
+    * with the stream). */
+  def startIncrementalDedupFromLake(spark: SparkSession, inDir: String,
+      lakeDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import graft.operators.Dedup
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
+        try {
+          val near = Dedup
+            .minhashPairsLakeVsIndex(lakeDir, batchIdx, threshold = 0.2)
+            .select(col("doc_new").as("doc_id")).distinct()
+          val fps = spark.read.format("graftlake").load(s"$lakeDir/fps")
+          val kept = batch
+            .withColumn("fp", Text.fingerprint(col("text")))
+            .join(fps, Seq("fp"), "left_anti")
+            .join(near, Seq("doc_id"), "left_anti")
+            .drop("fp")
+          prepare(kept).write.mode("append").parquet(outDir)
+        } finally graft.Materialize.free(batchIdx)
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/incdedup-lake")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -94,6 +94,33 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() == batch.count())
   }
 
+  test("lake-backed incremental dedup == in-session variant; stream reads only the lake") {
+    val base = Files.createTempDirectory("graft-corpus-lakededup").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") <= 60)
+    val fresh = docs.where(col("doc_id") > 60)
+    val reingest = corpus.orderBy(col("doc_id")).limit(10)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    fresh.unionByName(reingest).coalesce(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    // corpus side: one publish job; the stream never sees the corpus
+    CorpusStream.publishDedupLake(corpus, s"$base/lake")
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/lake", s"$base/outLake", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    CorpusStream.startIncrementalDedup(spark, s"$base/in", corpus,
+        s"$base/outMem", s"$base/cp2")
+      .awaitTermination()
+    val viaLake = spark.read.parquet(s"$base/outLake")
+    val viaMem = spark.read.parquet(s"$base/outMem")
+    assert(viaLake.count() > 0)
+    assert(viaLake.where(col("doc_id") >= 5000000L).count() == 0,
+      "re-ingested docs must be dropped by the lake fingerprint probe")
+    val l = viaLake.select(viaMem.columns.map(col).toSeq: _*)
+    assert(l.exceptAll(viaMem).isEmpty && viaMem.exceptAll(l).isEmpty,
+      "lake-backed classification must equal the in-session one")
+  }
+
   test("incremental-dedup stream holds no per-batch state: blocks do not grow with batch count") {
     // maxFilesPerTrigger=1 over 3 input files forces 3 micro-batches —
     // the single-batch AvailableNow runs above cannot see a per-batch
