@@ -630,7 +630,35 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Equi-width histogram of l_extendedprice in 20 buckets — the
+    * distribution-profiling complement of [[qProfile]] (what ANALYZE
+    * stores as a column histogram for CBO selectivity). Bounds come
+    * from one scalar min/max aggregate broadcast back over the scan;
+    * all arithmetic on integer cents (`width = (max−min) div 20 + 1`,
+    * `bucket = (v−min) div width` — exact floor division, never a
+    * double), so the bucketing is bit-identical across engines. Scale
+    * shape: two narrow scans of one column (bounds + bucketing) and a
+    * 20-row partial-agg shuffle; at 100 TB the bounds pass rides
+    * parquet column statistics instead of a scan. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v_i"))
+    val bounds = v.agg(min(col("v_i")).as("min_i"), max(col("v_i")).as("max_i"))
+      .select(col("min_i"), expr("(max_i - min_i) div 20 + 1").as("width_i"))
+    v.crossJoin(broadcast(bounds))
+      .select(expr("(v_i - min_i) div width_i").as("bucket"),
+        col("v_i"), col("min_i"), col("width_i"))
+      .groupBy(col("bucket"), col("min_i"), col("width_i"))
+      .agg(count(lit(1)).as("n"), sum(col("v_i")).as("sum_i"))
+      .select(col("bucket"),
+        (col("min_i") + col("bucket") * col("width_i")).as("lo_i"),
+        (col("min_i") + (col("bucket") + 1) * col("width_i") - 1).as("hi_i"),
+        col("n"), col("sum_i"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram"  -> (qHistogram _),
     "q_pivot"      -> (qPivot _),
     "q_approx"     -> (qApproxChecked _),
     "q_gapfill"    -> (qGapfill _),
@@ -670,6 +698,23 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // same integer-cents floor-division bucketing as qHistogram
+    // (DuckDB // == Spark div for non-negative BIGINTs)
+    "q_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v_i
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT min(v_i) AS min_i, (max(v_i) - min(v_i)) // 20 + 1 AS width_i
+        |  FROM v
+        |), s AS (
+        |  SELECT (v_i - min_i) // width_i AS bucket, v_i, min_i, width_i
+        |  FROM v CROSS JOIN b
+        |)
+        |SELECT bucket, min_i + bucket * width_i AS lo_i,
+        |  min_i + (bucket + 1) * width_i - 1 AS hi_i,
+        |  count(*) AS n, CAST(sum(v_i) AS BIGINT) AS sum_i
+        |FROM s GROUP BY bucket, min_i, width_i ORDER BY bucket""".stripMargin,
     // the naive theta join IS the spec; the Spark side's deletion-
     // neighborhood banding is lossless for dist <= 1 (FastSS property),
     // so the two agree exactly. DuckDB and Spark both implement classic

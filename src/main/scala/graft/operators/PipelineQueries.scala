@@ -823,6 +823,92 @@ object PipelineQueries {
           col("n_chars"), shares = Map.empty, defaultShare = 0.2)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 96: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    // 2003, the MOSS algorithm): 4-token grams hashed to a 40-bit
+    // sha-256 prefix; a w=4 sliding window selects each window's
+    // minimum hash, rightmost position on ties — guaranteed-gap local
+    // fingerprints at ~2/(w+1) density, the robust alternative to
+    // fixed-stride sampling for overlap/plagiarism detection (any
+    // shared substring of >= w+k-1 tokens shares a fingerprint). The
+    // argmin-with-rightmost-tiebreak packs into ONE window min:
+    // key = h·2^20 + (2^20−1−pos), so min(key) over the frame IS
+    // (min h, max pos); decode afterwards. Trailing windows are
+    // frame-clipped (suffix windows still select) — a documented
+    // deviation from the paper's full-windows-only loop, deterministic
+    // on both engines. Scale shape: one shuffle (the per-doc window
+    // sort, WindowExec spills); positions bounded < 2^20 tokens/doc.
+    "text_winnow" -> ((s, d) => {
+      val P = 1048576L
+      val grams = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(Text.ngramsOf(Text.tokens(col("text")), 4)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          conv(substring(sha2(col("col"), 256), 1, 10), 16, 10)
+            .cast("long").as("h"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+      grams
+        .select(col("doc_id"),
+          min(col("h") * P + (lit(P - 1) - col("pos"))).over(wf).as("key"))
+        .distinct()
+        .select(col("doc_id"),
+          (lit(P - 1) - col("key") % P).as("pos"),
+          expr(s"key div $P").as("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    // 97: DSIR-style importance resampling (Xie et al., Data Selection
+    // via Importance Resampling): hashed unigram features — 64 md5
+    // buckets, stock-function hashing so any engine reproduces
+    // membership — with target = the de/fr slice; per-bucket importance
+    // weight ln((tgt+1)/(raw+1)) on the exact 1e-6 integer grid; per-doc
+    // score = Σ bucket-count × w_i in order-free BIGINT; top-50 by
+    // (score, doc_id) via TakeOrdered, no global sort. Scale shape: the
+    // weight table is 64 rows (broadcast); the corpus is scanned twice
+    // (count pass + scoring pass) — exactly DSIR's two passes — each a
+    // narrow explode + partial-agg shuffle. Docs with zero non-empty
+    // tokens have no feature mass and drop out by construction.
+    "sample_importance" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val bucket =
+        conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 8), 16, 10)
+          .cast("long") % 64
+      val bk = toks.select(col("doc_id"), col("lang"), bucket.as("b"))
+      val wts = bk.groupBy(col("b"))
+        .agg(count(lit(1)).as("raw"),
+          sum(when(col("lang").isin("de", "fr"), 1L).otherwise(0L)).as("tgt"))
+        .select(col("b"),
+          round(round(log((col("tgt").cast("double") + 1.0) /
+            (col("raw").cast("double") + 1.0)), 6) * 1e6)
+            .cast("long").as("w_i"))
+      bk.join(broadcast(wts), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_i")).as("score_i"))
+        .orderBy(col("score_i").desc, col("doc_id")).limit(50)
+    }),
+    // 98: per-source dataset-card report — the reporting query every
+    // corpus release ships: doc/token masses, language spread, exact
+    // mean/median length, and the count of docs whose normalized text
+    // duplicates ANY other doc corpus-wide. One fingerprint-partition
+    // window (shuffle on the normalized text — at 100 TB swap the
+    // partition key for sha2(normalize) to bound key width; same
+    // grouping) + one per-source partial-agg shuffle of |sources| rows.
+    "corpus_stats" -> ((s, d) => {
+      val wfp = org.apache.spark.sql.expressions.Window
+        .partitionBy(Text.normalize(col("text")))
+      docs(s, d).select(col("source"), col("lang"), col("n_chars"),
+          Text.tokenCount(col("text")).as("n_toks"),
+          count(lit(1)).over(wfp).as("n_same"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("n_chars").cast("double")), 6).as("mean_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("dup_docs"))
+        .orderBy(col("source"))
+    }),
     // 42: context-window chunking — 64-token windows, 16-token overlap
     // (narrow map + explode; no shuffle)
     "doc_chunk" -> ((s, d) =>
@@ -1077,6 +1163,73 @@ object PipelineQueries {
         |      % 1000000 AS BIGINT) AS bucket
         |  FROM documents d JOIN r ON d.lang = r.lang
         |) WHERE bucket < thr ORDER BY doc_id""".stripMargin,
+    // 96: same 40-bit sha-256-prefix gram hash, the same h·2^20 +
+    // (2^20−1−pos) packing and the same CURRENT..3 FOLLOWING frame as
+    // the Spark window — min(key) is (min h, rightmost pos) on both
+    // engines, so the selected fingerprints replay exactly
+    "text_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split($NORM, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+         |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)
+         |  WHERE len(w) >= 4
+         |), h AS (
+         |  SELECT doc_id, pos,
+         |    CAST(('0x' || substr(sha256(gram), 1, 10))::UBIGINT AS BIGINT) AS h
+         |  FROM g
+         |), k AS (
+         |  SELECT doc_id,
+         |    min(h * 1048576 + (1048575 - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+         |  FROM h
+         |), sel AS (SELECT DISTINCT doc_id, key FROM k)
+         |SELECT doc_id, CAST(1048575 - key % 1048576 AS BIGINT) AS pos,
+         |  CAST(key // 1048576 AS BIGINT) AS fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    // 97: same md5 feature buckets, the same 1e-6-grid ln weights and
+    // the same order-free BIGINT dot product as the Spark side
+    "sample_importance" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, unnest(str_split($NORM, ' ')) AS tok
+         |  FROM documents
+         |), bk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 8))::UBIGINT
+         |      % 64 AS BIGINT) AS b
+         |  FROM tk WHERE tok <> ''
+         |), cnt AS (
+         |  SELECT b, count(*) AS raw,
+         |    sum(CASE WHEN lang IN ('de','fr') THEN 1 ELSE 0 END) AS tgt
+         |  FROM bk GROUP BY b
+         |), w AS (
+         |  SELECT b, CAST(round(round(ln((CAST(tgt AS DOUBLE) + 1.0)
+         |    / (CAST(raw AS DOUBLE) + 1.0)), 6) * 1000000) AS BIGINT) AS w_i
+         |  FROM cnt
+         |)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(w_i) AS BIGINT) AS score_i
+         |FROM bk JOIN w USING (b) GROUP BY doc_id, lang
+         |ORDER BY score_i DESC, doc_id LIMIT 50""".stripMargin,
+    // 98: same normalized-text duplicate window + per-source aggregate;
+    // quantile_cont matches Spark's exact percentile interpolation
+    "corpus_stats" ->
+      s"""WITH s0 AS (
+         |  SELECT source, lang, n_chars,
+         |    CASE WHEN $NORM = '' THEN 0
+         |         ELSE len(str_split($NORM, ' ')) END AS n_toks,
+         |    count(*) OVER (PARTITION BY $NORM) AS n_same
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+         |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+         |FROM s0 GROUP BY source ORDER BY source""".stripMargin,
     // 42: same tokenizer ([ \t\n\r\f]+ split, empties dropped) and the
     // same 64/16 window arithmetic as Text.chunk
     "doc_chunk" ->

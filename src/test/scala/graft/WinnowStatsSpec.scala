@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.PipelineQueries
+import graft.analytics.Analytics
+
+/** Independent-path checks for the round-8 reporting/selection
+  * operators: text_winnow (MOSS winnowing), sample_importance (DSIR
+  * importance resampling), corpus_stats (dataset-card report) and
+  * q_histogram (equi-width integer-cents histogram). Each test
+  * recomputes the expected answer in plain Scala from the collected
+  * inputs — a second implementation path, independent of both the
+  * Spark plan and the DuckDB oracle.
+  */
+class WinnowStatsSpec extends SparkSpec {
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  private def normTokens(text: String): Array[String] = {
+    val n = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    n.split(" ", -1)
+  }
+
+  // --------------------------------------------------------- text_winnow
+  test("text_winnow matches a brute-force per-window argmin replay") {
+    val docsRows = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    val P = 1048576L
+    val expected = docsRows.flatMap { r =>
+      val id = r.getLong(0)
+      val w = normTokens(r.getString(1))
+      if (w.length < 4) Seq.empty[(Long, Long, Long)]
+      else {
+        val hs = (0 to w.length - 4).map { i =>
+          java.lang.Long.parseLong(
+            sha256Hex(w.slice(i, i + 4).mkString(" ")).take(10), 16)
+        }
+        // every window start p, frame clipped at the end; winner =
+        // (min h, rightmost pos) == min of the packed key
+        val keys = hs.indices.map { p =>
+          (p until math.min(p + 4, hs.length))
+            .map(i => hs(i) * P + (P - 1 - i)).min
+        }.distinct.sorted
+        keys.map(k => (id, P - 1 - k % P, k / P))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = PipelineQueries.queries("text_winnow")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+    // density sanity: winnowing selects far fewer than all grams but
+    // leaves no gap of w or more between consecutive fingerprints
+    got.groupBy(_._1).foreach { case (_, fps) =>
+      val ps = fps.map(_._2).sorted
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 4, s"coverage gap > w: $a -> $b")
+        case _           => ()
+      }
+    }
+  }
+
+  // --------------------------------------------------- sample_importance
+  test("sample_importance matches an independent DSIR weight replay") {
+    val docsRows = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+    val tokRows = docsRows.flatMap { r =>
+      normTokens(r.getString(2)).filter(_.nonEmpty)
+        .map(t => (r.getLong(0), r.getString(1), t))
+    }
+    val bucketOf = (t: String) =>
+      java.lang.Long.parseLong(md5Hex("dsir:" + t).take(8), 16) % 64
+    val byBucket = tokRows.groupBy(t => bucketOf(t._3))
+    val wi = byBucket.map { case (b, ts) =>
+      val raw = ts.length.toDouble
+      val tgt = ts.count(t => t._2 == "de" || t._2 == "fr").toDouble
+      val lnr = BigDecimal(math.log((tgt + 1.0) / (raw + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      b -> BigDecimal(lnr * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val scored = tokRows.groupBy(t => (t._1, t._2)).map { case ((id, lang), ts) =>
+      (id, lang, ts.length.toLong, ts.map(t => wi(bucketOf(t._3))).sum)
+    }.toSeq
+    val expected = scored.sortBy(t => (-t._4, t._1)).take(50)
+    val got = PipelineQueries.queries("sample_importance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
+  test("sample_importance tilts toward target-distinctive vocabulary") {
+    // the shipped testdata shares ONE vocabulary across all languages
+    // (hashed unigram features carry no language signal there), so the
+    // selection property is proven on a corpus where the target slice
+    // actually has distinctive tokens
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
+    val docs = (0L until 40L).map { i =>
+      val (lang, text) =
+        if (i % 4 == 0) ("de", s"der kern satz nummer $i und noch worte")
+        else ("en", s"the main sentence number $i and more words")
+      (i, text, lang, "src0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val top = PipelineQueries.queries("sample_importance")(spark, tmp)
+      .collect().take(10)
+    // all 10 de docs carry positively-weighted distinctive tokens and
+    // must outrank every en doc
+    assert(top.forall(_.getString(1) == "de"),
+      s"target slice not ranked first: ${top.map(_.getString(1)).mkString(",")}")
+  }
+
+  // -------------------------------------------------------- corpus_stats
+  test("corpus_stats on a hand-built corpus: dups, medians, masses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stats-").toString
+    // srcA: 3 docs, one exact-dup PAIR (after normalization); srcB: 2
+    // docs, one of which duplicates a srcA doc CROSS-source
+    Seq(
+      (1L, "alpha beta gamma", "en", "srcA", 16L),
+      (2L, "  Alpha   BETA gamma ", "en", "srcA", 21L), // dup of 1 normalized
+      (3L, "unique one here", "de", "srcA", 15L),
+      (4L, "alpha beta gamma", "fr", "srcB", 16L), // cross-source dup of 1/2
+      (5L, "another singleton", "de", "srcB", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.queries("corpus_stats")(spark, tmp).collect()
+    assert(got.length == 2)
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "srcA" && b.getString(0) == "srcB")
+    // srcA: 3 docs, 9 tokens, 2 langs, all three docs in a dup group? no:
+    // docs 1,2 dup each other AND doc 4; doc 3 unique -> dup_docs = 2
+    assert(a.getLong(1) == 3 && a.getLong(2) == 9 && a.getLong(3) == 2)
+    assert(a.getLong(6) == 2)
+    assert(math.abs(a.getDouble(4) - (16 + 21 + 15) / 3.0) < 5e-7) // round(.,6)
+    assert(a.getDouble(5) == 16.0) // median of 15,16,21
+    // srcB: doc 4 is a dup (of 1/2), doc 5 unique -> dup_docs = 1
+    assert(b.getLong(1) == 2 && b.getLong(2) == 5 && b.getLong(3) == 2)
+    assert(b.getLong(6) == 1)
+    assert(b.getDouble(5) == 16.5) // median of 16,17
+  }
+
+  // --------------------------------------------------------- q_histogram
+  test("q_histogram matches an exact integer-cents replay; buckets cover") {
+    val cents = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0))
+    val minI = cents.min; val maxI = cents.max
+    val width = (maxI - minI) / 20 + 1
+    val expected = cents.groupBy(v => (v - minI) / width).toSeq
+      .map { case (bk, vs) =>
+        Row(bk, minI + bk * width, minI + (bk + 1) * width - 1,
+          vs.length.toLong, vs.sum)
+      }.sortBy(_.getLong(0))
+    val got = Analytics.queries("q_histogram")(spark, sfDir).collect()
+    assert(got.toSeq == expected)
+    // invariants: Σn = row count, every bucket in [0, 20), every row's
+    // value inside its bucket bounds by construction of the division
+    assert(got.map(_.getLong(3)).sum == cents.length)
+    assert(got.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 20))
+  }
+}
