@@ -107,6 +107,30 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Winnowing fingerprint selection (#96): (doc_id, pos, fp) of the
+    * selected 4-gram hashes under a w=4 window — see the `text_winnow`
+    * entry's commentary for the packing/tiebreak argument. Shared by
+    * text_winnow (the selection itself) and winnow_pairs (the
+    * detection join over the selected index). */
+  private[graft] def winnowFingerprints(doc: DataFrame): DataFrame = {
+    val P = 1048576L
+    val grams = doc
+      .select(col("doc_id"),
+        posexplode(Text.ngramsOf(Text.tokens(col("text")), 4)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(sha2(col("col"), 256), 1, 10), 16, 10)
+          .cast("long").as("h"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    grams
+      .select(col("doc_id"),
+        min(col("h") * P + (lit(P - 1) - col("pos"))).over(wf).as("key"))
+      .distinct()
+      .select(col("doc_id"),
+        (lit(P - 1) - col("key") % P).as("pos"),
+        expr(s"key div $P").as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 25: exact dedup over a replayed (doubled) corpus
     "dedup_exact" -> ((s, d) => {
@@ -320,6 +344,30 @@ object PipelineQueries {
     "dedup_embed" -> ((s, d) =>
       Knn.ivfPairs(embs(s, d), threshold = 0.35, nCells = 16)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // 100: k-NN graph over ALL embeddings (each vector's top-3
+    // same-cell neighbors by rounded cosine, ties to the lower id) —
+    // the all-vertices complement of knn_ivf's 10-query probe and the
+    // input every kNN-graph method (semantic clustering, label prop,
+    // graph-based dedup) starts from. The IVF cell join bounds pair
+    // work to n²/nCells (nCells ≈ √n at scale); the assignment is
+    // materialized once so the self-join can't re-run it per side.
+    // Isolated vectors (alone in their cell) have no edges, like MOSS
+    // singletons — documented, the oracle agrees.
+    "graph_knn" -> ((s, d) => {
+      val assigned = graft.Materialize.once(
+        Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), 16)))
+      val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb_id"))
+      assigned.join(nb, "cell_id")
+        .where(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("nb_id"),
+          round(Knn.cosine(col("embedding"), col("nb_emb")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nb_id"), col("cos"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
     // 58: deterministic Lloyd k-means — trained coarse quantizer;
     // exact-integer centroid means make every iteration replayable,
     // so the oracle re-runs the full training loop
@@ -837,24 +885,35 @@ object PipelineQueries {
     // deviation from the paper's full-windows-only loop, deterministic
     // on both engines. Scale shape: one shuffle (the per-doc window
     // sort, WindowExec spills); positions bounded < 2^20 tokens/doc.
-    "text_winnow" -> ((s, d) => {
-      val P = 1048576L
-      val grams = docs(s, d)
-        .select(col("doc_id"),
-          posexplode(Text.ngramsOf(Text.tokens(col("text")), 4)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          conv(substring(sha2(col("col"), 256), 1, 10), 16, 10)
-            .cast("long").as("h"))
-      val wf = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
-      grams
-        .select(col("doc_id"),
-          min(col("h") * P + (lit(P - 1) - col("pos"))).over(wf).as("key"))
-        .distinct()
-        .select(col("doc_id"),
-          (lit(P - 1) - col("key") % P).as("pos"),
-          expr(s"key div $P").as("fp"))
-        .orderBy(col("doc_id"), col("pos"))
+    "text_winnow" -> ((s, d) =>
+      winnowFingerprints(docs(s, d)).orderBy(col("doc_id"), col("pos"))),
+    // 99b: MOSS's detection step over the winnowed index — document
+    // pairs sharing >= 3 selected fingerprints, scored by
+    // shared/min(|fp_a|,|fp_b|). THE scale payoff of winnowing: the
+    // inverted index holds ~2/(w+1) of the grams, and fingerprints in
+    // more than dfCap=50 docs are dropped before the self-join
+    // (boilerplate guard — MOSS's "ignore overly-common fingerprints"
+    // rule), so hot n-grams never generate candidate pairs. One
+    // fp-keyed self-join, pair work bounded by Σ df² over df <= 50.
+    "winnow_pairs" -> ((s, d) => {
+      val fps = graft.Materialize.once(
+        winnowFingerprints(docs(s, d)).select(col("doc_id"), col("fp")).distinct())
+      val kept = fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= 50).select(col("fp")), "fp")
+      val nf = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val shared = kept.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 3)
+      shared
+        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+          round(col("shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6).as("score"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
     // 97: DSIR-style importance resampling (Xie et al., Data Selection
     // via Importance Resampling): hashed unigram features — 64 md5
@@ -920,6 +979,28 @@ object PipelineQueries {
 
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Shared DuckDB CTE chain replaying [[winnowFingerprints]] up to
+    * `sel` = (doc_id, key) with key = h·2²⁰ + (2²⁰−1−pos). */
+  private lazy val WINNOW_CTES =
+    s"""toks AS (
+       |  SELECT doc_id, str_split($NORM, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 4
+       |), h AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substr(sha256(gram), 1, 10))::UBIGINT AS BIGINT) AS h
+       |  FROM g
+       |), k AS (
+       |  SELECT doc_id,
+       |    min(h * 1048576 + (1048575 - pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+       |  FROM h
+       |), sel AS (SELECT DISTINCT doc_id, key FROM k)""".stripMargin
   private def hitsSql(ws: Seq[String]): String = {
     val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(str_split($NORM, ' '), t -> list_contains($list, t)))"
@@ -1168,27 +1249,48 @@ object PipelineQueries {
     // the Spark window — min(key) is (min h, rightmost pos) on both
     // engines, so the selected fingerprints replay exactly
     "text_winnow" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, str_split($NORM, ' ') AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-         |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)
-         |  WHERE len(w) >= 4
-         |), h AS (
-         |  SELECT doc_id, pos,
-         |    CAST(('0x' || substr(sha256(gram), 1, 10))::UBIGINT AS BIGINT) AS h
-         |  FROM g
-         |), k AS (
-         |  SELECT doc_id,
-         |    min(h * 1048576 + (1048575 - pos)) OVER (
-         |      PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
-         |  FROM h
-         |), sel AS (SELECT DISTINCT doc_id, key FROM k)
+      s"""WITH $WINNOW_CTES
          |SELECT doc_id, CAST(1048575 - key % 1048576 AS BIGINT) AS pos,
          |  CAST(key // 1048576 AS BIGINT) AS fp
          |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    // 99b: same winnowed index, the same df <= 50 boilerplate guard
+    // and the same shared >= 3 gate as the Spark join
+    "winnow_pairs" ->
+      s"""WITH $WINNOW_CTES, wfp AS (
+         |  SELECT DISTINCT doc_id, key // 1048576 AS fp FROM sel
+         |), kept AS (
+         |  SELECT doc_id, fp FROM wfp
+         |  WHERE fp IN (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 50)
+         |), nf AS (
+         |  SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |)
+         |SELECT pr.doc_a, pr.doc_b, CAST(pr.shared AS BIGINT) AS shared,
+         |  CAST(na.n_fp AS BIGINT) AS n_a, CAST(nb.n_fp AS BIGINT) AS n_b,
+         |  round(CAST(pr.shared AS DOUBLE) /
+         |    CAST(least(na.n_fp, nb.n_fp) AS DOUBLE), 6) AS score
+         |FROM pr JOIN nf na ON pr.doc_a = na.doc_id
+         |        JOIN nf nb ON pr.doc_b = nb.doc_id
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
+    // 100: same IVF assignment CTEs as dedup_embed, per-vector ranked
+    // same-cell neighbors
+    "graph_knn" ->
+      s"""WITH ${ivfSql(16)},
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nb_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM p
+         |)
+         |SELECT vec_id, CAST(rk AS INT) AS rk, nb_id, cos
+         |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     // 97: same md5 feature buckets, the same 1e-6-grid ln weights and
     // the same order-free BIGINT dot product as the Spark side
     "sample_importance" ->

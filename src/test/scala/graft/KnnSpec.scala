@@ -156,4 +156,35 @@ class KnnSpec extends SparkSpec {
     val zq = Knn.quantizeInt8(z).select("scale", "q").head
     assert(zq.getDouble(0) == 0.0 && zq.getSeq[Int](1).forall(_ == 0))
   }
+
+  test("graph_knn matches an independent same-cell top-3 replay") {
+    // plain-Scala IVF replay: centroids = first 16 vectors, assignment
+    // by rounded-cosine argmax (ties to the lowest cell), then per
+    // vector the top-3 same-cell neighbors by (cos desc, nb_id) —
+    // sequential-sum doubles match the kernel and DuckDB bit-for-bit
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.filter(_._1 < 16)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cos6(v, c), -cid) }.max._2 * -1
+    }.toMap
+    val byId = vecs.toMap
+    val expected = vecs.flatMap { case (id, v) =>
+      vecs.filter(o => o._1 != id && cellOf(o._1) == cellOf(id))
+        .map(o => (o._1, cos6(v, byId(o._1))))
+        .sortBy { case (nb, c) => (-c, nb) }.take(3).zipWithIndex
+        .map { case ((nb, c), i) => (id, i + 1, nb, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.PipelineQueries.queries("graph_knn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }

@@ -34,12 +34,11 @@ class WinnowStatsSpec extends SparkSpec {
     n.split(" ", -1)
   }
 
-  // --------------------------------------------------------- text_winnow
-  test("text_winnow matches a brute-force per-window argmin replay") {
-    val docsRows = graft.sources.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").collect()
+  /** Brute-force winnowing replay: per window start p (frame clipped
+    * at the end), winner = (min h, rightmost pos) == min packed key. */
+  private def winnowExpected(docsRows: Array[Row]): Array[(Long, Long, Long)] = {
     val P = 1048576L
-    val expected = docsRows.flatMap { r =>
+    docsRows.flatMap { r =>
       val id = r.getLong(0)
       val w = normTokens(r.getString(1))
       if (w.length < 4) Seq.empty[(Long, Long, Long)]
@@ -48,8 +47,6 @@ class WinnowStatsSpec extends SparkSpec {
           java.lang.Long.parseLong(
             sha256Hex(w.slice(i, i + 4).mkString(" ")).take(10), 16)
         }
-        // every window start p, frame clipped at the end; winner =
-        // (min h, rightmost pos) == min of the packed key
         val keys = hs.indices.map { p =>
           (p until math.min(p + 4, hs.length))
             .map(i => hs(i) * P + (P - 1 - i)).min
@@ -57,6 +54,13 @@ class WinnowStatsSpec extends SparkSpec {
         keys.map(k => (id, P - 1 - k % P, k / P))
       }
     }.sortBy(t => (t._1, t._2))
+  }
+
+  // --------------------------------------------------------- text_winnow
+  test("text_winnow matches a brute-force per-window argmin replay") {
+    val docsRows = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    val expected = winnowExpected(docsRows)
     val got = PipelineQueries.queries("text_winnow")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length == expected.length)
@@ -70,6 +74,48 @@ class WinnowStatsSpec extends SparkSpec {
         case _           => ()
       }
     }
+  }
+
+  // -------------------------------------------------------- winnow_pairs
+  test("winnow_pairs matches a replay over the brute-force fingerprints") {
+    val docsRows = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    val fps = winnowExpected(docsRows).map(t => (t._1, t._3)).distinct
+    val byFp = fps.groupBy(_._2).filter(_._2.length <= 50) // df cap
+    val nFp = byFp.values.flatten.groupBy(_._1).map { case (id, xs) => id -> xs.size }
+    val sharedCnt = byFp.values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size }.filter(_._2 >= 3)
+    val expected = sharedCnt.toSeq.map { case ((a, b), sh) =>
+      val score = BigDecimal(sh.toDouble / math.min(nFp(a), nFp(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, sh.toLong, nFp(a).toLong, nFp(b).toLong, score)
+    }.sortBy(t => (t._1, t._2))
+    val got = PipelineQueries.queries("winnow_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+  }
+
+  test("winnow_pairs surfaces a planted long shared substring") {
+    // two docs sharing a 40-token run must share winnowed fingerprints
+    // (any common substring of >= w+k-1 = 7 tokens shares at least one)
+    // and clear the shared >= 3 gate; unrelated docs must not pair
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wpair-").toString
+    val shared = (0 until 40).map(i => s"tok${i * 7919 % 101}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro alpha $shared outro omega", "en", "s", 1L),
+      (2L, s"different head words $shared and a tail", "en", "s", 1L),
+      (3L, (0 until 40).map(i => s"other${i}z").mkString(" "), "en", "s", 1L),
+      (4L, (0 until 40).map(i => s"more${i}q").mkString(" "), "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.queries("winnow_pairs")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got ${got.toSeq}")
   }
 
   // --------------------------------------------------- sample_importance
