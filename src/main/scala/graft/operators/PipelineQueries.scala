@@ -131,6 +131,24 @@ object PipelineQueries {
         expr(s"key div $P").as("fp"))
   }
 
+  /** #100's ranked same-cell top-3 neighbor set (vec_id, rk, nb_id,
+    * cos), no output ordering — shared by graph_knn and the
+    * graph_clusters mutual-edge symmetrization. */
+  private def knnTop3(s: SparkSession, d: String): DataFrame = {
+    val assigned = graft.Materialize.once(
+      Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), 16)))
+    val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb_id"))
+    assigned.join(nb, "cell_id")
+      .where(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(Knn.cosine(col("embedding"), col("nb_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
+      .select(col("vec_id"), col("rk"), col("nb_id"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 25: exact dedup over a replayed (doubled) corpus
     "dedup_exact" -> ((s, d) => {
@@ -353,20 +371,27 @@ object PipelineQueries {
     // materialized once so the self-join can't re-run it per side.
     // Isolated vectors (alone in their cell) have no edges, like MOSS
     // singletons — documented, the oracle agrees.
-    "graph_knn" -> ((s, d) => {
-      val assigned = graft.Materialize.once(
-        Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), 16)))
-      val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
-        col("embedding").as("nb_emb"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb_id"))
-      assigned.join(nb, "cell_id")
-        .where(col("vec_id") =!= col("nb_id"))
-        .select(col("vec_id"), col("nb_id"),
-          round(Knn.cosine(col("embedding"), col("nb_emb")), 6).as("cos"))
-        .withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
-        .select(col("vec_id"), col("rk"), col("nb_id"), col("cos"))
-        .orderBy(col("vec_id"), col("rk"))
+    "graph_knn" -> ((s, d) =>
+      knnTop3(s, d).orderBy(col("vec_id"), col("rk"))),
+    // 102: semantic clustering = connected components over the MUTUAL
+    // #100 edges (a in b's top-3 AND b in a's top-3 — the standard
+    // symmetrization that keeps asymmetric hub attachments from
+    // chaining unrelated regions together). Rides the same
+    // checkpointed min-label propagation as dedup_cluster; every
+    // vector appears (singletons label themselves). The oracle replays
+    // the closure with a recursive CTE.
+    "graph_clusters" -> ((s, d) => {
+      val rr = knnTop3(s, d).select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b"))
+      val mutual = rr.intersect(
+          rr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val labels = Dedup.clusters(mutual)
+      embs(s, d).select(col("vec_id"))
+        .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .orderBy(col("vec_id"))
     }),
     // 58: deterministic Lloyd k-means — trained coarse quantizer;
     // exact-integer centroid means make every iteration replayable,
@@ -871,6 +896,17 @@ object PipelineQueries {
           col("n_chars"), shares = Map.empty, defaultShare = 0.2)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 101: temperature-flattened mixture (mT5/UniMax family) — τ=2
+    // square-root flattening of the language distribution at a 50%
+    // char budget: head languages downsample toward the flattened
+    // share, tail languages ride through whole. See
+    // Sampling.temperatureSample for the cross-engine determinism
+    // argument (sqrt + 1e-6 grid + order-free BIGINT normalizer).
+    "sample_temperature" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), col("doc_id"), col("lang"),
+          col("n_chars"), tau = 2.0, budgetFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))),
     // 96: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
     // 2003, the MOSS algorithm): 4-token grams hashed to a 40-bit
     // sha-256 prefix; a w=4 sliding window selects each window's
@@ -1244,6 +1280,33 @@ object PipelineQueries {
         |      % 1000000 AS BIGINT) AS bucket
         |  FROM documents d JOIN r ON d.lang = r.lang
         |) WHERE bucket < thr ORDER BY doc_id""".stripMargin,
+    // 101: same sqrt-flattened weights on the 1e-6 grid, order-free
+    // BIGINT normalizer, and the same fixed-order rate expression as
+    // Sampling.temperatureSample (tau=2, budgetFrac=0.5)
+    "sample_temperature" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, mass,
+        |    CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS w_i
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(mass) AS BIGINT) AS total,
+        |    CAST(sum(w_i) AS BIGINT) AS sumw_i FROM w
+        |), r AS (
+        |  SELECT lang, CASE WHEN mass = 0 THEN 1000000
+        |    ELSE CAST(floor(least(1.0,
+        |      0.5 * (CAST(w_i AS DOUBLE) / CAST(sumw_i AS DOUBLE))
+        |          * (CAST(total AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000) AS BIGINT)
+        |    END AS thr
+        |  FROM w, t
+        |)
+        |SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT d.doc_id, d.lang, d.source, r.thr,
+        |    CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 1000000 AS BIGINT) AS bucket
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |) WHERE bucket < thr ORDER BY doc_id""".stripMargin,
     // 96: same 40-bit sha-256-prefix gram hash, the same h·2^20 +
     // (2^20−1−pos) packing and the same CURRENT..3 FOLLOWING frame as
     // the Spark window — min(key) is (min h, rightmost pos) on both
@@ -1291,6 +1354,39 @@ object PipelineQueries {
          |)
          |SELECT vec_id, CAST(rk AS INT) AS rk, nb_id, cos
          |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // 102: same mutual-top-3 symmetrization, min-label components via
+    // the recursive closure (the dedup_cluster pattern), singletons
+    // self-labeled through the left join
+    "graph_clusters" ->
+      s"""WITH RECURSIVE ${ivfSql(16)},
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nb_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM p
+         |), e0 AS (
+         |  SELECT vec_id AS doc_a, nb_id AS doc_b FROM r WHERE rk <= 3
+         |), mut AS (
+         |  SELECT a.doc_a, a.doc_b FROM e0 a
+         |  JOIN e0 b ON a.doc_a = b.doc_b AND a.doc_b = b.doc_a
+         |  WHERE a.doc_a < a.doc_b
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mut
+         |  UNION ALL SELECT doc_b, doc_a FROM mut
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT eg.src, rc.lab FROM edges eg JOIN reach rc ON rc.id = eg.dst
+         |), clu AS (
+         |  SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT allv.vec_id, coalesce(clu.cluster_id, allv.vec_id) AS cluster_id
+         |FROM (SELECT vec_id FROM embeddings) allv LEFT JOIN clu USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     // 97: same md5 feature buckets, the same 1e-6-grid ln weights and
     // the same order-free BIGINT dot product as the Spark side
     "sample_importance" ->

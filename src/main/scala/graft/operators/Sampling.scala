@@ -170,4 +170,50 @@ object Sampling {
       .where(col("bucket") < col("__thr"))
       .drop("__g", "__thr")
   }
+
+  /** Temperature-flattened mixture sampling (the mT5/UniMax-family
+    * multilingual recipe): group probability p_g ∝ mass_g^(1/τ), so
+    * τ=1 is proportional (no flattening) and τ→∞ is uniform; the kept
+    * budget is `budgetFrac · total_mass`, split across groups by p_g,
+    * and each group's rate = min(1, p_g · budget / mass_g) — head
+    * groups are hash-downsampled toward the flattened share, tail
+    * groups pass through whole (no upsampling).
+    *
+    * Determinism across engines: masses stay exact integers; the one
+    * genuinely floating step — mass^(1/τ) — lands on the 1e-6 integer
+    * grid immediately (and uses `sqrt` when 1/τ = 0.5: sqrt is
+    * IEEE-correctly-rounded in both the JVM and C, `pow` is only
+    * 1-ulp-accurate), so the normalizing sum is an order-free BIGINT
+    * sum and the final rate is one fixed-order double expression
+    * floored onto the bucket lattice — the [[mixtureSample]] pattern.
+    *
+    * Scale shape: identical to [[mixtureSample]] — two tiny
+    * aggregations, thresholds broadcast, zero-shuffle hash filter. */
+  def temperatureSample(df: DataFrame, idCol: Column, groupCol: Column,
+      weightCol: Column, tau: Double, budgetFrac: Double,
+      salt: String = "temp"): DataFrame = {
+    require(tau >= 1.0, s"temperature must be >= 1, got $tau")
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    val inv = 1.0 / tau
+    val massD = col("__mass").cast("double")
+    val flat = if (inv == 0.5) sqrt(massD) else pow(massD, lit(inv))
+    val w = df.groupBy(groupCol.as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__mass"))
+      .select(col("__g"), col("__mass"),
+        round(flat * 1e6).cast("long").as("__w_i"))
+    val tot = w.agg(sum(col("__mass")).as("__total"), sum(col("__w_i")).as("__sumw_i"))
+    val thresholds = w.crossJoin(broadcast(tot))
+      .select(col("__g"),
+        when(col("__mass") === 0, lit(Buckets))
+          .otherwise(floor(least(lit(1.0),
+            lit(budgetFrac) *
+              (col("__w_i").cast("double") / col("__sumw_i").cast("double")) *
+              (col("__total").cast("double") / col("__mass").cast("double")))
+            * Buckets).cast("long")).as("__thr"))
+    df.join(broadcast(thresholds), groupCol === col("__g"))
+      .withColumn("bucket", hashBucket(idCol, salt))
+      .where(col("bucket") < col("__thr"))
+      .drop("__g", "__thr")
+  }
 }

@@ -186,5 +186,28 @@ class KnnSpec extends SparkSpec {
     val got = graft.operators.PipelineQueries.queries("graph_knn")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == expected.toSeq)
+
+    // graph_clusters: mutual-top-3 edges + union-find over the same
+    // replayed neighbor lists must reproduce the min-label components,
+    // with singletons labelled by themselves
+    val top3 = expected.groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val mutual = expected.flatMap { case (a, _, b, _) =>
+      if (a < b && top3.getOrElse(b, Set.empty[Long]).contains(a)) Some((a, b)) else None
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedClu = vecs.map(_._1).map(id => (id, find(id))).sortBy(_._1)
+    val gotClu = graft.operators.PipelineQueries.queries("graph_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotClu.toSeq == expectedClu.toSeq)
+    assert(mutual.nonEmpty, "testdata produced no mutual edges — weak test")
   }
 }

@@ -150,4 +150,34 @@ class SamplingSpec extends SparkSpec {
     assert(overlap < a.count() && overlap < b.count())
     assert(math.abs(overlap / n - 0.09) < 0.08)
   }
+
+  test("temperature sampling: exact thresholds, tail kept whole, flattening") {
+    import spark.implicits._
+    // en mass 90000, de mass 10000 -> sqrt weights 300:100, budget 0.5
+    // thr_en = floor(0.5 * 0.75 * (100000/90000) * 1e6) = 416666
+    // thr_de = 0.5 * 0.25 * 10 = 1.25 -> clamped to 1 -> kept whole
+    val df = ((0L until 90L).map(i => (i, "en", 1000L)) ++
+      (100L until 110L).map(i => (i, "de", 1000L)))
+      .toDF("doc_id", "lang", "w")
+    val got = Sampling.temperatureSample(df, col("doc_id"), col("lang"),
+      col("w"), tau = 2.0, budgetFrac = 0.5)
+      .select("doc_id", "lang", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"temp:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000000L
+    }
+    val expected = ((0L until 90L).map(i => (i, "en", bucket(i)))
+      .filter(_._3 < 416666L) ++
+      (100L until 110L).map(i => (i, "de", bucket(i))))
+      .sortBy(_._1)
+    assert(got.toSeq == expected)
+    // all 10 de docs survive (rate clamped to 1); en is downsampled
+    assert(got.count(_._2 == "de") == 10)
+    assert(got.count(_._2 == "en") < 90)
+    // flattening: de's share of kept mass exceeds its 10% raw share
+    val deShare = got.count(_._2 == "de").toDouble / got.length
+    assert(deShare > 0.10, s"temperature did not flatten: $deShare")
+  }
 }
