@@ -376,4 +376,75 @@ object Knn {
       .withColumn("scale", round(col("__mx") / lit(127.0), 6))
       .drop("__xd", "__mx")
   }
+
+  // ------------------------------------------- 103: hard-negative mining
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-cosine-similar corpus vectors whose label
+    * DIFFERS from the query's — the "hard" negatives a dual-encoder
+    * trains against (random negatives are too easy; same-label hits
+    * are false negatives and are excluded by construction).
+    *
+    * Same scale shape as [[cosineTopK]]: the query set (with labels)
+    * is broadcast, the corpus scan stays narrow, and only per-query
+    * top-k candidates reach the rank window. At corpus × large-query
+    * scale swap the scorer for [[ivfTopK]]'s cell-probe join and apply
+    * the label filter on the candidates — same contract. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").cast("long").as("q_label")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("neg_label"))
+      .crossJoin(q)
+      .where(col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ------------------------------- 104: nearest-centroid classification
+  /** Rocchio / nearest-class-centroid auto-labeling: per-label
+    * centroids from the labeled corpus, every vector re-assigned to
+    * its most-cosine-similar class centroid — the cheap domain/topic
+    * classifier corpus-curation pipelines run to audit labels and to
+    * label new data (resubstitution form: a vector's own contribution
+    * stays in its class centroid, the standard Rocchio evaluation).
+    *
+    * Engine-replayable like [[kmeansAssignments]]: centroids are
+    * per-dimension EXACT means on the 1e-6 long grid (order-
+    * independent sums), assignment is argmax of round(cos, 6) with
+    * ties to the lowest label. Scale: one (label, dim) partial
+    * aggregation (≤ labels·d rows out of the map side) + one
+    * broadcast-centroid argmax pass — both corpus-linear, no
+    * corpus-corpus join; centroids are labels·d·8 bytes (KBs).
+    *
+    * Output: (vec_id, label, pred_label, cos, agree). */
+  def classifyByCentroid(corpus: DataFrame): DataFrame = {
+    val cents = corpus
+      .select(col("label").cast("long").as("cell_id"), posexplode(col("embedding")))
+      .select(col("cell_id"), col("pos"),
+        floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("qc"))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(sum(col("qc")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => x.getField("s").cast("double") /
+          (x.getField("n").cast("double") * lit(1000000.0))).as("centroid"))
+    corpus
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        struct(round(cosineD(col("embedding"), col("centroid")), 6).as("cos"),
+          (-col("cell_id")).as("neg")).as("sc"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg")).as("pred_label"), col("best.cos").as("cos"),
+        (col("label") === -col("best.neg")).as("agree"))
+  }
 }

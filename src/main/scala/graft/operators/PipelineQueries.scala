@@ -149,6 +149,48 @@ object PipelineQueries {
       .select(col("vec_id"), col("rk"), col("nb_id"), col("cos"))
   }
 
+  /** Bigram-LM fluency scores (#62): train add-one-smoothed bigram
+    * stats on the corpus itself, score each doc by mean log P(w2|w1).
+    * Counts are vocabulary-sized aggregates; the per-doc mean goes
+    * through exact decimal summation (order-independent), so the
+    * oracle replays it despite double logs. Shared by text_lmscore
+    * (the scores themselves) and text_ccnet (the bucketing on top). */
+  private[graft] def lmScores(doc: DataFrame): DataFrame = {
+    // token array staged as an attribute ref BEFORE bigramsOf: a
+    // lambda body re-evaluates non-lambda subexpressions per element,
+    // so composing bigramsOf(tokens(text)) directly re-tokenizes the
+    // whole document once per bigram (measured 23s -> ~2s at sf0.1)
+    val tokd = doc.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    // bigram instances feed BOTH the c2 aggregate and the scoring
+    // join — materialize once (exchange reuse doesn't fire across
+    // the branches; instance-level, so corpus-sized: set
+    // spark.graft.materialize=reliable at 100 TB)
+    val bgInst = graft.Materialize.once(tokd.select(col("doc_id"),
+        explode(Text.bigramsOf(col("tk"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0)))
+    val uni = tokd.select(explode(col("tk")).as("token"))
+      .where(col("token") =!= "")
+    // c1 has exactly one row per distinct token, so the vocabulary
+    // size is count(c1) — deriving it there saves the second full
+    // tokenize+explode pass the countDistinct scan used to make
+    val c1 = graft.Materialize.once(
+      uni.groupBy(col("token")).agg(count(lit(1)).as("c1")))
+    val vocab = broadcast(c1.agg(count(lit(1)).as("v")))
+    val c2 = bgInst.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val terms = bgInst
+      .join(c2, "bg")
+      .join(c1.withColumnRenamed("token", "w1"), "w1")
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        log((col("c2") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double"))
+          .cast(DecimalType(28, 12)).as("lp"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 25: exact dedup over a replayed (doubled) corpus
     "dedup_exact" -> ((s, d) => {
@@ -338,6 +380,20 @@ object PipelineQueries {
       Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 103: hard-negative mining — per query vector, the 5 most-similar
+    // vectors with a DIFFERENT label (contrastive-training negatives;
+    // same-label hits are false negatives and never surface). Broadcast
+    // probe like knn_cosine; ivfTopK is the corpus-scale swap-in.
+    "knn_hardneg" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.hardNegatives(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("neg_label"), col("cos"))
+    }),
+    // 104: nearest-class-centroid (Rocchio) auto-labeling + agreement
+    // audit — exact integer-grid label centroids, broadcast argmax,
+    // fully oracle-replayable (the label-grouped cousin of embed_kmeans)
+    "embed_classify" -> ((s, d) =>
+      Knn.classifyByCentroid(embs(s, d)).orderBy(col("vec_id"))),
     // 30: LSH-bucketed ANN — sha-derived hyperplanes, so the oracle
     // replays signature/banding/candidates/re-rank exactly. bandBits
     // pinned to 4 (what autoBandBits picks at sf0.01–0.1 corpus sizes,
@@ -777,41 +833,59 @@ object PipelineQueries {
     // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
     // the per-doc mean goes through exact decimal summation (order-
     // independent), so the oracle replays it despite double logs.
-    "text_lmscore" -> ((s, d) => {
+    "text_lmscore" -> ((s, d) => lmScores(docs(s, d)).orderBy(col("doc_id"))),
+    // 105: CCNet-style perplexity bucketing — the selection step the
+    // CCNet pipeline runs on top of a KenLM-class score: the corpus is
+    // split into head/middle/tail thirds by LM fluency and only
+    // head+middle survive to training. Bucketing is by SCORE, not by
+    // per-row rank: the per-doc score quantizes to the 1e-6 long grid,
+    // a (score -> count) histogram accumulates map-side (output
+    // bounded by the score RANGE, not the corpus size), one small
+    // window over the histogram assigns bucket = (3 · #docs-strictly-
+    // better) div n, and docs join back on the score key — so there is
+    // no corpus-wide single-partition rank window anywhere, and ties
+    // on the grid share a bucket deterministically on every engine.
+    "text_ccnet" -> ((s, d) => {
+      val sc = lmScores(docs(s, d))
+      val si = sc.select(col("doc_id"), col("avg_logprob"),
+        round(col("avg_logprob") * 1e6).cast("long").as("s_i"))
+      val hist = si.groupBy(col("s_i")).agg(count(lit(1)).as("c"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_i").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val n = broadcast(sc.agg(count(lit(1)).as("n")))
+      val bucketed = hist
+        .withColumn("cum", coalesce(sum(col("c")).over(wcum), lit(0L)))
+        .crossJoin(n)
+        .select(col("s_i"), expr("(cum * 3) div n").cast("int").as("bk"))
+      si.join(bucketed, "s_i")
+        .select(col("doc_id"), col("avg_logprob"),
+          when(col("bk") === 0, "head").when(col("bk") === 1, "middle")
+            .otherwise("tail").as("ppl_bucket"),
+          (col("bk") < 2).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // 106: SoftDeDup-style duplication-aware sampling — instead of
+    // hard-dropping near-dup copies (corpus_clean's keep-canonical),
+    // every member of a near-dup cluster keeps with probability
+    // 1/|cluster| on the md5 lattice, so each cluster contributes ~1
+    // expected doc while singleton docs ride through whole — the soft
+    // down-weighting the SoftDeDup line of work argues preserves tail
+    // knowledge that hard dedup deletes. Deterministic (same lattice
+    // as #41: reproducible on any cluster layout, independent of the
+    // sampling salts used elsewhere). Cost beyond the cluster step
+    // itself: one size aggregate + one size join — both cluster-keyed.
+    "sample_softdedup" -> ((s, d) => {
       val doc = docs(s, d)
-      // token array staged as an attribute ref BEFORE bigramsOf: a
-      // lambda body re-evaluates non-lambda subexpressions per element,
-      // so composing bigramsOf(tokens(text)) directly re-tokenizes the
-      // whole document once per bigram (measured 23s -> ~2s at sf0.1)
-      val tokd = doc.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      // bigram instances feed BOTH the c2 aggregate and the scoring
-      // join — materialize once (exchange reuse doesn't fire across
-      // the branches; instance-level, so corpus-sized: set
-      // spark.graft.materialize=reliable at 100 TB)
-      val bgInst = graft.Materialize.once(tokd.select(col("doc_id"),
-          explode(Text.bigramsOf(col("tk"))).as("bg"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0)))
-      val uni = tokd.select(explode(col("tk")).as("token"))
-        .where(col("token") =!= "")
-      // c1 has exactly one row per distinct token, so the vocabulary
-      // size is count(c1) — deriving it there saves the second full
-      // tokenize+explode pass the countDistinct scan used to make
-      val c1 = graft.Materialize.once(
-        uni.groupBy(col("token")).agg(count(lit(1)).as("c1")))
-      val vocab = broadcast(c1.agg(count(lit(1)).as("v")))
-      val c2 = bgInst.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val terms = bgInst
-        .join(c2, "bg")
-        .join(c1.withColumnRenamed("token", "w1"), "w1")
-        .crossJoin(vocab)
-        .select(col("doc_id"),
-          log((col("c2") + lit(1L)).cast("double") /
-              (col("c1") + col("v")).cast("double"))
-            .cast(DecimalType(28, 12)).as("lp"))
-      terms.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
-            .as("avg_logprob"))
+      val labels = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      val withC = doc.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = withC.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      withC.join(sizes, "cluster_id")
+        .where(Sampling.hashBucket(col("doc_id"), "soft") <
+          floor(lit(Sampling.Buckets.toDouble) / col("cluster_size")).cast("long"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))
     }),
     // 40: PII redaction pass — per-doc match counts + fingerprint of
@@ -1072,6 +1146,40 @@ object PipelineQueries {
        |      cent.cell_id) AS rn
        |  FROM e CROSS JOIN cent
        |), assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1)""".stripMargin
+
+  /** Shared DuckDB CTEs for the bigram-LM fluency score (#62): add-one
+    * smoothed ln P(w2|w1), decimal-stabilized per-doc mean. Ends with
+    * `lmsc` = (doc_id, n_bigrams, avg_logprob). */
+  private lazy val LM_CTES: String =
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+       |  FROM documents
+       |), bg0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |    ELSE [] END) AS bg
+       |  FROM tk
+       |), b2 AS (
+       |  SELECT doc_id, bg, str_split(bg, ' ')[1] AS w1 FROM bg0
+       |), c2 AS (
+       |  SELECT bg, count(*) AS c2 FROM b2 GROUP BY bg
+       |), uni AS (
+       |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+       |), c1 AS (
+       |  SELECT token, count(*) AS c1 FROM uni WHERE token <> '' GROUP BY token
+       |), vv AS (
+       |  SELECT count(DISTINCT token) AS v FROM uni WHERE token <> ''
+       |), terms AS (
+       |  SELECT b2.doc_id,
+       |    CAST(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE))
+       |      AS DECIMAL(28,12)) AS lp
+       |  FROM b2 JOIN c2 USING (bg) JOIN c1 ON c1.token = b2.w1 CROSS JOIN vv
+       |), lmsc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+       |  FROM terms GROUP BY doc_id
+       |)""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1750,6 +1858,34 @@ object PipelineQueries {
          |)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // 106: the dedup_cluster closure + 1/|cluster| md5-lattice keep rule
+    "sample_softdedup" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), lab AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), withc AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)
+         |), sz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM withc GROUP BY 1
+         |)
+         |SELECT w.doc_id, w.cluster_id, s.cluster_size
+         |FROM withc w JOIN sz s USING (cluster_id)
+         |WHERE CAST(('0x' || substr(md5('soft:' || CAST(w.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |    % 1000000 AS BIGINT) < 1000000 // s.cluster_size
+         |ORDER BY w.doc_id""".stripMargin,
     // 39: quality formula + cluster closure composed — keep quality
     // >= 0.5 docs that are not a non-canonical near-dup copy.
     "corpus_clean" ->
@@ -1975,6 +2111,53 @@ object PipelineQueries {
         |)
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 103: knn_cosine's replay restricted to different-label candidates
+    "knn_hardneg" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS q_label,
+        |             CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS neg_label,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+        |  FROM embeddings e, q WHERE CAST(e.label AS BIGINT) <> q.q_label
+        |), ranked AS (
+        |  SELECT query_id, vec_id, neg_label, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, neg_label, cos FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 104: per-label exact 1e-6-grid centroid means + rounded-cosine
+    // argmax with ties to the lowest label — the kmeansSql update step
+    // grouped by label instead of trained cell
+    "embed_classify" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT label AS cell_id, i,
+         |    CAST(floor(v[CAST(i AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT) AS qc
+         |  FROM e, unnest(range(0, len(v))) AS t(i)
+         |), s AS (
+         |  SELECT cell_id, i, sum(qc) AS s, count(*) AS n FROM q GROUP BY 1, 2
+         |), c AS (
+         |  SELECT cell_id,
+         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS c
+         |  FROM s GROUP BY cell_id
+         |), a AS (
+         |  SELECT vec_id, label, cell_id AS pred_label, cos FROM (
+         |    SELECT e.vec_id, e.label, c.cell_id,
+         |      round(${cosSql("e.v", "c.c")}, 6) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${cosSql("e.v", "c.c")}, 6) DESC, c.cell_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1
+         |)
+         |SELECT vec_id, label, pred_label, cos, label = pred_label AS agree
+         |FROM a ORDER BY vec_id""".stripMargin,
     "text_langid" -> {
       val scoreCols = Text.stopwords.map { case (lang, ws) => s"${hitsSql(ws)} AS h_$lang" }
       // argmax with earlier-language tie preference, mirroring Spark fold
@@ -2098,34 +2281,32 @@ object PipelineQueries {
          |FROM k ORDER BY doc_id""".stripMargin,
     // 62: same add-one-smoothed ln P(w2|w1), decimal-stabilized mean
     "text_lmscore" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
-         |  FROM documents
-         |), bg0 AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
-         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-         |    ELSE [] END) AS bg
-         |  FROM tk
-         |), b2 AS (
-         |  SELECT doc_id, bg, str_split(bg, ' ')[1] AS w1 FROM bg0
-         |), c2 AS (
-         |  SELECT bg, count(*) AS c2 FROM b2 GROUP BY bg
-         |), uni AS (
-         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
-         |), c1 AS (
-         |  SELECT token, count(*) AS c1 FROM uni WHERE token <> '' GROUP BY token
-         |), vv AS (
-         |  SELECT count(DISTINCT token) AS v FROM uni WHERE token <> ''
-         |), terms AS (
-         |  SELECT b2.doc_id,
-         |    CAST(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE))
-         |      AS DECIMAL(28,12)) AS lp
-         |  FROM b2 JOIN c2 USING (bg) JOIN c1 ON c1.token = b2.w1 CROSS JOIN vv
+      s"""WITH $LM_CTES
+         |SELECT doc_id, n_bigrams, avg_logprob
+         |FROM lmsc ORDER BY doc_id""".stripMargin,
+    // 105: lmscore replay + the score-histogram bucket rule — bucket
+    // = (3 · #docs with strictly better score) // n, replayed on the
+    // same 1e-6 integer score grid.
+    "text_ccnet" ->
+      s"""WITH $LM_CTES, si AS (
+         |  SELECT doc_id, avg_logprob,
+         |    CAST(round(avg_logprob * 1000000) AS BIGINT) AS s_i
+         |  FROM lmsc
+         |), hist AS (
+         |  SELECT s_i, count(*) AS c FROM si GROUP BY s_i
+         |), cum AS (
+         |  SELECT s_i, coalesce(sum(c) OVER (ORDER BY s_i DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM hist
+         |), nn AS (SELECT count(*) AS n FROM si),
+         |bk AS (
+         |  SELECT s_i, CAST((cum * 3) // n AS INT) AS bk FROM cum CROSS JOIN nn
          |)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT si.doc_id, si.avg_logprob,
+         |  CASE WHEN bk.bk = 0 THEN 'head' WHEN bk.bk = 1 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket,
+         |  bk.bk < 2 AS keep
+         |FROM si JOIN bk USING (s_i) ORDER BY si.doc_id""".stripMargin,
     // 55: same token/bigram array math, list-op mirror
     "text_repetition" ->
       s"""WITH t AS (
