@@ -657,7 +657,108 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Cohort retention matrix over events — the product-analytics query
+    * every activation dashboard runs: users grouped by first-seen week
+    * (cohort), activity counted per week offset since, retention =
+    * active/cohort size. Week numbers are EXACT integer day-div-7 from
+    * a fixed epoch (no engine-specific week-truncation semantics).
+    * Scale shape: the first-seen aggregate and the activity join share
+    * the user_id hash partitioning (no second shuffle of the big
+    * side), the (cohort, offset, user) distinct is one shuffle, and
+    * cohort sizes (a handful of rows) broadcast back. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date '2024-01-01') div 7").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = first.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val act = ev.join(first, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+    act.groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** First-order Markov transition matrix of event types — the
+    * behavioral-model complement of sessionization: per user the
+    * event stream orders by (ts, event_id), each adjacent pair counts
+    * toward (from, to), and p = n / Σn over the from-state. One
+    * user-keyed window pass (same shuffle as q_sessionize) + one tiny
+    * (|types|² rows) aggregate; the row-probability normalizer is a
+    * window over that tiny result, not over the events. */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val counts = tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("from_type"))
+    counts.withColumn("n_from", sum(col("n")).over(wt))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** 2-D skyline (Pareto frontier) over part: cheapest-for-its-size
+    * parts — rows no other row beats on BOTH (price ↓, size ↑) with a
+    * strict win on one. The naive form is an O(n²) theta self-join; the
+    * Spark-first shape is a LOSSLESS two-phase prune:
+    *  1. grid prune — 256 price buckets from one broadcast min/max
+    *     aggregate, per-bucket max size (tiny), running max over
+    *     strictly-cheaper buckets broadcast back: any row whose size is
+    *     ≤ that running max is dominated by a strictly-cheaper row and
+    *     drops before any sort. On non-degenerate data this leaves
+    *     ~the frontier staircase, orders of magnitude under n.
+    *  2. exact pass — survivors sort once by price value; a RANGE
+    *     frame to price−1 gives the strictly-cheaper max size, the
+    *     current-price RANGE frame resolves equal-price ties (equal
+    *     price + equal size duplicates are mutually non-dominating and
+    *     both stay, the standard skyline convention).
+    * Pruned-dominator soundness: dominance is transitive, so every
+    * pruned row's dominators include a never-pruned frontier row —
+    * the exact pass over survivors computes the same frontier as over
+    * the full input. The DuckDB oracle is the NOT EXISTS definition. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_i"),
+        col("p_size").cast("long").as("sz"))
+    val bounds = p.agg(min(col("price_i")).as("min_i"), max(col("price_i")).as("max_i"))
+      .select(col("min_i"), expr("(max_i - min_i) div 256 + 1").as("width_i"))
+    val bucketed = p.crossJoin(broadcast(bounds))
+      .select(col("p_partkey"), col("price_i"), col("sz"),
+        expr("(price_i - min_i) div width_i").as("bkt"))
+    val wprev = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = bucketed.groupBy(col("bkt")).agg(max(col("sz")).as("mb"))
+      .withColumn("m_prev", max(col("mb")).over(wprev))
+      .select(col("bkt"), col("m_prev"))
+    val pruned = bucketed.join(broadcast(thresholds), "bkt")
+      .where(col("m_prev").isNull || col("m_prev") < col("sz"))
+    val w1 = Window.orderBy(col("price_i")).rangeBetween(Window.unboundedPreceding, -1)
+    val w2 = Window.orderBy(col("price_i")).rangeBetween(0, 0)
+    pruned
+      .withColumn("m1", max(col("sz")).over(w1))
+      .withColumn("m2", max(col("sz")).over(w2))
+      .where((col("m1").isNull || col("m1") < col("sz")) && col("m2") === col("sz"))
+      .select(col("p_partkey"), col("price_i"), col("sz"))
+      .orderBy(col("price_i"), col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention"  -> (qRetention _),
+    "q_transitions" -> (qTransitions _),
+    "q_skyline"    -> (qSkyline _),
     "q_histogram"  -> (qHistogram _),
     "q_pivot"      -> (qPivot _),
     "q_approx"     -> (qApproxChecked _),
@@ -698,6 +799,54 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // exact integer day-div-7 weeks from the fixed epoch
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        |), sz AS (
+        |  SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY cohort_wk
+        |), act AS (
+        |  SELECT DISTINCT f.cohort_wk, ev.wk - f.cohort_wk AS week_offset, ev.user_id
+        |  FROM ev JOIN f USING (user_id)
+        |), r AS (
+        |  SELECT cohort_wk, week_offset, count(*) AS n_users
+        |  FROM act GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_wk, r.week_offset, r.n_users, sz.cohort_size,
+        |  round(CAST(r.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+        |FROM r JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // the NOT EXISTS dominance definition IS the spec; the Spark side's
+    // grid prune + range-frame pass is lossless (see qSkyline's scaladoc)
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_i,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part
+        |)
+        |SELECT a.p_partkey, a.price_i, a.sz FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_i <= a.price_i AND b.sz >= a.sz
+        |    AND (b.price_i < a.price_i OR b.sz > a.sz))
+        |ORDER BY price_i, p_partkey""".stripMargin,
     // same integer-cents floor-division bucketing as qHistogram
     // (DuckDB // == Spark div for non-negative BIGINTs)
     "q_histogram" ->
