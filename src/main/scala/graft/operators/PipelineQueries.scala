@@ -461,6 +461,13 @@ object PipelineQueries {
     "dedup_semantic" -> ((s, d) =>
       Knn.semanticKeep(embs(s, d), k = 8, iters = 2, threshold = 0.35)
         .orderBy(col("vec_id"))),
+    // 110: top-principal-component projection — matrix-free distributed
+    // power iteration (3 rounds, exact integer-grid accumulation, so
+    // the oracle replays the whole training loop like embed_kmeans);
+    // per-iteration cost is one narrow dot-product pass + one 64-row
+    // partial aggregation — the d² covariance never materializes
+    "embed_pca" -> ((s, d) =>
+      Pca.project(embs(s, d), iters = 3, dim = 64).orderBy(col("vec_id"))),
     // 52: int8 embedding quantization — per-vector scale + component
     // stats (sums/extremes prove every quantized value without an
     // array-typed output column)
@@ -828,6 +835,41 @@ object PipelineQueries {
         sha2(array_join(col("kept"), " "), 256).as("kept_sha"))
         .orderBy(col("doc_id"))
     }),
+    // 111: Gopher-rules composite quality filter — the per-rule audit
+    // view of the Gopher paper's heuristics (length band, mean token
+    // length band, alphabetic-token fraction, minimum stopword mass,
+    // top-token and duplicate-bigram caps), each surfaced as its own
+    // boolean so a dataset release can report WHICH rule rejected each
+    // doc, not just a pass bit. Every rule compares exact integers
+    // (tot_len >= 3n instead of tot_len/n >= 3.0, 5·top <= n instead
+    // of top/n <= 0.2), so no double ever crosses an engine boundary.
+    // Narrow per-doc array math — zero shuffle at any corpus size.
+    "corpus_gopher" -> ((s, d) => {
+      val staged = docs(s, d).select(col("doc_id"),
+          when(Text.normalize(col("text")) === "", array().cast("array<string>"))
+            .otherwise(Text.tokens(col("text"))).as("tk"))
+        .withColumn("bg", Text.bigramsOf(col("tk")))
+      val enArr = array(Text.stopwords.head._2.map(lit): _*)
+      val m = staged.select(col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).as("tot_len"),
+        size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(col("tk"), t => array_contains(enArr, t))).cast("long").as("stop_hits"),
+        Text.topTokenCount(col("tk")).cast("long").as("top_n"),
+        size(col("bg")).cast("long").as("n_bg"),
+        size(array_distinct(col("bg"))).cast("long").as("n_bg_d"))
+      m.select(col("doc_id"), col("n").as("n_tokens"),
+          (col("n") >= 30 && col("n") <= 100000).as("r_len"),
+          (col("tot_len") >= lit(3L) * col("n") &&
+            col("tot_len") <= lit(10L) * col("n") && col("n") > 0).as("r_meanlen"),
+          (lit(5L) * col("n_alpha") >= lit(4L) * col("n") && col("n") > 0).as("r_alpha"),
+          (col("stop_hits") >= 2).as("r_stop"),
+          (lit(5L) * col("top_n") <= col("n")).as("r_toptok"),
+          ((col("n_bg") - col("n_bg_d")) * 5 <= col("n_bg")).as("r_dupbg"))
+        .withColumn("pass", col("r_len") && col("r_meanlen") && col("r_alpha") &&
+          col("r_stop") && col("r_toptok") && col("r_dupbg"))
+        .orderBy(col("doc_id"))
+    }),
     // 62: bigram-LM fluency scoring (KenLM-class quality filter): train
     // add-one-smoothed bigram stats on the corpus itself, score each
     // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
@@ -1180,6 +1222,50 @@ object PipelineQueries {
        |    round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
        |  FROM terms GROUP BY doc_id
        |)""".stripMargin
+
+  /** DuckDB replay of Pca.project: exact integer-grid mean, v0 = e0,
+    * `iters` unrolled power-iteration rounds (per-row y = x·v, 1e-6
+    * long-grid per-dimension sums, mean-center by μ·(μ·v), normalize,
+    * re-round to 6), then the centered projection. */
+  private def pcaSql(iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |muq AS (
+         |  SELECT i, sum(CAST(floor(x[CAST(i AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM e, unnest(range(0, $dim)) AS t(i) GROUP BY i
+         |), mu AS (
+         |  SELECT list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS mu
+         |  FROM muq
+         |), v0 AS (
+         |  SELECT list_transform(range(0, $dim),
+         |    i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v
+         |)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+         |y$r AS (
+         |  SELECT e.vec_id, e.x, list_dot_product(e.x, p.v) AS y
+         |  FROM e CROSS JOIN v${r - 1} p
+         |), q$r AS (
+         |  SELECT i, sum(CAST(floor(x[CAST(i AS INT) + 1] * y * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM y$r, unnest(range(0, $dim)) AS t(i) GROUP BY i
+         |), xs$r AS (
+         |  SELECT list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS xs
+         |  FROM q$r
+         |), w$r AS (
+         |  SELECT list_transform(range(0, $dim), i ->
+         |    xs.xs[CAST(i AS INT) + 1]
+         |      - mu.mu[CAST(i AS INT) + 1] * list_dot_product(mu.mu, p.v)) AS w
+         |  FROM xs$r xs CROSS JOIN mu CROSS JOIN v${r - 1} p
+         |), v$r AS (
+         |  SELECT list_transform(w, x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS v
+         |  FROM w$r
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1948,6 +2034,14 @@ object PipelineQueries {
          |FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // 110: full power-iteration replay (3 unrolled rounds) + centered
+    // projection
+    "embed_pca" ->
+      s"""WITH ${pcaSql(3, 64)}
+         |SELECT e.vec_id,
+         |  round(list_dot_product(e.x, p.v) - list_dot_product(mu.mu, p.v), 6) AS proj
+         |FROM e CROSS JOIN v3 p CROSS JOIN mu
+         |ORDER BY e.vec_id""".stripMargin,
     // 58: full k-means training replay (2 unrolled iterations)
     "embed_kmeans" ->
       s"""WITH ${kmeansSql(8, 2)}
@@ -2307,6 +2401,42 @@ object PipelineQueries {
          |       ELSE 'tail' END AS ppl_bucket,
          |  bk.bk < 2 AS keep
          |FROM si JOIN bk USING (s_i) ORDER BY si.doc_id""".stripMargin,
+    // 111: same token/bigram machinery, all-integer rule comparisons
+    "corpus_gopher" -> {
+      val enList = Text.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tot_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(tk, x -> list_contains($enList, x))) AS BIGINT) AS stop_hits,
+         |    CAST(CASE WHEN len(tk) = 0 THEN 0
+         |      ELSE list_max(list_transform(list_distinct(tk),
+         |        u -> len(list_filter(tk, x -> x = u)))) END AS BIGINT) AS top_n,
+         |    CAST(len(bg) AS BIGINT) AS n_bg,
+         |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_bg_d
+         |  FROM b
+         |)
+         |SELECT doc_id, n AS n_tokens,
+         |  n >= 30 AND n <= 100000 AS r_len,
+         |  tot_len >= 3 * n AND tot_len <= 10 * n AND n > 0 AS r_meanlen,
+         |  5 * n_alpha >= 4 * n AND n > 0 AS r_alpha,
+         |  stop_hits >= 2 AS r_stop,
+         |  5 * top_n <= n AS r_toptok,
+         |  (n_bg - n_bg_d) * 5 <= n_bg AS r_dupbg,
+         |  (n >= 30 AND n <= 100000) AND (tot_len >= 3 * n AND tot_len <= 10 * n AND n > 0)
+         |    AND (5 * n_alpha >= 4 * n AND n > 0) AND stop_hits >= 2
+         |    AND 5 * top_n <= n AND (n_bg - n_bg_d) * 5 <= n_bg AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     // 55: same token/bigram array math, list-op mirror
     "text_repetition" ->
       s"""WITH t AS (

@@ -130,6 +130,42 @@ class CurationSpec extends SparkSpec {
     assert(multi.nonEmpty && multi.count(got) < multi.length)
   }
 
+  test("corpus_gopher: integer rule replay, rules actually discriminate") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val en = graft.functions.Text.stopwords.head._2.toSet
+    val got = PipelineQueries.queries("corpus_gopher")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == docs.length)
+    var passes = 0
+    docs.foreach { case (id, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val tk = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+      val bg = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
+      val n = tk.length.toLong
+      val totLen = tk.map(_.length.toLong).sum
+      val nAlpha = tk.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val stopHits = tk.count(en).toLong
+      val topN = if (n == 0) 0L else tk.groupBy(identity).values.map(_.length).max.toLong
+      val nBg = bg.length.toLong
+      val nBgD = bg.distinct.length.toLong
+      val want = Map(
+        "r_len" -> (n >= 30 && n <= 100000),
+        "r_meanlen" -> (totLen >= 3 * n && totLen <= 10 * n && n > 0),
+        "r_alpha" -> (5 * nAlpha >= 4 * n && n > 0),
+        "r_stop" -> (stopHits >= 2),
+        "r_toptok" -> (5 * topN <= n),
+        "r_dupbg" -> ((nBg - nBgD) * 5 <= nBg))
+      val row = got(id)
+      want.foreach { case (rule, w) =>
+        assert(row.getAs[Boolean](rule) == w, s"doc $id rule $rule") }
+      assert(row.getAs[Boolean]("pass") == want.values.forall(identity))
+      if (row.getAs[Boolean]("pass")) passes += 1
+    }
+    assert(passes > 0 && passes < docs.length,
+      s"gopher rules don't discriminate: $passes/${docs.length} pass")
+  }
+
   test("softdedup lattice helper agrees with Spark-side hashBucket") {
     val df = (0L until 50L).toDF("id")
     val sparkB = df.select($"id", Sampling.hashBucket($"id", "soft").as("b"))
