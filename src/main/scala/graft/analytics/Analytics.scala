@@ -670,7 +670,11 @@ object Analytics {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"),
         expr("datediff(cast(ts as date), date '2024-01-01') div 7").as("wk"))
-    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    // the first-seen table feeds both the cohort-size aggregate and
+    // the activity join — materialize once (user-count-sized) so the
+    // full-events aggregate doesn't execute twice
+    val first = graft.Materialize.once(
+      ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk")))
     val sizes = first.groupBy(col("cohort_wk"))
       .agg(count(lit(1)).as("cohort_size"))
     val act = ev.join(first, "user_id")

@@ -137,6 +137,11 @@ object native {
     GraftColumnBridge.column(LshSignExpr(expr(emb), nPlanes))
   def lshSignSha(emb: Column, nPlanes: Int): Column =
     GraftColumnBridge.column(LshSignShaExpr(expr(emb), nPlanes))
+  /** Misra–Gries heavy-hitters summary (map item → lower-bound weight,
+    * at most `capacity` entries) — see [[SpaceSavingAgg]]. */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      SpaceSavingAgg(expr(item), capacity).toAggregateExpression())
 }
 
 /** Injected optimizer rule: rewrite `size(array_intersect(a, b))`
@@ -184,6 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHashSha64Expr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),
       (args: Seq[Expression]) => IntersectCountExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"), info("graft_heavy_hitters"),
+      (args: Seq[Expression]) => SpaceSavingAgg(args(0),
+        constInt(args, 1, "graft_heavy_hitters")).toAggregateExpression()))
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 

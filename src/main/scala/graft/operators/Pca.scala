@@ -53,10 +53,15 @@ object Pca {
     val e = embs.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("x"))
     val mu = meanVec(e.select(col("vec_id"), col("x").as("v")))
-    // v0 = e0 — fixed, RNG-free
-    var v = mu.select(col("mu"),
+    // v0 = e0 — fixed, RNG-free. The 1-row iterate is materialized
+    // every round: it is referenced TWICE per iteration (the x·v pass
+    // and the mean-center step), and without truncation the lineage
+    // doubles each round — plan size and upstream re-execution go
+    // exponential in iters (the Materialize multi-consumer rule's
+    // iterative worst case). A 1-row checkpoint is free.
+    var v = graft.Materialize.once(mu.select(col("mu"),
       transform(sequence(lit(0), lit(dim - 1)),
-        i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("v"))
+        i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("v")))
     var r = 0
     while (r < iters) {
       val vb = broadcast(v)
@@ -74,13 +79,15 @@ object Pca {
           x => x.getField("s").cast("double") /
             (x.getField("n").cast("double") * lit(1000000.0))).as("xs"))
       // w = xs − μ·(μ·v); v' = round(w / ||w||, 6)
-      v = sums.crossJoin(vb)
+      val prev = v
+      v = graft.Materialize.once(sums.crossJoin(vb)
         .select(col("mu"),
           zip_with(col("xs"), col("mu"),
             (s, m) => s - m * dotD(col("mu"), col("v"))).as("w"))
         .select(col("mu"),
           transform(col("w"), x => round(x / sqrt(dotD(col("w"), col("w"))), 6))
-            .as("v"))
+            .as("v")))
+      graft.Materialize.free(prev)
       r += 1
     }
     v

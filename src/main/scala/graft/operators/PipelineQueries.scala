@@ -888,7 +888,10 @@ object PipelineQueries {
     // no corpus-wide single-partition rank window anywhere, and ties
     // on the grid share a bucket deterministically on every engine.
     "text_ccnet" -> ((s, d) => {
-      val sc = lmScores(docs(s, d))
+      // lmScores feeds THREE consumers (histogram, count, join-back):
+      // materialize the doc-count-sized score table once or the whole
+      // scoring join re-executes per branch (the multi-consumer rule)
+      val sc = graft.Materialize.once(lmScores(docs(s, d)))
       val si = sc.select(col("doc_id"), col("avg_logprob"),
         round(col("avg_logprob") * 1e6).cast("long").as("s_i"))
       val hist = si.groupBy(col("s_i")).agg(count(lit(1)).as("c"))
@@ -920,9 +923,12 @@ object PipelineQueries {
     "sample_softdedup" -> ((s, d) => {
       val doc = docs(s, d)
       val labels = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
-      val withC = doc.select(col("doc_id"))
+      // (doc_id, cluster_id) feeds both the size aggregate and the
+      // keep join — materialize once so the corpus-wide left join
+      // doesn't run twice (ids-only, ~16 bytes/doc)
+      val withC = graft.Materialize.once(doc.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
       val sizes = withC.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       withC.join(sizes, "cluster_id")
         .where(Sampling.hashBucket(col("doc_id"), "soft") <
@@ -1105,6 +1111,58 @@ object PipelineQueries {
     // window (shuffle on the normalized text — at 100 TB swap the
     // partition key for sha2(normalize) to bound key width; same
     // grouping) + one per-source partial-agg shuffle of |sources| rows.
+    // 113: bounded-memory heavy hitters — the native Misra–Gries
+    // TypedImperativeAggregate (expressions.SpaceSavingAgg, k=8 slots)
+    // over the token stream, hash-checked via its GUARANTEES against
+    // the exact counts (the q_approx pattern: the kept set is
+    // layout-dependent, the guarantees are not): every top-10 token
+    // gets bound_ok (estimate is a lower bound within n/(k+1)) and
+    // presence_ok (any token over the n/(k+1) threshold is in the
+    // summary). At 100 TB the summary is k slots per partition merged
+    // map-side — the exact groupBy beside it is the test-scale
+    // verifier, not the production path.
+    "text_heavyhitters" -> ((s, d) => {
+      val toks = docs(s, d).select(explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val K = 8
+      val summary = broadcast(toks.agg(
+        graft.expressions.native.heavyHitters(col("token"), K).as("mg"),
+        count(lit(1)).as("n")))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      val top = exact.withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
+      val est = element_at(col("mg"), col("token"))
+      top.crossJoin(summary)
+        .select(col("rk").cast("long").as("rk"), col("token"), col("cnt"),
+          (est.isNull ||
+            (est <= col("cnt") &&
+              est * (K + 1) >= col("cnt") * (K + 1) - col("n"))).as("bound_ok"),
+          (!(col("cnt") * (K + 1) > col("n")) || est.isNotNull).as("presence_ok"))
+        .orderBy(col("rk"))
+    }),
+    // 112: per-source n-gram diversity report (distinct-n / type-token
+    // ratios for n = 1..3 — the lexical-diversity metric dataset cards
+    // report and generation-quality evaluations use as self-BLEU's
+    // cheap cousin). Per n: one (source, gram) partial aggregate, then
+    // per-source distinct = row count and instances = Σcnt from that
+    // SAME aggregate — no second corpus pass, no countDistinct shuffle
+    // of raw instances. ~|sources|·3 output rows.
+    "corpus_diversity" -> ((s, d) => {
+      val tokd = docs(s, d).select(col("source"),
+        when(Text.normalize(col("text")) === "", array().cast("array<string>"))
+          .otherwise(Text.tokens(col("text"))).as("tk"))
+      val perN = (1 to 3).map { n =>
+        tokd.select(col("source"), explode(Text.ngramsOf(col("tk"), n)).as("g"))
+          .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_instances"))
+          .select(col("source"), lit(n).as("n"), col("n_instances"), col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n_instances").cast("double"), 6)
+              .as("ttr"))
+      }
+      perN.reduce(_.unionAll(_)).orderBy(col("source"), col("n"))
+    }),
     "corpus_stats" -> ((s, d) => {
       val wfp = org.apache.spark.sql.expressions.Window
         .partitionBy(Text.normalize(col("text")))
@@ -2401,6 +2459,45 @@ object PipelineQueries {
          |       ELSE 'tail' END AS ppl_bucket,
          |  bk.bk < 2 AS keep
          |FROM si JOIN bk USING (s_i) ORDER BY si.doc_id""".stripMargin,
+    // 113: exact top-10 replay; the MG guarantees are literal TRUE in
+    // the oracle (q_approx's convention), so a summary violating its
+    // bound or presence contract flips a boolean and fails the hash
+    "text_heavyhitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), c AS (
+         |  SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY token
+         |), r AS (
+         |  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+         |  FROM c
+         |)
+         |SELECT CAST(rk AS BIGINT) AS rk, token, cnt,
+         |  TRUE AS bound_ok, TRUE AS presence_ok
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // 112: same instance n-grams, (source, gram) aggregate per n
+    "corpus_diversity" -> {
+      def gramSql(n: Int): String =
+        if (n == 1) "list_transform(tk, x -> x)"
+        else s"CASE WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}), " +
+          s"i -> ${(0 until n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")}) ELSE [] END"
+      val arms = (1 to 3).map { n =>
+        s"""SELECT source, $n AS n, CAST(sum(cnt) AS BIGINT) AS n_instances,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr
+           |FROM (
+           |  SELECT source, g, count(*) AS cnt FROM (
+           |    SELECT source, unnest(${gramSql(n)}) AS g FROM t
+           |  ) GROUP BY source, g
+           |) GROUP BY source""".stripMargin
+      }
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |)
+         |${arms.mkString("\n", "\nUNION ALL\n", "\n")}
+         |ORDER BY source, n""".stripMargin
+    },
     // 111: same token/bigram machinery, all-integer rule comparisons
     "corpus_gopher" -> {
       val enList = Text.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
