@@ -184,4 +184,66 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Running heavy-hitter token trends over the document stream — the
+    * streaming face of the native Misra–Gries aggregate
+    * ([[graft.expressions.SpaceSavingAgg]]): each micro-batch reduces
+    * to its own k-slot summary IN the executors (map-side partial
+    * merge, one k-entry row reaches the driver — that one tiny row is
+    * the whole point of a bounded summary), and the driver folds it
+    * into the running summary with the same mergeable-summaries rule,
+    * so total state is k slots FOREVER — no token-cardinality state
+    * store, no growth with the stream. The MG guarantees (lower bound
+    * within n/(k+1), presence above threshold) hold for the merged
+    * summary over the full stream prefix, any batch boundaries.
+    *
+    * Exactly-once across restarts without a driver-state checkpoint:
+    * every batch appends a (batch_seq = foreachBatch batchId) snapshot
+    * of the merged summary to `outDir`; on start the summary reloads
+    * from the highest snapshot, and a replayed batchId ≤ that
+    * watermark is skipped (the snapshot already contains it) — so an
+    * at-least-once source can never double-merge a batch.
+    * TrendsSpec pins guarantees, capacity, restart merge, and the
+    * no-double-merge replay case. */
+  def startTokenTrends(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, capacity: Int = 32,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    var lastSeq = -1L
+    try {
+      val prev = spark.read.parquet(outDir)
+      val maxB = prev.agg(max(col("batch_seq"))).head().getLong(0)
+      prev.where(col("batch_seq") === maxB).collect().foreach { r =>
+        running(r.getAs[String]("token")) = r.getAs[Long]("est") }
+      lastSeq = maxB
+    } catch { case _: Throwable => () } // no snapshot yet
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastSeq) {
+          val m = batch.select(explode(Text.tokens(col("text"))).as("token"))
+            .where(col("token") =!= "")
+            .agg(graft.expressions.native.heavyHitters(col("token"), capacity).as("mg"))
+            .head().getMap[String, Long](0)
+          m.foreach { case (t, c) => running(t) = running.getOrElse(t, 0L) + c }
+          if (running.size > capacity) {
+            val cut = running.values.toArray
+              .sortInPlace()(Ordering[Long].reverse)(capacity)
+            val dead = running.collect { case (t, c) if c - cut <= 0L => t }.toSeq
+            running.mapValuesInPlace((_, c) => c - cut)
+            dead.foreach(running.remove)
+          }
+          lastSeq = batchId
+          val s2 = batch.sparkSession
+          import s2.implicits._
+          running.toSeq.sortBy(_._1).toDF("token", "est")
+            .withColumn("batch_seq", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/trends")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
