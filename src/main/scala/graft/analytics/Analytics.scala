@@ -667,9 +667,13 @@ object Analytics {
     * side), the (cohort, offset, user) distinct is one shuffle, and
     * cohort sizes (a handful of rows) broadcast back. */
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    // floor division, NOT `div`: `div` truncates toward zero while the
+    // oracle's `//` floors, so a pre-epoch event (datediff < 0) would
+    // silently land in week 0 on Spark and week -1 in DuckDB
     val ev = Tables.events(spark, dir)
       .select(col("user_id"),
-        expr("datediff(cast(ts as date), date '2024-01-01') div 7").as("wk"))
+        floor(expr("datediff(cast(ts as date), date '2024-01-01')") / 7.0)
+          .cast("long").as("wk"))
     // the first-seen table feeds both the cohort-size aggregate and
     // the activity join — materialize once (user-count-sized) so the
     // full-events aggregate doesn't execute twice

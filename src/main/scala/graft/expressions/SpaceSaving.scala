@@ -75,19 +75,8 @@ case class SpaceSavingAgg(
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (k, v) => buf.update(k, buf.getOrElse(k, 0L) + v) }
-    if (buf.size > capacity) {
-      val cut = buf.values.toArray.sortInPlace()(Ordering[Long].reverse)(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { k =>
-        val c = buf(k) - cut
-        if (c <= 0L) dead += k else buf.update(k, c)
-      }
-      dead.foreach(buf.remove)
-    }
-    buf
-  }
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    SpaceSavingAgg.mergeCapped(buf, other, capacity)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     // sorted keys: a deterministic physical map for a given summary
@@ -128,4 +117,29 @@ case class SpaceSavingAgg(
     copy(inputAggBufferOffset = newOffset)
   protected override def withNewChildInternal(newChild: Expression): SpaceSavingAgg =
     copy(child = newChild)
+}
+
+object SpaceSavingAgg {
+  /** The mergeable-summaries merge rule, THE single implementation:
+    * sum `other` into `buf`; if over capacity, subtract the
+    * (capacity+1)-th largest weight from every slot and prune
+    * non-positives. Shared by the aggregate's partial-state merge and
+    * the streaming driver-side fold (CorpusStream.startTokenTrends) —
+    * the full-prefix guarantee depends on both paths merging
+    * identically, so neither carries its own copy. */
+  def mergeCapped(buf: mutable.HashMap[String, Long],
+      other: scala.collection.Map[String, Long],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    other.foreach { case (k, v) => buf.update(k, buf.getOrElse(k, 0L) + v) }
+    if (buf.size > capacity) {
+      val cut = buf.values.toArray.sortInPlace()(Ordering[Long].reverse)(capacity)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { k =>
+        val c = buf(k) - cut
+        if (c <= 0L) dead += k else buf.update(k, c)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
 }

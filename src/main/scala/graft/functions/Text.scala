@@ -16,6 +16,16 @@ object Text {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** [[tokens]] with the empty-document guard: `[]` for
+    * empty/whitespace-only text instead of split's `[""]`. The guard
+    * expression every tokenizing query needs — one definition instead
+    * of a per-call-site copy (codegen's common-subexpression
+    * elimination merges the two `normalize` occurrences: the condition
+    * is unconditional, so the branch reuses its value). */
+  def tokensOrEmpty(text: Column): Column =
+    when(normalize(text) === "", array().cast("array<string>"))
+      .otherwise(tokens(text))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(normalize(text) === "", lit(0)).otherwise(size(tokens(text)))

@@ -47,9 +47,12 @@ object Pca {
 
   /** `iters` rounds of power iteration; returns a 1-row DataFrame
     * (v: array<double>, mu: array<double>) with the final unit-norm
-    * component (components rounded to 6 decimals). */
-  def pc1(embs: DataFrame, iters: Int, dim: Int): DataFrame = {
-    require(iters >= 1 && dim >= 1, s"need iters/dim >= 1, got $iters/$dim")
+    * component (components rounded to 6 decimals). The dimension is
+    * DERIVED from the data (v₀ is built index-wise from μ itself), so
+    * a caller can never hand a mismatched dim and get silent all-NULL
+    * dot products out of zip_with's null-padding. */
+  def pc1(embs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
     val e = embs.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("x"))
     val mu = meanVec(e.select(col("vec_id"), col("x").as("v")))
@@ -60,8 +63,8 @@ object Pca {
     // exponential in iters (the Materialize multi-consumer rule's
     // iterative worst case). A 1-row checkpoint is free.
     var v = graft.Materialize.once(mu.select(col("mu"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("v")))
+      transform(col("mu"),
+        (_, i) => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("v")))
     var r = 0
     while (r < iters) {
       val vb = broadcast(v)
@@ -96,8 +99,8 @@ object Pca {
   /** Per-vector mean-centered PC1 projection: (vec_id, proj) with
     * proj = round((x − μ)·v, 6) = round(x·v − μ·v, 6). One broadcast
     * of the trained 1-row component, one narrow scan. */
-  def project(embs: DataFrame, iters: Int = 3, dim: Int = 64): DataFrame = {
-    val comp = broadcast(pc1(embs, iters, dim))
+  def project(embs: DataFrame, iters: Int = 3): DataFrame = {
+    val comp = broadcast(pc1(embs, iters))
     embs.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("x"))
       .crossJoin(comp)

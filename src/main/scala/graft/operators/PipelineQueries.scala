@@ -467,7 +467,7 @@ object PipelineQueries {
     // per-iteration cost is one narrow dot-product pass + one 64-row
     // partial aggregation — the d² covariance never materializes
     "embed_pca" -> ((s, d) =>
-      Pca.project(embs(s, d), iters = 3, dim = 64).orderBy(col("vec_id"))),
+      Pca.project(embs(s, d), iters = 3).orderBy(col("vec_id"))),
     // 52: int8 embedding quantization — per-vector scale + component
     // stats (sums/extremes prove every quantized value without an
     // array-typed output column)
@@ -845,9 +845,8 @@ object PipelineQueries {
     // of top/n <= 0.2), so no double ever crosses an engine boundary.
     // Narrow per-doc array math — zero shuffle at any corpus size.
     "corpus_gopher" -> ((s, d) => {
-      val staged = docs(s, d).select(col("doc_id"),
-          when(Text.normalize(col("text")) === "", array().cast("array<string>"))
-            .otherwise(Text.tokens(col("text"))).as("tk"))
+      val staged = docs(s, d)
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
         .withColumn("bg", Text.bigramsOf(col("tk")))
       val enArr = array(Text.stopwords.head._2.map(lit): _*)
       val m = staged.select(col("doc_id"),
@@ -1149,9 +1148,10 @@ object PipelineQueries {
     // SAME aggregate — no second corpus pass, no countDistinct shuffle
     // of raw instances. ~|sources|·3 output rows.
     "corpus_diversity" -> ((s, d) => {
-      val tokd = docs(s, d).select(col("source"),
-        when(Text.normalize(col("text")) === "", array().cast("array<string>"))
-          .otherwise(Text.tokens(col("text"))).as("tk"))
+      // tokenized docs feed three union branches: materialize once or
+      // the corpus scan + normalize + tokenize executes per branch
+      val tokd = graft.Materialize.once(docs(s, d).select(col("source"),
+        Text.tokensOrEmpty(col("text")).as("tk")))
       val perN = (1 to 3).map { n =>
         tokd.select(col("source"), explode(Text.ngramsOf(col("tk"), n)).as("g"))
           .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt"))

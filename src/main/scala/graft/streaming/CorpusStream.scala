@@ -210,13 +210,21 @@ object CorpusStream {
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
     val running = scala.collection.mutable.HashMap.empty[String, Long]
     var lastSeq = -1L
-    try {
+    // ONLY a genuinely-absent snapshot dir means "fresh stream". A
+    // transient read failure must propagate: swallowing it would reset
+    // the summary to empty while the checkpoint still marks prior
+    // batches committed — the pre-restart counts would be lost
+    // silently and every later snapshot would falsely claim the
+    // full-prefix guarantees.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) {
       val prev = spark.read.parquet(outDir)
       val maxB = prev.agg(max(col("batch_seq"))).head().getLong(0)
       prev.where(col("batch_seq") === maxB).collect().foreach { r =>
         running(r.getAs[String]("token")) = r.getAs[Long]("est") }
       lastSeq = maxB
-    } catch { case _: Throwable => () } // no snapshot yet
+    }
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -225,14 +233,10 @@ object CorpusStream {
             .where(col("token") =!= "")
             .agg(graft.expressions.native.heavyHitters(col("token"), capacity).as("mg"))
             .head().getMap[String, Long](0)
-          m.foreach { case (t, c) => running(t) = running.getOrElse(t, 0L) + c }
-          if (running.size > capacity) {
-            val cut = running.values.toArray
-              .sortInPlace()(Ordering[Long].reverse)(capacity)
-            val dead = running.collect { case (t, c) if c - cut <= 0L => t }.toSeq
-            running.mapValuesInPlace((_, c) => c - cut)
-            dead.foreach(running.remove)
-          }
+          // the SAME merge rule as the aggregate's partial states —
+          // one implementation, shared (the prefix guarantee depends
+          // on both paths merging identically)
+          graft.expressions.SpaceSavingAgg.mergeCapped(running, m, capacity)
           lastSeq = batchId
           val s2 = batch.sparkSession
           import s2.implicits._

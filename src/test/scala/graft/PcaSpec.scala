@@ -44,7 +44,7 @@ class PcaSpec extends SparkSpec {
     }
     val wantProj = vecs.map { case (id, x) =>
       id -> round6(dot(x, v) - dot(mu, v)) }.toMap
-    val got = Pca.project(e, iters = 3, dim = dim)
+    val got = Pca.project(e, iters = 3)
       .as[(Long, Double)].collect().toMap
     assert(got.size == n)
     wantProj.foreach { case (id, p) => assert(got(id) == p, s"vec $id") }
