@@ -124,6 +124,133 @@ object Multimodal {
         round(aggregate(col("features"), lit(0L), (a, x) => a + x)
           .cast("double") / 1e6, 6).as("feature_mass"))
 
+  // ------------------------------------------------- video modality
+  /** Bytes-per-frame for the synthesized video stream: the document
+    * "plays" 64 bytes per frame. */
+  val frameBytes = 64
+  /** Fixed synthetic frame rate (container metadata). */
+  val videoFps = 4
+
+  /** (media_id, payload) — deterministic multi-frame video synthesized
+    * from `documents`: the text bytes split into 64-byte frames, each
+    * encoded as a REAL PNG, wrapped in the length-prefixed GVID
+    * container ([[VideoCodec]]). Empty docs yield a 1-frame video of
+    * an empty frame (1×1 zero pixel), mirroring [[dims]]. */
+  def videoFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val codec = new VideoCodec
+        rows.map { case (docId, text) =>
+          val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nf = math.max(1, (data.length + frameBytes - 1) / frameBytes)
+          val frames = (0 until nf).map { f =>
+            java.util.Arrays.copyOfRange(data, f * frameBytes,
+              math.min(data.length, f * frameBytes + frameBytes))
+          }.toArray
+          (docId, codec.encode(frames, videoFps))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Keyframe-sampled video features (SURVEY §2 #114): container walk
+    * + PNG decode of every `stride`-th frame ONLY — the length-prefixed
+    * layout lets the reader SKIP undecoded frames, which is the actual
+    * scale property of keyframe sampling (decode cost ∝ sampled
+    * frames, not stream length). Emits frame count, the sampled-frame
+    * pixel mass, and a motion proxy (Σ|Δ| of consecutive sampled frame
+    * sums) — all exact integers, so the oracle replays them from the
+    * source bytes. stride = max(1, n_frames/4), the mm_resize
+    * convention. */
+  def videoSummary(video: DataFrame): Dataset[VideoFeatures] = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new VideoCodec
+        rows.map { case (id, payload) =>
+          val v = codec.decodeSampled(payload)
+          VideoFeatures(id, v.nFrames, v.fps, v.stride, v.sampled.length.toLong,
+            v.sampled.sum, v.motion, v.f0Width, v.f0Height)
+        }
+      }
+  }
+
+  final case class VideoFeatures(media_id: Long, n_frames: Int, fps: Int,
+      kf_stride: Int, n_sampled: Long, sampled_sum: Long, motion: Long,
+      f0_width: Int, f0_height: Int)
+  final case class VideoSample(nFrames: Int, fps: Int, stride: Int,
+      sampled: Array[Long], motion: Long, f0Width: Int, f0Height: Int)
+
+  /** GVID container: `"GVID"` magic, BE u32 frame count, BE u32 fps,
+    * then per frame a BE u32 length + a real PNG ([[PngCodec]]).
+    * Decode validates magic, counts, per-frame bounds, and exact
+    * end-of-payload; sampling decodes only every stride-th frame and
+    * seeks past the rest. Pure JDK, no media libs. */
+  final class VideoCodec extends Serializable {
+    private val png = new PngCodec
+    private val MAGIC = Array[Byte]('G', 'V', 'I', 'D')
+
+    private def beInt(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def readBeInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    def encode(frames: Array[Array[Byte]], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty, "a video needs at least one frame")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(MAGIC); bos.write(beInt(frames.length)); bos.write(beInt(fps))
+      frames.foreach { f =>
+        val p = png.encode(f)
+        bos.write(beInt(p.length)); bos.write(p)
+      }
+      bos.toByteArray
+    }
+
+    /** Walk the container decoding every stride-th frame
+      * (stride = max(1, nFrames/4)); skipped frames are SEEKED past,
+      * never inflated. */
+    def decodeSampled(payload: Array[Byte]): VideoSample = {
+      require(payload.length >= 12, "GVID: truncated header")
+      require(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 4), MAGIC), "GVID: bad magic")
+      val nFrames = readBeInt(payload, 4)
+      val fps = readBeInt(payload, 8)
+      require(nFrames >= 1, s"GVID: frame count $nFrames")
+      val stride = math.max(1, nFrames / 4)
+      var off = 12
+      var fi = 0
+      val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var f0w = 0; var f0h = 0
+      while (fi < nFrames) {
+        require(off + 4 <= payload.length, s"GVID: truncated at frame $fi")
+        val len = readBeInt(payload, off)
+        off += 4
+        require(len >= 0 && off + len <= payload.length,
+          s"GVID: frame $fi length $len out of bounds")
+        if (fi % stride == 0) {
+          val d = png.decode(java.util.Arrays.copyOfRange(payload, off, off + len))
+          if (fi == 0) { f0w = d.width; f0h = d.height }
+          var s = 0L; var i = 0
+          while (i < d.data.length) { s += d.data(i) & 0xff; i += 1 }
+          sums += s
+        }
+        off += len
+        fi += 1
+      }
+      require(off == payload.length, "GVID: trailing bytes after last frame")
+      var motion = 0L
+      var j = 1
+      while (j < sums.length) { motion += math.abs(sums(j) - sums(j - 1)); j += 1 }
+      VideoSample(nFrames, fps, stride, sums.toArray, motion, f0w, f0h)
+    }
+  }
+
   final case class Meta(n_bytes: Long, width: Int, height: Int)
   final case class Media(media_id: Long, media_type: String,
       payload: Array[Byte], meta: Meta)

@@ -962,6 +962,17 @@ object PipelineQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.thumbSummary(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy(col("media_id"))),
+    // 114: video modality — multi-frame GVID container (real PNG
+    // frames, 64 text bytes each) walked with keyframe-stride
+    // sampling: only every stride-th frame is inflated, the rest are
+    // seeked past via the length prefixes (decode cost ∝ sampled
+    // frames — the point of keyframe sampling at scale). Outputs are
+    // exact integers (sampled pixel mass + Σ|Δ| motion proxy), so the
+    // oracle predicts them from the source bytes; container byte
+    // counts stay out (deflate-dependent), like mm_features.
+    "mm_video" -> ((s, d) =>
+      Multimodal.videoSummary(Multimodal.videoFromDocuments(docs(s, d))).toDF()
+        .orderBy(col("media_id"))),
     // 41: deterministic stratified sampling — per-language Bernoulli
     // rates off a salted md5 bucket (reproducible on any cluster
     // layout; oracle replays the hash arithmetic exactly)
@@ -2176,6 +2187,39 @@ object PipelineQueries {
          |  CAST(w * h AS BIGINT) AS n_pixels,
          |  round(CAST(list_sum(f) AS DOUBLE) / 1000000, 6) AS feature_mass
          |FROM feats ORDER BY media_id""".stripMargin,
+    // 114: frame split + stride sampling + per-frame byte sums + lag
+    // motion, replayed from the utf-8 bytes (frame f covers bytes
+    // [64f, min(n, 64f+64)); zero padding adds no mass)
+    "mm_video" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, hx, n, greatest(1, (n + 63) // 64) AS nf FROM b
+         |), s AS (
+         |  SELECT doc_id, hx, n, nf, greatest(1, nf // 4) AS stride FROM f
+         |), fr AS (
+         |  SELECT doc_id, hx, n, nf, stride, unnest(range(0, nf)) AS fi FROM s
+         |), sums AS (
+         |  SELECT doc_id, nf, stride, fi,
+         |    coalesce(list_sum(list_transform(range(64 * fi, least(n, 64 * fi + 64)),
+         |      i -> CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT))), 0) AS fsum
+         |  FROM fr WHERE fi % stride = 0
+         |), agg AS (
+         |  SELECT doc_id, nf, stride, count(*) AS n_sampled, sum(fsum) AS sampled_sum,
+         |    coalesce(sum(CASE WHEN prev IS NULL THEN 0 ELSE abs(fsum - prev) END), 0) AS motion
+         |  FROM (SELECT *, lag(fsum) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+         |        FROM sums)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT a.doc_id AS media_id, CAST(a.nf AS INT) AS n_frames, 4 AS fps,
+         |  CAST(a.stride AS INT) AS kf_stride,
+         |  CAST(a.n_sampled AS BIGINT) AS n_sampled,
+         |  CAST(a.sampled_sum AS BIGINT) AS sampled_sum,
+         |  CAST(a.motion AS BIGINT) AS motion,
+         |  CAST(least(64, greatest(1, least(b.n, 64))) AS INT) AS f0_width,
+         |  CAST(1 AS INT) AS f0_height
+         |FROM agg a JOIN b USING (doc_id) ORDER BY media_id""".stripMargin,
     // 65: NN-thumbnail + frame-sample replay over the predicted pixel
     // grid (pixel(i) = byte i of the utf-8 text, zero beyond; same
     // integer floor index mapping as PngCodec.resizeNN)

@@ -137,4 +137,48 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.media_id -> r.features.toSeq).toMap
     rows.foreach(r => assert(again(r.media_id) == r.features.toSeq))
   }
+
+  test("GVID container: validation, sampled decode replay, frame skipping") {
+    val codec = new Multimodal.VideoCodec
+    // 10 frames of known bytes -> stride 2 -> frames 0,2,4,6,8 sampled
+    val frames = (0 until 10).map(f =>
+      Array.tabulate[Byte](8)(i => ((f * 10 + i) % 256).toByte)).toArray
+    val payload = codec.encode(frames, 4)
+    val v = codec.decodeSampled(payload)
+    assert(v.nFrames == 10 && v.fps == 4 && v.stride == 2)
+    val wantSums = Seq(0, 2, 4, 6, 8).map(f =>
+      frames(f).map(b => (b & 0xff).toLong).sum)
+    assert(v.sampled.toSeq == wantSums)
+    val wantMotion = wantSums.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum
+    assert(v.motion == wantMotion)
+    assert(v.f0Width == 8 && v.f0Height == 1)
+    // corrupt magic rejected
+    val bad = payload.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException](codec.decodeSampled(bad))
+    // truncation rejected
+    intercept[IllegalArgumentException](
+      codec.decodeSampled(java.util.Arrays.copyOfRange(payload, 0, payload.length - 3)))
+    // trailing garbage rejected
+    intercept[IllegalArgumentException](codec.decodeSampled(payload :+ 0.toByte))
+  }
+
+  test("mm_video: Scala replay from text bytes over the real pipeline") {
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val got = Multimodal.videoSummary(Multimodal.videoFromDocuments(docs))
+      .collect().map(r => r.media_id -> r).toMap
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        val bytes = text.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+        val nf = math.max(1, (bytes.length + 63) / 64)
+        val stride = math.max(1, nf / 4)
+        val sums = (0 until nf by stride).map(f =>
+          bytes.slice(f * 64, f * 64 + 64).sum)
+        val r = got(id)
+        assert(r.n_frames == nf && r.kf_stride == stride)
+        assert(r.n_sampled == sums.length.toLong)
+        assert(r.sampled_sum == sums.sum)
+        assert(r.motion == sums.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.sum)
+      }
+  }
 }
