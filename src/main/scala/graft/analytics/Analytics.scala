@@ -763,7 +763,29 @@ object Analytics {
       .orderBy(col("price_i"), col("p_partkey"))
   }
 
+  /** Top-3 events by value per event type through the NATIVE
+    * bounded-heap aggregate ([[graft.expressions.TopKAgg]]) — the
+    * shuffle-bounding form of q_topk_group's window: partial k-pair
+    * heaps combine map-side, so at most k rows per (map partition,
+    * group) reach the exchange and a hot group never becomes a
+    * group-sized sort partition (HotKeyStressSpec measures the
+    * shuffle-record bound on a 10⁶-row hot group). Top-k under the
+    * total order (value desc, id asc) is a pure selection — arrival /
+    * merge-order independent — so the DuckDB window oracle
+    * hash-checks it exactly. */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v_i"), col("event_id"))
+    ev.groupBy(col("event_type"))
+      .agg(graft.expressions.native.topK(col("v_i"), col("event_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("event_id"), col("col.value").as("v_i"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg"   -> (qTopkAgg _),
     "q_retention"  -> (qRetention _),
     "q_transitions" -> (qTransitions _),
     "q_skyline"    -> (qSkyline _),
@@ -807,6 +829,18 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // the window formulation IS the spec for the heap aggregate
+    "q_topk_agg" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v_i
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, v_i,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v_i DESC, event_id) AS rk
+        |  FROM v
+        |)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, v_i
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     // exact integer day-div-7 weeks from the fixed epoch
     "q_retention" ->
       """WITH ev AS (

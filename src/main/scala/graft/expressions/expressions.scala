@@ -142,6 +142,11 @@ object native {
   def heavyHitters(item: Column, capacity: Int): Column =
     GraftColumnBridge.column(
       SpaceSavingAgg(expr(item), capacity).toAggregateExpression())
+  /** Bounded-heap exact top-k pairs by (value desc, id asc) — see
+    * [[TopKAgg]]. */
+  def topK(value: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKAgg(expr(value), expr(id), k).toAggregateExpression())
 }
 
 /** Injected optimizer rule: rewrite `size(array_intersect(a, b))`
@@ -192,6 +197,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"), info("graft_heavy_hitters"),
       (args: Seq[Expression]) => SpaceSavingAgg(args(0),
         constInt(args, 1, "graft_heavy_hitters")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_topk"), info("graft_topk"),
+      (args: Seq[Expression]) => TopKAgg(args(0), args(1),
+        constInt(args, 2, "graft_topk")).toAggregateExpression()))
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 

@@ -293,4 +293,39 @@ class HotKeyStressSpec extends SparkSpec {
     assert(shuffled < 400000L,
       s"jaccard shuffled $shuffled records — hot shingles reached the prefix join")
   }
+
+  test("TopKAgg: a 10^6-row hot group shuffles O(k·maps), result == window top-k") {
+    // the window form shuffles every row of the hot group into one
+    // sort partition; the bounded-heap aggregate's partial states
+    // combine map-side, so at most k pairs per (map partition, group)
+    // reach the exchange
+    import spark.implicits._
+    val n = 1000000L
+    val hot = spark.range(n).select(lit("hot").as("g"),
+      ((col("id") * 2654435761L) % 1000003L).as("v"), col("id").as("rid"))
+    val cold = spark.range(500).select(concat(lit("c"), col("id") % 50).as("g"),
+      col("id").as("v"), (col("id") + 5000000L).as("rid"))
+    val data = hot.unionByName(cold)
+    val k = 5
+    val (rows, _, shuffled, _) = metered {
+      data.groupBy(col("g"))
+        .agg(graft.expressions.native.topK(col("v"), col("rid"), k).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rk"),
+          col("col.value").as("v"), col("col.id").as("rid"))
+        .collect()
+    }
+    // result identical to the window formulation (computed via the
+    // same total order in plain Scala on the generator formulas)
+    val hotTop = (0L until n).map(i => ((i * 2654435761L) % 1000003L, i))
+      .sortBy { case (v, id) => (-v, id) }.take(k)
+    val gotHot = rows.filter(_.getString(0) == "hot")
+      .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(gotHot == hotTop, s"hot-group top-k wrong: $gotHot vs $hotTop")
+    assert(rows.count(_.getString(0) != "hot") == 50 * 5) // 50 cold groups x k rows
+    // mechanism: the exchange carries k pairs per (map partition,
+    // group), not the 10^6-row hot group
+    assert(shuffled < 10000L,
+      s"TopKAgg shuffled $shuffled records — partial heaps aren't combining map-side")
+  }
 }
