@@ -748,6 +748,11 @@ object Analytics {
         expr("(price_i - min_i) div width_i").as("bkt"))
     val wprev = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // `bucketed` is deliberately NOT materialized despite its two
+    // consumers: the threshold branch collapses map-side to <= 256
+    // rows, so re-running a narrow 3-column scan + bucket map is far
+    // cheaper than checkpointing n rows (the Materialize rule targets
+    // EXPENSIVE shared subtrees; this one's recompute is ~the scan)
     val thresholds = bucketed.groupBy(col("bkt")).agg(max(col("sz")).as("mb"))
       .withColumn("m_prev", max(col("mb")).over(wprev))
       .select(col("bkt"), col("m_prev"))
