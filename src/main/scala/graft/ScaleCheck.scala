@@ -63,7 +63,10 @@ object ScaleCheck {
     val names = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
       "graph_pagerank", "corpus_clean", "corpus_chunks", "dedup_recall",
       "dedup_semantic", "dedup_embed", "embed_kmeans", "text_tfidf",
-      "text_bm25")
+      "text_bm25",
+      // round-8 continuation additions (heaviest of the new keys)
+      "sample_softdedup", "graph_clusters", "text_ccnet", "embed_pca",
+      "corpus_diversity")
     def cleanBetween(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -89,7 +92,35 @@ object ScaleCheck {
       println(s"[scale] $line")
       line
     }
-    val out = results.mkString("[\n", ",\n", "\n]") + "\n"
+    // graph_clusters' shipped key pins nCells=16 (the oracle replays
+    // the exact cell assignment), which makes its same-cell pair work
+    // n²/16 — quadratic BY THE PIN, not by the operator: re-measure
+    // with the SURVEY §5 nCells ≈ √n setting on both dirs to show the
+    // dial restores ~linear scaling.
+    val sqrtnLine = {
+      def run(dir: String): (Double, Long) = {
+        val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val nc = math.max(16, math.sqrt(nVec.toDouble).toInt)
+        var rows = 0L
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          rows = graft.operators.PipelineQueries
+            .semanticClusters(spark, dir, nCells = nc).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          cleanBetween()
+          s
+        }
+        (times.min, rows)
+      }
+      val (t1, rows1) = run(sfDir)
+      val (tN, rowsN) = run(bigDir)
+      val line = f"""{"query":"graph_clusters@sqrtn","sec_base":$t1%.3f,""" +
+        f""""sec_${mult}x":$tN%.3f,"factor":${tN / t1}%.2f,""" +
+        f""""rows_base":$rows1,"rows_${mult}x":$rowsN}"""
+      println(s"[scale] $line")
+      line
+    }
+    val out = (results :+ sqrtnLine).mkString("[\n", ",\n", "\n]") + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("scalecheck_last.json"),
       out.getBytes("UTF-8"))
     spark.stop()

@@ -789,7 +789,30 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Exponentially time-decayed engagement score per user — the
+    * recency-weighted feature every ranking/feature store computes
+    * (half-life = 1 day here). Exact fixed-point instead of
+    * pow(0.5, Δt): weight = 10¹² div 2^age_days — a power of two, so
+    * the division is exact integer floor and the per-event products
+    * sum order-free in BIGINT (Σ bounded: v_i ≤ 10⁷ cents · w ≤
+    * 2.5·10¹¹ · ~10² events/user ≪ 2⁶³). Narrow map + one partial-agg
+    * shuffle; no doubles anywhere, the oracle replays bit-exactly. */
+  def qDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      round(col("value") * 100).cast("long").as("v_i"),
+      greatest(expr("datediff(date '2024-02-01', cast(ts as date))"), lit(0))
+        .cast("int").as("age"))
+    ev.select(col("user_id"),
+        (col("v_i") *
+          expr("cast(1000000000000 as bigint) div shiftleft(cast(1 as bigint), age)"))
+          .as("dv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dv")).as("decayed_i"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decay"      -> (qDecay _),
     "q_topk_agg"   -> (qTopkAgg _),
     "q_retention"  -> (qRetention _),
     "q_transitions" -> (qTransitions _),
@@ -834,6 +857,17 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // same power-of-two fixed-point weights, same floor division
+    "q_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_i,
+        |    greatest(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0) AS age
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(v_i * (1000000000000 // (CAST(1 AS BIGINT) << CAST(age AS INT))))
+        |    AS BIGINT) AS decayed_i
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the window formulation IS the spec for the heap aggregate
     "q_topk_agg" ->
       """WITH v AS (

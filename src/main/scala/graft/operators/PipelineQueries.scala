@@ -133,10 +133,18 @@ object PipelineQueries {
 
   /** #100's ranked same-cell top-3 neighbor set (vec_id, rk, nb_id,
     * cos), no output ordering — shared by graph_knn and the
-    * graph_clusters mutual-edge symmetrization. */
-  private def knnTop3(s: SparkSession, d: String): DataFrame = {
+    * graph_clusters mutual-edge symmetrization.
+    *
+    * nCells is THE scale dial (same-cell pair work = n²/nCells, so at
+    * a fixed cell count the join is quadratic in corpus size — SURVEY
+    * §5's nCells ≈ √n rule): the shipped queries pin 16 so the DuckDB
+    * oracle replays the exact cell assignment, and ScaleCheck
+    * measures the √n setting restoring ~linear scaling on the 10×
+    * corpus (52× wall at fixed 16 → see SCALECHECK.md). */
+  private[graft] def knnTop3(s: SparkSession, d: String,
+      nCells: Int = 16): DataFrame = {
     val assigned = graft.Materialize.once(
-      Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), 16)))
+      Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), nCells)))
     val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"))
     val wr = org.apache.spark.sql.expressions.Window
@@ -147,6 +155,24 @@ object PipelineQueries {
         round(Knn.cosine(col("embedding"), col("nb_emb")), 6).as("cos"))
       .withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
       .select(col("vec_id"), col("rk"), col("nb_id"), col("cos"))
+  }
+
+  /** #102's full pipeline (mutual-kNN edges → min-label components)
+    * with the cell-count dial exposed for scale rehearsal. */
+  private[graft] def semanticClusters(s: SparkSession, d: String,
+      nCells: Int = 16): DataFrame = {
+    val rr = knnTop3(s, d, nCells)
+      .select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b"))
+    val mutual = rr.intersect(
+        rr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .where(col("doc_a") < col("doc_b"))
+    val labels = Dedup.clusters(mutual)
+    embs(s, d).select(col("vec_id"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** Bigram-LM fluency scores (#62): train add-one-smoothed bigram
@@ -436,19 +462,7 @@ object PipelineQueries {
     // checkpointed min-label propagation as dedup_cluster; every
     // vector appears (singletons label themselves). The oracle replays
     // the closure with a recursive CTE.
-    "graph_clusters" -> ((s, d) => {
-      val rr = knnTop3(s, d).select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b"))
-      val mutual = rr.intersect(
-          rr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .where(col("doc_a") < col("doc_b"))
-      val labels = Dedup.clusters(mutual)
-      embs(s, d).select(col("vec_id"))
-        .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-        .orderBy(col("vec_id"))
-    }),
+    "graph_clusters" -> ((s, d) => semanticClusters(s, d, nCells = 16)),
     // 58: deterministic Lloyd k-means — trained coarse quantizer;
     // exact-integer centroid means make every iteration replayable,
     // so the oracle re-runs the full training loop
@@ -1039,6 +1053,18 @@ object PipelineQueries {
           col("n_chars"), tau = 2.0, budgetFrac = 0.5)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 116: UniMax epoch-capped budget allocation — the successor to
+    // #101's temperature flattening: a 50% char budget distributed as
+    // uniformly as possible with no language repeating more than 2
+    // epochs; the water-filling breakpoint decided by one
+    // cross-multiplied BIGINT window rule (no division near the
+    // decision), uncapped languages split the remainder equally.
+    // Exact integers end-to-end; the oracle replays the allocation.
+    "sample_unimax" -> ((s, d) =>
+      Sampling.unimaxAllocation(docs(s, d), col("lang"), col("n_chars"),
+          maxEpochs = 2, budgetFrac = 0.5)
+        .select(col("group").as("lang"), col("mass"), col("rank"),
+          col("capped"), col("budget"), col("epochs_bp"))),
     // 96: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
     // 2003, the MOSS algorithm): 4-token grams hashed to a 40-bit
     // sha-256 prefix; a w=4 sliding window selects each window's
@@ -1546,6 +1572,38 @@ object PipelineQueries {
     // 101: same sqrt-flattened weights on the 1e-6 grid, order-free
     // BIGINT normalizer, and the same fixed-order rate expression as
     // Sampling.temperatureSample (tau=2, budgetFrac=0.5)
+    // 116: the water-filling allocation replayed in plain SQL — the
+    // same cross-multiplied capped rule, prefix window, and floor
+    // division
+    "sample_unimax" ->
+      """WITH m AS (
+        |  SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(sum(mass) AS BIGINT) AS total, count(*) AS n FROM m
+        |), s AS (
+        |  SELECT grp, mass, n,
+        |    (total * 500000) // 1000000 AS budget_total,
+        |    row_number() OVER (ORDER BY mass, grp) AS rank,
+        |    coalesce(sum(2 * mass) OVER (ORDER BY mass, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM m CROSS JOIN t
+        |), f AS (
+        |  SELECT *, 2 * mass * (n - rank + 1) <= budget_total - prefix AS capped
+        |  FROM s
+        |), c AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 2 * mass END), 0) AS BIGINT) AS cap_total,
+        |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_unc
+        |  FROM f
+        |)
+        |SELECT grp AS lang, mass, CAST(rank AS BIGINT) AS rank, capped,
+        |  CASE WHEN capped THEN 2 * mass
+        |       ELSE (budget_total - cap_total) // n_unc END AS budget,
+        |  CASE WHEN mass = 0 THEN 0
+        |       ELSE ((CASE WHEN capped THEN 2 * mass
+        |              ELSE (budget_total - cap_total) // n_unc END) * 10000) // mass
+        |  END AS epochs_bp
+        |FROM f CROSS JOIN c ORDER BY rank""".stripMargin,
     "sample_temperature" ->
       """WITH g AS (
         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY lang

@@ -189,6 +189,67 @@ object Sampling {
     *
     * Scale shape: identical to [[mixtureSample]] — two tiny
     * aggregations, thresholds broadcast, zero-shuffle hash filter. */
+  /** UniMax epoch-capped budget allocation (the successor to
+    * temperature flattening): distribute a token budget `B = frac ·
+    * total` across groups so every group is sampled as UNIFORMLY as
+    * possible subject to "no group repeats more than `maxEpochs`
+    * times". The water-filling solution sorts groups by mass
+    * ascending; a group is CAPPED (gets maxEpochs·mass) while its cap
+    * is below the equal share of what remains, and capping is
+    * prefix-closed in mass order, so one window pass decides:
+    *   capped_i  ⟺  maxE·m_i·(n−i+1) ≤ B − Σ_{j<i} maxE·m_j
+    * (cross-multiplied — no division anywhere near the decision), and
+    * the uncapped groups split the remainder equally (floor; the
+    * ≤ n_uncapped−1 remainder tokens stay unassigned, documented).
+    * Exact BIGINT throughout → engine-replayable. Output one row per
+    * group: (group, mass, rank, capped, budget, epochs_bp), epochs_bp
+    * = budget·10⁴ div mass.
+    *
+    * Scale shape: one partial-agg shuffle to group masses (|groups|
+    * rows) + one tiny window — the corpus is touched once; the
+    * allocation table then drives whatever per-row rate filter the
+    * pipeline applies (cf. [[temperatureSample]]'s hash filter). */
+  def unimaxAllocation(df: DataFrame, groupCol: Column, weightCol: Column,
+      maxEpochs: Int, budgetFrac: Double): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    val masses = df.groupBy(groupCol.as("group"))
+      .agg(sum(weightCol.cast("long")).as("mass"))
+    val tot = masses.agg(sum(col("mass")).as("total"), count(lit(1)).as("n"))
+    // integer budget: floor(frac * total) via exact integer arithmetic
+    // on the 1e-6 grid (frac quantized once, like the rate lattice)
+    val fracI = math.round(budgetFrac * 1000000.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mass"), col("group"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mass"), col("group"))
+    val staged = masses.crossJoin(broadcast(tot))
+      .select(col("group"), col("mass"), col("n"),
+        expr(s"(total * $fracI) div 1000000").as("budget_total"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("mass"), col("group"))))
+      .withColumn("prefix",
+        coalesce(sum(lit(maxEpochs.toLong) * col("mass")).over(w), lit(0L)))
+    val flagged = staged.withColumn("capped",
+      lit(maxEpochs.toLong) * col("mass") * (col("n") - col("rank") + 1) <=
+        col("budget_total") - col("prefix"))
+    val capAgg = flagged.agg(
+      sum(when(col("capped"), lit(maxEpochs.toLong) * col("mass")).otherwise(0L))
+        .as("cap_total"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("n_unc"))
+    flagged.crossJoin(broadcast(capAgg))
+      .select(col("group"), col("mass"), col("rank").cast("long").as("rank"),
+        col("capped"),
+        when(col("capped"), lit(maxEpochs.toLong) * col("mass"))
+          .otherwise(expr("(budget_total - cap_total) div n_unc")).as("budget"))
+      .withColumn("epochs_bp",
+        when(col("mass") === 0, lit(0L))
+          .otherwise(expr("(budget * 10000) div mass")))
+      .orderBy(col("rank"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: Column, groupCol: Column,
       weightCol: Column, tau: Double, budgetFrac: Double,
       salt: String = "temp"): DataFrame = {

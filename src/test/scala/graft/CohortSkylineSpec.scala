@@ -39,6 +39,23 @@ class CohortSkylineSpec extends SparkSpec {
     }
   }
 
+  test("q_decay: exact fixed-point replay, recency monotonicity") {
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"value", $"ts").collect()
+    val ref = java.time.LocalDate.parse("2024-02-01")
+    val want = ev.groupBy(_.getLong(0)).map { case (u, rows) =>
+      u -> rows.map { r =>
+        val age = math.max(0, java.time.temporal.ChronoUnit.DAYS.between(
+          r.getTimestamp(2).toLocalDateTime.toLocalDate, ref)).toInt
+        math.round(r.getDouble(1) * 100) * (1000000000000L / (1L << age))
+      }.sum
+    }
+    val got = Analytics.qDecay(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("decayed_i")).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) => assert(got(u) == w, s"user $u") }
+  }
+
   test("q_skyline: equals the brute-force dominance frontier") {
     val p = Tables.part(spark, sfDir)
       .select($"p_partkey",

@@ -180,4 +180,47 @@ class SamplingSpec extends SparkSpec {
     val deShare = got.count(_._2 == "de").toDouble / got.length
     assert(deShare > 0.10, s"temperature did not flatten: $deShare")
   }
+
+  test("unimaxAllocation: capped branch + water-filling replay on skewed masses") {
+    // the shipped testdata's group masses are near-uniform BY
+    // CONSTRUCTION (no group's 2-epoch cap falls under the equal
+    // share), so the capped branch is exercised here on a skewed
+    // fixture: masses 10/20/1000/5000, maxEpochs=2, budget = 50%.
+    import spark.implicits._
+    val rows = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 5000L))
+      .flatMap { case (g, m) => Seq((g, m)) } // one row per group, mass as weight
+    val df = rows.toDF("g", "w")
+    val got = graft.operators.Sampling
+      .unimaxAllocation(df, org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("w"), maxEpochs = 2, budgetFrac = 0.5)
+      .select("group", "mass", "rank", "capped", "budget", "epochs_bp")
+      .as[(String, Long, Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // hand replay: B = 3015; A,B capped (20, 40); C,D split (3015-60)/2
+    assert(got("A") == ("A", 10L, 1L, true, 20L, 20000L))
+    assert(got("B") == ("B", 20L, 2L, true, 40L, 20000L))
+    assert(got("C") == ("C", 1000L, 3L, false, 1477L, 14770L))
+    assert(got("D") == ("D", 5000L, 4L, false, 1477L, 2954L))
+    // allocation invariants: spend within budget, caps respected,
+    // uncapped budgets equal (the uniformity objective)
+    val budgets = got.values.map(_._5)
+    assert(budgets.sum <= 3015L)
+    got.values.foreach { case (_, m, _, capped, b, _) =>
+      if (capped) assert(b == 2 * m) else assert(b <= 2 * m)
+    }
+    assert(got.values.filterNot(_._4).map(_._5).toSet.size == 1)
+  }
+
+  test("unimaxAllocation: uncapped-only corpus splits the budget equally") {
+    import spark.implicits._
+    val df = Seq(("x", 100L), ("y", 120L), ("z", 110L)).toDF("g", "w")
+    val got = graft.operators.Sampling
+      .unimaxAllocation(df, org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("w"), maxEpochs = 2, budgetFrac = 0.5)
+      .select("group", "capped", "budget")
+      .as[(String, Boolean, Long)].collect()
+    // B = 165, share = 55 < 2*100 -> nobody capped, all get 55
+    assert(got.forall(!_._2))
+    assert(got.forall(_._3 == 55L))
+  }
 }
