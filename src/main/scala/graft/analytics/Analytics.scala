@@ -217,6 +217,28 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Nearest-in-time join: every purchase matched to the CLOSEST click
+    * (before or after, ties to prior) per user — the bidirectional
+    * sibling of q_asof on the same single-shuffle union+window
+    * machinery ([[graft.operators.Joins.asofNearestJoin]]); the oracle
+    * is the argmin theta join it replaces. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("ts"), col("click_value"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.Joins.asofNearestJoin(purch, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        date_format(col("nearest_time"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        col("click_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Range join: purchases falling inside any error event's 10-minute
     * impact window, rolled up per window. Keyless interval containment
     * — the case a naive plan turns into a broadcast nested loop; runs
@@ -812,6 +834,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_decay"      -> (qDecay _),
     "q_topk_agg"   -> (qTopkAgg _),
     "q_retention"  -> (qRetention _),
@@ -857,6 +880,29 @@ object Analytics {
 
   /** DuckDB-dialect oracles; decimal-stabilized double sums mirror stableSum. */
   val oracleSql: Map[String, String] = Map(
+    // the argmin theta join IS the spec for the nearest-time operator;
+    // tie preference (dist equal -> prior) encoded in dirrank
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), purch AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |), cand AS (
+        |  SELECT p.user_id, p.event_id, p.ts AS pts, c.ts AS cts, c.click_value,
+        |    abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dist,
+        |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dirrank
+        |  FROM purch p LEFT JOIN clicks c USING (user_id)
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+        |    ORDER BY dist, dirrank, cts) AS rk
+        |  FROM cand
+        |)
+        |SELECT user_id, event_id,
+        |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |  click_value
+        |FROM r WHERE rk = 1 ORDER BY user_id, event_id""".stripMargin,
     // same power-of-two fixed-point weights, same floor division
     "q_decay" ->
       """WITH e AS (

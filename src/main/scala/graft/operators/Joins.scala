@@ -76,6 +76,50 @@ object Joins {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Nearest-in-time join — the bidirectional sibling of [[asofJoin]]
+    * (sensor fusion / measurement alignment: match each left row to
+    * the CLOSEST right row in time, before or after, ties to the
+    * prior side). Same single-shuffle union+window shape, no nested
+    * loop: one window pass carries the latest prior right row
+    * forward, a mirrored frame carries the earliest later right row
+    * backward, and a per-row comparison on integer epoch micros picks
+    * the nearer (a same-timestamp right row sorts before the left row,
+    * so it is seen as "prior" at distance 0 — consistent with the tie
+    * rule). Left rows with no right match at all keep null payload.
+    * Right side should be unique per (keys, time) — pre-aggregate as
+    * with [[asofJoin]]. Adds `nearest_time` (the matched right time)
+    * to the payload columns. */
+  def asofNearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTime).as("__tr")) ++ payload.map(col): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    var df = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__tp", last(col("__tr"), ignoreNulls = true).over(wPrev))
+      .withColumn("__tn", first(col("__tr"), ignoreNulls = true).over(wNext))
+    payload.foreach { p =>
+      df = df
+        .withColumn(s"__prev_$p", last(col(p), ignoreNulls = true).over(wPrev))
+        .withColumn(s"__next_$p", first(col(p), ignoreNulls = true).over(wNext))
+    }
+    val dp = unix_micros(col("__t")) - unix_micros(col("__tp"))
+    val dn = unix_micros(col("__tn")) - unix_micros(col("__t"))
+    val usePrev = col("__tn").isNull || (col("__tp").isNotNull && dp <= dn)
+    val outs = payload.map(p =>
+      when(usePrev, col(s"__prev_$p")).otherwise(col(s"__next_$p")).as(p)) :+
+      when(usePrev, col("__tp")).otherwise(col("__tn")).as("nearest_time")
+    df.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ outs: _*)
+  }
+
   /** Range (interval containment) join: points × intervals where
     * `lo <= point <= hi`, equi-matched on `keys` first (pass Nil for a
     * keyless interval join). All three bound columns must be numeric

@@ -151,4 +151,35 @@ class JoinsSpec extends SparkSpec {
     assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
     assert(brute.nonEmpty) // the case actually exercises matches
   }
+
+  test("asofNearestJoin == brute-force argmin: both directions, ties prior, no-match nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // left rows across 6 keys; right rows only on keys 0-4 (key 5 has
+    // no match); timestamps collide deliberately to exercise ties
+    val left = (1 to 300).map(i =>
+      (s"k${i % 6}", i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(rnd.nextInt(500)))))
+    val right = (1 to 200).map(j =>
+      (s"k${j % 5}", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(rnd.nextInt(500))), j * 10L))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+    val got = graft.operators.Joins.asofNearestJoin(
+        left.toDF("k", "lid", "lt"), right.toDF("k", "rt", "pay"),
+        Seq("k"), "lt", "rt", Seq("pay"))
+      .select($"lid", $"pay", $"nearest_time").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got.size == left.size)
+    left.foreach { case (k, lid, lt) =>
+      val cands = right.filter(_._1 == k)
+      if (cands.isEmpty) assert(got(lid) == (None, None), s"lid=$lid")
+      else {
+        val best = cands.minBy { case (_, rt, _) =>
+          (math.abs(rt.getTime - lt.getTime),
+            if (rt.getTime <= lt.getTime) 0 else 1, rt.getTime) }
+        assert(got(lid)._1.contains(best._3), s"lid=$lid payload")
+        assert(got(lid)._2.contains(best._2), s"lid=$lid time")
+      }
+    }
+  }
 }
