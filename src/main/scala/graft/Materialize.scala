@@ -41,9 +41,21 @@ object Materialize {
   def mode(df: DataFrame): String =
     df.sparkSession.conf.get(ModeKey, "local")
 
-  /** Materialize `df` once, per the session's configured policy. */
+  /** Materialize `df` once, per the session's configured policy.
+    *
+    * The result passes through [[org.apache.spark.sql.GraftStatsBridge
+    * .clampStats]]: checkpointing truncates lineage but INHERITS the
+    * source plan's statistics, and in an iterative operator (clusters,
+    * pagerank) round r's inherited sizeInBytes is a polynomial of
+    * round r−1's — repeated squaring that makes per-round ANALYSIS
+    * cost grow exponentially and finally overflows Catalyst's BigInt
+    * stats on long-diameter graphs (found live: the √n-cell
+    * mutual-kNN clusters probe; see GraftStatsBridge's scaladoc).
+    * Stats below the 2⁶⁰ cap are untouched, so small materialized
+    * frames keep exact sizes and auto-broadcast exactly as before. */
   def once(df: DataFrame): DataFrame = mode(df) match {
-    case "local" => df.localCheckpoint()
+    case "local" =>
+      org.apache.spark.sql.GraftStatsBridge.clampStats(df.localCheckpoint())
     case "reliable" =>
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
@@ -52,7 +64,7 @@ object Materialize {
             s"/graft-checkpoints-${sc.applicationId}")
         sc.setCheckpointDir(dir)
       }
-      df.checkpoint()
+      org.apache.spark.sql.GraftStatsBridge.clampStats(df.checkpoint())
     case other =>
       throw new IllegalArgumentException(
         s"$ModeKey must be 'local' or 'reliable', got '$other'")

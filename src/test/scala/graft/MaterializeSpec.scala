@@ -76,4 +76,29 @@ class MaterializeSpec extends SparkSpec {
       Materialize.once(Seq((1, 2)).toDF("a", "b")))
     finally spark.conf.set(Materialize.ModeKey, "local")
   }
+
+  test("iterative materialize: inherited stats stay clamped, no cross-round snowball") {
+    // checkpointing inherits the source plan's Statistics; in an
+    // iterative self-join each round's inherited sizeInBytes is a
+    // polynomial of the previous round's — repeated squaring that made
+    // label-propagation analysis time DOUBLE per round and finally
+    // threw "BigInteger would overflow supported range" on a
+    // long-diameter graph (30 rounds below reproduce the shape; the
+    // clamp keeps per-round stats, and so analysis cost, flat)
+    val cap = org.apache.spark.sql.GraftStatsBridge.DefaultCap
+    var df = spark.range(50).toDF("id")
+    (1 to 30).foreach { r =>
+      val joined = df.as("a").join(df.as("b"), Seq("id"))
+        .join(df.as("c"), Seq("id")).select(col("id"))
+      df = Materialize.once(joined)
+      val s = df.queryExecution.analyzed.stats.sizeInBytes
+      assert(s <= cap, s"round $r stats $s exceed the clamp")
+    }
+    assert(df.count() == 50)
+    // and a small frame's exact stats survive untouched (broadcast
+    // decisions for genuinely small materialized frames are unchanged)
+    val small = Materialize.once(spark.range(10).toDF("id"))
+    val s = small.queryExecution.analyzed.stats.sizeInBytes
+    assert(s > 0 && s < 1000000, s"small-frame stats $s lost")
+  }
 }
