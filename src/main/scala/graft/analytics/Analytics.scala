@@ -820,10 +820,16 @@ object Analytics {
     * 2.5·10¹¹ · ~10² events/user ≪ 2⁶³). Narrow map + one partial-agg
     * shuffle; no doubles anywhere, the oracle replays bit-exactly. */
   def qDecay(spark: SparkSession, dir: String): DataFrame = {
+    // age clamped to [0, 62]: below 0 a future event would shift
+    // negatively; above 62 Java's shift-count masking (age % 64) would
+    // resurrect ancient events at near-full weight and DuckDB's <<
+    // errors outright. Weights are exactly 0 for age >= 40 anyway
+    // (10^12 < 2^40·...), so the clamp changes no weight, only keeps
+    // the arithmetic in range on both engines.
     val ev = Tables.events(spark, dir).select(col("user_id"),
       round(col("value") * 100).cast("long").as("v_i"),
-      greatest(expr("datediff(date '2024-02-01', cast(ts as date))"), lit(0))
-        .cast("int").as("age"))
+      least(greatest(expr("datediff(date '2024-02-01', cast(ts as date))"), lit(0)),
+        lit(62)).cast("int").as("age"))
     ev.select(col("user_id"),
         (col("v_i") *
           expr("cast(1000000000000 as bigint) div shiftleft(cast(1 as bigint), age)"))
@@ -907,7 +913,7 @@ object Analytics {
     "q_decay" ->
       """WITH e AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_i,
-        |    greatest(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0) AS age
+        |    least(greatest(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0), 62) AS age
         |  FROM events
         |)
         |SELECT user_id, count(*) AS n_events,

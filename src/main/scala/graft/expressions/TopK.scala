@@ -46,9 +46,15 @@ case class TopKAgg(
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   /** Heap dequeues its MAX — ordered so the max is the WORST kept
-    * pair (smallest value, then largest id). */
-  private val worstFirst: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+    * pair (smallest value, then largest id). Explicit compares, NOT
+    * Ordering.by(-v): negation overflows at Long.MinValue and would
+    * rank the minimum value as the best. */
+  private val worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1) // smaller value = worse = "larger"
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger id = worse
+    }
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
@@ -74,8 +80,9 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any =
+    // ascending by worstFirst = best (largest value, lowest id) first
     new GenericArrayData(buf.toArray
-      .sortBy { case (v, id) => (-v, id) }
+      .sorted(worstFirst)
       .map { case (v, id) => InternalRow(v, id): Any })
 
   override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {

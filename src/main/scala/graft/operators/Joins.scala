@@ -102,20 +102,25 @@ object Joins {
       .orderBy(col("__t"), col("__side"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    var df = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__tp", last(col("__tr"), ignoreNulls = true).over(wPrev))
-      .withColumn("__tn", first(col("__tr"), ignoreNulls = true).over(wNext))
-    payload.foreach { p =>
-      df = df
-        .withColumn(s"__prev_$p", last(col(p), ignoreNulls = true).over(wPrev))
-        .withColumn(s"__next_$p", first(col(p), ignoreNulls = true).over(wNext))
-    }
-    val dp = unix_micros(col("__t")) - unix_micros(col("__tp"))
-    val dn = unix_micros(col("__tn")) - unix_micros(col("__t"))
-    val usePrev = col("__tn").isNull || (col("__tp").isNotNull && dp <= dn)
+    // the nearest ROW travels as one struct: per-column ignoreNulls
+    // windows would skip a NULL payload value and splice a farther
+    // row's payload onto the nearest row's timestamp. The struct is
+    // null exactly on left rows (when/otherwise), so ignoreNulls
+    // selects whole right rows atomically.
+    val rowStruct = when(col("__side") === 0,
+      struct(col("__tr") +: payload.map(col): _*)).otherwise(lit(null))
+    val df = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__prev", last(rowStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(rowStruct, ignoreNulls = true).over(wNext))
+    val tp = col("__prev").getField("__tr")
+    val tn = col("__next").getField("__tr")
+    val dp = unix_micros(col("__t")) - unix_micros(tp)
+    val dn = unix_micros(tn) - unix_micros(col("__t"))
+    val usePrev = tn.isNull || (tp.isNotNull && dp <= dn)
     val outs = payload.map(p =>
-      when(usePrev, col(s"__prev_$p")).otherwise(col(s"__next_$p")).as(p)) :+
-      when(usePrev, col("__tp")).otherwise(col("__tn")).as("nearest_time")
+      when(usePrev, col("__prev").getField(p))
+        .otherwise(col("__next").getField(p)).as(p)) :+
+      when(usePrev, tp).otherwise(tn).as("nearest_time")
     df.where(col("__side") === 1)
       .select(leftCols.map(col) ++ outs: _*)
   }

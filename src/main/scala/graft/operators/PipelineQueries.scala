@@ -530,9 +530,8 @@ object PipelineQueries {
     // token / most-frequent-token / duplicate-bigram fractions, all
     // narrow per-document array math (no shuffle at any corpus size)
     "text_repetition" -> ((s, d) => {
-      val staged = docs(s, d).select(col("doc_id"),
-          when(Text.normalize(col("text")) === "", array().cast("array<string>"))
-            .otherwise(Text.tokens(col("text"))).as("tk"))
+      val staged = docs(s, d)
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
         .withColumn("bg", Text.bigramsOf(col("tk")))
       staged.select(
         col("doc_id"),
@@ -770,10 +769,7 @@ object PipelineQueries {
       // mirror Text.tokenCount's empty guard: split('') yields [''],
       // but the oracle maps NORM='' (empty or space-only text) to []
       val tok = docs(s, d)
-        .select(col("doc_id"),
-          when(Text.normalize(col("text")) === "",
-            array().cast("array<string>"))
-            .otherwise(Text.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
         .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       tok.select(col("doc_id"), col("n"), expr(
         s"""flatten(transform(sequence(0, CAST(greatest(ceil(n / 8.0) - 1, 0) AS INT)),
@@ -825,10 +821,8 @@ object PipelineQueries {
     // starts; the edit itself is a narrow HOF map (no shuffle). The
     // oracle rebuilds every edited document and hash-checks it.
     "text_dupcut" -> ((s, d) => {
-      val tokd = docs(s, d).select(col("doc_id"),
-        when(Text.normalize(col("text")) === "",
-          array().cast("array<string>"))
-          .otherwise(Text.tokens(col("text"))).as("tk"))
+      val tokd = docs(s, d)
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
       // 1-based window starts: window p covers tokens p..p+7
       val inst = tokd.select(col("doc_id"),
         posexplode(Text.ngramsOf(col("tk"), 8)))

@@ -216,14 +216,26 @@ object CorpusStream {
     // batches committed — the pre-restart counts would be lost
     // silently and every later snapshot would falsely claim the
     // full-prefix guarantees.
+    // "fresh stream" means NO COMMITTED SNAPSHOT DATA — not merely an
+    // absent dir: a crash during the very first snapshot write can
+    // leave outDir existing with only _temporary/_SUCCESS inside, and
+    // reading that throws forever (a restart crash-loop). Conversely a
+    // readable-but-empty snapshot has a null max. Only a committed
+    // part file makes recovery mandatory; real read failures beyond
+    // that still propagate (never silently reset the summary).
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(outPath)) {
+    val hasSnapshot = fs.exists(outPath) &&
+      fs.listStatus(outPath).exists(_.getPath.getName.startsWith("part-"))
+    if (hasSnapshot) {
       val prev = spark.read.parquet(outDir)
-      val maxB = prev.agg(max(col("batch_seq"))).head().getLong(0)
-      prev.where(col("batch_seq") === maxB).collect().foreach { r =>
-        running(r.getAs[String]("token")) = r.getAs[Long]("est") }
-      lastSeq = maxB
+      val maxRow = prev.agg(max(col("batch_seq"))).head()
+      if (!maxRow.isNullAt(0)) {
+        val maxB = maxRow.getLong(0)
+        prev.where(col("batch_seq") === maxB).collect().foreach { r =>
+          running(r.getAs[String]("token")) = r.getAs[Long]("est") }
+        lastSeq = maxB
+      }
     }
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream

@@ -48,6 +48,14 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq((4L, 4L), (3L, 1L)))
   }
 
+  test("extreme values: Long.MinValue/MaxValue rank correctly (no negation overflow)") {
+    val got = Seq((Long.MinValue, 1L), (5L, 2L), (3L, 3L), (Long.MaxValue, 4L))
+      .toDF("v", "id")
+      .agg(native.topK($"v", $"id", 3).as("top"))
+      .as[Seq[(Long, Long)]].head()
+    assert(got == Seq((Long.MaxValue, 4L), (5L, 2L), (3L, 3L)))
+  }
+
   test("SQL surface: graft_topk registered via extensions") {
     spark.range(100).select(($"id" % 10).as("g"), ($"id" * 37 % 101).as("v"), $"id")
       .createOrReplaceTempView("tk_in")

@@ -24,6 +24,20 @@ class TrendsSpec extends SparkSpec {
       .groupBy($"token").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect().toMap
 
+  test("recovery: an outDir holding only crash artifacts counts as a fresh stream") {
+    // a crash during the first snapshot write leaves outDir existing
+    // with only _temporary inside — recovery must treat that as fresh
+    // (no committed part file), not crash-loop on an unreadable dir
+    val base = Files.createTempDirectory("graft-trends-crash").toString
+    Tables.documents(spark, sfDir).limit(50).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/in")
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/out/_temporary/0"))
+    CorpusStream.startTokenTrends(spark, s"$base/in", s"$base/out", s"$base/cp",
+      capacity = 8).awaitTermination()
+    val (_, snap) = latestSnapshot(s"$base/out")
+    assert(snap.nonEmpty, "stream did not recover from crash artifacts")
+  }
+
   test("trends: guarantees over the whole stream, k-slot state, restart + replay") {
     val base = Files.createTempDirectory("graft-trends").toString
     val docs = Tables.documents(spark, sfDir)
