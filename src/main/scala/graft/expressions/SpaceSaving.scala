@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -45,6 +46,15 @@ case class SpaceSavingAgg(
   with UnaryLike[Expression] {
 
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  /** SQL-registered (graft_heavy_hitters): reject non-string items at
+    * analysis time instead of a raw executor ClassCastException from
+    * update's UTF8String cast. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_heavy_hitters requires a STRING item argument, got " +
+        child.dataType.catalogString)
 
   override def prettyName: String = "graft_heavy_hitters"
   override def nullable: Boolean = false

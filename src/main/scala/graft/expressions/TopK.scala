@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -38,6 +39,16 @@ case class TopKAgg(
   with BinaryLike[Expression] {
 
   require(k >= 1, s"k must be >= 1, got $k")
+
+  /** SQL-registered (graft_topk), so mis-typed arguments must surface
+    * as a clean AnalysisException naming the function — not a raw
+    * executor-side ClassCastException from eval's asInstanceOf. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires (BIGINT value, BIGINT id) arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   override def prettyName: String = "graft_topk"
   override def nullable: Boolean = false

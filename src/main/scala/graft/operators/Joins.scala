@@ -101,7 +101,19 @@ object Joins {
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "earliest later right row" as a RUNNING frame over the DESC sort:
+    // a [currentRow, unboundedFollowing] frame looks symmetric but
+    // Spark's UnboundedFollowingWindowFunctionFrame re-scans the rest
+    // of the partition per row — O(p²) on a hot key, exactly the skew
+    // this single-shuffle design exists to avoid. last() over the
+    // descending running frame selects the same row (the smallest
+    // (__t, __side) above the current row; a same-__t right row sorts
+    // AFTER the left row under __side desc, so it stays prev-only,
+    // preserving the distance-0 tie rule) in O(p). Both sorts share
+    // one hash exchange — still a single shuffle.
+    val wNext = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the nearest ROW travels as one struct: per-column ignoreNulls
     // windows would skip a NULL payload value and splice a farther
     // row's payload onto the nearest row's timestamp. The struct is
@@ -111,7 +123,7 @@ object Joins {
       struct(col("__tr") +: payload.map(col): _*)).otherwise(lit(null))
     val df = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__prev", last(rowStruct, ignoreNulls = true).over(wPrev))
-      .withColumn("__next", first(rowStruct, ignoreNulls = true).over(wNext))
+      .withColumn("__next", last(rowStruct, ignoreNulls = true).over(wNext))
     val tp = col("__prev").getField("__tr")
     val tn = col("__next").getField("__tr")
     val dp = unix_micros(col("__t")) - unix_micros(tp)

@@ -87,8 +87,17 @@ object Pca {
         .select(col("mu"),
           zip_with(col("xs"), col("mu"),
             (s, m) => s - m * dotD(col("mu"), col("v"))).as("w"))
+        // degenerate corpus (all vectors equal the mean, or the
+        // iterate annihilated) → ||w|| = 0; dividing would silently
+        // propagate NaN components into every projection. Fail fast
+        // with a named error instead (PcaSpec pins it).
+        .select(col("mu"), sqrt(dotD(col("w"), col("w"))).as("__nrm"), col("w"))
         .select(col("mu"),
-          transform(col("w"), x => round(x / sqrt(dotD(col("w"), col("w"))), 6))
+          when(col("__nrm") > 0,
+            transform(col("w"), x => round(x / col("__nrm"), 6)))
+            .otherwise(raise_error(lit(
+              "graft.Pca.pc1: zero-norm power iterate (degenerate corpus - " +
+                "all vectors equal to the mean?)")))
             .as("v")))
       graft.Materialize.free(prev)
       r += 1

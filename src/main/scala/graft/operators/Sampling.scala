@@ -228,8 +228,7 @@ object Sampling {
     val staged = masses.crossJoin(broadcast(tot))
       .select(col("group"), col("mass"), col("n"),
         expr(s"(total * $fracI) div 1000000").as("budget_total"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("mass"), col("group"))))
+      .withColumn("rank", row_number().over(wAll))
       .withColumn("prefix",
         coalesce(sum(lit(maxEpochs.toLong) * col("mass")).over(w), lit(0L)))
     val flagged = staged.withColumn("capped",

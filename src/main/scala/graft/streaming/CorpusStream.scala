@@ -227,6 +227,26 @@ object CorpusStream {
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasSnapshot = fs.exists(outPath) &&
       fs.listStatus(outPath).exists(_.getPath.getName.startsWith("part-"))
+    // Replay skipping keys on foreachBatch batchId monotonicity vs the
+    // snapshot's batch_seq — which is only sound while batchIds come
+    // from the SAME checkpoint lineage the snapshots were written
+    // under. A lost/recreated checkpointDir restarts batchIds at 0, and
+    // the first lastSeq+1 batches of genuinely NEW data would be
+    // silently skipped (batchId > lastSeq false). Detect the mismatch
+    // and fail fast: a snapshot with no checkpoint offsets at all means
+    // the lineage is gone (a crash during the very first batch still
+    // leaves offsets/0, so this can't fire spuriously). The operator
+    // restores the checkpoint or moves the snapshot dir aside.
+    val ckptOffsets = new org.apache.hadoop.fs.Path(s"$checkpointDir/trends/offsets")
+    val ckptFresh = !fs.exists(ckptOffsets) ||
+      !fs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (hasSnapshot && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startTokenTrends: snapshot data exists at $outDir " +
+          s"but the streaming checkpoint at $checkpointDir/trends is fresh - " +
+          "batchIds would restart at 0 and new batches would be silently " +
+          "skipped as replays. Restore the original checkpoint, or move the " +
+          "snapshot directory aside to start a new stream.")
     if (hasSnapshot) {
       val prev = spark.read.parquet(outDir)
       val maxRow = prev.agg(max(col("batch_seq"))).head()

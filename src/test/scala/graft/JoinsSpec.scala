@@ -182,4 +182,17 @@ class JoinsSpec extends SparkSpec {
       }
     }
   }
+
+  test("asofNearestJoin plans no UnboundedFollowing frame (O(p) per hot key, 1 shuffle)") {
+    import spark.implicits._
+    val left = Seq(("k", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"))).toDF("k", "lid", "lt")
+    val right = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:07"), 1L)).toDF("k", "rt", "pay")
+    val df = graft.operators.Joins.asofNearestJoin(left, right, Seq("k"), "lt", "rt", Seq("pay"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("unboundedfollowing"),
+      "next-row frame must be the descending running frame, not unboundedfollowing:\n" + physical)
+    // AQE wraps the plan, so count exchanges in the printed initial plan
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(shuffles == 1, s"expected a single shuffle, got $shuffles:\n" + physical)
+  }
 }

@@ -59,4 +59,13 @@ class PcaSpec extends SparkSpec {
     val v0 = vecs.map { case (_, x) => x(0) - mu(0) }
     assert(variance(wantProj.values) >= variance(v0.toSeq) * 0.99)
   }
+
+  test("degenerate corpus (all vectors identical) fails fast, not silent NaN") {
+    import spark.implicits._
+    val flat = (0L until 20L).map(i => (i, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Pca.project(flat, iters = 2).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("zero-norm")), chain(ex).toString)
+  }
 }

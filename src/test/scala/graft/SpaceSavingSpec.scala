@@ -92,4 +92,12 @@ class SpaceSavingSpec extends SparkSpec {
       .as[Map[String, Long]].head()
     assert(empty.isEmpty)
   }
+
+  test("type mismatch is an analysis-time error naming the function, not a runtime CCE") {
+    spark.range(10).createOrReplaceTempView("hh_bad")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_heavy_hitters(id, 4) FROM hh_bad").collect()
+    }
+    assert(ex.getMessage.contains("graft_heavy_hitters"))
+  }
 }

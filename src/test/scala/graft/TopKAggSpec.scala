@@ -64,4 +64,13 @@ class TopKAggSpec extends SparkSpec {
     assert(rows.length == 10)
     rows.foreach(r => assert(r.getSeq[Any](1).size == 2))
   }
+
+  test("type mismatch is an analysis-time error naming the function, not a runtime CCE") {
+    spark.range(10).selectExpr("CAST(id AS STRING) AS s", "id")
+      .createOrReplaceTempView("tk_bad")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(s, id, 2) FROM tk_bad").collect()
+    }
+    assert(ex.getMessage.contains("graft_topk"))
+  }
 }

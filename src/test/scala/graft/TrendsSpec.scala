@@ -86,4 +86,20 @@ class TrendsSpec extends SparkSpec {
         assert(snap2.contains(t), s"above-threshold token $t evicted")
     }
   }
+
+  test("lost checkpoint with surviving snapshot fails fast (no silent batch skipping)") {
+    val base = Files.createTempDirectory("graft-trends-ckpt").toString
+    Tables.documents(spark, sfDir).limit(50).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.startTokenTrends(spark, s"$base/in", s"$base/out", s"$base/cp",
+      capacity = 8).awaitTermination()
+    assert(latestSnapshot(s"$base/out")._2.nonEmpty)
+    // checkpoint lost, snapshot survives: batchIds would restart at 0
+    // and genuinely-new batches would be skipped as replays - must throw
+    val ex = intercept[IllegalStateException] {
+      CorpusStream.startTokenTrends(spark, s"$base/in", s"$base/out",
+        s"$base/cp-recreated", capacity = 8)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+  }
 }
