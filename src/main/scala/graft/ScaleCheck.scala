@@ -92,35 +92,12 @@ object ScaleCheck {
       println(s"[scale] $line")
       line
     }
-    // graph_clusters' shipped key pins nCells=16 (the oracle replays
-    // the exact cell assignment), which makes its same-cell pair work
-    // n²/16 — quadratic BY THE PIN, not by the operator: re-measure
-    // with the SURVEY §5 nCells ≈ √n setting on both dirs to show the
-    // dial restores ~linear scaling.
-    val sqrtnLine = {
-      def run(dir: String): (Double, Long) = {
-        val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
-        val nc = math.max(16, math.sqrt(nVec.toDouble).toInt)
-        var rows = 0L
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          rows = graft.operators.PipelineQueries
-            .semanticClusters(spark, dir, nCells = nc).count()
-          val s = (System.nanoTime() - t0) / 1e9
-          cleanBetween()
-          s
-        }
-        (times.min, rows)
-      }
-      val (t1, rows1) = run(sfDir)
-      val (tN, rowsN) = run(bigDir)
-      val line = f"""{"query":"graph_clusters@sqrtn","sec_base":$t1%.3f,""" +
-        f""""sec_${mult}x":$tN%.3f,"factor":${tN / t1}%.2f,""" +
-        f""""rows_base":$rows1,"rows_${mult}x":$rowsN}"""
-      println(s"[scale] $line")
-      line
-    }
-    val out = (results :+ sqrtnLine).mkString("[\n", ",\n", "\n]") + "\n"
+    // Since round 9 the shipped graph_clusters/graph_knn/knn_ivf/
+    // dedup_embed keys derive nCells from the corpus size
+    // (Knn.autoCells = max(16, ceil(sqrt(n))), oracle-mirrored), so
+    // the plain rows above already measure the √n scaling — the old
+    // fixed-16 vs √n comparison row is retired.
+    val out = results.mkString("[\n", ",\n", "\n]") + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("scalecheck_last.json"),
       out.getBytes("UTF-8"))
     spark.stop()

@@ -99,6 +99,17 @@ object Knn {
     math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
   }
 
+  /** Corpus-size-derived IVF cell count: nCells = max(16, ⌈√n⌉) — the
+    * SURVEY §5 rule that bounds same-cell pair work to n²/nCells ≈
+    * n^1.5 (the classic IVF tradeoff) instead of quadratic-at-fixed-
+    * cells. Deterministic given n, and both engines compute it
+    * identically (IEEE-correctly-rounded sqrt + ceil on both JVM and
+    * DuckDB), so the oracle replays any corpus size. Centroid
+    * broadcast stays tiny at any realistic n: 10⁹ vectors → ~32k
+    * cells × d·8 bytes ≈ 16 MB at d=64. */
+  def autoCells(corpusSize: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(corpusSize, 1L).toDouble)).toInt)
+
   /** Embedding-cosine near-dup pairs via sign-LSH: self-join the
     * corpus on LSH sign-bands (shuffle keyed on (band, bucket) — never
     * all-pairs), verify exact cosine on candidates. Approximate in
@@ -209,9 +220,15 @@ object Knn {
     * candidates; exact cosine verifies. One shuffle keyed on cell_id;
     * cell occupancy ~ n/nCells (choose nCells ≈ √n at scale → n^1.5
     * pair work, the classic IVF tradeoff, instead of n²). Precision
-    * exact; recall = pairs whose members quantize to the same cell. */
-  def ivfPairs(corpus: DataFrame, threshold: Double, nCells: Int = 16): DataFrame = {
-    val assigned = ivfAssign(corpus, ivfCentroids(corpus, nCells))
+    * exact; recall = pairs whose members quantize to the same cell.
+    * `nCells <= 0` → sized via [[autoCells]] from `corpusSize` when
+    * supplied, else from a `corpus.count()` — an EXTRA scan per call;
+    * callers that know their corpus size should pass it. */
+  def ivfPairs(corpus: DataFrame, threshold: Double, nCells: Int = 0,
+      corpusSize: Long = -1L): DataFrame = {
+    val nc = if (nCells > 0) nCells
+      else autoCells(if (corpusSize > 0) corpusSize else corpus.count())
+    val assigned = ivfAssign(corpus, ivfCentroids(corpus, nc))
     val a = assigned.select(col("cell_id"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("cell_id"),
@@ -225,10 +242,14 @@ object Knn {
 
   /** IVF ANN top-k: probe the query's `nProbe` nearest cells, exact
     * cosine re-rank of the probed candidates only. Corpus side shuffles
-    * once on cell_id; the (few) query probes broadcast. */
+    * once on cell_id; the (few) query probes broadcast.
+    * `nCells <= 0` → sized via [[autoCells]] from `corpusSize` when
+    * supplied, else from a `corpus.count()` (an extra scan). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells)
+      nCells: Int = 0, nProbe: Int = 4, corpusSize: Long = -1L): DataFrame = {
+    val nc = if (nCells > 0) nCells
+      else autoCells(if (corpusSize > 0) corpusSize else corpus.count())
+    val cents = ivfCentroids(corpus, nc)
     val assigned = ivfAssign(corpus, cents)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cell_id"))

@@ -137,14 +137,17 @@ object PipelineQueries {
     *
     * nCells is THE scale dial (same-cell pair work = n²/nCells, so at
     * a fixed cell count the join is quadratic in corpus size — SURVEY
-    * §5's nCells ≈ √n rule): the shipped queries pin 16 so the DuckDB
-    * oracle replays the exact cell assignment, and ScaleCheck
-    * measures the √n setting restoring ~linear scaling on the 10×
-    * corpus (52× wall at fixed 16 → see SCALECHECK.md). */
+    * §5's nCells ≈ √n rule): the shipped queries derive it from the
+    * corpus size via [[Knn.autoCells]] (max(16, ⌈√n⌉)) and the DuckDB
+    * oracle replays the same formula from count(*), so the cell
+    * assignment stays exact at every SF. ScaleCheck measured the fix:
+    * graph_clusters 4.3× wall at 10× data with fixed 16 cells vs
+    * ~2.8× at √n (SCALECHECK.md). `nCells <= 0` → auto. */
   private[graft] def knnTop3(s: SparkSession, d: String,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 0): DataFrame = {
+    val nc = if (nCells > 0) nCells else Knn.autoCells(embs(s, d).count())
     val assigned = graft.Materialize.once(
-      Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), nCells)))
+      Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), nc)))
     val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"))
     val wr = org.apache.spark.sql.expressions.Window
@@ -160,7 +163,7 @@ object PipelineQueries {
   /** #102's full pipeline (mutual-kNN edges → min-label components)
     * with the cell-count dial exposed for scale rehearsal. */
   private[graft] def semanticClusters(s: SparkSession, d: String,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 0): DataFrame = {
     val rr = knnTop3(s, d, nCells)
       .select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b"))
     val mutual = rr.intersect(
@@ -432,17 +435,21 @@ object PipelineQueries {
     }),
     // 37: IVF ANN top-k — deterministic coarse cells + nProbe probing;
     // the whole pipeline (centroids, assignment, probes, re-rank) is
-    // hashing-free, so the DuckDB oracle replays it exactly
+    // hashing-free, and nCells = Knn.autoCells(n) = max(16, ceil(sqrt(n)))
+    // is derived from the corpus size (the one count() here is the
+    // price of the dial at unknown n — at scale pass corpusSize), so
+    // the DuckDB oracle replays the whole pipeline, cell count included
     "knn_ivf" -> ((s, d) => {
       val e = embs(s, d)
-      Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 4)
+      Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nProbe = 4)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
     // 36: embedding-cosine near-dup pairs, IVF flavor (same-cell
-    // candidates + exact verify — oracle-replayable; the sign-LSH
-    // variant Knn.embeddingPairs stays spec-pinned in KnnSpec)
+    // candidates + exact verify — oracle-replayable at the auto cell
+    // count; the sign-LSH variant Knn.embeddingPairs stays spec-pinned
+    // in KnnSpec)
     "dedup_embed" -> ((s, d) =>
-      Knn.ivfPairs(embs(s, d), threshold = 0.35, nCells = 16)
+      Knn.ivfPairs(embs(s, d), threshold = 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
     // 100: k-NN graph over ALL embeddings (each vector's top-3
     // same-cell neighbors by rounded cosine, ties to the lower id) —
@@ -462,7 +469,7 @@ object PipelineQueries {
     // checkpointed min-label propagation as dedup_cluster; every
     // vector appears (singletons label themselves). The oracle replays
     // the closure with a recursive CTE.
-    "graph_clusters" -> ((s, d) => semanticClusters(s, d, nCells = 16)),
+    "graph_clusters" -> ((s, d) => semanticClusters(s, d)),
     // 58: deterministic Lloyd k-means — trained coarse quantizer;
     // exact-integer centroid means make every iteration replayable,
     // so the oracle re-runs the full training loop
@@ -1266,9 +1273,15 @@ object PipelineQueries {
     * the 16 deterministic centroids, and the nearest-cell assignment
     * (argmax on round(cos,6), ties to the lowest cell — mirrors
     * Knn.ivfAssign's max(struct(cos, -cell_id))). */
-  private def ivfSql(nCells: Int): String =
+  /** DuckDB mirror of Knn.autoCells: max(16, ceil(sqrt(n))) — both
+    * engines' sqrt/ceil are IEEE-correctly-rounded, so the derived
+    * cell count agrees at every corpus size. */
+  private val AUTO_CELLS_SQL: String =
+    "(SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM e)"
+
+  private def ivfSql(cellExpr: String = AUTO_CELLS_SQL): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < $nCells),
+       |cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < $cellExpr),
        |scored AS (
        |  SELECT e.vec_id, e.v, cent.cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1656,7 +1669,7 @@ object PipelineQueries {
     // 100: same IVF assignment CTEs as dedup_embed, per-vector ranked
     // same-cell neighbors
     "graph_knn" ->
-      s"""WITH ${ivfSql(16)},
+      s"""WITH ${ivfSql()},
          |p AS (
          |  SELECT a.vec_id, b.vec_id AS nb_id,
          |    round(${cosSql("a.v", "b.v")}, 6) AS cos
@@ -1673,7 +1686,7 @@ object PipelineQueries {
     // the recursive closure (the dedup_cluster pattern), singletons
     // self-labeled through the left join
     "graph_clusters" ->
-      s"""WITH RECURSIVE ${ivfSql(16)},
+      s"""WITH RECURSIVE ${ivfSql()},
          |p AS (
          |  SELECT a.vec_id, b.vec_id AS nb_id,
          |    round(${cosSql("a.v", "b.v")}, 6) AS cos
@@ -2149,7 +2162,7 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // 36: IVF near-dup replay — same-cell pairs, exact cosine verify.
     "dedup_embed" ->
-      s"""WITH ${ivfSql(16)}
+      s"""WITH ${ivfSql()}
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
@@ -2183,7 +2196,7 @@ object PipelineQueries {
     // 37: IVF ANN replay — probe 4 nearest cells of each query vector,
     // exact re-rank, top-5.
     "knn_ivf" ->
-      s"""WITH ${ivfSql(16)},
+      s"""WITH ${ivfSql()},
          |probes AS (
          |  SELECT query_id, q, cell_id FROM (
          |    SELECT qe.vec_id AS query_id, qe.v AS q, cent.cell_id,

@@ -158,10 +158,12 @@ class KnnSpec extends SparkSpec {
   }
 
   test("graph_knn matches an independent same-cell top-3 replay") {
-    // plain-Scala IVF replay: centroids = first 16 vectors, assignment
-    // by rounded-cosine argmax (ties to the lowest cell), then per
-    // vector the top-3 same-cell neighbors by (cos desc, nb_id) —
-    // sequential-sum doubles match the kernel and DuckDB bit-for-bit
+    // plain-Scala IVF replay: centroids = first autoCells(n) vectors
+    // (max(16, ceil(sqrt(n))) — the corpus-size-derived cell count the
+    // shipped keys use), assignment by rounded-cosine argmax (ties to
+    // the lowest cell), then per vector the top-3 same-cell neighbors
+    // by (cos desc, nb_id) — sequential-sum doubles match the kernel
+    // and DuckDB bit-for-bit
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -172,7 +174,9 @@ class KnnSpec extends SparkSpec {
     def cos6(a: Array[Double], b: Array[Double]): Double =
       BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cents = vecs.filter(_._1 < 16)
+    val nc = Knn.autoCells(vecs.length.toLong)
+    assert(nc == math.max(16, math.ceil(math.sqrt(vecs.length.toDouble)).toInt))
+    val cents = vecs.filter(_._1 < nc)
     val cellOf = vecs.map { case (id, v) =>
       id -> cents.map { case (cid, c) => (cos6(v, c), -cid) }.max._2 * -1
     }.toMap
