@@ -175,17 +175,37 @@ object StormQueries {
   // ---------------------------------------------------------------- oracle
 
   private val A = StormFeed.adapterSql
-  private val NUM = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  private val DUQ = "[0-9](?:_?[0-9])*" // Go underscore digit rule
+  private val HUQ = "[0-9a-fA-F](?:_?[0-9a-fA-F])*"
+  private val NUM = s"^[+-]?($DUQ(\\.(?:$DUQ)?)?|\\.$DUQ)([eE][+-]?$DUQ)?$$"
+  private val HEX = s"^[+-]?0[xX](_?$HUQ(\\.(?:$HUQ)?)?|\\.$HUQ)[pP][+-]?$DUQ$$"
   private val INF = "^[+-]?(inf|infinity)$"
   private val LOC = "^([0-9]+(?:\\.[0-9]+)?)\\s+([NSEW]{1,3})\\s+(.+)$"
 
   /** ParseFloat-or-zero over an already-trimmed SQL expression —
-    * DuckDB mirror of StormFunctions.lenientDouble. */
-  private def lenient(x: String): String =
-    s"""CASE WHEN regexp_matches($x, '$NUM') THEN CAST($x AS DOUBLE)
+    * DuckDB mirror of StormFunctions.lenientDouble, Go grammar
+    * included: underscores stripped after the validity check, hex
+    * floats as ±(int++frac hex digits) · 2^(p − 4·|frac|), and
+    * value-overflow (±Inf, Go ErrRange) mapped to 0 like the
+    * reference's err != nil branch. */
+  private def lenient(x: String): String = {
+    val clean = s"replace($x, '_', '')"
+    val b = s"replace(regexp_replace($x, '^[+-]', ''), '_', '')"
+    val ip = s"regexp_extract($b, '^0[xX]([0-9a-fA-F]*)', 1)"
+    val fp = s"regexp_extract($b, '^0[xX][0-9a-fA-F]*\\.([0-9a-fA-F]*)', 1)"
+    val ex = s"TRY_CAST(regexp_extract($b, '[pP]([+-]?[0-9]+)$$', 1) AS INT)"
+    val hv = s"(CASE WHEN $x LIKE '-%' THEN -1.0 ELSE 1.0 END) * " +
+      s"CAST(CAST(('0x' || $ip || $fp) AS UBIGINT) AS DOUBLE) * " +
+      s"pow(2.0, $ex - 4 * length($fp))"
+    s"""CASE WHEN regexp_matches($x, '$NUM') THEN
+       |       (CASE WHEN isinf(TRY_CAST($clean AS DOUBLE)) THEN 0.0
+       |             ELSE COALESCE(TRY_CAST($clean AS DOUBLE), 0.0) END)
+       |     WHEN regexp_matches($x, '$HEX') THEN
+       |       (CASE WHEN $hv IS NULL OR isinf($hv) THEN 0.0 ELSE $hv END)
        |     WHEN regexp_matches(lower($x), '$INF') OR lower($x) = 'nan'
        |       THEN COALESCE(TRY_CAST($x AS DOUBLE), 0.0)
        |     ELSE 0.0 END""".stripMargin
+  }
 
   /** Shared enrichment CTE chain in DuckDB SQL, mirroring StormPipeline. */
   private val EN: String = s"""

@@ -43,11 +43,41 @@ class StormFunctionsSpec extends SparkSpec {
       Double.PositiveInfinity, Double.NegativeInfinity, Double.PositiveInfinity))
     val nan = Seq("NaN").toDF("x").select(parseFloatOrZero($"x").as("r")).head.getDouble(0)
     assert(nan.isNaN)
-    // rejected forms -> 0 (".", bare exponent, garbage; hex floats and
-    // digit underscores are documented deviations from Go — SURVEY §1)
-    val zeros = Seq(".", "e5", "5e", "1.2.3", "0x1p-2", "1_000", "", "  ")
+    // rejected forms -> 0 (".", bare exponent, garbage)
+    val zeros = Seq(".", "e5", "5e", "1.2.3", "", "  ")
       .toDF("x").select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
     assert(zeros.forall(_ == 0.0))
+  }
+
+  test("ParseFloat Go grammar: hex floats and underscore separators, bit-for-bit") {
+    // each expected value is strconv.ParseFloat(s, 64)'s output
+    // (transform.go:47-58 maps err != nil -> 0, including ErrRange)
+    val cases = Seq(
+      "0x1p-2" -> 0.25, // go doc's own example
+      "0x1.8p+3" -> 12.0,
+      "0X1P3" -> 8.0, // case-insensitive prefix/exponent
+      "0x_1p4" -> 16.0, // the one leading-underscore slot Go allows
+      "0x.8p1" -> 1.0, // fraction-only mantissa
+      "0x1.p2" -> 4.0, // empty fraction after the point
+      "-0x1.8p1" -> -3.0,
+      "0xffp0" -> 255.0,
+      "0xde_ad_be_efp-4" -> 0xdeadbeefL.toDouble / 16.0,
+      "1_000" -> 1000.0,
+      "1_000.000_5" -> 1000.0005,
+      "1e1_0" -> 1e10, // underscores in the exponent too
+      // invalid underscore placement / missing parts / overflow -> 0
+      "1__0" -> 0.0, "_100" -> 0.0, "100_" -> 0.0, "1_.5" -> 0.0,
+      "1._5" -> 0.0, "0x1p2_" -> 0.0, "0xp2" -> 0.0,
+      "0x1" -> 0.0, // hex REQUIRES the binary exponent
+      "0x1.8" -> 0.0,
+      "1e999" -> 0.0, // value overflow = ErrRange -> err branch -> 0
+      "-1e999" -> 0.0,
+      "0x1p99999" -> 0.0)
+    val got = cases.map(_._1).toDF("x")
+      .select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((s, want), g) =>
+      assert(g == want, s"ParseFloat('$s'): got $g want $want")
+    }
   }
 
   test("severity thresholds per type (transform.go:212-257)") {
