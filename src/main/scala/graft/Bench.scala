@@ -302,6 +302,12 @@ object Bench {
     // caused by an oversized driver heap (HEAPCHECK.md) and took a judge
     // re-run to attribute because the artifact didn't record -Xmx
     val heapMax = Runtime.getRuntime.maxMemory()
+    // r8 VERDICT #4: record the heap DIAL, not just the resulting max,
+    // so cross-round artifacts state their heap explicitly (build.sbt
+    // forks with -Xmx$SPARK_DRIVER_MEM, default 8g — the committed
+    // reference series runs at that default; HEAPCHECK holds the
+    // count-parity evidence for enlarged heaps)
+    val driverMemEnv = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g(default)")
     val gcNames = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => jstr(b.getName)).mkString("[", ",", "]")
     val line =
@@ -310,7 +316,7 @@ object Bench {
       s""""errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
       s""""sf":"$sfDir","clean_machine":${stray.isEmpty},"stray_jvms":$strayJson,""" +
       s""""forced_input":"$cpus-file split copy of sf dir (row-identical; single-file scans are one partition)",""" +
-      s""""heap_max_bytes":$heapMax,"gc_collectors":$gcNames,""" +
+      s""""heap_max_bytes":$heapMax,"driver_mem_env":${jstr(driverMemEnv)},"gc_collectors":$gcNames,""" +
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
       s""""hygiene":${jstr(hygiene)},""" +
@@ -335,7 +341,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","value_forced":$totalForced,""" +
       s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
-      s""""heap_max_bytes":$heapMax,"clean_machine":${stray.isEmpty},"sf":"$sfDir","full_line":"bench_last.json"}""")
+      s""""heap_max_bytes":$heapMax,"driver_mem_env":${jstr(driverMemEnv)},"clean_machine":${stray.isEmpty},"sf":"$sfDir","full_line":"bench_last.json"}""")
     spark.stop()
   }
 }
