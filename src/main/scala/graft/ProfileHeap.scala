@@ -20,10 +20,28 @@ object ProfileHeap {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GRAFT_FORCED=1 reproduces the BENCH forced series (full-plan
+    // toRdd over the cpus-file split copy) instead of count() — the
+    // text_containment heap inflation (HEAPCHECK round 8) only
+    // appears there, so the diagnostic must run the same shape.
+    val forced = sys.env.get("GRAFT_FORCED").contains("1")
+    val reps = sys.env.get("GRAFT_REPS").map(_.toInt).getOrElse(1)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dedup_jaccard", "dedup_cluster", "corpus_clean")
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val inDir = if (!forced) sfDir else {
+      val d = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft-bench-split-32-" + java.lang.Integer.toHexString(sfDir.hashCode)
+      if (!new java.io.File(d, "_SPLIT_OK").exists) {
+        graft.sources.Tables.all.foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").repartition(32)
+            .write.mode("overwrite").parquet(s"$d/$t.parquet")
+        }
+        new java.io.File(d, "_SPLIT_OK").createNewFile()
+      }
+      d
+    }
     println(s"[heap] maxMemory=${Runtime.getRuntime.maxMemory() / (1 << 20)} MB " +
       s"gc=${ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("/")}")
 
@@ -49,13 +67,15 @@ object ProfileHeap {
       val beans = ManagementFactory.getGarbageCollectorMXBeans.asScala
       (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
     }
-    names.foreach { name =>
+    names.flatMap(n => Seq.fill(reps)(n)).foreach { name =>
       acc.synchronized { acc.runMs = 0; acc.cpuMs = 0; acc.gcMs = 0
         acc.spillMem = 0; acc.spillDisk = 0; acc.peakExec = 0; acc.tasks = 0 }
       val (gcC0, gcT0) = gcSnapshot()
       collecting = true
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n =
+        if (forced) SparkEntry.queries(name)(spark, inDir).queryExecution.toRdd.count()
+        else SparkEntry.queries(name)(spark, inDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       collecting = false
       Thread.sleep(300) // let the listener bus drain stage-completed events
