@@ -34,6 +34,24 @@ object GraftStatsBridge {
     * pathology. */
   val DefaultCap: BigInt = BigInt(1) << 60
 
+  /** Rewrite a checkpointed frame's inherited stats to an exact value.
+    * Diagnostic/spec hook: MaterializeSpec uses it to prove the clamp
+    * is strategy-invariant — a genuinely-huge honest size and its
+    * clamped form must drive identical join planning, so the clamp
+    * can never silently flip a broadcast decision at real scale. */
+  def withStats(df: Dataset[Row], sizeInBytes: BigInt): Dataset[Row] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session =
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val p = new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+          l.outputOrdering, l.isStreaming, l.stream)(
+          session, Some(Statistics(sizeInBytes = sizeInBytes)), None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, p)
+      case other => throw new IllegalArgumentException(
+        s"withStats needs a checkpointed (LogicalRDD) frame, got ${other.nodeName}")
+    }
+
   def clampStats(df: Dataset[Row], cap: BigInt = DefaultCap): Dataset[Row] =
     df.queryExecution.analyzed match {
       case l: LogicalRDD if l.stats.sizeInBytes > cap =>

@@ -101,4 +101,50 @@ class MaterializeSpec extends SparkSpec {
     val s = small.queryExecution.analyzed.stats.sizeInBytes
     assert(s > 0 && s < 1000000, s"small-frame stats $s lost")
   }
+
+  test("stats clamp is strategy-invariant: honest-huge and clamped sizes plan identically") {
+    import org.apache.spark.sql.GraftStatsBridge
+    // a checkpointed big side whose INHERITED stats we control exactly
+    val ckpt = spark.range(2000).toDF("id").localCheckpoint()
+    val honest = GraftStatsBridge.withStats(ckpt, GraftStatsBridge.DefaultCap * 16)
+    val clamped = GraftStatsBridge.clampStats(honest)
+    assert(honest.queryExecution.analyzed.stats.sizeInBytes ==
+      GraftStatsBridge.DefaultCap * 16)
+    assert(clamped.queryExecution.analyzed.stats.sizeInBytes ==
+      GraftStatsBridge.DefaultCap)
+    // the boundary itself: exactly-at-cap stats are untouched
+    val atCap = GraftStatsBridge.clampStats(
+      GraftStatsBridge.withStats(ckpt, GraftStatsBridge.DefaultCap))
+    assert(atCap.queryExecution.analyzed.stats.sizeInBytes ==
+      GraftStatsBridge.DefaultCap)
+    // join strategy against a tiny broadcastable side must be the SAME
+    // for the honest and the clamped form: broadcast the small side,
+    // never the big one (pre-AQE sparkPlan = the stats-driven decision)
+    val small = spark.range(64).toDF("k")
+    def joinShape(big: org.apache.spark.sql.DataFrame): Seq[String] =
+      small.join(big, col("k") === col("id")).queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          s"bhj:${j.buildSide}"
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          s"shj:${j.buildSide}"
+      }
+    val sHonest = joinShape(honest)
+    val sClamped = joinShape(clamped)
+    assert(sHonest == sClamped,
+      s"clamp flipped the join strategy: honest=$sHonest clamped=$sClamped")
+    assert(sHonest == Seq("bhj:BuildLeft"),
+      s"tiny side must broadcast against a huge side, got $sHonest")
+    // ...and BELOW the cap nothing changes at all: an honest small
+    // size still auto-broadcasts the checkpointed side itself
+    val smallStats = GraftStatsBridge.clampStats(
+      GraftStatsBridge.withStats(ckpt, 1024))
+    assert(smallStats.queryExecution.analyzed.stats.sizeInBytes == 1024)
+    val s2 = spark.range(1 << 20).toDF("k").join(smallStats,
+      col("k") === col("id")).queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        s"bhj:${j.buildSide}"
+    }
+    assert(s2 == Seq("bhj:BuildRight"), s"small honest side must broadcast: $s2")
+  }
 }
