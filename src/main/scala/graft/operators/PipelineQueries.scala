@@ -450,6 +450,17 @@ object PipelineQueries {
       Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nProbe = 4)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 119: IVF-PQ quantized ANN — product-quantization codebooks
+    // (8 blocks × 16 codes, 2 Lloyd rounds on the exact integer grid)
+    // over the auto-cell IVF, int8 codes in the index, asymmetric-
+    // distance shortlist (1e-6 BIGINT grid, order-free sums), exact
+    // re-rank of 4·k. The full training loop is deterministic, so the
+    // oracle replays codebooks, codes, ADC and ranking end-to-end.
+    "knn_ivfpq" -> ((s, d) => {
+      val e = embs(s, d)
+      Pq.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cos"), col("adc"))
+    }),
     // 36: embedding-cosine near-dup pairs, IVF flavor (same-cell
     // candidates + exact verify — oracle-replayable at the auto cell
     // count; the sign-LSH variant Knn.embeddingPairs stays spec-pinned
@@ -1296,6 +1307,101 @@ object PipelineQueries {
        |      cent.cell_id) AS rn
        |  FROM e CROSS JOIN cent
        |), assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of Pq.ivfPqTopK (#119): per-block codebook
+    * training unrolled (the kmeansSql pattern, keyed by block),
+    * final codes, coarse probes, integer-grid ADC scoring, shortlist
+    * and exact re-rank. dist² mirrors the Spark fold exactly: the
+    * difference list's sequential self-dot, rounded to 6. Ends with
+    * `rer` = (query_id, vec_id, cos, adc). */
+  private def ivfPqSql(m: Int, kCodes: Int, iters: Int, nProbe: Int,
+      k: Int, rerank: Int): String = {
+    def d2(a: String, b: String): String = {
+      val ld = s"list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[CAST(i AS INT)] - $b[CAST(i AS INT)])"
+      s"round(list_dot_product($ld, $ld), 6)"
+    }
+    def passign(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, block, sub, cell_id FROM (
+         |    SELECT b.vec_id, b.block, b.sub, $cents.cell_id,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.block ORDER BY
+         |        ${d2("b.sub", s"$cents.c")}, $cents.cell_id) AS rn
+         |    FROM blk b JOIN $cents ON $cents.block = b.block
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""${ivfSql()},
+         |blk AS (
+         |  SELECT e.vec_id, CAST(t.b AS INT) AS block,
+         |    list_slice(e.v, CAST(t.b AS INT) * (len(e.v) // $m) + 1,
+         |      (CAST(t.b AS INT) + 1) * (len(e.v) // $m)) AS sub
+         |  FROM e, unnest(range(0, $m)) AS t(b)
+         |),
+         |pc0 AS (SELECT block, vec_id AS cell_id, sub AS c FROM blk
+         |        WHERE vec_id < $kCodes)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(",\n").append(passign(s"pa$r", s"pc${r - 1}"))
+      sb.append(s""",
+         |pq$r AS (
+         |  SELECT block, cell_id, i,
+         |    CAST(floor(sub[CAST(i AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT) AS qc
+         |  FROM pa$r, unnest(range(0, len(sub))) AS t(i)
+         |), ps$r AS (
+         |  SELECT block, cell_id, i, sum(qc) AS s, count(*) AS n
+         |  FROM pq$r GROUP BY 1, 2, 3
+         |), pc$r AS (
+         |  SELECT block, cell_id,
+         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS c
+         |  FROM ps$r GROUP BY 1, 2
+         |)""".stripMargin)
+    }
+    sb.append(",\n").append(passign("paf", s"pc$iters"))
+    sb.append(s""",
+       |codes AS (SELECT vec_id, block, cell_id AS code FROM paf),
+       |pprobes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT qe.vec_id AS query_id, cent.cell_id,
+       |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+       |        round(${cosSql("qe.v", "cent.c")}, 6) DESC, cent.cell_id) AS rn
+       |    FROM e qe CROSS JOIN cent WHERE qe.vec_id < 10
+       |  ) WHERE rn <= $nProbe
+       |),
+       |adct AS (
+       |  SELECT q.vec_id AS query_id, q.block, pcF.cell_id AS code,
+       |    CAST(round(round(list_dot_product(q.sub, pcF.c), 6) * 1000000) AS BIGINT) AS pdot_i
+       |  FROM blk q JOIN pc$iters pcF ON pcF.block = q.block WHERE q.vec_id < 10
+       |),
+       |pcand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN pprobes p ON a.cell_id = p.cell_id
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |pscored AS (
+       |  SELECT c.query_id, c.vec_id, sum(adct.pdot_i) AS adc_i
+       |  FROM pcand c JOIN codes k2 ON k2.vec_id = c.vec_id
+       |  JOIN adct ON adct.query_id = c.query_id AND adct.block = k2.block
+       |            AND adct.code = k2.code
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT query_id, vec_id, adc_i FROM (
+       |    SELECT query_id, vec_id, adc_i,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_i DESC, vec_id) AS srk
+       |    FROM pscored
+       |  ) WHERE srk <= ${k * rerank}
+       |),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${cosSql("ev.v", "qv.v")}, 6) AS cos,
+       |    round(CAST(s.adc_i AS DOUBLE) / 1000000.0, 6) AS adc
+       |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id
+       |              JOIN e qv ON qv.vec_id = s.query_id
+       |)""".stripMargin)
+    sb.toString
+  }
 
   /** Shared DuckDB CTEs for the bigram-LM fluency score (#62): add-one
     * smoothed ln P(w2|w1), decimal-stabilized per-doc mean. Ends with
@@ -2221,6 +2327,16 @@ object PipelineQueries {
          |)
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 119: full IVF-PQ replay — codebook training, codes, coarse
+    // probes, integer-grid ADC shortlist, exact re-rank
+    "knn_ivfpq" ->
+      s"""WITH ${ivfPqSql(8, 16, 2, 4, 5, 4)}
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos, adc FROM (
+         |  SELECT query_id, vec_id, cos, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM rer
+         |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // 35: the PNG is built from (doc_id, text) by formula, so the
     // oracle predicts the DECODED output independently: dimensions
     // from the integer dims formula, n_pixels = w·h, feature mass

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-PQ: product-quantized ANN on top of the deterministic IVF
+  * coarse quantizer — the index layout a 100 TB vector corpus
+  * actually ships (FAISS-style IVFADC; Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The embedding is split into `m` subvector blocks; each block gets
+  * its own `kCodes`-entry codebook trained with the deterministic
+  * integer-grid Lloyd machinery ([[Knn.kmeansAssignments]]'s rule:
+  * first-k-by-id init, argmin of round(dist²,6) with ties to the
+  * lowest code, exact 1e-6-grid centroid means), so the whole
+  * training loop — and therefore the codes, the ADC scores and the
+  * final ranking — replays bit-for-bit on an independent engine
+  * (the knn_ivfpq DuckDB oracle re-runs every iteration).
+  *
+  * Index = coarse cell + m int8 codes per vector: n·(m + ~2) bytes
+  * instead of n·d·4 raw floats (32× at d=64, m=8). Queries probe
+  * `nProbe` coarse cells, score candidates by ASYMMETRIC distance
+  * (exact query subvectors against code centroids — one m·kCodes
+  * lookup table per query, broadcast), shortlist `rerank·k` by ADC,
+  * then exact-cosine re-rank the shortlist only.
+  *
+  * Scale shape: training is per-iteration one broadcast-codebook
+  * assignment pass (m·kCodes·(d/m) doubles ≈ KBs broadcast; the
+  * argmin combines map-side so n·m rows shuffle once) + one
+  * (block, code, pos) partial aggregation (m·kCodes·(d/m) rows out).
+  * Serving shuffles the code table once on vec_id; ADC tables and
+  * probes broadcast. Nothing is ever corpus × corpus.
+  *
+  * Determinism notes: dist² is the sequential dot product of the
+  * difference vector with itself (same fold order as [[Knn.dot]]);
+  * ADC partials are 1e-6-grid BIGINTs so the per-candidate sum is
+  * order-free; every rank breaks ties by id.
+  */
+object Pq {
+
+  private def dotSeq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** round(Σ(a_i−b_i)², 6) with the cross-engine-stable term order:
+    * difference vector first, then the sequential self-dot. */
+  private def dist2(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    round(dotSeq(d, d), 6)
+  }
+
+  /** (id, block, sub) — vector split into `m` equal blocks of
+    * d/m doubles (requires m | d; checked at runtime by slice). */
+  private[graft] def blocks(vecs: DataFrame, m: Int, idCol: String = "vec_id"): DataFrame = {
+    val s = expr(s"size(v) div $m").cast("int") // `/` would widen to double
+    vecs
+      .select(col(idCol), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("block"), col("v"))
+      .select(col(idCol), col("block"),
+        slice(col("v"), col("block") * s + 1, s).as("sub"))
+  }
+
+  /** Nearest-code assignment of subvector blocks against (block,
+    * cell_id, c) codebooks: broadcast codebooks, map-side partial
+    * argmin (min of struct(dist², cell) = lowest distance, ties to
+    * the lowest code), n·m-row exchange. */
+  private def assignCodes(blk: DataFrame, cents: DataFrame): DataFrame =
+    blk.join(broadcast(cents), "block")
+      .select(col("vec_id"), col("block"), col("sub"),
+        struct(dist2(col("sub"), col("c")).as("d"), col("cell_id")).as("sc"))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(first(col("sub")).as("sub"), min(col("sc")).as("best"))
+      .select(col("vec_id"), col("block"), col("sub"),
+        col("best.cell_id").as("code"))
+
+  /** Train per-block codebooks: (block, cell_id, c). Init = the
+    * subvectors of the `kCodes` lowest-vec_id vectors (rank-based,
+    * like [[Knn.ivfCentroids]]); `iters` Lloyd rounds with exact
+    * integer-grid means; dead codes drop (standard Lloyd death). */
+  private[graft] def trainCodebooks(corpus: DataFrame, m: Int, kCodes: Int,
+      iters: Int): DataFrame = {
+    require(m >= 1 && kCodes >= 1 && iters >= 0,
+      s"need m/kCodes >= 1 and iters >= 0, got $m/$kCodes/$iters")
+    val blk = graft.Materialize.once(blocks(corpus, m))
+    var cents = blocks(corpus.orderBy(col("vec_id")).limit(kCodes), m)
+      .select(col("block"), col("vec_id").as("cell_id"), col("sub").as("c"))
+    var r = 0
+    while (r < iters) {
+      cents = assignCodes(blk, cents)
+        .select(col("block"), col("code").as("cell_id"), posexplode(col("sub")))
+        .select(col("block"), col("cell_id"), col("pos"),
+          floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("qc"))
+        .groupBy(col("block"), col("cell_id"), col("pos"))
+        .agg(sum(col("qc")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("block"), col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s").cast("double") /
+            (x.getField("n").cast("double") * lit(1000000.0))).as("c"))
+      r += 1
+    }
+    cents
+  }
+
+  /** IVF-PQ ANN top-k: coarse-probe `nProbe` cells, ADC-shortlist
+    * `rerank`·k candidates from the int8 code index, exact-cosine
+    * re-rank the shortlist. Output (query_id, rk, vec_id, cos, adc)
+    * — `adc` kept so the approximation quality is visible (and
+    * auditable against [[Knn.cosineTopK]], see PqSpec's recall
+    * audit). `nCells <= 0` → [[Knn.autoCells]] from `corpusSize`
+    * or a count. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+      nProbe: Int = 4, rerank: Int = 4,
+      nCells: Int = 0, corpusSize: Long = -1L): DataFrame = {
+    val nc = if (nCells > 0) nCells
+      else Knn.autoCells(if (corpusSize > 0) corpusSize else corpus.count())
+    val coarse = Knn.ivfCentroids(corpus, nc)
+    val assigned = Knn.ivfAssign(corpus, coarse)
+    val books = graft.Materialize.once(trainCodebooks(corpus, m, kCodes, iters))
+    val codes = assignCodes(graft.Materialize.once(blocks(corpus, m)), books)
+      .select(col("vec_id"), col("block"), col("code"))
+    // query-side: coarse probes (the knn_ivf pattern) ...
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cell_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        round(Knn.cosine(col("q_emb"), col("centroid")), 6).as("pcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    // ... and the per-query ADC lookup table: dot(query block, code
+    // centroid) on the 1e-6 BIGINT grid so candidate sums are
+    // order-free (queries · m · kCodes rows — broadcast)
+    val adcTable = blocks(queries.select(col("vec_id").as("query_id"),
+        col("embedding")), m, idCol = "query_id")
+      .join(books, "block")
+      .select(col("query_id"), col("block"), col("cell_id").as("code"),
+        round(round(dotSeq(col("sub"), col("c")), 6) * lit(1000000.0))
+          .cast("long").as("pdot_i"))
+    val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(adcTable), Seq("query_id", "block", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_i")).as("adc_i"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_i").desc, col("vec_id"))
+    val short = scored.withColumn("srk", row_number().over(wShort))
+      .where(col("srk") <= k * rerank)
+      .select(col("query_id"), col("vec_id"), col("adc_i"))
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val qemb = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    short.join(emb, "vec_id").join(qemb, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(Knn.cosine(col("embedding"), col("q_emb")), 6).as("cos"),
+        round(col("adc_i").cast("double") / lit(1000000.0), 6).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}
