@@ -185,6 +185,86 @@ object CorpusStream {
       .start()
   }
 
+  /** Publish the retrieval-serving lake: the full BM25 inverted index
+    * (the corpus-sized tf aggregate runs HERE, once) and the dense
+    * embedding index, each as a versioned graftlake table. The
+    * serving stream reads only these. */
+  def publishRetrievalLake(corpus: DataFrame, embeddings: DataFrame,
+      dir: String): Unit = {
+    graft.sources.StormSinks.writeVersionedTable(
+      graft.operators.PipelineQueries.bm25WeightsOf(
+        corpus.select(col("doc_id"), col("text"))), s"$dir/bm25")
+    graft.sources.StormSinks.writeVersionedTable(
+      embeddings.select(col("vec_id"), col("embedding")), s"$dir/dense")
+    ()
+  }
+
+  /** The batch=stream hybrid probe: sparse BM25 scores from the query
+    * text against the inverted index (qtf · w_i on the exact integer
+    * grid, order-free BIGINT sums), dense cosine ranks with the query
+    * embedding LOOKED UP from the dense index by id (query-by-example
+    * — a serving tier reads only its indexes), fused by Reciprocal
+    * Rank Fusion (Σ 1e9 div (60 + rank), exact BIGINT — the
+    * hybrid_rerank convention). Queries are tiny and broadcast; the
+    * indexes never reshuffle for a probe. Deterministic given
+    * (indexes, queries), so stream micro-batches and a one-shot batch
+    * run are row-identical — CorpusStreamSpec pins it. */
+  def hybridProbe(weights: DataFrame, dense: DataFrame,
+      queries: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val depth = 20
+    val qt = queries
+      .select(col("doc_id").as("query_id"), explode(Text.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("query_id"), col("token")).agg(count(lit(1)).as("qtf"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_i").desc, col("doc_id"))
+    val sparse = weights.join(broadcast(qt), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qtf") * col("w_i")).as("score_i"))
+      .withColumn("rk_s", row_number().over(ws)).where(col("rk_s") <= depth)
+      .select(col("query_id"), col("doc_id"), col("rk_s"))
+    val qe = dense
+      .join(broadcast(queries.select(col("doc_id").as("vec_id"))), "vec_id")
+    val dRank = graft.operators.Knn.cosineTopK(dense, qe, k = depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rk").as("rk_d"))
+    val fusedScore =
+      coalesce(expr("1000000000 div (60 + rk_d)"), lit(0L)) +
+        coalesce(expr("1000000000 div (60 + rk_s)"), lit(0L))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_i").desc, col("doc_id"))
+    dRank.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), fusedScore.as("rrf_i"))
+      .withColumn("rk", row_number().over(wf)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
+  }
+
+  /** Streaming retrieval serving — the serving complement of
+    * [[startIncrementalDedupFromLake]]: each micro-batch of QUERY
+    * documents probes the published BM25 + dense indexes through
+    * [[hybridProbe]] and appends (batch_seq-stamped) top-k results.
+    * Lake `_current` pointers resolve PER BATCH (the graftlake reads
+    * happen inside foreachBatch), so an index republish takes effect
+    * on the next micro-batch without restarting the stream; restarts
+    * are checkpoint-idempotent (committed batches never re-probe). */
+  def startRetrievalServing(spark: SparkSession, inDir: String,
+      lakeDir: String, outDir: String, checkpointDir: String, k: Int = 3,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s2 = batch.sparkSession
+        val weights = s2.read.format("graftlake").load(s"$lakeDir/bm25")
+        val dense = s2.read.format("graftlake").load(s"$lakeDir/dense")
+        hybridProbe(weights, dense, batch.select(col("doc_id"), col("text")), k)
+          .withColumn("batch_seq", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/serving")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Running heavy-hitter token trends over the document stream — the
     * streaming face of the native Misra–Gries aggregate
     * ([[graft.expressions.SpaceSavingAgg]]): each micro-batch reduces

@@ -141,4 +141,47 @@ class CorpusStreamSpec extends SparkSpec {
       s"per-batch blocks leaked: $before persistent RDDs before, $after after " +
         "(expected only the corpus index + fingerprint set to remain)")
   }
+
+  test("streaming retrieval serving == batch probe; replay adds nothing; republish follows pointer") {
+    val base = Files.createTempDirectory("graft-corpus-serving").toString
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    CorpusStream.publishRetrievalLake(docs, embs, s"$base/lake")
+    // two waves of query documents, streamed file-by-file
+    val q1 = docs.where(col("doc_id") < 6)
+    val q2 = docs.where(col("doc_id") >= 6 && col("doc_id") < 12)
+    q1.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.startRetrievalServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val w1 = spark.read.format("graftlake").load(s"$base/lake/bm25")
+    val d1 = spark.read.format("graftlake").load(s"$base/lake/dense")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "doc_id", "rrf_i").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got1 = rows(spark.read.parquet(s"$base/out"))
+    assert(got1 == rows(CorpusStream.hybridProbe(w1, d1, q1)),
+      "stream top-k must equal the batch probe for the same queries")
+    // checkpoint idempotence: restart with no new input adds nothing
+    CorpusStream.startRetrievalServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(rows(spark.read.parquet(s"$base/out")) == got1, "replay added rows")
+    // republish a CHANGED index (drop the top half of the corpus) --
+    // the stream reads the _current pointer inside foreachBatch, so
+    // the next micro-batch serves from v2 with no restart handling
+    CorpusStream.publishRetrievalLake(docs.where(col("doc_id") < 300),
+      embs.where(col("vec_id") < 300), s"$base/lake")
+    q2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startRetrievalServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val w2 = spark.read.format("graftlake").load(s"$base/lake/bm25")
+    val d2 = spark.read.format("graftlake").load(s"$base/lake/dense")
+    val all = spark.read.parquet(s"$base/out")
+    val wave2 = all.where(col("batch_seq") > 0)
+    assert(rows(wave2) == rows(CorpusStream.hybridProbe(w2, d2, q2)),
+      "post-republish batches must serve from the new index version")
+    assert(wave2.where(col("doc_id") >= 300).count() == 0,
+      "results must only cite docs present in the republished index")
+    assert(rows(all.where(col("batch_seq") === 0)) == got1,
+      "republish must not disturb already-committed results")
+  }
 }
