@@ -34,7 +34,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val bigDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      s"/graft-scale-${mult}x-" +
+      s"/graft-scale-${mult}x-v2-" +
       java.lang.Integer.toHexString(sfDir.hashCode)
     val marker = new java.io.File(bigDir, "_SCALE_OK")
     if (!marker.exists) {
@@ -57,6 +57,50 @@ object ScaleCheck {
       }.reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      // events (r8 VERDICT #6): replicas shifted in EVERY key space so
+      // per-replica local structure survives and cross-replica matches
+      // are impossible where the semantics are key/time-local —
+      //  - event_id += r·40562340 (the lcm of every event_id modulus
+      //    in the feed adapter and the analytics edge branches:
+      //    4·3·5·7·13·17·19·23 — so UNK/blank/garbage-time fractions
+      //    and per-record shapes are IDENTICAL per replica; the
+      //    lat/lon lattice moduli 2341/5843 are deliberately excluded,
+      //    see the storm_neighbors caveat below),
+      //  - user_id += r·26,000,000 (multiple of the 4/5/10/26 user
+      //    moduli → state/county/office distributions preserved;
+      //    sessions, funnels, cohorts, transitions stay within
+      //    replica),
+      //  - ts += r·31 days (the data spans one month, so replica time
+      //    windows are disjoint: as-of / nearest / trailing windows
+      //    can never match across replicas).
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until mult).map { r =>
+        ev.select(
+          (col("event_id") + lit(r * 40562340L)).as("event_id"),
+          (col("ts") + expr(s"INTERVAL ${r * 31} DAYS")).as("ts"),
+          (col("user_id") + lit(r * 26000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      // customer/orders (q_temporal, q_scd2): key-space shifts only.
+      // c_custkey += r·10,000,700 — a multiple of the 97/50/10 scd2
+      // branch moduli (fractions preserved) spaced beyond the +10⁶
+      // NEWKEY aliasing; orders follow with matching o_custkey so
+      // as-of matches stay within replica (keys disjoint across).
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      (0 until mult).map(r => cust
+          .withColumn("c_custkey", col("c_custkey") + lit(r * 10000700L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until mult).map(r => ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * 10000700L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
       marker.createNewFile()
     }
 
@@ -66,7 +110,16 @@ object ScaleCheck {
       "text_bm25",
       // round-8 continuation additions (heaviest of the new keys)
       "sample_softdedup", "graph_clusters", "text_ccnet", "embed_pca",
-      "corpus_diversity")
+      "corpus_diversity",
+      // round-9: the events/analytics family (r8 VERDICT #6). Caveat
+      // for storm_neighbors: the synthetic corpus puts mult× events
+      // into the SAME lat/lon lattice (coordinates derive from
+      // event_id mod 2341/5843 in the feed adapter — the area cannot
+      // grow), so the spatial join's OUTPUT grows ~mult² by data
+      // semantics, not by operator defect; judge its wall against
+      // rows_10x, which the row carries.
+      "q_sessionize", "q_funnel", "q_retention", "q_transitions",
+      "q_asof_nearest", "q_temporal", "q_scd2", "storm_neighbors")
     def cleanBetween(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
