@@ -104,7 +104,7 @@ object ScaleCheck {
       marker.createNewFile()
     }
 
-    val names = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
+    val defaultNames = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
       "graph_pagerank", "corpus_clean", "corpus_chunks", "dedup_recall",
       "dedup_semantic", "dedup_embed", "embed_kmeans", "text_tfidf",
       "text_bm25",
@@ -120,6 +120,9 @@ object ScaleCheck {
       // rows_10x, which the row carries.
       "q_sessionize", "q_funnel", "q_retention", "q_transitions",
       "q_asof_nearest", "q_temporal", "q_scd2", "storm_neighbors")
+    // args select a subset (targeted re-measurement); the committed
+    // artifact always comes from a no-args full run
+    val names = if (args.nonEmpty) args.toSeq else defaultNames
     def cleanBetween(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -151,8 +154,9 @@ object ScaleCheck {
     // the plain rows above already measure the √n scaling — the old
     // fixed-16 vs √n comparison row is retired.
     val out = results.mkString("[\n", ",\n", "\n]") + "\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("scalecheck_last.json"),
-      out.getBytes("UTF-8"))
+    if (args.isEmpty) // subset runs must not overwrite the full artifact
+      java.nio.file.Files.write(java.nio.file.Paths.get("scalecheck_last.json"),
+        out.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -260,6 +260,32 @@ object Kernels {
   def cosineF(a: ArrayData, b: ArrayData): Double =
     dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
 
+  /** Sequential double products for the mixed (float array, double
+    * array) shape of trained-centroid assignment — same fold order
+    * and widening as aggregate(zip_with(a.cast, b.cast)). */
+  private def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  private def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Cosine of a FLOAT vector against a DOUBLE (trained) centroid —
+    * the hot expression of k-means / Rocchio assignment (n·k
+    * evaluations per pass; the HOF form pays interpreted lambdas per
+    * element). Bit-identical to Knn.cosineDHof (NativeExprSpec). */
+  def cosineFD(a: ArrayData, b: ArrayData): Double =
+    dotFD(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotD(b, b)))
+
   /** Plane-weight cache for [[lshSignSha]]: weights depend only on
     * (plane, dim), so each JVM computes the sha-derived matrix once —
     * the per-row cost is a plain dot product. */

@@ -85,6 +85,18 @@ case class CosineFExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+case class CosineFDExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_fd"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineFD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.cosineFD($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CosineFDExpr =
+    copy(left = l, right = r)
+}
+
 case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_count"
@@ -131,6 +143,8 @@ object native {
     GraftColumnBridge.column(MinHashSigExpr(expr(text), k, perms))
   def cosineF(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineFExpr(expr(a), expr(b)))
+  def cosineFD(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineFDExpr(expr(a), expr(b)))
   def intersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntersectCountExpr(expr(a), expr(b)))
   def lshSign(emb: Column, nPlanes: Int): Column =

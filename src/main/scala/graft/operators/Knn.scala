@@ -273,10 +273,20 @@ object Knn {
   }
 
   // ------------------------------------------------------------- k-means
-  /** Cosine that accepts double-array centroids (the native kernel is
-    * float-typed): identical sequential double arithmetic via the HOF
-    * form, so trained-centroid scores replay across engines. */
-  private def cosineD(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine of a FLOAT vector against a DOUBLE (trained) centroid —
+    * native codegen'd kernel (n·k evaluations per assignment pass;
+    * the HOF form paid interpreted lambdas per element — measured
+    * 5.4s → dedup_semantic's assignment dominated its wall once the
+    * cell count rode the √n dial). [[cosineDHof]] is the reference
+    * formulation; NativeExprSpec asserts bit-equality. */
+  private def cosineD(a: Column, b: Column): Column =
+    graft.expressions.native.cosineFD(a, b)
+
+  /** Reference HOF formulation of [[cosineD]]: identical sequential
+    * double arithmetic, so trained-centroid scores replay across
+    * engines. */
+  private[graft] def cosineDHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Nearest-centroid assignment against (possibly trained, double-
     * array) centroids. Same shuffle shape as [[ivfAssign]]: broadcast

@@ -495,10 +495,17 @@ object PipelineQueries {
         .select(col("vec_id"), col("cell_id"), col("cos"))
         .orderBy(col("vec_id"))),
     // 59: semantic dedup — k-means cells + same-cell cosine prune
-    // (drop vectors with a lower-id neighbor ≥ threshold)
-    "dedup_semantic" -> ((s, d) =>
-      Knn.semanticKeep(embs(s, d), k = 8, iters = 2, threshold = 0.35)
-        .orderBy(col("vec_id"))),
+    // (drop vectors with a lower-id neighbor ≥ threshold). The cell
+    // count rides the same corpus-size dial as the IVF family
+    // (autoCells = max(16, ceil(sqrt(n))), oracle-mirrored): SemDeDup
+    // pair work is bounded by cell occupancy, so a pinned k would be
+    // quadratic at corpus scale exactly like the retired nCells=16.
+    "dedup_semantic" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.semanticKeep(e, k = Knn.autoCells(e.count()), iters = 2,
+          threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
     // 110: top-principal-component projection — matrix-free distributed
     // power iteration (3 rounds, exact integer-grid accumulation, so
     // the oracle replays the whole training loop like embed_kmeans);
@@ -1490,7 +1497,7 @@ object PipelineQueries {
     * long sums — the same order-independent arithmetic the Spark
     * operator uses, so the trained centroids match bit-for-bit.
     * Yields CTEs up to `afin` = (vec_id, cell_id, cos) vs c<iters>. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansSql(k: String, iters: Int): String = {
     def assignSql(name: String, cents: String, withCos: Boolean): String = {
       val cosCol = if (withCos) s", round(${cosSql("e.v", s"$cents.c")}, 6) AS cos" else ""
       val outCos = if (withCos) ", cos" else ", v"
@@ -1507,7 +1514,7 @@ object PipelineQueries {
     val sb = new StringBuilder
     sb.append(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < $k)""".stripMargin)
+         |c0 AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < ($k))""".stripMargin)
     for (r <- 1 to iters) {
       sb.append(",\n").append(assignSql(s"a$r", s"c${r - 1}", withCos = false))
       sb.append(s""",
@@ -2290,11 +2297,11 @@ object PipelineQueries {
          |ORDER BY e.vec_id""".stripMargin,
     // 58: full k-means training replay (2 unrolled iterations)
     "embed_kmeans" ->
-      s"""WITH ${kmeansSql(8, 2)}
+      s"""WITH ${kmeansSql("8", 2)}
          |SELECT vec_id, cell_id, cos FROM afin ORDER BY vec_id""".stripMargin,
     // 59: k-means cells + same-cell greedy-by-id cosine prune
     "dedup_semantic" ->
-      s"""WITH ${kmeansSql(8, 2)},
+      s"""WITH ${kmeansSql(AUTO_CELLS_SQL, 2)},
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM afin a JOIN afin b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id

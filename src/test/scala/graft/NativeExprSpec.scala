@@ -100,6 +100,16 @@ class NativeExprSpec extends SparkSpec {
       Knn.lshSignatureHof($"embedding", 16).as("b"))
       .where($"a" =!= $"b").count()
     assert(sigDiff == 0)
+    // mixed float-vector × double-centroid kernel (k-means / Rocchio
+    // assignment): native == HOF bit-for-bit, including against
+    // non-trivial double centroids (a scaled mean-ish vector)
+    val cents = q.select(($"qid" % 4).as("cid"),
+      transform($"q", x => x.cast("double") * 1.37 + 0.001).as("c"))
+    val fdDiff = e.crossJoin(broadcast(cents)).select(
+      graft.expressions.native.cosineFD($"embedding", $"c").as("a"),
+      Knn.cosineDHof($"embedding", $"c").as("b"))
+      .where($"a" =!= $"b" && !(isnan($"a") && isnan($"b"))).count()
+    assert(fdDiff == 0)
   }
 
   test("sha-256 kernels match a plain-JVM reference implementation") {
