@@ -115,8 +115,12 @@ object Pq {
       nCells: Int = 0, corpusSize: Long = -1L): DataFrame = {
     val nc = if (nCells > 0) nCells
       else Knn.autoCells(if (corpusSize > 0) corpusSize else corpus.count())
-    val coarse = Knn.ivfCentroids(corpus, nc)
-    val assigned = Knn.ivfAssign(corpus, coarse)
+    // materialize the multi-consumer subtrees ONCE (coarse centroids
+    // feed assignment + probes; the assignment feeds candidates + the
+    // exact re-rank, which reuses its embedding column instead of a
+    // fresh corpus scan) — the PlanSpec ≤6-parquet-scan budget
+    val coarse = graft.Materialize.once(Knn.ivfCentroids(corpus, nc))
+    val assigned = graft.Materialize.once(Knn.ivfAssign(corpus, coarse))
     val books = graft.Materialize.once(trainCodebooks(corpus, m, kCodes, iters))
     val codes = assignCodes(graft.Materialize.once(blocks(corpus, m)), books)
       .select(col("vec_id"), col("block"), col("code"))
@@ -152,9 +156,8 @@ object Pq {
     val short = scored.withColumn("srk", row_number().over(wShort))
       .where(col("srk") <= k * rerank)
       .select(col("query_id"), col("vec_id"), col("adc_i"))
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    val qemb = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
+    val emb = assigned.select(col("vec_id"), col("embedding"))
+    val qemb = broadcast(probes.select(col("query_id"), col("q_emb")).distinct())
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     short.join(emb, "vec_id").join(qemb, "query_id")
