@@ -279,6 +279,23 @@ object Kernels {
     acc
   }
 
+  /** Raw Σ(a_i−b_i)² over double arrays — the PQ code-assignment
+    * distance (callers round(,6) on top, like the HOF form). Fold
+    * order matches Pq.dist2's zip_with+aggregate exactly: difference
+    * terms formed first, multiplied, summed sequentially from 0.0
+    * (NativeExprSpec pins bit parity). */
+  def dist2D(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine of a FLOAT vector against a DOUBLE (trained) centroid —
     * the hot expression of k-means / Rocchio assignment (n·k
     * evaluations per pass; the HOF form pays interpreted lambdas per

@@ -97,6 +97,18 @@ case class CosineFDExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+case class Dist2DExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dist2"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dist2D(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.dist2D($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): Dist2DExpr =
+    copy(left = l, right = r)
+}
+
 case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_count"
@@ -145,6 +157,8 @@ object native {
     GraftColumnBridge.column(CosineFExpr(expr(a), expr(b)))
   def cosineFD(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineFDExpr(expr(a), expr(b)))
+  def dist2D(a: Column, b: Column): Column =
+    GraftColumnBridge.column(Dist2DExpr(expr(a), expr(b)))
   def intersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntersectCountExpr(expr(a), expr(b)))
   def lshSign(emb: Column, nPlanes: Int): Column =

@@ -43,8 +43,15 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** round(Σ(a_i−b_i)², 6) with the cross-engine-stable term order:
-    * difference vector first, then the sequential self-dot. */
-  private def dist2(a: Column, b: Column): Column = {
+    * difference vector first, then the sequential self-dot — native
+    * codegen'd kernel (the n·m·kCodes assignment evaluations paid
+    * interpreted lambdas per element in the HOF form). [[dist2Hof]]
+    * is the reference; NativeExprSpec pins bit parity. */
+  private def dist2(a: Column, b: Column): Column =
+    round(graft.expressions.native.dist2D(a, b), 6)
+
+  /** Reference HOF formulation of [[dist2]]. */
+  private[graft] def dist2Hof(a: Column, b: Column): Column = {
     val d = zip_with(a, b, (x, y) => x - y)
     round(dotSeq(d, d), 6)
   }

@@ -110,6 +110,13 @@ class NativeExprSpec extends SparkSpec {
       Knn.cosineDHof($"embedding", $"c").as("b"))
       .where($"a" =!= $"b" && !(isnan($"a") && isnan($"b"))).count()
     assert(fdDiff == 0)
+    // PQ code-assignment distance: native == HOF over double pairs
+    val dd = e.select(transform($"embedding", x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(round(graft.expressions.native.dist2D($"v", $"c"), 6).as("a"),
+        graft.operators.Pq.dist2Hof($"v", $"c").as("b"))
+      .where($"a" =!= $"b").count()
+    assert(dd == 0)
   }
 
   test("sha-256 kernels match a plain-JVM reference implementation") {
