@@ -272,6 +272,73 @@ object Knn {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ----------------------------------------------- MMR diversity re-rank
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity pass a retrieval serving tier runs so
+    * the k results aren't k near-copies: greedily select
+    * argmax(λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)).
+    *
+    * Exact integer arithmetic at λ = 0.7: relevance and pairwise
+    * similarity land on the 1e-6 grid as BIGINTs, the MMR objective
+    * is mmr10 = 7·rel_i − 3·maxSim_i (scaled ×10 — no division,
+    * no float accumulation), ties break to the lowest candidate id;
+    * the k selection steps are a FIXED unrolled loop, so an
+    * independent engine replays the whole greedy trajectory (the
+    * knn_mmr oracle does).
+    *
+    * Scale shape: the candidate pool is the ANN stage's per-query
+    * top-`pool` (swap [[cosineTopK]] for [[ivfTopK]]/[[graft.operators.Pq.ivfPqTopK]]
+    * at corpus scale — same contract), so everything after the ANN
+    * stage is bounded by |queries|·pool² pair rows and k tiny
+    * argmax passes — independent of corpus size. Candidates and the
+    * pair-sim table are materialized once (every greedy step reads
+    * both). Output (query_id, rk, vec_id, mmr10_i). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      pool: Int = 10): DataFrame = {
+    require(k >= 1 && pool >= k, s"need 1 <= k <= pool, got k=$k pool=$pool")
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val cands = graft.Materialize.once(
+      cosineTopK(corpus, queries, pool).join(emb, "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          round(round(col("cos"), 6) * lit(1000000.0)).cast("long").as("rel_i"),
+          col("embedding")))
+    val pairs = graft.Materialize.once(
+      cands.select(col("query_id"), col("vec_id").as("ca"), col("embedding").as("ea"))
+        .join(cands.select(col("query_id"), col("vec_id").as("cb"),
+          col("embedding").as("eb")), Seq("query_id"))
+        .where(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          round(round(cosine(col("ea"), col("eb")), 6) * lit(1000000.0))
+            .cast("long").as("sim_i")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_i").desc, col("vec_id"))
+    var selected = cands
+      .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"),
+        (col("rel_i") * 7).as("mmr10_i"), lit(1).as("rk"))
+    var t = 2
+    while (t <= k) {
+      val sel = selected.select(col("query_id"), col("vec_id"))
+      val maxSim = pairs
+        .join(sel.withColumnRenamed("vec_id", "cb"), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca"))
+        .agg(max(col("sim_i")).as("max_sim_i"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr10_i").desc, col("vec_id"))
+      val pick = cands.join(sel, Seq("query_id", "vec_id"), "left_anti")
+        .join(maxSim, cands("query_id") === maxSim("query_id") &&
+          col("vec_id") === col("ca"), "left")
+        .select(cands("query_id"), col("vec_id"),
+          (col("rel_i") * 7 - coalesce(col("max_sim_i"), lit(0L)) * 3)
+            .as("mmr10_i"))
+        .withColumn("rn", row_number().over(wt)).where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("mmr10_i"), lit(t).as("rk"))
+      selected = selected.unionByName(pick)
+      t += 1
+    }
+    selected.orderBy(col("query_id"), col("rk"))
+  }
+
   // ------------------------------------------------------------- k-means
   /** Cosine of a FLOAT vector against a DOUBLE (trained) centroid —
     * native codegen'd kernel (n·k evaluations per assignment pass;

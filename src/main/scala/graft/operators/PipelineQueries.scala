@@ -20,11 +20,11 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
-  /** DuckDB replay of the BM25 integer-grid index + sparse top-k
-    * probe — shared by text_retrieval and retrieval_indexed (the
-    * persisted-index variant must be oracle-identical). */
-  private lazy val RETRIEVAL_SQL: String =
-    s"""WITH t AS (
+  /** DuckDB CTEs for the BM25 integer-grid index + sparse probe, up
+    * to `ranked` (query_id, doc_id, score_i, rk) — shared by
+    * text_retrieval / retrieval_indexed / retrieval_pack. */
+  private lazy val RETRIEVAL_CTES: String =
+    s"""t AS (
        |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
        |), tf AS (
        |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
@@ -56,7 +56,13 @@ object PipelineQueries {
        |  SELECT query_id, doc_id, score_i,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk
        |  FROM hits
-       |)
+       |)""".stripMargin
+
+  /** DuckDB replay of the BM25 integer-grid index + sparse top-k
+    * probe — shared by text_retrieval and retrieval_indexed (the
+    * persisted-index variant must be oracle-identical). */
+  private lazy val RETRIEVAL_SQL: String =
+    s"""WITH $RETRIEVAL_CTES
        |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_i FROM ranked
        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 
@@ -91,7 +97,7 @@ object PipelineQueries {
     * vectors (docs ≤ 10's top-3 terms, from the index itself) retrieve
     * top-3 docs by order-free BIGINT dot product; the index never
     * reshuffles (query side broadcast). */
-  private[graft] def sparseTopK(weights: DataFrame): DataFrame = {
+  private[graft] def sparseTopK(weights: DataFrame, k: Int = 3): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
     val qterms = weights.where(col("doc_id") <= 10)
@@ -102,7 +108,7 @@ object PipelineQueries {
       .agg(sum(col("qw_i") * col("w_i")).as("score_i"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score_i").desc, col("doc_id"))
-    hits.withColumn("rk", row_number().over(wr)).where(col("rk") <= 3)
+    hits.withColumn("rk", row_number().over(wr)).where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("score_i"))
       .orderBy(col("query_id"), col("rk"))
   }
@@ -450,6 +456,16 @@ object PipelineQueries {
       Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nProbe = 4)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
+    // relevance over the per-query top-10 ANN pool, exact scaled-
+    // BIGINT objective (7·rel − 3·maxSim on the 1e-6 grid), fixed
+    // unrolled selection so the oracle replays the whole greedy
+    // trajectory. Everything after the ANN stage is pool-bounded.
+    "knn_mmr" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.mmrRerank(e, e.where(col("vec_id") < 10), k = 5, pool = 10)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("mmr10_i"))
+    }),
     // 119: IVF-PQ quantized ANN — product-quantization codebooks
     // (8 blocks × 16 codes, 2 Lloyd rounds on the exact integer grid)
     // over the auto-cell IVF, int8 codes in the index, asymmetric-
@@ -683,6 +699,31 @@ object PipelineQueries {
         .createTempDirectory("graft-bm25-lake").toString
       graft.sources.StormSinks.writeVersionedTable(bm25WeightsOf(docs(s, d)), lake)
       sparseTopK(s.read.format("graftlake").load(lake))
+    }),
+    // 121: RAG context packing — the step between retrieval and the
+    // prompt: per query take the sparse ranking DEEP (top-10), then
+    // keep the greedy score-ordered PREFIX whose cumulative token
+    // count fits the context budget (120 tokens here). One window
+    // cumsum over an already-tiny per-query list — the budget rule
+    // adds NO shuffle beyond the retrieval it wraps, at any corpus
+    // size. Prefix (stop-at-overflow) semantics, not skip-and-
+    // continue: skipping creates an order-dependent knapsack the
+    // serving tier can't replay cheaply; the prefix rule is the
+    // standard deterministic packer.
+    "retrieval_pack" -> ((s, d) => {
+      val doc = docs(s, d)
+      val weights = graft.Materialize.once(bm25WeightsOf(doc))
+      val ntok = doc.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rk"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      sparseTopK(weights, k = 10).join(ntok, "doc_id")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wq))
+        .where(col("cum_tokens") <= 120)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("query_id"), col("rk"))
     }),
     // 87: hybrid dense+sparse retrieval re-rank — the production RAG
     // serving shape (Elasticsearch/Vespa hybrid search): a dense
@@ -1407,6 +1448,67 @@ object PipelineQueries {
        |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id
        |              JOIN e qv ON qv.vec_id = s.query_id
        |)""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replay of Knn.mmrRerank (#122): top-`pool` candidates per
+    * query by rounded cosine, pairwise candidate sims on the 1e-6
+    * BIGINT grid, then `k` unrolled greedy MMR selection steps
+    * (mmr10 = 7·rel − 3·maxSim-to-selected, ties to the lowest id). */
+  private def mmrSql(k: Int, pool: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qc AS (
+         |  SELECT query_id, vec_id, rel_i FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      CAST(round(round(${cosSql("c.v", "q.v")}, 6) * 1000000) AS BIGINT) AS rel_i,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(${cosSql("c.v", "q.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) WHERE rn <= $pool
+         |),
+         |mp AS (
+         |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+         |    CAST(round(round(${cosSql("ea.v", "eb.v")}, 6) * 1000000) AS BIGINT) AS sim_i
+         |  FROM qc a JOIN qc b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |),
+         |s1 AS (
+         |  SELECT query_id, vec_id, rel_i * 7 AS mmr10_i, 1 AS rk FROM (
+         |    SELECT query_id, vec_id, rel_i,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel_i DESC, vec_id) AS rn
+         |    FROM qc
+         |  ) WHERE rn = 1
+         |),
+         |sel1 AS (SELECT query_id, vec_id FROM s1)""".stripMargin)
+    for (t <- 2 to k) {
+      sb.append(s""",
+         |ms$t AS (
+         |  SELECT m.query_id, m.ca, max(m.sim_i) AS max_sim_i
+         |  FROM mp m JOIN sel${t - 1} s
+         |    ON s.query_id = m.query_id AND s.vec_id = m.cb
+         |  GROUP BY 1, 2
+         |),
+         |s$t AS (
+         |  SELECT query_id, vec_id, mmr10_i, $t AS rk FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      c.rel_i * 7 - 3 * coalesce(ms.max_sim_i, 0) AS mmr10_i,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |        c.rel_i * 7 - 3 * coalesce(ms.max_sim_i, 0) DESC, c.vec_id) AS rn
+         |    FROM qc c LEFT JOIN ms$t ms
+         |      ON ms.query_id = c.query_id AND ms.ca = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+         |  ) WHERE rn = 1
+         |),
+         |sel$t AS (SELECT query_id, vec_id FROM sel${t - 1}
+         |          UNION ALL SELECT query_id, vec_id FROM s$t)""".stripMargin)
+    }
+    sb.append(s""",
+       |mmr_all AS (${(1 to k).map(t => s"SELECT * FROM s$t").mkString("\n  UNION ALL ")})""".stripMargin)
     sb.toString
   }
 
@@ -2334,6 +2436,11 @@ object PipelineQueries {
          |)
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 122: full greedy-MMR replay — unrolled selection steps
+    "knn_mmr" ->
+      s"""WITH ${mmrSql(5, 10)}
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, mmr10_i
+         |FROM mmr_all ORDER BY query_id, rk""".stripMargin,
     // 119: full IVF-PQ replay — codebook training, codes, coarse
     // probes, integer-grid ADC shortlist, exact re-rank
     "knn_ivfpq" ->
@@ -2862,6 +2969,23 @@ object PipelineQueries {
          |SELECT doc_id, CAST(rk AS INT) AS rk, token, bm25 FROM ranked
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_retrieval" -> RETRIEVAL_SQL,
+    // 121: same ranked retrieval, deep (top-10), same token counting
+    // as corpus_stats, prefix-cumsum budget rule
+    "retrieval_pack" ->
+      s"""WITH $RETRIEVAL_CTES, ntok AS (
+         |  SELECT doc_id, CASE WHEN $NORM = '' THEN 0
+         |    ELSE len(str_split($NORM, ' ')) END AS n_tokens
+         |  FROM documents
+         |), packed AS (
+         |  SELECT r.query_id, r.rk, r.doc_id,
+         |    CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(sum(nt.n_tokens) OVER (PARTITION BY r.query_id ORDER BY r.rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM ranked r JOIN ntok nt USING (doc_id) WHERE r.rk <= 10
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, n_tokens, cum_tokens
+         |FROM packed WHERE cum_tokens <= 120 ORDER BY query_id, rk""".stripMargin,
     // 95b: the lake round-trip is invisible to the result by design —
     // the persisted-index probe must answer exactly like the
     // in-session one, so it shares the oracle verbatim

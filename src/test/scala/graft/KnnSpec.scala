@@ -214,4 +214,48 @@ class KnnSpec extends SparkSpec {
     assert(gotClu.toSeq == expectedClu.toSeq)
     assert(mutual.nonEmpty, "testdata produced no mutual edges — weak test")
   }
+
+  test("mmrRerank == plain-Scala greedy MMR replay; diversity actually bites") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosI(a: Array[Double], b: Array[Double]): Long =
+      math.round(BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    val expected = queries.flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cosI(vecs(c), vecs(q))))
+        .sortBy { case (c, r) => (-r, c) }.take(10)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      (1 to 5).foreach { t =>
+        val best = cand.filterNot(c => chosen(c._1)).map { case (c, r) =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(s => cosI(vecs(c), vecs(s))).max
+          (c, 7L * r - 3L * ms)
+        }.minBy { case (c, m) => (-m, c) }
+        sel += ((q, best._1, t)); chosen += best._1
+        val mmr = sel.last
+        assert(mmr._3 == t)
+      }
+      sel.map { case (qq, c, t) => (qq, t, c) }
+    }.toSet
+    val got = Knn.mmrRerank(e, e.where($"vec_id" < 10), k = 5, pool = 10)
+      .select($"query_id", $"rk", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // diversity property: on at least one query the MMR set differs
+    // from the pure relevance top-5 (else the re-rank is a no-op here)
+    val top5 = Knn.cosineTopK(e, e.where($"vec_id" < 10), k = 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._3)) != top5,
+      "MMR should reorder at least one query's set on this corpus")
+  }
 }

@@ -108,4 +108,20 @@ class TextSpec extends SparkSpec {
     assert(f1 == f2)
     assert(one(Text.fingerprint64(lit("different"))) != f1)
   }
+
+  test("retrieval_pack: greedy prefix is budget-maximal and rank-contiguous") {
+    val out = graft.operators.PipelineQueries.queries("retrieval_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // ranks are a contiguous prefix of the retrieval ranking
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"q=$q gap")
+      // cumulative sums are consistent and within budget
+      var cum = 0L
+      sorted.foreach { case (_, _, _, n, c) => cum += n; assert(c == cum) }
+      assert(cum <= 120, s"q=$q over budget: $cum")
+    }
+  }
 }
