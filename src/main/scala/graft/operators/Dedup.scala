@@ -517,6 +517,120 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // -------------------- 123: incremental near-dup cluster maintenance
+  /** Exact jaccard pairs TOUCHING the batch: the prefix join's A-side
+    * is restricted to batch-doc prefixes while the B-side keeps the
+    * full union. Every J ≥ t pair with ≥ 1 batch endpoint shares a
+    * prefix shingle under the union's global (df, s) order (the
+    * AllPairs prefix theorem — and for such a pair the FIRST common
+    * shingle lies in both prefixes, so the PPJoin positional filter
+    * stays lossless), while corpus × corpus pairs — already encoded
+    * in the published labels — generate NO candidates. Candidate and
+    * verify work is Σ_{s ∈ batch prefixes} df(s): batch-bounded. The
+    * one corpus-sized piece is the (linear, join-free) posting/df
+    * scan that builds the prefix ranks; at 100 TB that index persists
+    * in the lake (the [[publishMinhashLake]] precedent) instead of
+    * rebuilding per ingest. */
+  private[graft] def jaccardPairsTouching(unionDocs: DataFrame,
+      batchIds: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sets = graft.Materialize.once(
+      unionDocs.select(col("doc_id"), shingles(col("text"), k).as("sh")))
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = postings.join(dfs, "s")
+      .repartition(parts, col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+    val a = prefix.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("s"), col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"), col("rk").as("rk_a"))
+    val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    val sizeOk = col("n_a") * threshold <= col("n_b") &&
+      col("n_b") * threshold <= col("n_a")
+    val posOk =
+      (lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
+        .cast("double") * (1.0 + threshold) >=
+        (col("n_a") + col("n_b")).cast("double") * threshold - 1e-9
+    val cand = a.join(b, Seq("s"))
+      .where(col("doc_a") =!= col("doc_b") && sizeOk && posOk)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.expressions.native
+      .intersectCount(col("sh_a"), col("sh_b")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("uni"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental cluster maintenance — the per-ingest complement of
+    * [[clusters]]: given the PUBLISHED corpus labels (doc_id →
+    * cluster_id = the component's min member id, [[clusters]]'s
+    * contract) and a new batch, produce the UNION's complete label
+    * table without re-running connected components over the corpus.
+    *
+    * Method: only batch-touching pairs are generated
+    * ([[jaccardPairsTouching]]); corpus endpoints are CONTRACTED to
+    * their published labels (the quotient graph — contraction
+    * preserves connectivity), CC runs on that batch-sized graph, and
+    * corpus labels re-map through the quotient result. Min-labels
+    * COMPOSE: a published label is its component's min member id, so
+    * the quotient component's min over {batch ids, member labels}
+    * equals the full recompute's min over all member ids — the
+    * output is IDENTICAL to clusters(jaccardPairs(union)), which is
+    * exactly what the dedup_cluster_inc oracle checks (DuckDB
+    * recomputes from scratch; the hash compares the incremental
+    * algebra, not a replay).
+    *
+    * Scale: per-ingest CC cost is quotient-graph-sized (batch docs +
+    * touched clusters), never corpus-sized — the piece that makes
+    * nightly-batch CC maintainable under continuous ingest. Output:
+    * (doc_id, cluster_id) for EVERY union doc, singletons
+    * self-labeled. */
+  def incrementalClusters(corpusDocs: DataFrame, corpusLabels: DataFrame,
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val union = corpusDocs.select(col("doc_id"), col("text"))
+      .unionByName(batchDocs.select(col("doc_id"), col("text")))
+    val newPairs = jaccardPairsTouching(union,
+      batchDocs.select(col("doc_id")), k, threshold)
+    val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
+    // contract corpus endpoints to their published labels (a corpus
+    // doc the publisher never labeled — no prior edges — is its own
+    // label); batch endpoints stay themselves
+    val e = newPairs
+      .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
+        Seq("doc_a"), "left")
+      .join(lbl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val quotient = clusters(e) // (doc_id = node, cluster_id) — tiny graph
+    val q = quotient.select(col("doc_id").as("node"), col("cluster_id").as("qlab"))
+    val corpusSide = corpusDocs.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("lab0"))
+      .join(q.withColumnRenamed("node", "lab0"), Seq("lab0"), "left")
+      .select(col("doc_id"), coalesce(col("qlab"), col("lab0")).as("cluster_id"))
+    val batchSide = batchDocs.select(col("doc_id"))
+      .join(q.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
+    corpusSide.unionByName(batchSide)
+  }
+
   // ------------------------------------------ 93: asymmetric containment
   /** Asymmetric containment join (quote / inclusion detection):
     * pairs with C(A,B) = |A∩B| / |A| ≥ threshold — "A is mostly

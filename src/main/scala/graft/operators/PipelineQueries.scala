@@ -20,6 +20,19 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Per-dir embeddings row count, memoized — six auto-sized keys
+    * (IVF family, semantic dedup, IVF-PQ) derive their cell counts
+    * from it; one scan per JVM instead of one per key invocation.
+    * The production analogue is reading table statistics, not
+    * scanning: immutable testdata makes the memo exact here. */
+  private val embCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.getOrElseUpdate(d, embs(s, d).count())
+
+  private val docCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCount(s: SparkSession, d: String): Long =
+    docCountCache.getOrElseUpdate(d, docs(s, d).count())
+
   /** DuckDB CTEs for the BM25 integer-grid index + sparse probe, up
     * to `ranked` (query_id, doc_id, score_i, rk) — shared by
     * text_retrieval / retrieval_indexed / retrieval_pack. */
@@ -151,7 +164,7 @@ object PipelineQueries {
     * ~2.8× at √n (SCALECHECK.md). `nCells <= 0` → auto. */
   private[graft] def knnTop3(s: SparkSession, d: String,
       nCells: Int = 0): DataFrame = {
-    val nc = if (nCells > 0) nCells else Knn.autoCells(embs(s, d).count())
+    val nc = if (nCells > 0) nCells else Knn.autoCells(embCount(s, d))
     val assigned = graft.Materialize.once(
       Knn.ivfAssign(embs(s, d), Knn.ivfCentroids(embs(s, d), nc)))
     val nb = assigned.select(col("cell_id"), col("vec_id").as("nb_id"),
@@ -375,6 +388,24 @@ object PipelineQueries {
       Graph.pagerankInt(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5),
           iters = 3)
         .orderBy(col("doc_id"))),
+    // 123: incremental cluster maintenance — the per-ingest
+    // complement of dedup_cluster: the first 70% of docs play the
+    // published corpus (labels from the normal batch CC), the rest
+    // arrive as a batch; only batch-touching pairs are generated,
+    // corpus endpoints contract to their published labels, CC runs on
+    // the batch-sized quotient graph, and labels remap. The ORACLE
+    // recomputes connected components over the FULL union from
+    // scratch — the hash verifies the incremental ALGEBRA (quotient
+    // CC + min-label composition == full recompute), not a replay.
+    "dedup_cluster_inc" -> ((s, d) => {
+      val doc = docs(s, d)
+      val cut = math.floor(docCount(s, d) * 0.7).toLong
+      val corpus = doc.where(col("doc_id") < cut)
+      val labels = Dedup.clusters(Dedup.jaccardPairs(corpus, k = 3, threshold = 0.5))
+      Dedup.incrementalClusters(corpus, labels,
+          doc.where(col("doc_id") >= cut), k = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
     // 39: the composed training-data pipeline — quality gate + near-dup
     // cluster dedup (keep each cluster's canonical min-id member):
     // what a corpus-prep job actually runs, end to end
@@ -453,7 +484,8 @@ object PipelineQueries {
     // the DuckDB oracle replays the whole pipeline, cell count included
     "knn_ivf" -> ((s, d) => {
       val e = embs(s, d)
-      Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nProbe = 4)
+      Knn.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nProbe = 4,
+        corpusSize = embCount(s, d))
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
     // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
@@ -474,7 +506,8 @@ object PipelineQueries {
     // oracle replays codebooks, codes, ADC and ranking end-to-end.
     "knn_ivfpq" -> ((s, d) => {
       val e = embs(s, d)
-      Pq.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5)
+      Pq.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5,
+        corpusSize = embCount(s, d))
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"), col("adc"))
     }),
     // 36: embedding-cosine near-dup pairs, IVF flavor (same-cell
@@ -482,7 +515,7 @@ object PipelineQueries {
     // count; the sign-LSH variant Knn.embeddingPairs stays spec-pinned
     // in KnnSpec)
     "dedup_embed" -> ((s, d) =>
-      Knn.ivfPairs(embs(s, d), threshold = 0.35)
+      Knn.ivfPairs(embs(s, d), threshold = 0.35, corpusSize = embCount(s, d))
         .orderBy(col("vec_a"), col("vec_b"))),
     // 100: k-NN graph over ALL embeddings (each vector's top-3
     // same-cell neighbors by rounded cosine, ties to the lower id) —
@@ -518,7 +551,7 @@ object PipelineQueries {
     // quadratic at corpus scale exactly like the retired nCells=16.
     "dedup_semantic" -> ((s, d) => {
       val e = embs(s, d)
-      Knn.semanticKeep(e, k = Knn.autoCells(e.count()), iters = 2,
+      Knn.semanticKeep(e, k = Knn.autoCells(embCount(s, d)), iters = 2,
           threshold = 0.35)
         .orderBy(col("vec_id"))
     }),
@@ -2299,6 +2332,30 @@ object PipelineQueries {
          |)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // 123: the oracle is a FULL-union from-scratch recompute (same
+    // closure as dedup_cluster, all docs self-labeled through the
+    // left join) — hashing it against the Spark side's incremental
+    // quotient-graph computation verifies the incremental algebra
+    "dedup_cluster_inc" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN clu USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // 106: the dedup_cluster closure + 1/|cluster| md5-lattice keep rule
     "sample_softdedup" ->
       s"""WITH RECURSIVE $SH3, jp AS (

@@ -211,4 +211,43 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"benchmark probe not broadcast:\n$plan")
   }
+
+  test("incrementalClusters: a batch doc bridging two published clusters merges them") {
+    import spark.implicits._
+    // corpus: two near-dup clusters {1,2} and {10,11}, far apart
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val tb = "omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, ta), (2L, ta + " eta"),
+      (10L, tb), (11L, tb + " phi"),
+      (20L, "completely unrelated content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val labels = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(corpus, k = 2, threshold = 0.4))
+    val got0 = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0(2) == 1 && got0(11) == 10)
+    // batch: doc 30 is a hybrid near-dup of BOTH cluster anchors
+    // (high overlap with each), doc 40 is novel
+    val batch = Seq(
+      (30L, ta + " " + tb),
+      (40L, "another novel document with fresh words only")
+    ).toDF("doc_id", "text")
+    val inc = graft.operators.Dedup.incrementalClusters(
+        corpus, labels, batch, k = 2, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute truth over the union
+    val full = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.jaccardPairs(corpus.unionByName(batch),
+          k = 2, threshold = 0.4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Seq(1L, 2L, 10L, 11L, 20L, 30L, 40L)
+    ids.foreach { id =>
+      assert(inc(id) == full.getOrElse(id, id),
+        s"doc $id: incremental=${inc(id)} full=${full.getOrElse(id, id)}")
+    }
+    // the merge actually happened: both old clusters now share label 1
+    assert(inc(30) == 1 && inc(11) == 1 && inc(10) == 1,
+      s"bridge merge failed: $inc")
+    assert(inc(40) == 40 && inc(20) == 20)
+  }
 }
