@@ -185,6 +185,59 @@ object CorpusStream {
       .start()
   }
 
+  /** Publish the cluster-maintenance lake: the corpus documents and
+    * their near-dup cluster labels (the [[graft.operators.Dedup.clusters]]
+    * output over [[graft.operators.Dedup.jaccardPairs]]), each as a
+    * versioned graftlake table. The publisher owns the one full batch
+    * CC; the stream only maintains. */
+  def publishClusterLake(corpus: DataFrame, dir: String,
+      k: Int = 3, threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val docs = corpus.select(col("doc_id"), col("text"))
+    graft.sources.StormSinks.writeVersionedTable(docs, s"$dir/docs")
+    graft.sources.StormSinks.writeVersionedTable(
+      Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)), s"$dir/labels")
+    ()
+  }
+
+  /** Streaming incremental cluster maintenance — the continuous-ingest
+    * face of [[graft.operators.Dedup.incrementalClusters]]: each
+    * micro-batch of documents merges into the published cluster lake
+    * (batch-touching pairs only, quotient-graph CC, label remap — the
+    * algebra the dedup_cluster_inc oracle proves equal to a full
+    * recompute), then REPUBLISHES docs + labels so the next batch
+    * (or any reader) sees the maintained state through `_current`.
+    * Corpus CC never re-runs; per-batch CC cost is quotient-sized.
+    * The corpus-linear piece per batch is the posting/df scan inside
+    * the pair probe (see jaccardPairsTouching's lake note).
+    * Checkpoint-idempotent: a committed batch never re-merges.
+    * CorpusStreamSpec pins two-wave stream == one full batch CC. */
+  def startIncrementalClusters(spark: SparkSession, inDir: String,
+      lakeDir: String, checkpointDir: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s2 = batch.sparkSession
+        val corpus = s2.read.format("graftlake").load(s"$lakeDir/docs")
+        val labels = s2.read.format("graftlake").load(s"$lakeDir/labels")
+        val b = batch.select(col("doc_id"), col("text"))
+        val updated = graft.Materialize.once(
+          graft.operators.Dedup.incrementalClusters(corpus, labels, b, k, threshold))
+        // dropDuplicates makes a crash-replayed batch idempotent: the
+        // docs table never holds a doc twice, and re-merging an
+        // already-merged component is a min-label no-op
+        graft.sources.StormSinks.writeVersionedTable(
+          corpus.unionByName(b).dropDuplicates("doc_id"), s"$lakeDir/docs")
+        graft.sources.StormSinks.writeVersionedTable(updated, s"$lakeDir/labels")
+        graft.Materialize.free(updated)
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/incclusters")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Publish the retrieval-serving lake: the full BM25 inverted index
     * (the corpus-sized tf aggregate runs HERE, once) and the dense
     * embedding index, each as a versioned graftlake table. The

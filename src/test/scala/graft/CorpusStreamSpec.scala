@@ -184,4 +184,39 @@ class CorpusStreamSpec extends SparkSpec {
     assert(rows(all.where(col("batch_seq") === 0)) == got1,
       "republish must not disturb already-committed results")
   }
+
+  test("streaming incremental clusters == one full batch CC; replay adds nothing") {
+    val base = Files.createTempDirectory("graft-corpus-incclu").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") < 300)
+    CorpusStream.publishClusterLake(corpus, s"$base/lake")
+    // two ingest waves, streamed file-by-file (2 micro-batches)
+    docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    docs.where(col("doc_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labelMap(spark.read.format("graftlake").load(s"$base/lake/labels"))
+    // truth: ONE full batch CC over all documents, singletons self-labeled
+    val full = labelMap(graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(got.getOrElse(id, id) == full.getOrElse(id, id),
+        s"doc $id: stream=${got.getOrElse(id, id)} full=${full.getOrElse(id, id)}")
+    }
+    assert(got.size == ids.length, "maintained label table must cover every doc")
+    // at least one cross-wave merge must exist, else the test is vacuous
+    assert(got.exists { case (d, c) => d >= 300 && c != d },
+      "no ingested doc joined an existing cluster - fixture vacuous")
+    // checkpoint idempotence: restart with no new input changes nothing
+    CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val got2 = labelMap(spark.read.format("graftlake").load(s"$base/lake/labels"))
+    assert(got2 == got, "replay with no new input must not change labels")
+  }
 }
