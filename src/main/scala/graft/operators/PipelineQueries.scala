@@ -406,6 +406,25 @@ object PipelineQueries {
           doc.where(col("doc_id") >= cut), k = 3, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // 124: leakage-free train/val/test split — the split assignment a
+    // training pipeline must make CLUSTER-aware: hashing doc_ids
+    // independently puts near-duplicates of training docs into the
+    // test split (the classic contamination-through-near-dup leak).
+    // Here the md5 lattice hashes the near-dup CLUSTER id (90/5/5),
+    // so a whole cluster always lands in one split. Deterministic,
+    // engine-replayable (the sample_* md5 convention on the
+    // dedup_cluster closure); no shuffle beyond the clustering.
+    "corpus_split" -> ((s, d) => {
+      val doc = docs(s, d)
+      val labels = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      val lab = doc.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val b = Sampling.hashBucket(col("cluster_id"), "split")
+      lab.withColumn("split",
+          when(b < 900000, "train").when(b < 950000, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
     // 39: the composed training-data pipeline — quality gate + near-dup
     // cluster dedup (keep each cluster's canonical min-id member):
     // what a corpus-prep job actually runs, end to end
@@ -2356,6 +2375,36 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN clu USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // 124: same closure, the split lattice hashed on the CLUSTER id
+    "corpus_split" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), labd AS (
+         |  SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clu USING (doc_id)
+         |), bkt AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000000 AS BIGINT) AS b
+         |  FROM labd
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 900000 THEN 'train'
+         |       WHEN b < 950000 THEN 'val' ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin,
     // 106: the dedup_cluster closure + 1/|cluster| md5-lattice keep rule
     "sample_softdedup" ->
       s"""WITH RECURSIVE $SH3, jp AS (

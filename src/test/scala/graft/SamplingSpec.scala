@@ -223,4 +223,29 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(!_._2))
     assert(got.forall(_._3 == 55L))
   }
+
+  test("corpus_split: near-dup pairs never straddle splits; proportions sane") {
+    val out = graft.operators.PipelineQueries.queries("corpus_split")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val splitOf = out.map(t => t._1 -> t._3).toMap
+    assert(out.length == graft.sources.Tables.documents(spark, sfDir).count())
+    // the leakage property, checked against the RAW pair list (not the
+    // cluster ids the split was derived from): no J>=0.5 pair straddles
+    val pairs = graft.operators.Dedup.jaccardPairs(
+        graft.sources.Tables.documents(spark, sfDir), k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"leak: $a(${splitOf(a)}) ~ $b(${splitOf(b)})")
+    }
+    // every cluster is entirely in one split
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // rough proportions on the doc level (md5 lattice, 90/5/5 target)
+    val n = out.length.toDouble
+    val frac = out.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.8, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+  }
 }
