@@ -406,6 +406,42 @@ object PipelineQueries {
           doc.where(col("doc_id") >= cut), k = 3, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // 125: corpus drift detection — Population Stability Index between
+    // the published corpus (first 70% of doc_ids, the
+    // dedup_cluster_inc convention) and the newly-ingested rest, per
+    // feature (lang, source, length buckets): the data-ops gate a
+    // continuously-ingesting pipeline runs before letting a batch
+    // shift the training mixture. PSI = Σ (p−q)·ln(p/q) with +1
+    // smoothing over the union bucket domain; the ratio inside ln is
+    // ONE division of exact integer products, ln/differences round to
+    // the 1e-6 grid (the sample_importance convention), terms ride
+    // BIGINTs — engine-replayable. Scale: two partial-agg shuffles
+    // over (feature, bucket) — corpus-linear, output is bucket-sized.
+    "corpus_drift" -> ((s, d) => {
+      val doc = docs(s, d)
+      val cut = math.floor(docCount(s, d) * 0.7).toLong
+      def f(name: String, c: org.apache.spark.sql.Column) = doc.select(
+        lit(name).as("feature"), c.cast("string").as("bucket"),
+        (col("doc_id") < cut).as("is_ref"))
+      val rows = f("lang", col("lang"))
+        .unionByName(f("source", col("source")))
+        .unionByName(f("len", concat(lit("chars_"), expr("n_chars div 200"))))
+      val counts = rows.groupBy(col("feature"), col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+      val tot = counts.groupBy(col("feature"))
+        .agg(sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"),
+          count(lit(1)).as("nb"))
+      val p = (col("ref_n") + 1).cast("double") / (col("ref_tot") + col("nb")).cast("double")
+      val q = (col("cur_n") + 1).cast("double") / (col("cur_tot") + col("nb")).cast("double")
+      val ratio = ((col("ref_n") + 1) * (col("cur_tot") + col("nb"))).cast("double") /
+        ((col("cur_n") + 1) * (col("ref_tot") + col("nb"))).cast("double")
+      counts.join(tot, "feature")
+        .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+          round(round(log(ratio), 6) * round(p - q, 6) * lit(1000000.0))
+            .cast("long").as("term_i"))
+        .orderBy(col("feature"), col("bucket"))
+    }),
     // 124: leakage-free train/val/test split — the split assignment a
     // training pipeline must make CLUSTER-aware: hashing doc_ids
     // independently puts near-duplicates of training docs into the
@@ -2375,6 +2411,39 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN clu USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // 125: same per-feature smoothed PSI terms — one exact-integer
+    // ratio into ln, 1e-6-grid rounding, BIGINT terms
+    "corpus_drift" ->
+      s"""WITH cutv AS (
+         |  SELECT CAST(floor(count(*) * 0.7) AS BIGINT) AS cut FROM documents
+         |), rows0 AS (
+         |  SELECT 'lang' AS feature, lang AS bucket,
+         |    doc_id < (SELECT cut FROM cutv) AS is_ref FROM documents
+         |  UNION ALL
+         |  SELECT 'source', source, doc_id < (SELECT cut FROM cutv) FROM documents
+         |  UNION ALL
+         |  SELECT 'len', 'chars_' || CAST(n_chars // 200 AS VARCHAR),
+         |    doc_id < (SELECT cut FROM cutv) FROM documents
+         |), cnt AS (
+         |  SELECT feature, bucket,
+         |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+         |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+         |  FROM rows0 GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT feature, sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot,
+         |    count(*) AS nb
+         |  FROM cnt GROUP BY 1
+         |)
+         |SELECT c.feature, c.bucket, CAST(c.ref_n AS BIGINT) AS ref_n,
+         |  CAST(c.cur_n AS BIGINT) AS cur_n,
+         |  CAST(round(
+         |    round(ln(CAST((c.ref_n + 1) * (t.cur_tot + t.nb) AS DOUBLE)
+         |           / CAST((c.cur_n + 1) * (t.ref_tot + t.nb) AS DOUBLE)), 6)
+         |    * round(CAST(c.ref_n + 1 AS DOUBLE) / CAST(t.ref_tot + t.nb AS DOUBLE)
+         |          - CAST(c.cur_n + 1 AS DOUBLE) / CAST(t.cur_tot + t.nb AS DOUBLE), 6)
+         |    * 1000000) AS BIGINT) AS term_i
+         |FROM cnt c JOIN tot t USING (feature)
+         |ORDER BY c.feature, c.bucket""".stripMargin,
     // 124: same closure, the split lattice hashed on the CLUSTER id
     "corpus_split" ->
       s"""WITH RECURSIVE $SH3, jp AS (

@@ -172,4 +172,26 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     (0L until 50L).foreach(id => assert(sparkB(id) == md5Bucket("soft", id)))
   }
+
+  test("corpus_drift: PSI terms conserve counts and totals are nonnegative") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val n = doc.count()
+    val cut = math.floor(n * 0.7).toLong
+    val out = graft.operators.PipelineQueries.queries("corpus_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (feat, rows) =>
+      // count conservation: every doc lands in exactly one bucket/side
+      assert(rows.map(_._3).sum == cut, s"$feat ref mass")
+      assert(rows.map(_._4).sum == n - cut, s"$feat cur mass")
+      // PSI >= 0 analytically ((p-q) and ln(p/q) share sign); allow
+      // one grid step of slack per bucket for the 1e-6 rounding
+      val total = rows.map(_._5).sum
+      assert(total >= -rows.length, s"$feat PSI went negative: $total")
+      // at least one feature should register SOME drift signal at
+      // this corpus (terms not all exactly zero)
+    }
+    assert(out.map(_._5).exists(_ != 0L), "all PSI terms zero - vacuous")
+  }
 }
