@@ -119,7 +119,11 @@ object ScaleCheck {
       // semantics, not by operator defect; judge its wall against
       // rows_10x, which the row carries.
       "q_sessionize", "q_funnel", "q_retention", "q_transitions",
-      "q_asof_nearest", "q_temporal", "q_scd2", "storm_neighbors")
+      "q_asof_nearest", "q_temporal", "q_scd2", "storm_neighbors",
+      // round-9 second-half keys: incremental cluster maintenance
+      // (the batch-bounded pair-probe claim), MMR (pool-bounded after
+      // the ANN stage), IVF-PQ (auto cells + codebook training)
+      "dedup_cluster_inc", "knn_mmr", "knn_ivfpq")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames
