@@ -28,14 +28,19 @@ object ProfileHeap {
     val reps = sys.env.get("GRAFT_REPS").map(_.toInt).getOrElse(1)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dedup_jaccard", "dedup_cluster", "corpus_clean")
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    // cpus, session AND the forced split-dir name all derive from the
+    // SAME env Bench uses — a hardcoded 32 here built a 32-file copy
+    // that did not match the bench forced-input shape on any other
+    // host, silently profiling a different scan parallelism
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val inDir = if (!forced) sfDir else {
       val d = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        s"/graft-bench-split-32-" + java.lang.Integer.toHexString(sfDir.hashCode)
+        s"/graft-bench-split-$cpus-" + java.lang.Integer.toHexString(sfDir.hashCode)
       if (!new java.io.File(d, "_SPLIT_OK").exists) {
         graft.sources.Tables.all.foreach { t =>
-          spark.read.parquet(s"$sfDir/$t.parquet").repartition(32)
+          spark.read.parquet(s"$sfDir/$t.parquet").repartition(cpus.toInt)
             .write.mode("overwrite").parquet(s"$d/$t.parquet")
         }
         new java.io.File(d, "_SPLIT_OK").createNewFile()

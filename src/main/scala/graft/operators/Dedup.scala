@@ -602,14 +602,38 @@ object Dedup {
     * self-labeled. */
   def incrementalClusters(corpusDocs: DataFrame, corpusLabels: DataFrame,
       batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val union = corpusDocs.select(col("doc_id"), col("text"))
-      .unionByName(batchDocs.select(col("doc_id"), col("text")))
+    // overlap-safe union: an at-least-once ingest can replay a batch
+    // whose docs ALREADY landed in the corpus (crash between the docs
+    // and labels publishes). A raw union would then hold duplicate
+    // doc_id rows, whose duplicated postings inflate df and the
+    // n_sh-based prefix cutoff in jaccardPairsTouching — breaking
+    // prefix-filter completeness (silently missed merges) — and would
+    // emit duplicate label rows (the doc on both sides below). So the
+    // batch is authoritative: dedup it by id, anti-join the corpus
+    // side against its ids (batch ids are micro-batch-sized →
+    // broadcast, the corpus stays un-shuffled), and the two sides are
+    // disjoint by construction. Replaying a fully-committed batch
+    // recomputes the identical merge (deterministic), so republishing
+    // is a no-op — the checkpoint-idempotence CorpusStreamSpec pins.
+    val batch = graft.Materialize.once(
+      batchDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    val corpusOnly = corpusDocs.select(col("doc_id"), col("text"))
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val union = corpusOnly.unionByName(batch)
     val newPairs = jaccardPairsTouching(union,
-      batchDocs.select(col("doc_id")), k, threshold)
-    val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
+      batch.select(col("doc_id")), k, threshold)
     // contract corpus endpoints to their published labels (a corpus
     // doc the publisher never labeled — no prior edges — is its own
-    // label); batch endpoints stay themselves
+    // label); batch endpoints stay themselves. The contraction map is
+    // RESTRICTED to corpus-side ids: on a replayed batch the published
+    // labels already carry entries for the batch docs, and contracting
+    // a batch endpoint to its committed label would make the quotient
+    // run over labels while batchSide below looks nodes up by raw
+    // doc_id — the replay would silently relabel merged batch docs to
+    // themselves. With the restriction, a replay reproduces the
+    // committed labels exactly (min-labels compose, see above).
+    val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val e = newPairs
       .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
         Seq("doc_a"), "left")
@@ -620,12 +644,12 @@ object Dedup {
       .where(col("doc_a") =!= col("doc_b"))
     val quotient = clusters(e) // (doc_id = node, cluster_id) — tiny graph
     val q = quotient.select(col("doc_id").as("node"), col("cluster_id").as("qlab"))
-    val corpusSide = corpusDocs.select(col("doc_id"))
+    val corpusSide = corpusOnly.select(col("doc_id"))
       .join(lbl, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("lab0"))
       .join(q.withColumnRenamed("node", "lab0"), Seq("lab0"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("lab0")).as("cluster_id"))
-    val batchSide = batchDocs.select(col("doc_id"))
+    val batchSide = batch.select(col("doc_id"))
       .join(q.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
     corpusSide.unionByName(batchSide)

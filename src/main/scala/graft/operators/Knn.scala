@@ -405,7 +405,13 @@ object Knn {
       .orderBy(col("cell_id")).limit(k)
     var r = 0
     while (r < iters) {
-      cents = kmAssign(corpus, cents)
+      // materialize EACH round's centroid table (k·d-row — KBs): round
+      // r's plan otherwise nests rounds 1..r−1, so executing the final
+      // assignment re-runs every earlier broadcast-assign + aggregate
+      // pass over the corpus — O(iters²) corpus passes and unbounded
+      // codegen depth (the clusters()/pagerankInt checkpoint-cadence
+      // precedent; KnnSpec pins the final plan shape constant in iters).
+      val next = graft.Materialize.once(kmAssign(corpus, cents)
         .select(col("cell_id"), posexplode(col("embedding")))
         .select(col("cell_id"), col("pos"),
           floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
@@ -416,7 +422,9 @@ object Knn {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s").cast("double") /
-            (x.getField("n").cast("double") * lit(1000000.0))).as("centroid"))
+            (x.getField("n").cast("double") * lit(1000000.0))).as("centroid")))
+      graft.Materialize.free(cents) // no-op on the un-materialized init
+      cents = next
       r += 1
     }
     kmAssign(corpus, cents)

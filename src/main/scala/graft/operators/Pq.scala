@@ -57,9 +57,19 @@ object Pq {
   }
 
   /** (id, block, sub) — vector split into `m` equal blocks of
-    * d/m doubles (requires m | d; checked at runtime by slice). */
+    * d/m doubles. Requires m | d, enforced per row inside the slice
+    * width expression (`size div m` alone would FLOOR and silently
+    * drop the trailing d mod m dimensions from training, codes and
+    * ADC scoring — a recall bug invisible to every downstream check). */
   private[graft] def blocks(vecs: DataFrame, m: Int, idCol: String = "vec_id"): DataFrame = {
-    val s = expr(s"size(v) div $m").cast("int") // `/` would widen to double
+    // the check lives in the width expression (not a droppable side
+    // column) so column pruning can never eliminate it; `div` not `/`
+    // because `/` would widen to double
+    val s = when(expr(s"size(v) % $m") === 0, expr(s"size(v) div $m"))
+      .otherwise(raise_error(concat(
+        lit(s"Pq.blocks: m=$m must divide the embedding dimension, got d="),
+        expr("size(v)").cast("string"))).cast("int"))
+      .cast("int")
     vecs
       .select(col(idCol), transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("block"), col("v"))
@@ -93,7 +103,12 @@ object Pq {
       .select(col("block"), col("vec_id").as("cell_id"), col("sub").as("c"))
     var r = 0
     while (r < iters) {
-      cents = assignCodes(blk, cents)
+      // per-round materialization (m·kCodes·(d/m)-row — KBs): without
+      // it round r's plan nests rounds 1..r−1 and the final pass
+      // re-executes every earlier assignment over the materialized
+      // blocks — O(iters²) corpus passes (same fix as
+      // [[Knn.kmeansAssignments]]; PqSpec pins plan shape in iters)
+      val next = graft.Materialize.once(assignCodes(blk, cents)
         .select(col("block"), col("code").as("cell_id"), posexplode(col("sub")))
         .select(col("block"), col("cell_id"), col("pos"),
           floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("qc"))
@@ -103,7 +118,9 @@ object Pq {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s").cast("double") /
-            (x.getField("n").cast("double") * lit(1000000.0))).as("c"))
+            (x.getField("n").cast("double") * lit(1000000.0))).as("c")))
+      graft.Materialize.free(cents) // no-op on the un-materialized init
+      cents = next
       r += 1
     }
     cents

@@ -209,6 +209,40 @@ object StormSinks {
     next
   }
 
+  /** Atomic MULTI-TABLE publish: write every named table under ONE
+    * new immutable version dir (`$dir/v-N/<name>/`), then swap the
+    * single `$dir/_current` pointer once. This is the transactional
+    * upgrade of calling [[writeVersionedTable]] per table: tables that
+    * must stay mutually consistent (a corpus and its cluster labels,
+    * a document lake and its published indexes) commit together — a
+    * crash between table writes leaves the pointer on the previous
+    * version, so readers and checkpoint replays NEVER observe table A
+    * from version N with table B from version N−1 (the half-commit
+    * the per-table layout permits). Readers resolve the pointer once
+    * via [[currentVersionDir]] and read `<ver>/<name>` for each
+    * table — one resolution = one consistent snapshot. */
+  def writeVersionedGroup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[(String, DataFrame)]): Int = {
+    require(tables.nonEmpty, "writeVersionedGroup needs at least one table")
+    val fs = fsFor(spark, dir)
+    val next = readPointer(fs, dir).map(_._1 + 1).getOrElse(0)
+    tables.foreach { case (name, df) =>
+      require(name.nonEmpty && !name.contains("/"),
+        s"bad group table name '$name'")
+      df.write.mode("overwrite").parquet(s"$dir/v-$next/$name")
+    }
+    publish(fs, dir, next)
+    next
+  }
+
+  /** Read one table of a [[writeVersionedGroup]] lake at the CURRENT
+    * version. For multi-table consistency across reads, resolve
+    * [[currentVersionDir]] once yourself and read each
+    * `<ver>/<name>` — this convenience re-resolves per call. */
+  def readVersionedGroupTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): DataFrame =
+    spark.read.parquet(s"${currentVersionDir(spark, dir)}/$name")
+
   /** Resolve the live immutable version dir (`$dir/v-N` named by
     * `_current`). A missing pointer is retried briefly before failing:
     * on filesystems where [[publish]] had to take the non-atomic

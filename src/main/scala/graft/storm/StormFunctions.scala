@@ -38,11 +38,14 @@ object StormFunctions {
   /** Exact hex-float value: mantissa digits (int ++ frac) as ONE hex
     * integer M via conv(_,16,10), value = ±M · 2^(p − 4·|frac|) — the
     * multiply is a pure exponent scale, so the result is correctly
-    * rounded whenever M fits 16 hex digits (beyond that conv's 64-bit
-    * window truncates; Go rounds — an edge documented in SURVEY §1,
-    * far past any feed's precision). Overflow (±Inf) and
-    * unparseable-exponent cases yield 0 like Go's ErrRange does
-    * through the reference's err != nil branch. */
+    * rounded whenever M fits 16 hex digits. A LONGER mantissa maps to
+    * 0.0 on BOTH engines (Go rounds it — an edge documented in SURVEY
+    * §1, far past any feed's precision): conv's 64-bit window would
+    * silently truncate here while DuckDB's UBIGINT cast would THROW,
+    * so the explicit shared cutoff is the only way the two engines
+    * degrade identically. Overflow (±Inf) and unparseable-exponent
+    * cases yield 0 like Go's ErrRange does through the reference's
+    * err != nil branch. */
   private def hexDouble(t: Column): Column = {
     val u = regexp_replace(t, "_", "")
     val sign = when(u.startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
@@ -52,8 +55,9 @@ object StormFunctions {
     val ex = regexp_extract(body, "[pP]([+-]?[0-9]+)$", 1).cast("int")
     val m = conv(concat(ip, fp), 16, 10).cast("double")
     val v = sign * m * pow(lit(2.0), (ex - length(fp) * 4).cast("double"))
-    coalesce(when(abs(v) === lit(Double.PositiveInfinity), lit(0.0)).otherwise(v),
-      lit(0.0))
+    when(length(concat(ip, fp)) > 16, lit(0.0)).otherwise(
+      coalesce(when(abs(v) === lit(Double.PositiveInfinity), lit(0.0)).otherwise(v),
+        lit(0.0)))
   }
 
   /** ParseFloat semantics on an already-trimmed string: finite forms

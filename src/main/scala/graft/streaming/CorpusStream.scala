@@ -187,18 +187,27 @@ object CorpusStream {
 
   /** Publish the cluster-maintenance lake: the corpus documents and
     * their near-dup cluster labels (the [[graft.operators.Dedup.clusters]]
-    * output over [[graft.operators.Dedup.jaccardPairs]]), each as a
-    * versioned graftlake table. The publisher owns the one full batch
-    * CC; the stream only maintains. */
+    * output over [[graft.operators.Dedup.jaccardPairs]]), committed
+    * TOGETHER as one [[graft.sources.StormSinks.writeVersionedGroup]]
+    * version — docs and labels are an invariant pair (every label row
+    * describes a doc of the SAME snapshot), so they share one pointer:
+    * no reader or crash-replay can ever observe new docs with stale
+    * labels or vice versa. The publisher owns the one full batch CC;
+    * the stream only maintains. */
   def publishClusterLake(corpus: DataFrame, dir: String,
       k: Int = 3, threshold: Double = 0.5): Unit = {
     import graft.operators.Dedup
     val docs = corpus.select(col("doc_id"), col("text"))
-    graft.sources.StormSinks.writeVersionedTable(docs, s"$dir/docs")
-    graft.sources.StormSinks.writeVersionedTable(
-      Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)), s"$dir/labels")
+    graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, dir, Seq(
+      "docs" -> docs,
+      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold))))
     ()
   }
+
+  /** Read one table ("docs" / "labels") of a [[publishClusterLake]]
+    * lake at its current version. */
+  def readClusterLake(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.StormSinks.readVersionedGroupTable(spark, dir, name)
 
   /** Streaming incremental cluster maintenance — the continuous-ingest
     * face of [[graft.operators.Dedup.incrementalClusters]]: each
@@ -210,8 +219,19 @@ object CorpusStream {
     * Corpus CC never re-runs; per-batch CC cost is quotient-sized.
     * The corpus-linear piece per batch is the posting/df scan inside
     * the pair probe (see jaccardPairsTouching's lake note).
-    * Checkpoint-idempotent: a committed batch never re-merges.
-    * CorpusStreamSpec pins two-wave stream == one full batch CC. */
+    *
+    * Crash-safe and checkpoint-idempotent, two independent layers:
+    * (1) docs + labels commit as ONE [[graft.sources.StormSinks
+    * .writeVersionedGroup]] version — a crash anywhere before the
+    * single pointer swap leaves the previous consistent snapshot, so
+    * a replay (and every concurrent reader) always sees docs and
+    * labels from the SAME version, never merged docs with stale
+    * labels; (2) [[graft.operators.Dedup.incrementalClusters]] is
+    * itself replay-safe — a re-delivered batch whose docs already
+    * landed is anti-joined out of the corpus side and re-merged to the
+    * IDENTICAL labels (min-labels compose), so republishing is a
+    * no-op. CorpusStreamSpec pins two-wave stream == one full batch
+    * CC, and replay-of-committed-batch == unchanged labels. */
   def startIncrementalClusters(spark: SparkSession, inDir: String,
       lakeDir: String, checkpointDir: String,
       k: Int = 3, threshold: Double = 0.5,
@@ -220,18 +240,19 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s2 = batch.sparkSession
-        val corpus = s2.read.format("graftlake").load(s"$lakeDir/docs")
-        val labels = s2.read.format("graftlake").load(s"$lakeDir/labels")
-        val b = batch.select(col("doc_id"), col("text"))
+        // resolve the pointer ONCE: both tables come from the same
+        // immutable snapshot
+        val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+        val corpus = s2.read.parquet(s"$ver/docs")
+        val labels = s2.read.parquet(s"$ver/labels")
+        val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
         val updated = graft.Materialize.once(
           graft.operators.Dedup.incrementalClusters(corpus, labels, b, k, threshold))
-        // dropDuplicates makes a crash-replayed batch idempotent: the
-        // docs table never holds a doc twice, and re-merging an
-        // already-merged component is a min-label no-op
-        graft.sources.StormSinks.writeVersionedTable(
-          corpus.unionByName(b).dropDuplicates("doc_id"), s"$lakeDir/docs")
-        graft.sources.StormSinks.writeVersionedTable(updated, s"$lakeDir/labels")
-        graft.Materialize.free(updated)
+        try
+          graft.sources.StormSinks.writeVersionedGroup(s2, lakeDir, Seq(
+            "docs" -> corpus.unionByName(b).dropDuplicates("doc_id"),
+            "labels" -> updated))
+        finally graft.Materialize.free(updated)
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incclusters")

@@ -200,7 +200,7 @@ class CorpusStreamSpec extends SparkSpec {
     def labelMap(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "cluster_id").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val got = labelMap(spark.read.format("graftlake").load(s"$base/lake/labels"))
+    val got = labelMap(CorpusStream.readClusterLake(spark, s"$base/lake", "labels"))
     // truth: ONE full batch CC over all documents, singletons self-labeled
     val full = labelMap(graft.operators.Dedup.clusters(
       graft.operators.Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)))
@@ -216,7 +216,27 @@ class CorpusStreamSpec extends SparkSpec {
     // checkpoint idempotence: restart with no new input changes nothing
     CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
       s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
-    val got2 = labelMap(spark.read.format("graftlake").load(s"$base/lake/labels"))
+    val got2 = labelMap(CorpusStream.readClusterLake(spark, s"$base/lake", "labels"))
     assert(got2 == got, "replay with no new input must not change labels")
+    // crash-replay idempotence: re-deliver an ALREADY-COMMITTED batch
+    // (a fresh checkpoint dir simulates foreachBatch replay after a
+    // crash once the group pointer moved). The overlap-safe operator
+    // must re-merge to the identical labels, with no duplicate doc_id
+    // rows in either table.
+    CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
+      s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
+    val labels3 = CorpusStream.readClusterLake(spark, s"$base/lake", "labels")
+    assert(labelMap(labels3) == got, "replaying a committed batch changed labels")
+    assert(labels3.count() == labels3.select("doc_id").distinct().count(),
+      "replay produced duplicate label rows")
+    val docs3 = CorpusStream.readClusterLake(spark, s"$base/lake", "docs")
+    assert(docs3.count() == docs3.select("doc_id").distinct().count(),
+      "replay produced duplicate doc rows")
+    // both tables resolve through ONE pointer: the group version dir
+    // holds docs and labels together (no half-committed snapshot
+    // is ever addressable)
+    val ver = graft.sources.StormSinks.currentVersionDir(spark, s"$base/lake")
+    assert(new java.io.File(s"$ver/docs").exists && new java.io.File(s"$ver/labels").exists,
+      "group version dir must hold both tables")
   }
 }

@@ -114,6 +114,29 @@ class KnnSpec extends SparkSpec {
     assert(cells.length > 1, "k-means collapsed to one cell")
   }
 
+  test("k-means trainer: final plan shape constant in iters (per-round materialization)") {
+    val e = Tables.embeddings(spark, sfDir)
+    // without per-round centroid materialization round r's plan nests
+    // rounds 1..r−1 (O(iters²) corpus passes on execution); with it
+    // the final plan is exactly one corpus scan + the last round's
+    // materialized (ExistingRDD) centroid table, at ANY iters
+    def shape(iters: Int): (Int, Boolean) = {
+      val p = Knn.kmeansAssignments(e, k = 8, iters = iters)
+        .queryExecution.executedPlan.toString
+      ("(FileScan|Scan) parquet".r.findAllIn(p).length, p.contains("ExistingRDD"))
+    }
+    val (scans2, rdd2) = shape(2)
+    val (scans8, rdd8) = shape(8)
+    assert(rdd2 && rdd8, "per-round centroids not materialized")
+    assert(scans2 == scans8 && scans8 <= 1,
+      s"k-means final plan grew with iters: $scans2 scans @2 vs $scans8 @8")
+    // results at higher iters stay bit-deterministic across partitionings
+    val a = Knn.kmeansAssignments(e, k = 8, iters = 5).select("vec_id", "cell_id", "cos")
+    val b = Knn.kmeansAssignments(e.repartition(7), k = 8, iters = 5)
+      .select("vec_id", "cell_id", "cos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("semantic dedup: kept set has no same-cell lower-id neighbor >= threshold") {
     val e = Tables.embeddings(spark, sfDir)
     val t = 0.35

@@ -71,4 +71,39 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList)).toSet
     assert(dump() == dump())
   }
+
+  test("codebook trainer: final plan shape constant in iters (per-round materialization)") {
+    val e = Tables.embeddings(spark, sfDir)
+    // each round's codebook is materialized, so the returned frame is
+    // the last round's ExistingRDD — zero parquet in its plan and no
+    // nesting of earlier rounds, at any iters
+    def shape(iters: Int): (Int, Boolean) = {
+      val p = Pq.trainCodebooks(e, m = 4, kCodes = 8, iters = iters)
+        .queryExecution.executedPlan.toString
+      ("(FileScan|Scan) parquet".r.findAllIn(p).length, p.contains("ExistingRDD"))
+    }
+    val (scans2, rdd2) = shape(2)
+    val (scans8, rdd8) = shape(8)
+    assert(rdd2 && rdd8, "per-round codebooks not materialized")
+    assert(scans2 == scans8 && scans8 == 0,
+      s"codebook final plan grew with iters: $scans2 scans @2 vs $scans8 @8")
+    // higher-iters training stays deterministic
+    def dump() = Pq.trainCodebooks(e, m = 4, kCodes = 8, iters = 5)
+      .select($"block", $"cell_id", $"c").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList)).toSet
+    assert(dump() == dump())
+  }
+
+  test("blocks rejects m that does not divide d instead of silently truncating") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = e.select(size($"embedding")).head.getInt(0)
+    val badM = dim - 1 // never divides dim for dim > 2
+    val ex = intercept[Exception] {
+      Pq.blocks(e, badM).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("must divide"),
+      s"expected the m | d guard to fire, got: ${rootMsg(ex)}")
+  }
 }

@@ -72,7 +72,14 @@ class StormFunctionsSpec extends SparkSpec {
       "0x1.8" -> 0.0,
       "1e999" -> 0.0, // value overflow = ErrRange -> err branch -> 0
       "-1e999" -> 0.0,
-      "0x1p99999" -> 0.0)
+      "0x1p99999" -> 0.0,
+      // mantissa beyond 16 hex digits -> 0.0: the documented shared
+      // cutoff (SURVEY §1; Go rounds) — conv's 64-bit window would
+      // truncate and DuckDB's plain UBIGINT cast would throw, so both
+      // engines pin the explicit guard instead
+      "0x11112222333344445p0" -> 0.0,
+      "0x1111222233334444p0" -> 0x1111222233334444L.toDouble, // 16 digits still exact
+      "0x1.11122223333444455p0" -> 0.0)
     val got = cases.map(_._1).toDF("x")
       .select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
     cases.zip(got).foreach { case ((s, want), g) =>
