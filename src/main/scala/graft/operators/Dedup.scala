@@ -529,8 +529,9 @@ object Dedup {
     * verify work is Σ_{s ∈ batch prefixes} df(s): batch-bounded. The
     * one corpus-sized piece is the (linear, join-free) posting/df
     * scan that builds the prefix ranks; at 100 TB that index persists
-    * in the lake (the [[publishMinhashLake]] precedent) instead of
-    * rebuilding per ingest. */
+    * in the lake — [[publishJaccardLake]] owns it at publish time and
+    * [[jaccardPairsTouchingLake]] probes it with only a batch-sized
+    * rank per ingest. */
   private[graft] def jaccardPairsTouching(unionDocs: DataFrame,
       batchIds: DataFrame, k: Int, threshold: Double): DataFrame = {
     val sets = graft.Materialize.once(
@@ -551,29 +552,175 @@ object Dedup {
         col("n_sh").as("n_a"), col("rk").as("rk_a"))
     val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
       col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    val cand = prefixCandidates(a, b, threshold, parts)
+    verifyJaccard(cand,
+      sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+      sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), threshold)
+  }
+
+  /** AllPairs/PPJoin candidate join over two prefix tables that were
+    * ranked under ONE shared global shingle order — a: (s, doc_a, n_a,
+    * rk_a), b: (s, doc_b, n_b, rk_b). Applies the size filter, the
+    * positional (PPJoin) overlap bound, normalizes each pair to
+    * doc_a < doc_b and dedups. Lossless given the shared order: for a
+    * J ≥ t pair the FIRST common shingle under that order lies in
+    * both prefixes, and its row passes both bounds. */
+  private def prefixCandidates(a: DataFrame, b: DataFrame,
+      threshold: Double, parts: Int): DataFrame = {
     val sizeOk = col("n_a") * threshold <= col("n_b") &&
       col("n_b") * threshold <= col("n_a")
     val posOk =
       (lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
         .cast("double") * (1.0 + threshold) >=
         (col("n_a") + col("n_b")).cast("double") * threshold - 1e-9
-    val cand = a.join(b, Seq("s"))
+    a.join(b, Seq("s"))
       .where(col("doc_a") =!= col("doc_b") && sizeOk && posOk)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .repartition(parts, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact-Jaccard verify of candidate pairs: attach each endpoint's
+    * shingle set (setsA keyed doc_a → sh_a, setsB keyed doc_b →
+    * sh_b), return (doc_a, doc_b, jaccard ≥ threshold). Candidates
+    * only ever price this — both joins are candidate-bounded. */
+  private def verifyJaccard(cand: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.expressions.native
       .intersectCount(col("sh_a"), col("sh_b")).cast("double")
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    cand.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter", inter)
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------- 123b: lake-persisted Jaccard prefix index
+  /** Publish the Jaccard prefix index of a corpus as ONE atomic
+    * versioned group (the [[publishMinhashLake]] precedent, upgraded
+    * to [[graft.sources.StormSinks.writeVersionedGroup]] because the
+    * three tables must stay mutually consistent — prefix ranks are
+    * meaningless against another version's df order):
+    *
+    *   `dfs`    — (s, df): the corpus document frequencies, i.e. the
+    *              FROZEN global (df, s) shingle order every later
+    *              probe ranks under.
+    *   `prefix` — (s, doc_id, n_sh, rk): each corpus doc's AllPairs
+    *              prefix rows (rarest |d|−⌈t|d|⌉+1 shingles) with
+    *              their positional rank — the only table the
+    *              candidate join reads.
+    *   `sets`   — (doc_id, sh): exact-verify shingle sets; only
+    *              candidate doc_ids' rows flow past its scan.
+    *
+    * This is the persistence path [[jaccardPairsTouching]]'s scaladoc
+    * promises: the corpus-sized posting/df aggregation + rank window
+    * runs HERE, at publish time (nightly, with compaction), and every
+    * per-ingest probe ([[jaccardPairsTouchingLake]]) pays only a
+    * batch-sized rank plus columnar scans of the published tables.
+    * `k`/`threshold` are baked into the shingles and cutoffs — probe
+    * with the same values (same contract as the minhash lake's
+    * bands/rows). */
+  def publishJaccardLake(corpus: DataFrame, dir: String, k: Int = 2,
+      threshold: Double = 0.5): Unit = {
+    val spark = corpus.sparkSession
+    val sets = graft.Materialize.once(
+      corpus.select(col("doc_id"), shingles(col("text"), k).as("sh")))
+    try {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      // dfs feeds BOTH the published table and the rank join below —
+      // materialize once (the multi-consumer recompute class)
+      val dfs = graft.Materialize.once(
+        postings.groupBy(col("s")).agg(count(lit(1)).as("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val prefix = postings.join(dfs, "s")
+        .repartition(parts, col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+        .select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+      graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "dfs" -> dfs, "prefix" -> prefix,
+        "sets" -> sets.select(col("doc_id"), col("sh"))))
+      graft.Materialize.free(dfs)
+      ()
+    } finally graft.Materialize.free(sets)
+  }
+
+  /** [[jaccardPairsTouching]] against a [[publishJaccardLake]] index:
+    * exact J ≥ t pairs with ≥ 1 batch endpoint, WITHOUT the
+    * corpus-sized posting/df rank — the only window runs over
+    * `freshDocs` (the docs not yet in the published index; must
+    * include the batch, plus anything ingested since the last
+    * publish), ranked under the index's FROZEN (df, s) order (unseen
+    * shingles take df 0 — any fixed total order keeps the prefix
+    * theorem lossless; df-ascending is only the efficiency
+    * heuristic, and it degrades gracefully as true dfs drift until
+    * the next republish re-freezes them). Corpus prefixes and verify
+    * sets come from the published columnar tables; the candidate
+    * semi-join against batch ids broadcasts, and verify joins are
+    * candidate-bounded. Fresh sets take precedence over lake sets in
+    * verify, so a replayed already-republished batch still verifies
+    * against its own (identical) sets. Row-identical to the
+    * in-session [[jaccardPairsTouching]] over the same union — both
+    * are lossless filters ahead of the same exact verify (DedupSpec
+    * pins it). */
+  def jaccardPairsTouchingLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String, freshDocs: DataFrame, batchIds: DataFrame,
+      k: Int = 2, threshold: Double = 0.5): DataFrame =
+    jaccardPairsTouchingLakeAt(
+      graft.sources.StormSinks.currentVersionDir(spark, dir),
+      freshDocs, batchIds, k, threshold)
+
+  /** [[jaccardPairsTouchingLake]] against an already-RESOLVED version
+    * dir — callers composing several reads of the same index
+    * (incremental clustering) resolve the pointer once for a
+    * consistent snapshot. */
+  private[graft] def jaccardPairsTouchingLakeAt(ver: String,
+      freshDocs: DataFrame, batchIds: DataFrame,
+      k: Int, threshold: Double): DataFrame = {
+    val spark = freshDocs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val dfsL = spark.read.parquet(s"$ver/dfs")
+    val prefixL = spark.read.parquet(s"$ver/prefix")
+    val setsL = spark.read.parquet(s"$ver/sets")
+    val freshSets = graft.Materialize.once(
+      freshDocs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+        .dropDuplicates("doc_id"))
+    val postings = freshSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // the fresh-side rank (the ONLY window in a probe — batch-sized)
+    // feeds both candidate branches below; materialize once so it
+    // runs once and the probe plan itself carries zero windows
+    val freshPrefix = graft.Materialize.once(postings.join(dfsL, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .repartition(parts, col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("s"), col("doc_id"), col("n_sh"), col("rk")))
+    // fresh docs SHADOW the lake on overlap (replayed batch): drop the
+    // lake's rows for fresh ids so prefixes and sets stay one-per-doc
+    val lakeOnlyPrefix = prefixL.select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+      .join(broadcast(freshSets.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val allPrefix = lakeOnlyPrefix.unionByName(freshPrefix)
+    val a = allPrefix.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("s"), col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"), col("rk").as("rk_a"))
+    val b = allPrefix.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    val cand = prefixCandidates(a, b, threshold, parts)
+    val setsAll = setsL.select(col("doc_id"), col("sh"))
+      .join(broadcast(freshSets.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .unionByName(freshSets)
+    verifyJaccard(cand,
+      setsAll.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+      setsAll.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), threshold)
   }
 
   /** Incremental cluster maintenance — the per-ingest complement of
@@ -622,18 +769,60 @@ object Dedup {
     val union = corpusOnly.unionByName(batch)
     val newPairs = jaccardPairsTouching(union,
       batch.select(col("doc_id")), k, threshold)
-    // contract corpus endpoints to their published labels (a corpus
-    // doc the publisher never labeled — no prior edges — is its own
-    // label); batch endpoints stay themselves. The contraction map is
-    // RESTRICTED to corpus-side ids: on a replayed batch the published
-    // labels already carry entries for the batch docs, and contracting
-    // a batch endpoint to its committed label would make the quotient
-    // run over labels while batchSide below looks nodes up by raw
-    // doc_id — the replay would silently relabel merged batch docs to
-    // themselves. With the restriction, a replay reproduces the
-    // committed labels exactly (min-labels compose, see above).
+    quotientMerge(newPairs, corpusOnly.select(col("doc_id")), corpusLabels,
+      batch.select(col("doc_id")))
+  }
+
+  /** [[incrementalClusters]] probing a [[publishJaccardLake]] prefix
+    * index instead of ranking the union in-session — the per-ingest
+    * shape with NO corpus-sized aggregation or window at all: pairs
+    * from [[jaccardPairsTouchingLake]] (batch-sized rank + columnar
+    * index scans), then the same quotient-CC label merge. `priorFresh`
+    * = docs ingested since the index was last published, EXCLUDING
+    * this batch (empty right after a republish); they are part of the
+    * corpus for labeling but missing from the index, so the probe
+    * ranks them alongside the batch. Output is row-identical to
+    * [[incrementalClusters]] over (indexed ∪ priorFresh, labels,
+    * batch) — DedupSpec pins it, and the dedup_cluster_lake oracle
+    * proves the whole composition equals a from-scratch CC. */
+  def incrementalClustersLake(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpusLabels: DataFrame, priorFresh: DataFrame,
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    // one pointer resolution = one consistent index snapshot
+    val ver = graft.sources.StormSinks.currentVersionDir(spark, indexDir)
+    val batch = graft.Materialize.once(
+      batchDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    val bIds = batch.select(col("doc_id"))
+    val prior = priorFresh.select(col("doc_id"), col("text"))
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+    val fresh = prior.unionByName(batch)
+    val pairs = jaccardPairsTouchingLakeAt(ver, fresh, bIds, k, threshold)
+    // corpus side for labeling = indexed docs + prior fresh (batch
+    // anti-joined for replay safety — a re-delivered batch may already
+    // sit in a republished index)
+    val corpusIds = spark.read.parquet(s"$ver/sets").select(col("doc_id"))
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+      .unionByName(prior.select(col("doc_id")))
+    quotientMerge(pairs, corpusIds, corpusLabels, bIds)
+  }
+
+  /** The label-merge core shared by [[incrementalClusters]] and
+    * [[incrementalClustersLake]]: contract corpus endpoints of the
+    * batch-touching pairs to their published labels (a corpus doc the
+    * publisher never labeled — no prior edges — is its own label;
+    * batch endpoints stay themselves), run CC on the batch-sized
+    * quotient graph, and remap every corpus + batch doc. The
+    * contraction map is RESTRICTED to corpus-side ids: on a replayed
+    * batch the published labels already carry entries for the batch
+    * docs, and contracting a batch endpoint to its committed label
+    * would make the quotient run over labels while the batch side
+    * looks nodes up by raw doc_id — the replay would silently relabel
+    * merged batch docs to themselves. With the restriction, a replay
+    * reproduces the committed labels exactly (min-labels compose). */
+  private def quotientMerge(newPairs: DataFrame, corpusIds: DataFrame,
+      corpusLabels: DataFrame, batchIds: DataFrame): DataFrame = {
     val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
-      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val e = newPairs
       .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
         Seq("doc_a"), "left")
@@ -644,12 +833,12 @@ object Dedup {
       .where(col("doc_a") =!= col("doc_b"))
     val quotient = clusters(e) // (doc_id = node, cluster_id) — tiny graph
     val q = quotient.select(col("doc_id").as("node"), col("cluster_id").as("qlab"))
-    val corpusSide = corpusOnly.select(col("doc_id"))
+    val corpusSide = corpusIds
       .join(lbl, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("lab0"))
       .join(q.withColumnRenamed("node", "lab0"), Seq("lab0"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("lab0")).as("cluster_id"))
-    val batchSide = batch.select(col("doc_id"))
+    val batchSide = batchIds
       .join(q.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
     corpusSide.unionByName(batchSide)

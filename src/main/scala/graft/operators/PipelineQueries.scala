@@ -406,6 +406,36 @@ object PipelineQueries {
           doc.where(col("doc_id") >= cut), k = 3, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // 123b: LAKE-INDEXED incremental cluster maintenance — the
+    // 100 TB deployment shape of dedup_cluster_inc: the corpus-sized
+    // posting/df rank runs once at publish time (publishJaccardLake's
+    // atomic dfs/prefix/sets group), and the per-ingest probe ranks
+    // only the fresh docs under the index's frozen shingle order.
+    // Exercises the full maintenance chain: full CC on the indexed
+    // 60%, an in-session incremental merge of the next 10% (docs
+    // ingested since publish), then the LAKE probe merges the final
+    // 30% — and the ORACLE still recomputes connected components over
+    // the full union from scratch, so the hash proves frozen-order
+    // prefix probing + quotient composition == ground truth.
+    "dedup_cluster_lake" -> ((s, d) => {
+      val doc = docs(s, d)
+      val n = docCount(s, d)
+      val cut1 = math.floor(n * 0.6).toLong
+      val cut2 = math.floor(n * 0.7).toLong
+      val indexed = doc.where(col("doc_id") < cut1)
+      val prior = doc.where(col("doc_id") >= cut1 && col("doc_id") < cut2)
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-jaccard-lake").toString
+      Dedup.publishJaccardLake(indexed, lake, k = 3, threshold = 0.5)
+      val labels0 = Dedup.clusters(Dedup.jaccardPairs(indexed, k = 3, threshold = 0.5))
+      // the maintained label table feeds three consumer branches of
+      // the next merge (contraction a/b + corpus remap) — materialize
+      val labels1 = graft.Materialize.once(
+        Dedup.incrementalClusters(indexed, labels0, prior, k = 3, threshold = 0.5))
+      Dedup.incrementalClustersLake(s, lake, labels1, prior,
+          doc.where(col("doc_id") >= cut2), k = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
     // 125: corpus drift detection — Population Stability Index between
     // the published corpus (first 70% of doc_ids, the
     // dedup_cluster_inc convention) and the newly-ingested rest, per
@@ -2392,6 +2422,28 @@ object PipelineQueries {
     // left join) — hashing it against the Spark side's incremental
     // quotient-graph computation verifies the incremental algebra
     "dedup_cluster_inc" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN clu USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // 123b: identical from-scratch recompute — the lake-indexed probe
+    // must land on the same labels as ground-truth CC over the union
+    "dedup_cluster_lake" ->
       s"""WITH RECURSIVE $SH3, jp AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b

@@ -250,4 +250,49 @@ class DedupSpec extends SparkSpec {
       s"bridge merge failed: $inc")
     assert(inc(40) == 40 && inc(20) == 20)
   }
+
+  test("lake-indexed probe: pairs and labels identical to in-session, batch-sized rank only") {
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val indexed = all.where(col("doc_id") < 300)
+    val prior = all.where(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch = all.where(col("doc_id") >= 400)
+    val lake = java.nio.file.Files.createTempDirectory("graft-jlake").toString
+    Dedup.publishJaccardLake(indexed, lake, k = 3, threshold = 0.5)
+    val bIds = batch.select(col("doc_id"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // pairs: frozen-order lake probe == in-session union rank (both
+    // are lossless prefix filters ahead of the same exact verify)
+    val inSession = pairSet(Dedup.jaccardPairsTouching(all, bIds, 3, 0.5))
+    val fresh = prior.unionByName(batch)
+    val probe = Dedup.jaccardPairsTouchingLake(spark, lake, fresh, bIds, 3, 0.5)
+    assert(pairSet(probe) == inSession, "lake probe pairs differ from in-session")
+    assert(inSession.nonEmpty, "fixture vacuous: no batch-touching pairs")
+    // the corpus-sized rank stage is ABSENT from the per-ingest plan:
+    // the fresh-side rank is materialized once (batch-sized, eager),
+    // so the probe plan itself carries ZERO windows — vs the
+    // in-session form, which windows over the full union's postings
+    val plan = Dedup.jaccardPairsTouchingLake(spark, lake, fresh, bIds, 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).isEmpty,
+      s"probe plan must not rank the corpus:\n$plan")
+    assert(plan.toLowerCase.contains("parquet"),
+      "probe must read the published columnar index")
+    // labels: the lake merge == the in-session merge over the same state
+    val labels0 = Dedup.clusters(Dedup.jaccardPairs(indexed, k = 3, threshold = 0.5))
+    val labels1 = graft.Materialize.once(
+      Dedup.incrementalClusters(indexed, labels0, prior, k = 3, threshold = 0.5))
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLake = labelMap(
+      Dedup.incrementalClustersLake(spark, lake, labels1, prior, batch,
+        k = 3, threshold = 0.5))
+    val viaSession = labelMap(
+      Dedup.incrementalClusters(indexed.unionByName(prior), labels1, batch,
+        k = 3, threshold = 0.5))
+    assert(viaLake == viaSession, "lake-indexed labels differ from in-session")
+    assert(viaLake.size == all.count(), "label table must cover every doc")
+  }
 }
