@@ -105,6 +105,115 @@ object PipelineQueries {
         round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i"))
   }
 
+  /** Iterative BPE merge trainer (#89b): `rounds` deterministic merge
+    * rounds over the frequency-weighted vocabulary — the actual
+    * tokenizer-training loop text_bpe's one-shot pair count points at.
+    * Each round counts adjacent symbol pairs across the vocabulary
+    * (weighted by corpus token frequency, overlapping positions
+    * included — the standard zip(word, word[1:]) count), merges the
+    * best pair (max weight, ties to the lexicographically LOWEST
+    * (l, r) — pinned so an independent engine lands on the same merge
+    * chain), and rewrites every vocabulary word.
+    *
+    * Engine-replayable representation: each word's symbol sequence is
+    * ONE string with every symbol INDIVIDUALLY wrapped in single
+    * spaces (" a  b " = "␣a␣"+"␣b␣"), legal because whitespace
+    * tokenization guarantees space-free symbols. The merge is then
+    * literal `replace(w, ' l  r ', ' lr ')`: leftmost-non-overlapping
+    * replacement IS greedy left-to-right BPE merging — the per-symbol
+    * wrap anchors boundaries ("␣a␣" can never match inside "␣ab␣")
+    * AND survives the match, so a·a·a·a merges positions 1 and 3 into
+    * [aa][aa] exactly like the sequential scan (a shared two-space
+    * separator would be CONSUMED by the first match and silently
+    * break the chained merge — CurationSpec's overlap fixture pins
+    * this), and both engines' replace share that semantic.
+    *
+    * Scale shape: the corpus is touched ONCE (the token frequency
+    * aggregate); every round after that is vocabulary-sized — a pair
+    * explode (|vocab|·avg_len rows), one partial-agg shuffle, a
+    * 1-row top-k, and a broadcast-rewrite. Both the per-round best
+    * row and the rewritten vocabulary are materialized (the iterative
+    * trainer rule — plans stay constant-depth in rounds; the previous
+    * round's blocks are freed). Output: (step, l, r, wt) — the merge
+    * table, the artifact a tokenizer trainer ships. */
+  private[graft] def bpeTrainOf(doc: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val toks = doc.select(explode(Text.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("f"))
+    var vocab = graft.Materialize.once(freq.select(col("f"),
+      array_join(expr(
+        "transform(sequence(1, length(token)), " +
+          "i -> concat(' ', substring(token, i, 1), ' '))"), "").as("w")))
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = 1
+    while (r <= rounds) {
+      val sy = vocab.select(col("f"),
+        expr("filter(split(trim(w), '  '), x -> x <> '')").as("sy"))
+        .where(size(col("sy")) >= 2)
+      val pw = sy.select(col("f"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("wt"))
+      val best = graft.Materialize.once(
+        pw.orderBy(col("wt").desc, col("l"), col("r")).limit(1)
+          .select(lit(r).as("step"), col("l"), col("r"), col("wt")))
+      merges += best
+      val next = graft.Materialize.once(
+        vocab.crossJoin(broadcast(best.select(col("l"), col("r"))))
+          .select(col("f"), expr(
+            "replace(w, concat(' ', l, '  ', r, ' '), " +
+              "concat(' ', l, r, ' '))").as("w")))
+      graft.Materialize.free(vocab)
+      vocab = next
+      r += 1
+    }
+    graft.Materialize.free(vocab)
+    merges.reduce(_ unionByName _)
+  }
+
+  /** Keep-one exact-substring removal (#94b): each cross-document-
+    * duplicated 8-token window's content survives in exactly ONE
+    * deterministically elected occurrence — the global min
+    * (doc_id, p), an argmin the window-df aggregate already pays
+    * for — and is cut everywhere else. Election beats cut on
+    * overlap: a token covered by a canonical occurrence is KEPT even
+    * when another duplicated window also covers it, so the elected
+    * copy survives intact instead of being shredded by overlapping
+    * non-canonical windows (CurationSpec pins both properties).
+    * Scale shape = #94's: instance ngrams, one vocabulary-sized df +
+    * election aggregate, per-doc marks as two position lists, the
+    * edit a narrow HOF map with zero extra shuffle. */
+  private[graft] def dupcutKeepOneOf(doc: DataFrame): DataFrame = {
+    val tokd = doc
+      .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
+    val inst = tokd.select(col("doc_id"),
+      posexplode(Text.ngramsOf(col("tk"), 8)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    val stats = inst.groupBy(col("w")).agg(
+      countDistinct(col("doc_id")).as("nd"),
+      min(struct(col("doc_id"), col("p"))).as("canon"))
+    val dupInst = inst.join(stats.where(col("nd") >= 2), "w")
+    val isCanon = col("canon.doc_id") === col("doc_id") &&
+      col("canon.p") === col("p")
+    val marks = dupInst.groupBy(col("doc_id")).agg(
+      sort_array(collect_set(when(isCanon, col("p")))).as("kps"),
+      sort_array(collect_set(when(!isCanon, col("p")))).as("cps"))
+    val joined = tokd.join(marks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("kps"), array().cast("array<int>")).as("kps"),
+        coalesce(col("cps"), array().cast("array<int>")).as("cps"))
+    val staged = joined.select(col("doc_id"), col("tk"),
+      filter(col("tk"), (_, i0) =>
+        exists(col("kps"), q => q <= i0 + 1 && i0 + 1 <= q + 7) ||
+          !exists(col("cps"), q => q <= i0 + 1 && i0 + 1 <= q + 7)).as("kept"))
+    staged.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"),
+      sha2(array_join(col("kept"), " "), 256).as("kept_sha"))
+  }
+
   /** The sparse-retrieval serving probe over a BM25 weight index
     * ([[bm25WeightsOf]] or its lake re-read): 10 deterministic query
     * vectors (docs ≤ 10's top-3 terms, from the index itself) retrieve
@@ -942,6 +1051,15 @@ object PipelineQueries {
       pairs.groupBy(col("pair")).agg(sum(col("f")).as("w"))
         .orderBy(col("w").desc, col("pair")).limit(20)
     }),
+    // 89b: the ITERATIVE BPE merge trainer — 8 deterministic merge
+    // rounds over the vocabulary (corpus touched once for token
+    // frequencies; each round is vocabulary-sized pair-count → best
+    // merge (ties to lowest (l,r)) → rewrite). The oracle replays all
+    // 8 rounds through a chained-CTE cascade, so the hash proves the
+    // whole merge chain — the separator-string replace trick makes
+    // both engines' greedy left-to-right merge bit-identical.
+    "text_bpe_train" -> ((s, d) =>
+      bpeTrainOf(docs(s, d), rounds = 8).orderBy(col("step"))),
     // 92: span-corruption masking (T5/UL2 denoising-objective prep):
     // deterministically select non-overlapping 3-token spans and
     // collapse each to a sentinel. Spans live inside fixed 8-token
@@ -1033,6 +1151,24 @@ object PipelineQueries {
         sha2(array_join(col("kept"), " "), 256).as("kept_sha"))
         .orderBy(col("doc_id"))
     }),
+    // 94b: KEEP-ONE exact-substring removal — the global
+    // canonical-occurrence election #94 documents as the missing
+    // variant: each cross-document-duplicated 8-token window's
+    // content survives in exactly ONE deterministically elected
+    // occurrence (the global min (doc_id, p) — an argmin the window
+    // df aggregate already pays for), and is cut everywhere else.
+    // Election beats cut on overlap: a token covered by a canonical
+    // occurrence is KEPT even if another duplicated window also
+    // covers it — that is what makes the elected copy survive intact
+    // (the "keep-one" contract) instead of being shredded by
+    // overlapping non-canonical windows. Same instance-ngram +
+    // vocabulary-df machinery; the ownership election is one extra
+    // min(struct) in the same aggregate, per-doc marks are two
+    // position lists, the edit stays a narrow HOF map. The oracle
+    // re-elects every canonical occurrence and rebuilds every edited
+    // document.
+    "text_dupcut_keepone" -> ((s, d) =>
+      dupcutKeepOneOf(docs(s, d)).orderBy(col("doc_id"))),
     // 111: Gopher-rules composite quality filter — the per-rule audit
     // view of the Gopher paper's heuristics (length band, mean token
     // length band, alphabetic-token fraction, minimum stopword mass,
@@ -3003,6 +3139,52 @@ object PipelineQueries {
          |  -- array_to_string([]) is NULL in DuckDB but '' in Spark
          |  sha256(coalesce(array_to_string(kept, ' '), '')) AS kept_sha
          |FROM k ORDER BY doc_id""".stripMargin,
+    // 94b: same window machinery + the canonical election replayed as
+    // a row_number over (doc_id, p) per window (== min(struct));
+    // election beats cut on overlapping windows
+    "text_dupcut_keepone" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+         |  FROM documents
+         |), inst AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(w) >= 8 THEN range(1, len(w) - 6)
+         |      ELSE [] END) AS p,
+         |    unnest(CASE WHEN len(w) >= 8
+         |      THEN list_transform(range(1, len(w) - 6),
+         |        i -> array_to_string(list_slice(w, i, i + 7), ' '))
+         |      ELSE [] END) AS s
+         |  FROM tk
+         |), dupw AS (
+         |  SELECT s FROM inst GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+         |), di AS (
+         |  SELECT inst.doc_id, inst.p,
+         |    row_number() OVER (PARTITION BY inst.s
+         |      ORDER BY inst.doc_id, inst.p) AS rk
+         |  FROM inst JOIN dupw USING (s)
+         |), marks AS (
+         |  SELECT doc_id,
+         |    list(p ORDER BY p) FILTER (WHERE rk = 1) AS kps,
+         |    list(p ORDER BY p) FILTER (WHERE rk > 1) AS cps
+         |  FROM di GROUP BY doc_id
+         |), j AS (
+         |  SELECT tk.doc_id, tk.w,
+         |    coalesce(m.kps, []) AS kps, coalesce(m.cps, []) AS cps
+         |  FROM tk LEFT JOIN marks m ON tk.doc_id = m.doc_id
+         |), k AS (
+         |  SELECT doc_id, w,
+         |    list_transform(
+         |      list_filter(range(1, len(w) + 1),
+         |        i -> len(list_filter(kps, q -> q <= i AND i <= q + 7)) > 0
+         |          OR len(list_filter(cps, q -> q <= i AND i <= q + 7)) = 0),
+         |      i -> w[CAST(i AS INT)]) AS kept
+         |  FROM j
+         |)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_cut,
+         |  sha256(coalesce(array_to_string(kept, ' '), '')) AS kept_sha
+         |FROM k ORDER BY doc_id""".stripMargin,
     // 62: same add-one-smoothed ln P(w2|w1), decimal-stabilized mean
     "text_lmscore" ->
       s"""WITH $LM_CTES
@@ -3324,6 +3506,45 @@ object PipelineQueries {
          |)
          |SELECT pair, CAST(sum(f) AS BIGINT) AS w FROM pairs
          |GROUP BY pair ORDER BY w DESC, pair LIMIT 20""".stripMargin,
+    // 89b: full replay of the 8-round merge chain — chained CTEs (one
+    // pairs/best/sym triple per round; recursive CTEs cannot aggregate
+    // over the recursive table), same separator-string replace
+    "text_bpe_train" -> {
+      val rounds = 8
+      val init =
+        s"""WITH t AS (
+           |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+           |), freq AS (
+           |  SELECT token, count(*) AS f FROM t WHERE token <> '' GROUP BY 1
+           |), sym0 AS (
+           |  SELECT f, list_aggregate(list_transform(range(1, length(token) + 1),
+           |      i -> ' ' || substring(token, CAST(i AS INT), 1) || ' '),
+           |    'string_agg', '') AS w
+           |  FROM freq
+           |)""".stripMargin
+      val roundCtes = (1 to rounds).map { i =>
+        s""", pairs$i AS (
+           |  SELECT sy[CAST(i AS INT)] AS l, sy[CAST(i + 1 AS INT)] AS r, sum(f) AS wt
+           |  FROM (
+           |    SELECT f, sy, unnest(range(1, len(sy))) AS i FROM (
+           |      SELECT f, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy FROM sym${i - 1}
+           |    ) WHERE len(sy) >= 2
+           |  ) GROUP BY 1, 2
+           |), best$i AS (
+           |  SELECT CAST($i AS INT) AS step, l, r, wt FROM pairs$i
+           |  ORDER BY wt DESC, l, r LIMIT 1
+           |), sym$i AS (
+           |  SELECT f, replace(w, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS w
+           |  FROM sym${i - 1}, best$i b
+           |)""".stripMargin
+      }.mkString
+      val unions = (1 to rounds)
+        .map(i => s"SELECT step, l, r, wt FROM best$i").mkString(" UNION ALL ")
+      s"""$init$roundCtes
+         |SELECT step, l, r, CAST(wt AS BIGINT) AS wt
+         |FROM ($unions) ORDER BY step""".stripMargin
+    },
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix

@@ -194,4 +194,49 @@ class CurationSpec extends SparkSpec {
     }
     assert(out.map(_._5).exists(_ != 0L), "all PSI terms zero - vacuous")
   }
+
+  test("BPE trainer: greedy left-to-right merges, overlap runs, lowest-pair ties") {
+    // adversarial fixture: "aaaa"/"aaa" exercise overlapping (a,a)
+    // runs (greedy merges positions 1,3,... like the sequential scan:
+    // aaa -> [aa][a], NOT [a][aa]), and rounds 2-4 are all weight-1
+    // ties resolved by the lexicographically lowest (l, r)
+    val doc = Seq((0L, "aaaa aaa ab")).toDF("doc_id", "text")
+    val got = PipelineQueries.bpeTrainOf(doc, rounds = 4)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 5L),   // aaaa contributes 3 overlapping pairs, aaa 2
+      (2, "a", "b", 1L),   // tie at 1: ("a","b") < ("aa","a") < ("aa","aa")
+      (3, "aa", "a", 1L),  // aaa became [aa][a] (greedy), not [a][aa]
+      (4, "aa", "aa", 1L)  // aaaa became [aa][aa]
+    ), s"merge chain mismatch: ${got.toSeq}")
+    // determinism: an independent run reproduces the chain exactly
+    val again = PipelineQueries.bpeTrainOf(doc.repartition(3), rounds = 4)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("keep-one dupcut: elected copy survives intact, every other occurrence cut") {
+    val shared = "a b c d e f g h" // one duplicated 8-token window
+    val doc = Seq(
+      (0L, shared + " x0 y0 z0"), // canonical owner (lowest doc_id)
+      (1L, "q0 " + shared),       // loses its copy
+      (2L, shared + " x0 y0 z0")  // full copy of doc 0: every window non-canonical
+    ).toDF("doc_id", "text")
+    val got = PipelineQueries.dupcutKeepOneOf(doc).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    def sha(s: String) =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 0 owns every one of its windows (docs 0/2 identical → all 4
+    // window elections land on doc 0): nothing cut, even though its
+    // tokens are ALSO covered by duplicated windows — election beats
+    // cut. doc 1 keeps only its unique prefix token. doc 2 is fully cut.
+    assert(got == Seq(
+      (0L, 11L, 0L, sha(shared + " x0 y0 z0")),
+      (1L, 9L, 8L, sha("q0")),
+      (2L, 11L, 11L, sha(""))), s"got $got")
+    // contrast: the cut-all variant would shred doc 0's shared span too
+  }
 }
