@@ -312,10 +312,18 @@ object Knn {
             .cast("long").as("sim_i")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("rel_i").desc, col("vec_id"))
-    var selected = cands
+    // each step's pick (ONE row per query) is materialized: step t's
+    // plan otherwise references selected_{t-1} twice (directly in the
+    // union and inside the pick's anti-join), doubling plan size per
+    // step — O(2^k) re-execution of earlier steps' windows/joins when
+    // the final frame runs. Harmless at k=5, catastrophic at k=50;
+    // with per-step materialization the greedy trajectory is linear
+    // in k and every step reads only the materialized cands/pairs/
+    // picks (KnnSpec pins the flat plan and the k=50 bound).
+    var selected = graft.Materialize.once(cands
       .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
       .select(col("query_id"), col("vec_id"),
-        (col("rel_i") * 7).as("mmr10_i"), lit(1).as("rk"))
+        (col("rel_i") * 7).as("mmr10_i"), lit(1).as("rk")))
     var t = 2
     while (t <= k) {
       val sel = selected.select(col("query_id"), col("vec_id"))
@@ -333,7 +341,9 @@ object Knn {
             .as("mmr10_i"))
         .withColumn("rn", row_number().over(wt)).where(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("mmr10_i"), lit(t).as("rk"))
-      selected = selected.unionByName(pick)
+      val next = graft.Materialize.once(selected.unionByName(pick))
+      graft.Materialize.free(selected)
+      selected = next
       t += 1
     }
     selected.orderBy(col("query_id"), col("rk"))

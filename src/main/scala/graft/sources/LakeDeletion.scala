@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted deletion (GDPR / takedown) from the versioned lakes and
+  * every published index that cites the deleted documents — the
+  * maintenance operation every production corpus pipeline needs, made
+  * cheap by the versioned-pointer layout: each delete writes a NEW
+  * immutable version and swaps one pointer, so 24/7 readers never see
+  * a gap (they finish against the version they resolved; the old
+  * version survives until [[StormSinks.vacuumVersions]]).
+  *
+  * What "delete" means differs per index, and the distinction is the
+  * whole design:
+  *
+  *  - PER-DOC indexes (minhash bands / verify sets, dense embedding
+  *    index): every row cites exactly one doc, so deletion is a pure
+  *    anti-join filter — row-identical to rebuilding the index from
+  *    the remaining corpus, at a fraction of the cost.
+  *  - GLOBAL-STAT indexes (BM25 weights: idf and avgdl are corpus
+  *    aggregates): filtering rows would leave every REMAINING doc's
+  *    weights stale, silently diverging from a rebuild — so the BM25
+  *    table recomputes from the post-delete corpus. (The Jaccard
+  *    prefix index is the same class — its df order must re-freeze —
+  *    so its delete path is simply `Dedup.publishJaccardLake` over
+  *    the remaining docs.)
+  *  - STRUCTURAL indexes (near-dup cluster labels): deleting a doc
+  *    can SPLIT a component it bridged, which no label filter can
+  *    express. [[deleteFromClusterLake]] repairs it with a TARGETED
+  *    recompute: connected components re-run only over the surviving
+  *    members of clusters that lost a member — unaffected clusters
+  *    keep their labels untouched. This equals a full rebuild exactly
+  *    (proof in the method doc), at affected-cluster cost instead of
+  *    corpus cost.
+  */
+object LakeDeletion {
+
+  private def ids(del: DataFrame): DataFrame =
+    del.select(col("doc_id")).dropDuplicates("doc_id")
+
+  /** Delete from a [[graft.operators.Dedup.publishMinhashLake]] split
+    * index: anti-join both tables, republish each as a new version.
+    * Bands republish FIRST: with new bands + old sets a deleted doc
+    * can no longer become a candidate (its band rows are gone) and
+    * the stale sets rows are unreachable; the reverse order would be
+    * equally safe (candidates inner-join sets), but this order never
+    * even generates the candidate. Row-identical to
+    * `publishMinhashLake(remaining)` because every row cites one doc
+    * (DeletionSpec pins probe-identity). */
+  def deleteFromMinhashLake(spark: SparkSession, dir: String,
+      deleteIds: DataFrame): Unit = {
+    val del = graft.Materialize.once(ids(deleteIds))
+    try {
+      val bands = StormSinks.readVersioned(spark, s"$dir/bands")
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+      StormSinks.writeVersionedTable(bands, s"$dir/bands", Seq("band"))
+      val sets = StormSinks.readVersioned(spark, s"$dir/sets")
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+      StormSinks.writeVersionedTable(sets, s"$dir/sets")
+      ()
+    } finally graft.Materialize.free(del)
+  }
+
+  /** Delete from a [[graft.streaming.CorpusStream.publishRetrievalLake]]:
+    * the dense index filters (per-row), but the BM25 weights
+    * RECOMPUTE from the remaining corpus — idf and avgdl are corpus
+    * aggregates, so a filtered table would keep every remaining doc's
+    * stale weights (the silent-divergence failure mode a
+    * rebuild-equality spec catches immediately). `remainingDocs` is
+    * the post-delete corpus (the caller owns the docs lake — pass its
+    * post-delete read). */
+  def deleteFromRetrievalLake(spark: SparkSession, dir: String,
+      remainingDocs: DataFrame, deleteIds: DataFrame): Unit = {
+    val del = graft.Materialize.once(ids(deleteIds))
+    try {
+      StormSinks.writeVersionedTable(
+        graft.operators.PipelineQueries.bm25WeightsOf(
+          remainingDocs.select(col("doc_id"), col("text"))), s"$dir/bm25")
+      val dense = StormSinks.readVersioned(spark, s"$dir/dense")
+        .join(broadcast(del.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+      StormSinks.writeVersionedTable(dense, s"$dir/dense")
+      ()
+    } finally graft.Materialize.free(del)
+  }
+
+  /** Delete from a [[graft.streaming.CorpusStream.publishClusterLake]]
+    * group: docs anti-join, labels repaired by TARGETED connected
+    * components, both committed as ONE new group version (readers and
+    * replays never see deleted docs with undead labels or vice
+    * versa).
+    *
+    * Why the repair equals a full rebuild: a direct J ≥ t pair
+    * between two docs always merged them into one component, so no
+    * pair ever crosses two distinct published clusters — deleting
+    * docs therefore cannot affect any component that kept all its
+    * members. Components of the post-delete graph are exactly (a) the
+    * untouched clusters, labels unchanged (their min member id
+    * survives — no member left), plus (b) the components of the
+    * subgraph induced on SURVIVING members of clusters that lost a
+    * member — recomputed here by re-running the exact pair join +
+    * min-label CC on those members only (the bridge-doc case: a
+    * cluster whose connector is deleted SPLITS back, which no label
+    * filter can express). Affected-cluster-sized work, never
+    * corpus-sized. DeletionSpec pins label-identity to
+    * `clusters(jaccardPairs(remaining))` including a bridge-split
+    * fixture. */
+  def deleteFromClusterLake(spark: SparkSession, dir: String,
+      deleteIds: DataFrame, k: Int = 3, threshold: Double = 0.5): Unit = {
+    // one pointer resolution = one consistent (docs, labels) snapshot
+    val ver = StormSinks.currentVersionDir(spark, dir)
+    val docs0 = spark.read.parquet(s"$ver/docs")
+    val labels0 = spark.read.parquet(s"$ver/labels")
+    val del = graft.Materialize.once(ids(deleteIds))
+    try {
+      val docs1 = docs0.join(broadcast(del), Seq("doc_id"), "left_anti")
+      // clusters that lost >= 1 member (a deleted doc with no label row
+      // was a singleton — nothing to repair)
+      val affected = graft.Materialize.once(
+        labels0.join(broadcast(del), Seq("doc_id"), "left_semi")
+          .select(col("cluster_id")).dropDuplicates("cluster_id"))
+      val affectedDocs = labels0
+        .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"))
+      val members = docs1.join(affectedDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      val repaired = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.jaccardPairs(members, k, threshold))
+      val keep = labels0
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "docs" -> docs1,
+        "labels" -> keep.unionByName(
+          repaired.select(col("doc_id"), col("cluster_id")))))
+      graft.Materialize.free(affected)
+      ()
+    } finally graft.Materialize.free(del)
+  }
+}

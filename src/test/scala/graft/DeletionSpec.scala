@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.{LakeDeletion, StormSinks, Tables}
+import graft.streaming.CorpusStream
+
+/** Targeted deletion with index republish: post-delete probes must
+  * equal a rebuild-from-scratch for every index class (per-doc
+  * filter, global-stat recompute, structural CC repair), and the
+  * pointer protocol must keep old versions for in-flight readers. */
+class DeletionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash lake delete: probe identical to a rebuilt index, deleted ids gone") {
+    val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = doc.where($"doc_id" <= 450)
+    val batch = doc.where($"doc_id" > 450)
+    val del = doc.where($"doc_id" <= 450 && $"doc_id" % 7 === 0).select($"doc_id")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-mh").toString
+    Dedup.publishMinhashLake(corpus, s"$base/lake")
+    LakeDeletion.deleteFromMinhashLake(spark, s"$base/lake", del)
+    Dedup.publishMinhashLake(
+      corpus.join(del, Seq("doc_id"), "left_anti"), s"$base/rebuilt")
+    def probe(dir: String) = Dedup
+      .minhashPairsAgainstLake(batch, dir, threshold = 0.2)
+      .select($"doc_new", $"doc_old", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val afterDelete = probe(s"$base/lake")
+    assert(afterDelete == probe(s"$base/rebuilt"),
+      "deleted-lake probe differs from rebuild-from-scratch")
+    val delSet = del.as[Long].collect().toSet
+    assert(!afterDelete.exists(p => delSet(p._2)), "a deleted doc still matches")
+    // the pre-delete version survives for in-flight readers (vacuum
+    // is a separate, explicit step)
+    assert(new java.io.File(s"$base/lake/bands/v-0").exists,
+      "old version must survive the delete publish")
+  }
+
+  test("retrieval lake delete: BM25 recomputes global stats, dense filters") {
+    val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val embs = Tables.embeddings(spark, sfDir)
+    val del = doc.where($"doc_id" % 9 === 1).select($"doc_id")
+    val remaining = doc.join(del, Seq("doc_id"), "left_anti")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-rt").toString
+    CorpusStream.publishRetrievalLake(doc, embs, s"$base/lake")
+    LakeDeletion.deleteFromRetrievalLake(spark, s"$base/lake", remaining, del)
+    CorpusStream.publishRetrievalLake(remaining,
+      embs.join(del.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_anti"),
+      s"$base/rebuilt")
+    def table(dir: String, name: String) = StormSinks.readVersioned(spark, s"$dir/$name")
+    // BM25: bit-identical to the rebuild — a filtered table would keep
+    // remaining docs' STALE idf/avgdl weights and fail this
+    val a = table(s"$base/lake", "bm25"); val b = table(s"$base/rebuilt", "bm25")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "deleted BM25 index differs from recompute over remaining corpus")
+    // serving probe over the post-delete lake == over the rebuild
+    val queries = doc.where($"doc_id" <= 10)
+    def hits(dir: String) = CorpusStream
+      .hybridProbe(table(dir, "bm25"), table(dir, "dense"), queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hits(s"$base/lake") == hits(s"$base/rebuilt"))
+    val delSet = del.as[Long].collect().toSet
+    assert(table(s"$base/lake", "dense").select($"vec_id").as[Long]
+      .collect().forall(!delSet(_)), "deleted vec_ids survive in dense index")
+  }
+
+  test("cluster lake delete: bridge removal SPLITS the merged cluster (targeted CC repair)") {
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val tb = "omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, ta), (2L, ta + " eta"),
+      (10L, tb), (11L, tb + " phi"),
+      (20L, "completely unrelated content nothing shared here at all"),
+      (30L, ta + " " + tb) // the bridge: near-dup of BOTH anchors
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-cl").toString
+    CorpusStream.publishClusterLake(corpus, s"$base/lake", k = 2, threshold = 0.4)
+    // published state: one merged component labeled 1
+    def labels() = CorpusStream.readClusterLake(spark, s"$base/lake", "labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = labels()
+    assert(before(30) == 1 && before(11) == 1, s"fixture not merged: $before")
+    LakeDeletion.deleteFromClusterLake(spark, s"$base/lake",
+      Seq(30L).toDF("doc_id"), k = 2, threshold = 0.4)
+    val after = labels()
+    // the split no label FILTER can produce: {1,2} and {10,11} again
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"bridge delete did not split: $after")
+    val docsAfter = CorpusStream.readClusterLake(spark, s"$base/lake", "docs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(docsAfter == Set(1L, 2L, 10L, 11L, 20L), "docs table not edited")
+  }
+
+  test("cluster lake delete at sf scale: effective labels equal rebuild-from-scratch") {
+    val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = doc.where($"doc_id" < 300)
+    val del = corpus.where($"doc_id" % 5 === 2).select($"doc_id")
+    val remaining = corpus.join(del, Seq("doc_id"), "left_anti")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-cs").toString
+    CorpusStream.publishClusterLake(corpus, s"$base/lake")
+    LakeDeletion.deleteFromClusterLake(spark, s"$base/lake", del)
+    def effective(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = effective(CorpusStream.readClusterLake(spark, s"$base/lake", "labels"))
+    val truth = effective(
+      Dedup.clusters(Dedup.jaccardPairs(remaining, k = 3, threshold = 0.5)))
+    val ids = remaining.select($"doc_id").as[Long].collect()
+    ids.foreach { id =>
+      assert(got.getOrElse(id, id) == truth.getOrElse(id, id),
+        s"doc $id: deleted-lake=${got.getOrElse(id, id)} rebuild=${truth.getOrElse(id, id)}")
+    }
+    val delSet = del.as[Long].collect().toSet
+    assert(got.keys.forall(!delSet(_)), "deleted docs keep label rows")
+    assert(delSet.nonEmpty && truth.nonEmpty, "fixture vacuous")
+  }
+}

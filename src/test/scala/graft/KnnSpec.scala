@@ -281,4 +281,32 @@ class KnnSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3)) != top5,
       "MMR should reorder at least one query's set on this corpus")
   }
+
+  test("mmrRerank at k=50: flat plan (per-step materialization) and pool-bounded time") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 3)
+    // without per-step materialization the greedy loop's plan DOUBLES
+    // per step (selected_{t-1} appears twice in selected_t) — k=50
+    // would be 2^49 nested re-executions. With it, the final frame is
+    // one sort over the last materialized union: zero joins, zero
+    // windows, plan flat in k.
+    val t0 = System.nanoTime()
+    val out = Knn.mmrRerank(e, q, k = 50, pool = 60)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), "steps not materialized")
+    assert(!plan.contains("Join") && "Window".r.findAllIn(plan).isEmpty,
+      s"final MMR frame should read the materialized trajectory only:\n$plan")
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 3 * 50)
+    // per-query ranks are exactly 1..50, no repeats
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 50))
+      assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == 50)
+    }
+    // generous wall bound: 50 tiny steps over materialized pools — a
+    // re-execution blowup would be hours, not seconds
+    assert(secs < 120, f"k=50 MMR took $secs%.1fs — step re-execution came back?")
+  }
 }
