@@ -123,7 +123,12 @@ object ScaleCheck {
       // round-9 second-half keys: incremental cluster maintenance
       // (the batch-bounded pair-probe claim), MMR (pool-bounded after
       // the ANN stage), IVF-PQ (auto cells + codebook training)
-      "dedup_cluster_inc", "knn_mmr", "knn_ivfpq")
+      "dedup_cluster_inc", "knn_mmr", "knn_ivfpq",
+      // round-10 keys: lake-indexed cluster maintenance (probe ranks
+      // the fresh side only — the corpus-rank absence claim), the
+      // 8-round BPE trainer (vocabulary-sized rounds), keep-one
+      // dupcut (election folded into the df aggregate)
+      "dedup_cluster_lake", "text_bpe_train", "text_dupcut_keepone")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames
