@@ -151,24 +151,35 @@ object Dedup {
     * carries the O(document) shingle sets, so persisting it whole
     * makes the PROBE side pay document-sized reads):
     *
-    *   `$dir/bands` — (doc_id, band, bucket), ~bands × 70 bytes/doc
-    *                  REGARDLESS of document size; the only table the
-    *                  candidate join reads, partitioned by band.
-    *   `$dir/sets`  — (doc_id, sh), the exact-verify sets; only
-    *                  candidate doc_ids' rows ever flow past its scan.
+    *   `bands` — (doc_id, band, bucket), ~bands × 70 bytes/doc
+    *             REGARDLESS of document size; the only table the
+    *             candidate join reads, partitioned by band.
+    *   `sets`  — (doc_id, sh), the exact-verify sets; only
+    *             candidate doc_ids' rows ever flow past its scan.
     *
-    * Both via [[graft.sources.StormSinks.writeVersionedTable]]
-    * (immutable v-N + atomic pointer), so a republish never races a
-    * running probe. Probe with [[minhashPairsAgainstLake]] (same
-    * k/bands/rowsPerBand). */
+    * Both tables commit as ONE
+    * [[graft.sources.StormSinks.writeVersionedGroup]] version under a
+    * single `$dir/_current` pointer: they are an invariant pair (a
+    * band row's candidate must find its verify set in the SAME
+    * snapshot), and the per-table layout this replaces could expose
+    * bands of version N with sets of version N−1 to a probe racing a
+    * republish — or strand exactly that half-commit on a publisher
+    * crash. A republish never races a running probe (readers resolve
+    * the pointer once, old versions survive until vacuum). Probe with
+    * [[minhashPairsAgainstLake]] (same k/bands/rowsPerBand).
+    * `extraTables` join the same atomic version — e.g. the
+    * fingerprint set [[graft.streaming.CorpusStream.publishDedupLake]]
+    * ships alongside. */
   def publishMinhashLake(corpus: DataFrame, dir: String, k: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+      bands: Int = 8, rowsPerBand: Int = 4,
+      extraTables: Seq[(String, DataFrame)] = Nil): Unit = {
     val idx = minhashIndex(corpus, k, bands, rowsPerBand)
     try {
-      graft.sources.StormSinks.writeVersionedTable(
-        bandedOf(idx, bands, rowsPerBand), s"$dir/bands", Seq("band"))
-      graft.sources.StormSinks.writeVersionedTable(
-        idx.select(col("doc_id"), col("sh")), s"$dir/sets")
+      graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, dir,
+        Seq("bands" -> bandedOf(idx, bands, rowsPerBand),
+          "sets" -> idx.select(col("doc_id"), col("sh"))) ++ extraTables,
+        partitionCols = Map("bands" -> Seq("band")))
+      ()
     } finally graft.Materialize.free(idx)
   }
 
@@ -188,15 +199,26 @@ object Dedup {
   /** [[minhashPairsAgainstLake]] with a pre-built batch-side
     * [[minhashIndex]], so a long-lived caller (streaming
     * foreachBatch) can free the batch index after each action. The
-    * lake's `_current` pointer resolves per CALL: a caller creating
-    * this frame per micro-batch follows corpus-index republishes
-    * without a restart. */
+    * lake's single group `_current` pointer resolves ONCE per call —
+    * bands and verify sets always come from the same snapshot (the
+    * per-table layout could serve a probe racing a republish bands
+    * and sets from different versions) — and per CALL, so a caller
+    * creating this frame per micro-batch follows corpus-index
+    * republishes without a restart. */
   def minhashPairsLakeVsIndex(dir: String, batchIndex: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsLakeVsIndexAt(
+      graft.sources.StormSinks.currentVersionDir(batchIndex.sparkSession, dir),
+      batchIndex, bands, rowsPerBand, threshold)
+
+  /** [[minhashPairsLakeVsIndex]] against an already-RESOLVED group
+    * version dir (callers composing several reads of one snapshot). */
+  private[graft] def minhashPairsLakeVsIndexAt(ver: String, batchIndex: DataFrame,
       bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val spark = batchIndex.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val corpusBands = spark.read.format("graftlake").load(s"$dir/bands")
-    val setsO = spark.read.format("graftlake").load(s"$dir/sets")
+    val corpusBands = spark.read.parquet(s"$ver/bands")
+    val setsO = spark.read.parquet(s"$ver/sets")
     val sigN = batchIndex
     val a = bandedOf(sigN, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
@@ -787,9 +809,18 @@ object Dedup {
     * proves the whole composition equals a from-scratch CC. */
   def incrementalClustersLake(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpusLabels: DataFrame, priorFresh: DataFrame,
-      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame =
     // one pointer resolution = one consistent index snapshot
-    val ver = graft.sources.StormSinks.currentVersionDir(spark, indexDir)
+    incrementalClustersLakeAt(
+      graft.sources.StormSinks.currentVersionDir(spark, indexDir),
+      corpusLabels, priorFresh, batchDocs, k, threshold)
+
+  /** [[incrementalClustersLake]] against an already-RESOLVED index
+    * version dir (streaming callers resolve per micro-batch). */
+  private[graft] def incrementalClustersLakeAt(ver: String,
+      corpusLabels: DataFrame, priorFresh: DataFrame,
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val spark = batchDocs.sparkSession
     val batch = graft.Materialize.once(
       batchDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
     val bIds = batch.select(col("doc_id"))
@@ -797,12 +828,17 @@ object Dedup {
       .join(broadcast(bIds), Seq("doc_id"), "left_anti")
     val fresh = prior.unionByName(batch)
     val pairs = jaccardPairsTouchingLakeAt(ver, fresh, bIds, k, threshold)
-    // corpus side for labeling = indexed docs + prior fresh (batch
-    // anti-joined for replay safety — a re-delivered batch may already
-    // sit in a republished index)
-    val corpusIds = spark.read.parquet(s"$ver/sets").select(col("doc_id"))
+    // corpus side for labeling = indexed docs + prior fresh, each id
+    // once: the batch anti-joins out (a re-delivered batch may sit in
+    // a republished index), and prior ids anti-join the INDEX side
+    // too — after an index republish that indexed the prior docs but
+    // before the maintainer's fresh-reset landed, prior ⊆ indexed and
+    // a plain union would emit duplicate label rows (fresh shadows
+    // the lake in the probe for the same reason)
+    val lakeIds = spark.read.parquet(s"$ver/sets").select(col("doc_id"))
       .join(broadcast(bIds), Seq("doc_id"), "left_anti")
-      .unionByName(prior.select(col("doc_id")))
+      .join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val corpusIds = lakeIds.unionByName(prior.select(col("doc_id")))
     quotientMerge(pairs, corpusIds, corpusLabels, bIds)
   }
 

@@ -137,11 +137,28 @@ object PipelineQueries {
     * round's blocks are freed). Output: (step, l, r, wt) — the merge
     * table, the artifact a tokenizer trainer ships. */
   private[graft] def bpeTrainOf(doc: DataFrame, rounds: Int): DataFrame = {
+    val (merges, vocab) = bpeTrainCore(doc, rounds)
+    graft.Materialize.free(vocab)
+    merges
+  }
+
+  /** Final per-token segmentation under the trained merge chain —
+    * the APPLY half of the trainer (`text_bpe_apply` builds on it):
+    * (token, sy = the token's symbols after all `rounds` merges).
+    * Vocabulary-sized: the corpus is never touched beyond the
+    * trainer's one frequency aggregate. */
+  private[graft] def bpeSegmentsOf(doc: DataFrame, rounds: Int): DataFrame = {
+    val (_, vocab) = bpeTrainCore(doc, rounds)
+    vocab.select(col("token"),
+      expr("filter(split(trim(w), '  '), x -> x <> '')").as("sy"))
+  }
+
+  private def bpeTrainCore(doc: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val toks = doc.select(explode(Text.tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("f"))
-    var vocab = graft.Materialize.once(freq.select(col("f"),
+    var vocab = graft.Materialize.once(freq.select(col("token"), col("f"),
       array_join(expr(
         "transform(sequence(1, length(token)), " +
           "i -> concat(' ', substring(token, i, 1), ' '))"), "").as("w")))
@@ -160,17 +177,21 @@ object PipelineQueries {
         pw.orderBy(col("wt").desc, col("l"), col("r")).limit(1)
           .select(lit(r).as("step"), col("l"), col("r"), col("wt")))
       merges += best
+      // LEFT join (not crossJoin): when the corpus runs out of pairs
+      // the best row is EMPTY, and the vocabulary must pass through
+      // unchanged — a cross join would silently empty it, which the
+      // segments consumer (bpeSegmentsOf) cannot tolerate
       val next = graft.Materialize.once(
-        vocab.crossJoin(broadcast(best.select(col("l"), col("r"))))
-          .select(col("f"), expr(
-            "replace(w, concat(' ', l, '  ', r, ' '), " +
-              "concat(' ', l, r, ' '))").as("w")))
+        vocab.join(broadcast(best.select(col("l"), col("r"))), lit(true), "left")
+          .select(col("token"), col("f"),
+            when(col("l").isNull, col("w")).otherwise(expr(
+              "replace(w, concat(' ', l, '  ', r, ' '), " +
+                "concat(' ', l, r, ' '))")).as("w")))
       graft.Materialize.free(vocab)
       vocab = next
       r += 1
     }
-    graft.Materialize.free(vocab)
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), vocab)
   }
 
   /** Keep-one exact-substring removal (#94b): each cross-document-
@@ -1060,6 +1081,36 @@ object PipelineQueries {
     // both engines' greedy left-to-right merge bit-identical.
     "text_bpe_train" -> ((s, d) =>
       bpeTrainOf(docs(s, d), rounds = 8).orderBy(col("step"))),
+    // 89c: trained-tokenizer APPLICATION — the serving half of the
+    // trainer: re-encode every document with the 8-round merge
+    // table's final segmentation. The segmentation is computed once
+    // on the VOCABULARY (the trainer's own final state — corpus never
+    // re-touched); each token instance then joins its segment (the
+    // vocab table auto-broadcasts at this scale; at a 10M-entry
+    // vocab the join falls back to a keyed shuffle of the token
+    // stream — the standard re-encode shape). Per-doc output: token
+    // and subtoken counts plus a hash of the full in-order subtoken
+    // stream, so the oracle proves every document's exact encoding.
+    "text_bpe_apply" -> ((s, d) => {
+      val doc = docs(s, d)
+      val seg = graft.Materialize.once(bpeSegmentsOf(doc, rounds = 8)
+        .select(col("token"), size(col("sy")).as("n_sub"),
+          array_join(col("sy"), " ").as("seg")))
+      val tkc = doc.select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
+      val tok = tkc.select(col("doc_id"), posexplode(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+      val agg = tok.join(seg, "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_sub")).cast("long").as("n_subtokens"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("stream"))
+      tkc.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"),
+          sha2(coalesce(col("stream"), lit("")), 256).as("seg_sha"))
+        .orderBy(col("doc_id"))
+    }),
     // 92: span-corruption masking (T5/UL2 denoising-objective prep):
     // deterministically select non-overlapping 3-token spans and
     // collapse each to a sentinel. Spans live inside fixed 8-token
@@ -1546,6 +1597,46 @@ object PipelineQueries {
 
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private val BPE_ROUNDS = 8
+  /** The 8-round BPE merge cascade shared by text_bpe_train (reads
+    * the bestN rows) and text_bpe_apply (reads the final symN vocab).
+    * Token carried through every round; the sym step LEFT-joins its
+    * best row so a merge-exhausted corpus passes the vocabulary
+    * through unchanged — mirroring the Spark trainer exactly. */
+  private lazy val BPE_CASCADE: String = {
+    val init =
+      s"""WITH t AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), freq AS (
+         |  SELECT token, count(*) AS f FROM t WHERE token <> '' GROUP BY 1
+         |), sym0 AS (
+         |  SELECT token, f, list_aggregate(list_transform(range(1, length(token) + 1),
+         |      i -> ' ' || substring(token, CAST(i AS INT), 1) || ' '),
+         |    'string_agg', '') AS w
+         |  FROM freq
+         |)""".stripMargin
+    val roundCtes = (1 to BPE_ROUNDS).map { i =>
+      s""", pairs$i AS (
+         |  SELECT sy[CAST(i AS INT)] AS l, sy[CAST(i + 1 AS INT)] AS r, sum(f) AS wt
+         |  FROM (
+         |    SELECT f, sy, unnest(range(1, len(sy))) AS i FROM (
+         |      SELECT f, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy FROM sym${i - 1}
+         |    ) WHERE len(sy) >= 2
+         |  ) GROUP BY 1, 2
+         |), best$i AS (
+         |  SELECT CAST($i AS INT) AS step, l, r, wt FROM pairs$i
+         |  ORDER BY wt DESC, l, r LIMIT 1
+         |), sym$i AS (
+         |  SELECT s.token, s.f,
+         |    CASE WHEN b.l IS NULL THEN s.w
+         |         ELSE replace(s.w, ' ' || b.l || '  ' || b.r || ' ',
+         |           ' ' || b.l || b.r || ' ') END AS w
+         |  FROM sym${i - 1} s LEFT JOIN best$i b ON true
+         |)""".stripMargin
+    }.mkString
+    init + roundCtes
+  }
 
   /** Shared DuckDB CTE chain replaying [[winnowFingerprints]] up to
     * `sel` = (doc_id, key) with key = h·2²⁰ + (2²⁰−1−pos). */
@@ -3510,41 +3601,41 @@ object PipelineQueries {
     // pairs/best/sym triple per round; recursive CTEs cannot aggregate
     // over the recursive table), same separator-string replace
     "text_bpe_train" -> {
-      val rounds = 8
-      val init =
-        s"""WITH t AS (
-           |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
-           |), freq AS (
-           |  SELECT token, count(*) AS f FROM t WHERE token <> '' GROUP BY 1
-           |), sym0 AS (
-           |  SELECT f, list_aggregate(list_transform(range(1, length(token) + 1),
-           |      i -> ' ' || substring(token, CAST(i AS INT), 1) || ' '),
-           |    'string_agg', '') AS w
-           |  FROM freq
-           |)""".stripMargin
-      val roundCtes = (1 to rounds).map { i =>
-        s""", pairs$i AS (
-           |  SELECT sy[CAST(i AS INT)] AS l, sy[CAST(i + 1 AS INT)] AS r, sum(f) AS wt
-           |  FROM (
-           |    SELECT f, sy, unnest(range(1, len(sy))) AS i FROM (
-           |      SELECT f, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy FROM sym${i - 1}
-           |    ) WHERE len(sy) >= 2
-           |  ) GROUP BY 1, 2
-           |), best$i AS (
-           |  SELECT CAST($i AS INT) AS step, l, r, wt FROM pairs$i
-           |  ORDER BY wt DESC, l, r LIMIT 1
-           |), sym$i AS (
-           |  SELECT f, replace(w, ' ' || b.l || '  ' || b.r || ' ',
-           |    ' ' || b.l || b.r || ' ') AS w
-           |  FROM sym${i - 1}, best$i b
-           |)""".stripMargin
-      }.mkString
-      val unions = (1 to rounds)
+      val unions = (1 to BPE_ROUNDS)
         .map(i => s"SELECT step, l, r, wt FROM best$i").mkString(" UNION ALL ")
-      s"""$init$roundCtes
+      s"""$BPE_CASCADE
          |SELECT step, l, r, CAST(wt AS BIGINT) AS wt
          |FROM ($unions) ORDER BY step""".stripMargin
     },
+    // 89c: the trained segmentation applied back to the corpus — join
+    // every token instance (position-kept) to sym8's symbols, rebuild
+    // each document's subtoken stream in order, hash it
+    "text_bpe_apply" ->
+      s"""$BPE_CASCADE, segs AS (
+         |  SELECT token, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy
+         |  FROM sym$BPE_ROUNDS
+         |), tkc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+         |    unnest(tk) AS token
+         |  FROM tkc
+         |), seginst AS (
+         |  SELECT t.doc_id, t.pos, len(s.sy) AS n_sub,
+         |    array_to_string(s.sy, ' ') AS seg
+         |  FROM tok t JOIN segs s USING (token)
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+         |    string_agg(seg, ' ' ORDER BY pos) AS stream
+         |  FROM seginst GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_subtokens, 0) AS n_subtokens,
+         |  sha256(coalesce(a.stream, '')) AS seg_sha
+         |FROM tkc d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, sha256($NORM) AS fp_sha256,
          |  substr(sha256($NORM), 1, 16) AS fp_prefix

@@ -40,24 +40,30 @@ object LakeDeletion {
     del.select(col("doc_id")).dropDuplicates("doc_id")
 
   /** Delete from a [[graft.operators.Dedup.publishMinhashLake]] split
-    * index: anti-join both tables, republish each as a new version.
-    * Bands republish FIRST: with new bands + old sets a deleted doc
-    * can no longer become a candidate (its band rows are gone) and
-    * the stale sets rows are unreachable; the reverse order would be
-    * equally safe (candidates inner-join sets), but this order never
-    * even generates the candidate. Row-identical to
+    * index: anti-join both tables of the current group snapshot and
+    * commit them as ONE new group version — a crash mid-delete leaves
+    * the previous consistent snapshot addressable, never bands
+    * without their verify sets. Row-identical to
     * `publishMinhashLake(remaining)` because every row cites one doc
-    * (DeletionSpec pins probe-identity). */
+    * (DeletionSpec pins probe-identity). A lake published with extra
+    * group tables (e.g. [[graft.streaming.CorpusStream
+    * .publishDedupLake]]'s fps) names them in `alsoFilterByDoc` /
+    * `passThrough` so the new version stays complete: doc-keyed
+    * extras anti-join like the core tables; content-keyed extras (the
+    * fingerprint set has no doc_id) copy through and recompute on the
+    * next publisher run. */
   def deleteFromMinhashLake(spark: SparkSession, dir: String,
-      deleteIds: DataFrame): Unit = {
+      deleteIds: DataFrame, alsoFilterByDoc: Seq[String] = Nil,
+      passThrough: Seq[String] = Nil): Unit = {
     val del = graft.Materialize.once(ids(deleteIds))
     try {
-      val bands = StormSinks.readVersioned(spark, s"$dir/bands")
+      val ver = StormSinks.currentVersionDir(spark, dir)
+      def filtered(name: String) = spark.read.parquet(s"$ver/$name")
         .join(broadcast(del), Seq("doc_id"), "left_anti")
-      StormSinks.writeVersionedTable(bands, s"$dir/bands", Seq("band"))
-      val sets = StormSinks.readVersioned(spark, s"$dir/sets")
-        .join(broadcast(del), Seq("doc_id"), "left_anti")
-      StormSinks.writeVersionedTable(sets, s"$dir/sets")
+      StormSinks.writeVersionedGroup(spark, dir,
+        (Seq("bands", "sets") ++ alsoFilterByDoc).map(n => n -> filtered(n)) ++
+          passThrough.map(n => n -> spark.read.parquet(s"$ver/$n")),
+        partitionCols = Map("bands" -> Seq("band")))
       ()
     } finally graft.Materialize.free(del)
   }
@@ -74,13 +80,13 @@ object LakeDeletion {
       remainingDocs: DataFrame, deleteIds: DataFrame): Unit = {
     val del = graft.Materialize.once(ids(deleteIds))
     try {
-      StormSinks.writeVersionedTable(
-        graft.operators.PipelineQueries.bm25WeightsOf(
-          remainingDocs.select(col("doc_id"), col("text"))), s"$dir/bm25")
-      val dense = StormSinks.readVersioned(spark, s"$dir/dense")
-        .join(broadcast(del.select(col("doc_id").as("vec_id"))),
-          Seq("vec_id"), "left_anti")
-      StormSinks.writeVersionedTable(dense, s"$dir/dense")
+      val ver = StormSinks.currentVersionDir(spark, dir)
+      StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "bm25" -> graft.operators.PipelineQueries.bm25WeightsOf(
+          remainingDocs.select(col("doc_id"), col("text"))),
+        "dense" -> spark.read.parquet(s"$ver/dense")
+          .join(broadcast(del.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"), "left_anti")))
       ()
     } finally graft.Materialize.free(del)
   }

@@ -222,14 +222,18 @@ object StormSinks {
     * via [[currentVersionDir]] and read `<ver>/<name>` for each
     * table — one resolution = one consistent snapshot. */
   def writeVersionedGroup(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tables: Seq[(String, DataFrame)]): Int = {
+      dir: String, tables: Seq[(String, DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Int = {
     require(tables.nonEmpty, "writeVersionedGroup needs at least one table")
     val fs = fsFor(spark, dir)
     val next = readPointer(fs, dir).map(_._1 + 1).getOrElse(0)
     tables.foreach { case (name, df) =>
       require(name.nonEmpty && !name.contains("/"),
         s"bad group table name '$name'")
-      df.write.mode("overwrite").parquet(s"$dir/v-$next/$name")
+      val w = df.write.mode("overwrite")
+      val pc = partitionCols.getOrElse(name, Nil)
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w)
+        .parquet(s"$dir/v-$next/$name")
     }
     publish(fs, dir, next)
     next

@@ -141,11 +141,13 @@ object CorpusStream {
     * streaming ingest only ever READS these tables. */
   def publishDedupLake(corpus: DataFrame, dir: String, k: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    // fps joins the bands/sets group version — one atomic pointer for
+    // all three tables (a probe must never classify a batch against
+    // band rows of one corpus snapshot and fingerprints of another)
     graft.operators.Dedup.publishMinhashLake(
-      corpus.select(col("doc_id"), col("text")), dir, k, bands, rowsPerBand)
-    graft.sources.StormSinks.writeVersionedTable(
-      corpus.select(Text.fingerprint(col("text")).as("fp")).distinct(),
-      s"$dir/fps")
+      corpus.select(col("doc_id"), col("text")), dir, k, bands, rowsPerBand,
+      extraTables = Seq("fps" ->
+        corpus.select(Text.fingerprint(col("text")).as("fp")).distinct()))
     ()
   }
 
@@ -153,11 +155,12 @@ object CorpusStream {
     * instead of an in-session corpus frame — the deployment shape:
     * the publisher owns the corpus-sized jobs, the stream reads only
     * the compact band table, the fingerprint set, and (for candidate
-    * doc_ids alone) the verify sets. Lake pointers resolve per
-    * micro-batch, so a corpus-index republish takes effect on the
-    * next batch without restarting the stream; each batch's own
-    * signature index is freed once its write lands (no state grows
-    * with the stream). */
+    * doc_ids alone) the verify sets. The group `_current` pointer
+    * resolves ONCE per micro-batch — bands, sets and fps always come
+    * from the same corpus snapshot — and per BATCH, so a corpus-index
+    * republish takes effect on the next batch without restarting the
+    * stream; each batch's own signature index is freed once its write
+    * lands (no state grows with the stream). */
   def startIncrementalDedupFromLake(spark: SparkSession, inDir: String,
       lakeDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
@@ -165,12 +168,13 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ver = graft.sources.StormSinks.currentVersionDir(spark, lakeDir)
         val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
         try {
           val near = Dedup
-            .minhashPairsLakeVsIndex(lakeDir, batchIdx, threshold = 0.2)
+            .minhashPairsLakeVsIndexAt(ver, batchIdx, threshold = 0.2)
             .select(col("doc_new").as("doc_id")).distinct()
-          val fps = spark.read.format("graftlake").load(s"$lakeDir/fps")
+          val fps = spark.read.parquet(s"$ver/fps")
           val kept = batch
             .withColumn("fp", Text.fingerprint(col("text")))
             .join(fps, Seq("fp"), "left_anti")
@@ -259,19 +263,109 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Publish the retrieval-serving lake: the full BM25 inverted index
-    * (the corpus-sized tf aggregate runs HERE, once) and the dense
-    * embedding index, each as a versioned graftlake table. The
-    * serving stream reads only these. */
-  def publishRetrievalLake(corpus: DataFrame, embeddings: DataFrame,
-      dir: String): Unit = {
-    graft.sources.StormSinks.writeVersionedTable(
-      graft.operators.PipelineQueries.bm25WeightsOf(
-        corpus.select(col("doc_id"), col("text"))), s"$dir/bm25")
-    graft.sources.StormSinks.writeVersionedTable(
-      embeddings.select(col("vec_id"), col("embedding")), s"$dir/dense")
+  /** The fully lake-indexed deployment of cluster maintenance — the
+    * [[startIncrementalClusters]] shape with the per-ingest
+    * corpus-rank ALSO moved to a publisher: state lives in a
+    * (docs, labels, fresh) group at `stateDir` — `fresh` = docs
+    * ingested since the Jaccard prefix index at `indexDir` was last
+    * published — and the publisher owns both corpus-sized jobs
+    * ([[publishClusterLakeIndexed]] initially,
+    * [[republishClusterIndex]] on the maintenance cadence). Each
+    * micro-batch then pays only batch-and-fresh-sized ranking plus
+    * columnar index scans ([[graft.operators.Dedup
+    * .incrementalClustersLake]]), and republishes the state group
+    * atomically. Crash interleavings are covered at every layer: the
+    * state group is one pointer (docs/labels/fresh always one
+    * snapshot), a replayed batch re-merges to identical labels
+    * (operator-level anti-joins), and an index republish that lands
+    * BEFORE its fresh-reset only makes fresh redundantly shadow the
+    * index — probes and labeling stay correct (fresh wins), just
+    * momentarily less cheap. */
+  def publishClusterLakeIndexed(corpus: DataFrame, stateDir: String,
+      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val docs = corpus.select(col("doc_id"), col("text"))
+    Dedup.publishJaccardLake(docs, indexDir, k, threshold)
+    graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, stateDir, Seq(
+      "docs" -> docs,
+      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
+      "fresh" -> docs.where(lit(false))))
     ()
   }
+
+  /** Maintenance-cadence republish: rebuild the Jaccard prefix index
+    * from the CURRENT state docs (re-freezing the df order), then
+    * reset `fresh` to empty in a new state version. A crash between
+    * the two publishes leaves fresh redundantly covering
+    * newly-indexed docs — correct, self-healing on the next
+    * successful run. */
+  def republishClusterIndex(spark: SparkSession, stateDir: String,
+      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit = {
+    val ver = graft.sources.StormSinks.currentVersionDir(spark, stateDir)
+    val docs = spark.read.parquet(s"$ver/docs")
+    graft.operators.Dedup.publishJaccardLake(docs, indexDir, k, threshold)
+    graft.sources.StormSinks.writeVersionedGroup(spark, stateDir, Seq(
+      "docs" -> docs,
+      "labels" -> spark.read.parquet(s"$ver/labels"),
+      "fresh" -> docs.where(lit(false))))
+    ()
+  }
+
+  /** Streaming cluster maintenance over [[publishClusterLakeIndexed]]
+    * state: per micro-batch, merge through the LAKE probe (fresh +
+    * batch ranking only — no corpus-sized work at all) and republish
+    * (docs, labels, fresh ∪ batch) as one atomic state version. */
+  def startIncrementalClustersIndexed(spark: SparkSession, inDir: String,
+      stateDir: String, indexDir: String, checkpointDir: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s2 = batch.sparkSession
+        import graft.sources.StormSinks
+        val sVer = StormSinks.currentVersionDir(s2, stateDir)
+        val iVer = StormSinks.currentVersionDir(s2, indexDir)
+        val docs0 = s2.read.parquet(s"$sVer/docs")
+        val labels0 = s2.read.parquet(s"$sVer/labels")
+        val fresh0 = s2.read.parquet(s"$sVer/fresh")
+        val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+        val updated = graft.Materialize.once(
+          graft.operators.Dedup.incrementalClustersLakeAt(
+            iVer, labels0, fresh0, b, k, threshold))
+        try
+          StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+            "docs" -> docs0.unionByName(b).dropDuplicates("doc_id"),
+            "labels" -> updated,
+            "fresh" -> fresh0.unionByName(b).dropDuplicates("doc_id")))
+        finally graft.Materialize.free(updated)
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/incclusters-idx")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Publish the retrieval-serving lake: the full BM25 inverted index
+    * (the corpus-sized tf aggregate runs HERE, once) and the dense
+    * embedding index, committed as ONE
+    * [[graft.sources.StormSinks.writeVersionedGroup]] version — the
+    * hybrid probe fuses sparse and dense ranks of the SAME corpus
+    * snapshot, so the pair shares a pointer (per-table pointers could
+    * fuse a new BM25 version against an old dense one mid-republish).
+    * The serving stream reads only these. */
+  def publishRetrievalLake(corpus: DataFrame, embeddings: DataFrame,
+      dir: String): Unit = {
+    graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, dir, Seq(
+      "bm25" -> graft.operators.PipelineQueries.bm25WeightsOf(
+        corpus.select(col("doc_id"), col("text"))),
+      "dense" -> embeddings.select(col("vec_id"), col("embedding"))))
+    ()
+  }
+
+  /** Read one table ("bm25" / "dense") of a [[publishRetrievalLake]]
+    * lake at its current version. */
+  def readRetrievalLake(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.StormSinks.readVersionedGroupTable(spark, dir, name)
 
   /** The batch=stream hybrid probe: sparse BM25 scores from the query
     * text against the inverted index (qtf · w_i on the exact integer
@@ -317,10 +411,11 @@ object CorpusStream {
     * [[startIncrementalDedupFromLake]]: each micro-batch of QUERY
     * documents probes the published BM25 + dense indexes through
     * [[hybridProbe]] and appends (batch_seq-stamped) top-k results.
-    * Lake `_current` pointers resolve PER BATCH (the graftlake reads
-    * happen inside foreachBatch), so an index republish takes effect
-    * on the next micro-batch without restarting the stream; restarts
-    * are checkpoint-idempotent (committed batches never re-probe). */
+    * The group `_current` pointer resolves ONCE per batch (sparse and
+    * dense ranks always fuse over the same corpus snapshot) and PER
+    * BATCH, so an index republish takes effect on the next
+    * micro-batch without restarting the stream; restarts are
+    * checkpoint-idempotent (committed batches never re-probe). */
   def startRetrievalServing(spark: SparkSession, inDir: String,
       lakeDir: String, outDir: String, checkpointDir: String, k: Int = 3,
       maxFilesPerTrigger: Int = 16): StreamingQuery =
@@ -328,8 +423,9 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s2 = batch.sparkSession
-        val weights = s2.read.format("graftlake").load(s"$lakeDir/bm25")
-        val dense = s2.read.format("graftlake").load(s"$lakeDir/dense")
+        val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+        val weights = s2.read.parquet(s"$ver/bm25")
+        val dense = s2.read.parquet(s"$ver/dense")
         hybridProbe(weights, dense, batch.select(col("doc_id"), col("text")), k)
           .withColumn("batch_seq", lit(batchId))
           .write.mode("append").parquet(outDir)

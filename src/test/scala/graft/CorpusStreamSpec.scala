@@ -153,8 +153,8 @@ class CorpusStreamSpec extends SparkSpec {
     q1.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
     CorpusStream.startRetrievalServing(spark, s"$base/in", s"$base/lake",
       s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
-    val w1 = spark.read.format("graftlake").load(s"$base/lake/bm25")
-    val d1 = spark.read.format("graftlake").load(s"$base/lake/dense")
+    val w1 = CorpusStream.readRetrievalLake(spark, s"$base/lake", "bm25")
+    val d1 = CorpusStream.readRetrievalLake(spark, s"$base/lake", "dense")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rk", "doc_id", "rrf_i").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
@@ -173,8 +173,8 @@ class CorpusStreamSpec extends SparkSpec {
     q2.coalesce(1).write.mode("append").parquet(s"$base/in")
     CorpusStream.startRetrievalServing(spark, s"$base/in", s"$base/lake",
       s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
-    val w2 = spark.read.format("graftlake").load(s"$base/lake/bm25")
-    val d2 = spark.read.format("graftlake").load(s"$base/lake/dense")
+    val w2 = CorpusStream.readRetrievalLake(spark, s"$base/lake", "bm25")
+    val d2 = CorpusStream.readRetrievalLake(spark, s"$base/lake", "dense")
     val all = spark.read.parquet(s"$base/out")
     val wave2 = all.where(col("batch_seq") > 0)
     assert(rows(wave2) == rows(CorpusStream.hybridProbe(w2, d2, q2)),
@@ -238,5 +238,51 @@ class CorpusStreamSpec extends SparkSpec {
     val ver = graft.sources.StormSinks.currentVersionDir(spark, s"$base/lake")
     assert(new java.io.File(s"$ver/docs").exists && new java.io.File(s"$ver/labels").exists,
       "group version dir must hold both tables")
+  }
+
+  test("INDEXED streaming clusters == full batch CC across an index republish") {
+    val base = Files.createTempDirectory("graft-corpus-idxclu").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") < 300)
+    CorpusStream.publishClusterLakeIndexed(corpus, s"$base/state", s"$base/index")
+    def labelMap() = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wave 1 merges through the published index (fresh side = batch only)
+    docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+      s"$base/state", s"$base/index", s"$base/cp").awaitTermination()
+    // maintenance republish: index re-freezes over 0..399, fresh resets
+    CorpusStream.republishClusterIndex(spark, s"$base/state", s"$base/index")
+    assert(graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fresh").count() == 0,
+      "republish must reset the fresh table")
+    // wave 2 merges through the NEW index
+    docs.where(col("doc_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+      s"$base/state", s"$base/index", s"$base/cp").awaitTermination()
+    val got = labelMap()
+    val full = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.jaccardPairs(docs, k = 3, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(got.getOrElse(id, id) == full.getOrElse(id, id),
+        s"doc $id: indexed-stream=${got.getOrElse(id, id)} full=${full.getOrElse(id, id)}")
+    }
+    assert(got.exists { case (d, c) => d >= 300 && c != d },
+      "no ingested doc joined an existing cluster - fixture vacuous")
+    // fresh holds exactly the docs ingested since the republish
+    assert(graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fresh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ids.filter(_ >= 400).toSet)
+    // crash-replay: a fresh checkpoint re-delivers BOTH waves against
+    // the maintained state — labels must come out identical
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+      s"$base/state", s"$base/index", s"$base/cp2").awaitTermination()
+    assert(labelMap() == got, "replaying committed batches changed labels")
   }
 }

@@ -217,6 +217,24 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("BPE apply: final segmentation reflects the whole merge chain") {
+    // same fixture as the trainer test — after 4 merges every word
+    // collapses to one symbol: aaaa via (a,a) then (aa,aa); aaa via
+    // (a,a) then (aa,a); ab via (a,b)
+    val doc = Seq((0L, "aaaa aaa ab")).toDF("doc_id", "text")
+    val segs = PipelineQueries.bpeSegmentsOf(doc, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(segs == Map(
+      "aaaa" -> List("aaaa"), "aaa" -> List("aaa"), "ab" -> List("ab")),
+      s"got $segs")
+    // fewer rounds leave partial merges: after round 1 only (a,a)
+    val seg1 = PipelineQueries.bpeSegmentsOf(doc, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(seg1 == Map(
+      "aaaa" -> List("aa", "aa"), "aaa" -> List("aa", "a"), "ab" -> List("a", "b")),
+      s"got $seg1")
+  }
+
   test("keep-one dupcut: elected copy survives intact, every other occurrence cut") {
     val shared = "a b c d e f g h" // one duplicated 8-token window
     val doc = Seq(

@@ -33,7 +33,7 @@ class DeletionSpec extends SparkSpec {
     assert(!afterDelete.exists(p => delSet(p._2)), "a deleted doc still matches")
     // the pre-delete version survives for in-flight readers (vacuum
     // is a separate, explicit step)
-    assert(new java.io.File(s"$base/lake/bands/v-0").exists,
+    assert(new java.io.File(s"$base/lake/v-0/bands").exists,
       "old version must survive the delete publish")
   }
 
@@ -48,7 +48,7 @@ class DeletionSpec extends SparkSpec {
     CorpusStream.publishRetrievalLake(remaining,
       embs.join(del.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_anti"),
       s"$base/rebuilt")
-    def table(dir: String, name: String) = StormSinks.readVersioned(spark, s"$dir/$name")
+    def table(dir: String, name: String) = StormSinks.readVersionedGroupTable(spark, dir, name)
     // BM25: bit-identical to the rebuild — a filtered table would keep
     // remaining docs' STALE idf/avgdl weights and fail this
     val a = table(s"$base/lake", "bm25"); val b = table(s"$base/rebuilt", "bm25")

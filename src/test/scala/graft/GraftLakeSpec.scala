@@ -112,9 +112,9 @@ class GraftLakeSpec extends SparkSpec {
     // probe-side table is COMPACT: band/bucket/doc_id only — no
     // O(document) shingle column (the storage claim the split layout
     // exists to make true), and it is partitioned by band on disk
-    val bandsTbl = spark.read.format("graftlake").load(s"$lake/bands")
+    val bandsTbl = StormSinks.readVersionedGroupTable(spark, lake, "bands")
     assert(bandsTbl.columns.sorted.toSeq == Seq("band", "bucket", "doc_id"))
-    assert(new java.io.File(s"$lake/bands/v-0").listFiles()
+    assert(new java.io.File(s"$lake/v-0/bands").listFiles()
       .exists(_.getName.startsWith("band=")), "band table should be partitioned by band")
     val viaLake = Dedup.minhashPairsAgainstLake(batch, lake, threshold = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
