@@ -673,6 +673,31 @@ object Dedup {
     } finally graft.Materialize.free(sets)
   }
 
+  /** FULL exact-Jaccard pair set derived from a [[publishJaccardLake]]
+    * index — the publisher-side complement of the touching probe: the
+    * batch CC that seeds the cluster lake builds its pairs from the
+    * index it just published instead of ranking the corpus a SECOND
+    * time (the prefix self-join reads the published ranks; verify
+    * reads the published sets). `threshold` must equal the publish
+    * threshold (the prefix cutoffs bake it in — same contract as
+    * k/bands on the minhash lake). Row-identical to
+    * `jaccardPairs(corpus)` (DedupSpec pins it). */
+  def jaccardPairsLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double = 0.5): DataFrame = {
+    val ver = graft.sources.StormSinks.currentVersionDir(spark, dir)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prefix = spark.read.parquet(s"$ver/prefix")
+    val sets = spark.read.parquet(s"$ver/sets")
+    val a = prefix.select(col("s"), col("doc_id").as("doc_a"),
+      col("n_sh").as("n_a"), col("rk").as("rk_a"))
+    val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"), col("rk").as("rk_b"))
+    val cand = prefixCandidates(a, b, threshold, parts)
+    verifyJaccard(cand,
+      sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+      sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), threshold)
+  }
+
   /** [[jaccardPairsTouching]] against a [[publishJaccardLake]] index:
     * exact J ≥ t pairs with ≥ 1 batch endpoint, WITHOUT the
     * corpus-sized posting/df rank — the only window runs over

@@ -556,12 +556,16 @@ object PipelineQueries {
       val prior = doc.where(col("doc_id") >= cut1 && col("doc_id") < cut2)
       val lake = java.nio.file.Files
         .createTempDirectory("graft-jaccard-lake").toString
+      // ONE corpus-sized rank total: the index publish owns it, and
+      // the seed CC derives its pairs FROM the published index
+      // (jaccardPairsLake) instead of ranking the corpus again
       Dedup.publishJaccardLake(indexed, lake, k = 3, threshold = 0.5)
-      val labels0 = Dedup.clusters(Dedup.jaccardPairs(indexed, k = 3, threshold = 0.5))
+      val labels0 = Dedup.clusters(Dedup.jaccardPairsLake(s, lake, threshold = 0.5))
       // the maintained label table feeds three consumer branches of
       // the next merge (contraction a/b + corpus remap) — materialize
       val labels1 = graft.Materialize.once(
-        Dedup.incrementalClusters(indexed, labels0, prior, k = 3, threshold = 0.5))
+        Dedup.incrementalClustersLake(s, lake, labels0, doc.where(lit(false)),
+          prior, k = 3, threshold = 0.5))
       Dedup.incrementalClustersLake(s, lake, labels1, prior,
           doc.where(col("doc_id") >= cut2), k = 3, threshold = 0.5)
         .orderBy(col("doc_id"))

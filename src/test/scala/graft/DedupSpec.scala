@@ -270,6 +270,11 @@ class DedupSpec extends SparkSpec {
     val probe = Dedup.jaccardPairsTouchingLake(spark, lake, fresh, bIds, 3, 0.5)
     assert(pairSet(probe) == inSession, "lake probe pairs differ from in-session")
     assert(inSession.nonEmpty, "fixture vacuous: no batch-touching pairs")
+    // publisher side: the FULL pair set derived from the index == the
+    // in-session corpus rank (so the seed CC never ranks twice)
+    assert(pairSet(Dedup.jaccardPairsLake(spark, lake, threshold = 0.5)) ==
+      pairSet(Dedup.jaccardPairs(indexed, k = 3, threshold = 0.5)),
+      "index-derived full pairs differ from in-session jaccardPairs")
     // the corpus-sized rank stage is ABSENT from the per-ingest plan:
     // the fresh-side rank is materialized once (batch-sized, eager),
     // so the probe plan itself carries ZERO windows — vs the
