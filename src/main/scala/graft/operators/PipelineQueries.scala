@@ -671,6 +671,32 @@ object PipelineQueries {
       Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 126: SEMANTIC benchmark decontamination — the embedding-space
+    // complement of the n-gram `decontaminate` key: paraphrased or
+    // re-worded eval contamination carries no 8-gram overlap but high
+    // embedding cosine, so modern decontamination sweeps run BOTH.
+    // Every corpus vector scores its max cosine against the benchmark
+    // embedding set (vec_id % 20 == 7 — the `decontaminate` split
+    // convention) and is flagged at >= 0.35 (this corpus's near-dup
+    // band, the dedup_embed threshold). Scale shape: benchmark suites
+    // are small — broadcast — and the argmax combines map-side, so
+    // the corpus never shuffles more than (vec_id, cos) partials; a
+    // corpus-scale benchmark swaps in the IVF probe (knn_ivf's
+    // contract) exactly like knn_cosine.
+    "decon_embed" -> ((s, d) => {
+      val e = embs(s, d)
+      val bench = e.where(col("vec_id") % 20 === 7)
+        .select(col("embedding").as("b_emb"))
+      e.where(col("vec_id") % 20 =!= 7)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          round(Knn.cosine(col("embedding"), col("b_emb")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("max_cos"))
+        .select(col("vec_id"), col("max_cos"),
+          (col("max_cos") >= 0.35).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
     // 103: hard-negative mining — per query vector, the 5 most-similar
     // vectors with a DIFFERENT label (contrastive-training negatives;
     // same-label hits are false negatives and never surface). Broadcast
@@ -3066,6 +3092,19 @@ object PipelineQueries {
         |)
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 126: same cosine replay, max per corpus vector vs the benchmark set
+    "decon_embed" ->
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS b_emb
+        |           FROM embeddings WHERE vec_id % 20 = 7),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), b.b_emb) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(b.b_emb, b.b_emb))), 6) AS cos
+        |  FROM embeddings e, b WHERE e.vec_id % 20 <> 7
+        |)
+        |SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.35 AS contaminated
+        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // 103: knn_cosine's replay restricted to different-label candidates
     "knn_hardneg" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS q_label,
