@@ -33,6 +33,35 @@ object Materialize {
   /** Session conf: `local` (default, executor-local blocks) or
     * `reliable` (replicated checkpoint dir, executor-loss-safe). */
   val ModeKey = "spark.graft.materialize"
+
+  private val tracker =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Run `body` collecting EVERY frame [[once]] materializes on this
+    * thread — including frames operators materialize internally and
+    * never hand back (incrementalClusters' batch, the lake probe's
+    * freshSets/freshPrefix, clusters()' final labels). Streaming
+    * callers wrap each micro-batch's operator composition in this,
+    * run the sink write, then [[free]] all returned handles — the
+    * per-micro-batch block-residue leak class: without it, every
+    * micro-batch strands its intermediates in the block manager for
+    * the stream's lifetime (the 5.9s-early / 54s-late melt measured
+    * in [[free]]'s doc). Freeing a frame an operator already freed is
+    * a no-op (unpersist is idempotent). Scopes nest: an inner scope
+    * ALSO reports its frames to the enclosing scope, so an outer
+    * micro-batch boundary frees everything even if a nested helper
+    * opened its own scope. Thread-local, so safe under concurrent
+    * streams (each foreachBatch body runs on its own thread). */
+  def tracking[A](body: => A): (A, Seq[DataFrame]) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val prev = tracker.get()
+    tracker.set(buf)
+    try {
+      val a = body
+      if (prev != null) prev ++= buf
+      (a, buf.toSeq)
+    } finally tracker.set(prev)
+  }
   /** Session conf: directory for `reliable` mode. Defaults to a
     * tmp-dir path — fine for tests; production sets a replicated
     * filesystem path. */
