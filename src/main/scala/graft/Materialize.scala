@@ -40,27 +40,58 @@ object Materialize {
   /** Run `body` collecting EVERY frame [[once]] materializes on this
     * thread — including frames operators materialize internally and
     * never hand back (incrementalClusters' batch, the lake probe's
-    * freshSets/freshPrefix, clusters()' final labels). Streaming
-    * callers wrap each micro-batch's operator composition in this,
-    * run the sink write, then [[free]] all returned handles — the
-    * per-micro-batch block-residue leak class: without it, every
-    * micro-batch strands its intermediates in the block manager for
-    * the stream's lifetime (the 5.9s-early / 54s-late melt measured
-    * in [[free]]'s doc). Freeing a frame an operator already freed is
-    * a no-op (unpersist is idempotent). Scopes nest: an inner scope
-    * ALSO reports its frames to the enclosing scope, so an outer
-    * micro-batch boundary frees everything even if a nested helper
-    * opened its own scope. Thread-local, so safe under concurrent
-    * streams (each foreachBatch body runs on its own thread). */
+    * freshSets/freshPrefix, clusters()' final labels) — and return
+    * them alongside the result for the caller to [[free]] when it
+    * chooses. Callers that simply want everything freed at the scope
+    * boundary (every streaming micro-batch) use [[scoped]] instead.
+    * Freeing a frame an operator already freed is a no-op (unpersist
+    * is idempotent). Scopes nest: an inner scope ALSO reports its
+    * frames to the enclosing scope — success or failure — so an outer
+    * boundary frees everything even if a nested helper opened its own
+    * scope and threw. Thread-local, so safe under concurrent streams
+    * (each foreachBatch body runs on its own thread). */
   def tracking[A](body: => A): (A, Seq[DataFrame]) = {
     val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]
     val prev = tracker.get()
     tracker.set(buf)
-    try {
-      val a = body
+    try (body, buf.toSeq)
+    finally {
+      // propagate in the finally, not the success path: frames an
+      // inner scope materialized before `body` threw must still reach
+      // the enclosing scope, or the outer micro-batch boundary would
+      // free everything EXCEPT exactly the frames of failed batches —
+      // the ones a retry loop re-creates every attempt.
       if (prev != null) prev ++= buf
-      (a, buf.toSeq)
-    } finally tracker.set(prev)
+      tracker.set(prev)
+    }
+  }
+
+  /** Run `body` as a self-contained materialization scope: every frame
+    * [[once]] materializes inside is freed when the scope exits —
+    * success OR failure (a failed micro-batch's intermediates are dead
+    * either way, and the source replays the batch, so freeing them is
+    * what keeps a retry loop from stranding one frame set per
+    * attempt). THE per-micro-batch boundary: each foreachBatch body in
+    * CorpusStream wraps its operator composition + sink write in this,
+    * so operators may materialize internal multi-consumer subtrees
+    * (the lake probe's freshSets/freshPrefix, incrementalClusters'
+    * batch, clusters()' final labels) without per-call-site free
+    * bookkeeping, and block-manager residue across a 24/7 stream stays
+    * ZERO-growth (CorpusStreamSpec pins it across ≥3 micro-batches).
+    * Nothing materialized inside may escape the scope un-consumed —
+    * the body must finish its terminal action (the sink write) before
+    * returning. Frames the body already freed are re-freed harmlessly
+    * (unpersist is idempotent); frames are NOT reported to an
+    * enclosing [[tracking]] scope (this scope owns and frees them). */
+  def scoped[A](body: => A): A = {
+    val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val prev = tracker.get()
+    tracker.set(buf)
+    try body
+    finally {
+      tracker.set(prev)
+      buf.foreach(free)
+    }
   }
   /** Session conf: directory for `reliable` mode. Defaults to a
     * tmp-dir path — fine for tests; production sets a replicated
@@ -82,21 +113,26 @@ object Materialize {
     * mutual-kNN clusters probe; see GraftStatsBridge's scaladoc).
     * Stats below the 2⁶⁰ cap are untouched, so small materialized
     * frames keep exact sizes and auto-broadcast exactly as before. */
-  def once(df: DataFrame): DataFrame = mode(df) match {
-    case "local" =>
-      org.apache.spark.sql.GraftStatsBridge.clampStats(df.localCheckpoint())
-    case "reliable" =>
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        val dir = df.sparkSession.conf.get(DirKey,
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-            s"/graft-checkpoints-${sc.applicationId}")
-        sc.setCheckpointDir(dir)
-      }
-      org.apache.spark.sql.GraftStatsBridge.clampStats(df.checkpoint())
-    case other =>
-      throw new IllegalArgumentException(
-        s"$ModeKey must be 'local' or 'reliable', got '$other'")
+  def once(df: DataFrame): DataFrame = {
+    val out = mode(df) match {
+      case "local" =>
+        org.apache.spark.sql.GraftStatsBridge.clampStats(df.localCheckpoint())
+      case "reliable" =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = df.sparkSession.conf.get(DirKey,
+            sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+              s"/graft-checkpoints-${sc.applicationId}")
+          sc.setCheckpointDir(dir)
+        }
+        org.apache.spark.sql.GraftStatsBridge.clampStats(df.checkpoint())
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be 'local' or 'reliable', got '$other'")
+    }
+    val t = tracker.get()
+    if (t != null) t += out
+    out
   }
 
   /** Free the executor-local blocks of a [[once]]-materialized frame

@@ -39,33 +39,55 @@ object LakeDeletion {
   private def ids(del: DataFrame): DataFrame =
     del.select(col("doc_id")).dropDuplicates("doc_id")
 
+  /** Table subdirectories of a resolved version dir — EVERY table of
+    * the group snapshot, so a rewrite can never silently drop one. */
+  private def tablesOf(spark: SparkSession, ver: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(ver)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+  }
+
   /** Delete from a [[graft.operators.Dedup.publishMinhashLake]] split
     * index: anti-join both tables of the current group snapshot and
     * commit them as ONE new group version — a crash mid-delete leaves
     * the previous consistent snapshot addressable, never bands
     * without their verify sets. Row-identical to
     * `publishMinhashLake(remaining)` because every row cites one doc
-    * (DeletionSpec pins probe-identity). A lake published with extra
-    * group tables (e.g. [[graft.streaming.CorpusStream
-    * .publishDedupLake]]'s fps) names them in `alsoFilterByDoc` /
-    * `passThrough` so the new version stays complete: doc-keyed
-    * extras anti-join like the core tables; content-keyed extras (the
-    * fingerprint set has no doc_id) copy through and recompute on the
-    * next publisher run. */
+    * (DeletionSpec pins probe-identity).
+    *
+    * The new version carries EVERY table of the snapshot, named or
+    * not — extra group tables a publisher shipped alongside (e.g.
+    * [[graft.streaming.CorpusStream.publishDedupLake]]'s fps) used to
+    * require naming in `alsoFilterByDoc` / `passThrough`, and a
+    * default-args delete silently dropped them, breaking the next
+    * probe micro-batch. Unnamed extras now classify by schema:
+    * doc-keyed tables (a `doc_id` column) anti-join like the core
+    * tables; content-keyed tables (the fingerprint set has no
+    * doc_id) copy through unchanged and recompute on the next
+    * publisher run. The explicit args remain as overrides — e.g.
+    * `passThrough` a doc-keyed audit table whose rows must survive
+    * deletion. */
   def deleteFromMinhashLake(spark: SparkSession, dir: String,
       deleteIds: DataFrame, alsoFilterByDoc: Seq[String] = Nil,
-      passThrough: Seq[String] = Nil): Unit = {
+      passThrough: Seq[String] = Nil): Unit = graft.Materialize.scoped {
     val del = graft.Materialize.once(ids(deleteIds))
-    try {
-      val ver = StormSinks.currentVersionDir(spark, dir)
-      def filtered(name: String) = spark.read.parquet(s"$ver/$name")
-        .join(broadcast(del), Seq("doc_id"), "left_anti")
-      StormSinks.writeVersionedGroup(spark, dir,
-        (Seq("bands", "sets") ++ alsoFilterByDoc).map(n => n -> filtered(n)) ++
-          passThrough.map(n => n -> spark.read.parquet(s"$ver/$n")),
-        partitionCols = Map("bands" -> Seq("band")))
-      ()
-    } finally graft.Materialize.free(del)
+    val ver = StormSinks.currentVersionDir(spark, dir)
+    def filtered(name: String) = spark.read.parquet(s"$ver/$name")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val tables = tablesOf(spark, ver).map { n =>
+      val df = spark.read.parquet(s"$ver/$n")
+      val filter =
+        if (passThrough.contains(n)) false
+        else if (alsoFilterByDoc.contains(n) || n == "bands" || n == "sets") true
+        else df.columns.contains("doc_id")
+      n -> (if (filter) filtered(n) else df)
+    }
+    StormSinks.writeVersionedGroup(spark, dir, tables,
+      partitionCols = Map("bands" -> Seq("band")))
+    ()
   }
 
   /** Delete from a [[graft.streaming.CorpusStream.publishRetrievalLake]]:
@@ -77,9 +99,9 @@ object LakeDeletion {
     * the post-delete corpus (the caller owns the docs lake — pass its
     * post-delete read). */
   def deleteFromRetrievalLake(spark: SparkSession, dir: String,
-      remainingDocs: DataFrame, deleteIds: DataFrame): Unit = {
-    val del = graft.Materialize.once(ids(deleteIds))
-    try {
+      remainingDocs: DataFrame, deleteIds: DataFrame): Unit =
+    graft.Materialize.scoped {
+      val del = graft.Materialize.once(ids(deleteIds))
       val ver = StormSinks.currentVersionDir(spark, dir)
       StormSinks.writeVersionedGroup(spark, dir, Seq(
         "bm25" -> graft.operators.PipelineQueries.bm25WeightsOf(
@@ -88,8 +110,7 @@ object LakeDeletion {
           .join(broadcast(del.select(col("doc_id").as("vec_id"))),
             Seq("vec_id"), "left_anti")))
       ()
-    } finally graft.Materialize.free(del)
-  }
+    }
 
   /** Delete from a [[graft.streaming.CorpusStream.publishClusterLake]]
     * group: docs anti-join, labels repaired by TARGETED connected
@@ -113,13 +134,19 @@ object LakeDeletion {
     * `clusters(jaccardPairs(remaining))` including a bridge-split
     * fixture. */
   def deleteFromClusterLake(spark: SparkSession, dir: String,
-      deleteIds: DataFrame, k: Int = 3, threshold: Double = 0.5): Unit = {
-    // one pointer resolution = one consistent (docs, labels) snapshot
-    val ver = StormSinks.currentVersionDir(spark, dir)
-    val docs0 = spark.read.parquet(s"$ver/docs")
-    val labels0 = spark.read.parquet(s"$ver/labels")
-    val del = graft.Materialize.once(ids(deleteIds))
-    try {
+      deleteIds: DataFrame, k: Int = 3, threshold: Double = 0.5): Unit =
+    graft.Materialize.scoped {
+      // one pointer resolution = one consistent (docs, labels) snapshot
+      val ver = StormSinks.currentVersionDir(spark, dir)
+      // repairing under a different similarity than the published
+      // labels' would silently rewrite affected clusters wrong — the
+      // lake's persisted (k, threshold) are authoritative; mismatch
+      // raises (DeletionSpec pins it)
+      graft.streaming.CorpusStream.validateClusterMeta(spark, ver, k, threshold,
+        "graft.LakeDeletion.deleteFromClusterLake")
+      val docs0 = spark.read.parquet(s"$ver/docs")
+      val labels0 = spark.read.parquet(s"$ver/labels")
+      val del = graft.Materialize.once(ids(deleteIds))
       val docs1 = docs0.join(broadcast(del), Seq("doc_id"), "left_anti")
       // clusters that lost >= 1 member (a deleted doc with no label row
       // was a singleton — nothing to repair)
@@ -137,12 +164,15 @@ object LakeDeletion {
         .join(broadcast(del), Seq("doc_id"), "left_anti")
         .join(broadcast(affected), Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
+      // carry every other snapshot table (meta, publisher extras)
+      // through unchanged so the new version stays complete
+      val extras = tablesOf(spark, ver)
+        .filterNot(n => n == "docs" || n == "labels")
+        .map(n => n -> spark.read.parquet(s"$ver/$n"))
       StormSinks.writeVersionedGroup(spark, dir, Seq(
         "docs" -> docs1,
         "labels" -> keep.unionByName(
-          repaired.select(col("doc_id"), col("cluster_id")))))
-      graft.Materialize.free(affected)
+          repaired.select(col("doc_id"), col("cluster_id")))) ++ extras)
       ()
-    } finally graft.Materialize.free(del)
-  }
+    }
 }

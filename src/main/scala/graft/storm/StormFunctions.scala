@@ -38,7 +38,9 @@ object StormFunctions {
   /** Exact hex-float value: mantissa digits (int ++ frac) as ONE hex
     * integer M via conv(_,16,10), value = ±M · 2^(p − 4·|frac|) — the
     * multiply is a pure exponent scale, so the result is correctly
-    * rounded whenever M fits 16 hex digits. A LONGER mantissa maps to
+    * rounded whenever M fits 16 SIGNIFICANT hex digits (leading zeros
+    * stripped — they don't consume the 64-bit window). A LONGER
+    * mantissa maps to
     * 0.0 on BOTH engines (Go rounds it — an edge documented in SURVEY
     * §1, far past any feed's precision): conv's 64-bit window would
     * silently truncate here while DuckDB's UBIGINT cast would THROW,
@@ -55,7 +57,11 @@ object StormFunctions {
     val ex = regexp_extract(body, "[pP]([+-]?[0-9]+)$", 1).cast("int")
     val m = conv(concat(ip, fp), 16, 10).cast("double")
     val v = sign * m * pow(lit(2.0), (ex - length(fp) * 4).cast("double"))
-    when(length(concat(ip, fp)) > 16, lit(0.0)).otherwise(
+    // the 16-digit cutoff counts SIGNIFICANT digits: leading zeros
+    // don't consume conv's 64-bit window, so "0x00000000000000001p0"
+    // must parse 1.0 (as Go does), not trip the guard
+    val sig = regexp_replace(concat(ip, fp), "^0+", "")
+    when(length(sig) > 16, lit(0.0)).otherwise(
       coalesce(when(abs(v) === lit(Double.PositiveInfinity), lit(0.0)).otherwise(v),
         lit(0.0)))
   }

@@ -194,19 +194,23 @@ object StormQueries {
     val ip = s"regexp_extract($b, '^0[xX]([0-9a-fA-F]*)', 1)"
     val fp = s"regexp_extract($b, '^0[xX][0-9a-fA-F]*\\.([0-9a-fA-F]*)', 1)"
     val ex = s"TRY_CAST(regexp_extract($b, '[pP]([+-]?[0-9]+)$$', 1) AS INT)"
-    // mantissas beyond 16 hex digits map to 0.0 on BOTH engines (the
-    // shared cutoff StormFunctions.hexDouble documents): a plain CAST
-    // to UBIGINT would THROW on the 17th digit — crashing the oracle
-    // run where Spark's conv would truncate — so the length guard plus
-    // TRY_CAST make the two engines degrade identically by construction
+    // mantissas beyond 16 SIGNIFICANT hex digits map to 0.0 on BOTH
+    // engines (the shared cutoff StormFunctions.hexDouble documents):
+    // a plain CAST to UBIGINT would THROW on the 17th digit — crashing
+    // the oracle run where Spark's conv would truncate — so the length
+    // guard plus TRY_CAST make the two engines degrade identically by
+    // construction. Leading zeros are stripped before both the guard
+    // and the cast (mirroring hexDouble): they don't consume the
+    // 64-bit window, so '0x00000000000000001p0' parses 1.0 like Go.
+    val sig = s"regexp_replace($ip || $fp, '^0+', '')"
     val hv = s"(CASE WHEN $x LIKE '-%' THEN -1.0 ELSE 1.0 END) * " +
-      s"CAST(TRY_CAST(('0x' || $ip || $fp) AS UBIGINT) AS DOUBLE) * " +
+      s"CAST(TRY_CAST(('0x' || $sig) AS UBIGINT) AS DOUBLE) * " +
       s"pow(2.0, $ex - 4 * length($fp))"
     s"""CASE WHEN regexp_matches($x, '$NUM') THEN
        |       (CASE WHEN isinf(TRY_CAST($clean AS DOUBLE)) THEN 0.0
        |             ELSE COALESCE(TRY_CAST($clean AS DOUBLE), 0.0) END)
        |     WHEN regexp_matches($x, '$HEX') THEN
-       |       (CASE WHEN length($ip || $fp) > 16 THEN 0.0
+       |       (CASE WHEN length($sig) > 16 THEN 0.0
        |             WHEN $hv IS NULL OR isinf($hv) THEN 0.0 ELSE $hv END)
        |     WHEN regexp_matches(lower($x), '$INF') OR lower($x) = 'nan'
        |       THEN COALESCE(TRY_CAST($x AS DOUBLE), 0.0)

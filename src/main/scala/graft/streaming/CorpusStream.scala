@@ -80,8 +80,10 @@ object CorpusStream {
     readDocuments(spark, inDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        prepare(graft.operators.Decontaminate.clean(batch, benchmark, k = 8))
-          .write.mode("append").parquet(outDir)
+        graft.Materialize.scoped {
+          prepare(graft.operators.Decontaminate.clean(batch, benchmark, k = 8))
+            .write.mode("append").parquet(outDir)
+        }
       }
       .option("checkpointLocation", s"$checkpointDir/clean")
       .trigger(Trigger.AvailableNow())
@@ -109,13 +111,14 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // the batch-side signature index is materialized (multi-consumer
-        // subtree) — build it HERE, not inside the probe, so its blocks
-        // can be freed once the sink write lands; otherwise every
-        // micro-batch leaks one materialized frame for the stream's
-        // lifetime (the block-residue melt class from HEAPCHECK).
-        val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
-        try {
+        // the scope frees every frame the batch materializes (the
+        // batch-side signature index minhashIndex builds) once the
+        // sink write lands; otherwise every micro-batch leaks one
+        // materialized frame for the stream's lifetime (the
+        // block-residue melt class from HEAPCHECK). The session-
+        // lifetime corpus index + fps were built OUTSIDE the scope.
+        graft.Materialize.scoped {
+          val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
           val near = Dedup
             .minhashPairsBetweenIndexes(index, batchIdx, threshold = 0.2)
             .select(col("doc_new").as("doc_id")).distinct()
@@ -125,7 +128,7 @@ object CorpusStream {
             .join(near, Seq("doc_id"), "left_anti")
             .drop("fp")
           prepare(kept).write.mode("append").parquet(outDir)
-        } finally graft.Materialize.free(batchIdx)
+        }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incdedup")
@@ -168,9 +171,9 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val ver = graft.sources.StormSinks.currentVersionDir(spark, lakeDir)
-        val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
-        try {
+        graft.Materialize.scoped {
+          val ver = graft.sources.StormSinks.currentVersionDir(spark, lakeDir)
+          val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
           val near = Dedup
             .minhashPairsLakeVsIndexAt(ver, batchIdx, threshold = 0.2)
             .select(col("doc_new").as("doc_id")).distinct()
@@ -181,7 +184,7 @@ object CorpusStream {
             .join(near, Seq("doc_id"), "left_anti")
             .drop("fp")
           prepare(kept).write.mode("append").parquet(outDir)
-        } finally graft.Materialize.free(batchIdx)
+        }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incdedup-lake")
@@ -199,13 +202,49 @@ object CorpusStream {
     * labels or vice versa. The publisher owns the one full batch CC;
     * the stream only maintains. */
   def publishClusterLake(corpus: DataFrame, dir: String,
-      k: Int = 3, threshold: Double = 0.5): Unit = {
+      k: Int = 3, threshold: Double = 0.5): Unit = graft.Materialize.scoped {
     import graft.operators.Dedup
     val docs = corpus.select(col("doc_id"), col("text"))
     graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, dir, Seq(
       "docs" -> docs,
-      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold))))
+      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
+      "meta" -> clusterMeta(corpus.sparkSession, k, threshold)))
     ()
+  }
+
+  /** One-row (k, threshold) record committed with every cluster-lake
+    * version: the labels are only meaningful UNDER the similarity that
+    * produced them, so the parameters travel with the group snapshot
+    * and every maintainer ([[startIncrementalClusters]],
+    * [[startIncrementalClustersIndexed]], [[graft.sources.LakeDeletion
+    * .deleteFromClusterLake]]) validates its own k/threshold against
+    * them before touching the labels — a mismatch raises instead of
+    * silently merging/repairing under a DIFFERENT similarity (the
+    * corruption no later read can detect). */
+  private def clusterMeta(spark: SparkSession, k: Int, threshold: Double): DataFrame = {
+    import spark.implicits._
+    Seq((k, threshold)).toDF("k", "threshold")
+  }
+
+  /** Raise if `ver` (a resolved cluster-lake group version) carries a
+    * `meta` table whose (k, threshold) differ from the caller's. A
+    * lake published before meta existed has no table — caller-trusted,
+    * as before; the next maintainer republish writes one. */
+  private[graft] def validateClusterMeta(spark: SparkSession, ver: String,
+      k: Int, threshold: Double, caller: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$ver/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val r = spark.read.parquet(s"$ver/meta").head()
+      val (pk, pt) = (r.getAs[Int]("k"), r.getAs[Double]("threshold"))
+      if (pk != k || pt != threshold)
+        throw new IllegalArgumentException(
+          s"$caller: cluster lake version $ver was published with k=$pk, " +
+            s"threshold=$pt but the caller passed k=$k, threshold=$threshold - " +
+            "maintaining or repairing under a different similarity silently " +
+            "corrupts the labels. Pass the published parameters (or republish " +
+            "the lake under the new ones).")
+    }
   }
 
   /** Read one table ("docs" / "labels") of a [[publishClusterLake]]
@@ -243,20 +282,31 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s2 = batch.sparkSession
-        // resolve the pointer ONCE: both tables come from the same
-        // immutable snapshot
-        val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
-        val corpus = s2.read.parquet(s"$ver/docs")
-        val labels = s2.read.parquet(s"$ver/labels")
-        val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-        val updated = graft.Materialize.once(
-          graft.operators.Dedup.incrementalClusters(corpus, labels, b, k, threshold))
-        try
+        // the scope frees EVERY frame this batch materializes — not
+        // just `updated` but the ones incrementalClusters /
+        // jaccardPairsTouching build internally (batch, sets, the
+        // quotient CC's labels) — once the group commit lands; without
+        // it each micro-batch stranded those in the block manager for
+        // the stream's lifetime (CorpusStreamSpec pins zero growth).
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          // resolve the pointer ONCE: both tables come from the same
+          // immutable snapshot
+          val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+          // merging under a different similarity than the published
+          // labels' would corrupt them undetectably — validate first
+          validateClusterMeta(s2, ver, k, threshold,
+            "graft.CorpusStream.startIncrementalClusters")
+          val corpus = s2.read.parquet(s"$ver/docs")
+          val labels = s2.read.parquet(s"$ver/labels")
+          val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+          val updated = graft.Materialize.once(
+            graft.operators.Dedup.incrementalClusters(corpus, labels, b, k, threshold))
           graft.sources.StormSinks.writeVersionedGroup(s2, lakeDir, Seq(
             "docs" -> corpus.unionByName(b).dropDuplicates("doc_id"),
-            "labels" -> updated))
-        finally graft.Materialize.free(updated)
+            "labels" -> updated,
+            "meta" -> clusterMeta(s2, k, threshold)))
+        }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incclusters")
@@ -282,16 +332,18 @@ object CorpusStream {
     * index — probes and labeling stay correct (fresh wins), just
     * momentarily less cheap. */
   def publishClusterLakeIndexed(corpus: DataFrame, stateDir: String,
-      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit = {
-    import graft.operators.Dedup
-    val docs = corpus.select(col("doc_id"), col("text"))
-    Dedup.publishJaccardLake(docs, indexDir, k, threshold)
-    graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, stateDir, Seq(
-      "docs" -> docs,
-      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
-      "fresh" -> docs.where(lit(false))))
-    ()
-  }
+      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit =
+    graft.Materialize.scoped {
+      import graft.operators.Dedup
+      val docs = corpus.select(col("doc_id"), col("text"))
+      Dedup.publishJaccardLake(docs, indexDir, k, threshold)
+      graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, stateDir, Seq(
+        "docs" -> docs,
+        "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
+        "fresh" -> docs.where(lit(false)),
+        "meta" -> clusterMeta(corpus.sparkSession, k, threshold)))
+      ()
+    }
 
   /** Maintenance-cadence republish: rebuild the Jaccard prefix index
     * from the CURRENT state docs (re-freezing the df order), then
@@ -300,16 +352,20 @@ object CorpusStream {
     * newly-indexed docs — correct, self-healing on the next
     * successful run. */
   def republishClusterIndex(spark: SparkSession, stateDir: String,
-      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit = {
-    val ver = graft.sources.StormSinks.currentVersionDir(spark, stateDir)
-    val docs = spark.read.parquet(s"$ver/docs")
-    graft.operators.Dedup.publishJaccardLake(docs, indexDir, k, threshold)
-    graft.sources.StormSinks.writeVersionedGroup(spark, stateDir, Seq(
-      "docs" -> docs,
-      "labels" -> spark.read.parquet(s"$ver/labels"),
-      "fresh" -> docs.where(lit(false))))
-    ()
-  }
+      indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit =
+    graft.Materialize.scoped {
+      val ver = graft.sources.StormSinks.currentVersionDir(spark, stateDir)
+      validateClusterMeta(spark, ver, k, threshold,
+        "graft.CorpusStream.republishClusterIndex")
+      val docs = spark.read.parquet(s"$ver/docs")
+      graft.operators.Dedup.publishJaccardLake(docs, indexDir, k, threshold)
+      graft.sources.StormSinks.writeVersionedGroup(spark, stateDir, Seq(
+        "docs" -> docs,
+        "labels" -> spark.read.parquet(s"$ver/labels"),
+        "fresh" -> docs.where(lit(false)),
+        "meta" -> clusterMeta(spark, k, threshold)))
+      ()
+    }
 
   /** Streaming cluster maintenance over [[publishClusterLakeIndexed]]
     * state: per micro-batch, merge through the LAKE probe (fresh +
@@ -322,23 +378,29 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s2 = batch.sparkSession
-        import graft.sources.StormSinks
-        val sVer = StormSinks.currentVersionDir(s2, stateDir)
-        val iVer = StormSinks.currentVersionDir(s2, indexDir)
-        val docs0 = s2.read.parquet(s"$sVer/docs")
-        val labels0 = s2.read.parquet(s"$sVer/labels")
-        val fresh0 = s2.read.parquet(s"$sVer/fresh")
-        val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-        val updated = graft.Materialize.once(
-          graft.operators.Dedup.incrementalClustersLakeAt(
-            iVer, labels0, fresh0, b, k, threshold))
-        try
+        // same zero-residue contract as startIncrementalClusters: the
+        // scope frees the lake probe's internal freshSets/freshPrefix
+        // and the quotient CC's frames along with `updated`
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val sVer = StormSinks.currentVersionDir(s2, stateDir)
+          val iVer = StormSinks.currentVersionDir(s2, indexDir)
+          validateClusterMeta(s2, sVer, k, threshold,
+            "graft.CorpusStream.startIncrementalClustersIndexed")
+          val docs0 = s2.read.parquet(s"$sVer/docs")
+          val labels0 = s2.read.parquet(s"$sVer/labels")
+          val fresh0 = s2.read.parquet(s"$sVer/fresh")
+          val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+          val updated = graft.Materialize.once(
+            graft.operators.Dedup.incrementalClustersLakeAt(
+              iVer, labels0, fresh0, b, k, threshold))
           StormSinks.writeVersionedGroup(s2, stateDir, Seq(
             "docs" -> docs0.unionByName(b).dropDuplicates("doc_id"),
             "labels" -> updated,
-            "fresh" -> fresh0.unionByName(b).dropDuplicates("doc_id")))
-        finally graft.Materialize.free(updated)
+            "fresh" -> fresh0.unionByName(b).dropDuplicates("doc_id"),
+            "meta" -> clusterMeta(s2, k, threshold)))
+        }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incclusters-idx")
@@ -422,13 +484,15 @@ object CorpusStream {
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s2 = batch.sparkSession
-        val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
-        val weights = s2.read.parquet(s"$ver/bm25")
-        val dense = s2.read.parquet(s"$ver/dense")
-        hybridProbe(weights, dense, batch.select(col("doc_id"), col("text")), k)
-          .withColumn("batch_seq", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+          val weights = s2.read.parquet(s"$ver/bm25")
+          val dense = s2.read.parquet(s"$ver/dense")
+          hybridProbe(weights, dense, batch.select(col("doc_id"), col("text")), k)
+            .withColumn("batch_seq", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/serving")

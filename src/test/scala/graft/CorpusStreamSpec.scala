@@ -285,4 +285,51 @@ class CorpusStreamSpec extends SparkSpec {
       s"$base/state", s"$base/index", s"$base/cp2").awaitTermination()
     assert(labelMap() == got, "replaying committed batches changed labels")
   }
+
+  test("cluster + lake-dedup streams hold no per-batch state: ZERO block residue across 3 micro-batches") {
+    // The r10/r11 leak class: the operators these streams run per
+    // micro-batch (incrementalClusters, the lake probe, the quotient
+    // CC) materialize INTERNAL frames they never hand back — without
+    // the Materialize.scoped boundary every micro-batch stranded them
+    // in the block manager for the stream's lifetime, the melt a 24/7
+    // deployment can't survive. 3 input files × maxFilesPerTrigger=1
+    // forces 3 micro-batches; after each stream ends, the persistent-
+    // RDD count must be EXACTLY what it was before the stream started
+    // (these lake-backed streams keep no session-lifetime frames).
+    val base = Files.createTempDirectory("graft-corpus-cluster-blocks").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") <= 60)
+    docs.where(col("doc_id") > 60 && col("doc_id") <= 120).coalesce(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+
+    CorpusStream.publishClusterLake(corpus, s"$base/lake")
+    val b1 = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
+      s"$base/cp1", maxFilesPerTrigger = 1).awaitTermination()
+    val a1 = spark.sparkContext.getPersistentRDDs.size
+    assert(a1 == b1, s"incremental-clusters stream leaked blocks: $b1 -> $a1")
+
+    CorpusStream.publishClusterLakeIndexed(corpus, s"$base/state", s"$base/index")
+    val b2 = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+        s"$base/state", s"$base/index", s"$base/cp2", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val a2 = spark.sparkContext.getPersistentRDDs.size
+    assert(a2 == b2, s"indexed-clusters stream leaked blocks: $b2 -> $a2")
+
+    CorpusStream.publishDedupLake(corpus, s"$base/dlake")
+    val b3 = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/dlake", s"$base/out3", s"$base/cp3", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val a3 = spark.sparkContext.getPersistentRDDs.size
+    assert(a3 == b3, s"lake-dedup stream leaked blocks: $b3 -> $a3")
+    assert(spark.read.parquet(s"$base/out3").count() > 0, "dedup stream wrote nothing")
+
+    // the publishers themselves are scoped too — no session residue
+    // beyond what existed before this test's publishes
+    CorpusStream.publishClusterLake(corpus, s"$base/lake2")
+    assert(spark.sparkContext.getPersistentRDDs.size == a3,
+      "publishClusterLake left its CC labels materialized")
+  }
 }

@@ -37,6 +37,69 @@ class DeletionSpec extends SparkSpec {
       "old version must survive the delete publish")
   }
 
+  test("default-args delete from a publishDedupLake lake keeps the fps table; probe micro-batch still runs") {
+    // the r11 ADVICE finding: deleteFromMinhashLake with default args
+    // silently DROPPED any extra group table (publishDedupLake's
+    // content-keyed fps), and the next startIncrementalDedupFromLake
+    // micro-batch crashed on the missing path. Unnamed tables now
+    // classify by schema: fps (no doc_id) passes through.
+    val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = doc.where($"doc_id" <= 200)
+    val del = corpus.where($"doc_id" % 11 === 0).select($"doc_id")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-fps").toString
+    CorpusStream.publishDedupLake(corpus, s"$base/lake")
+    LakeDeletion.deleteFromMinhashLake(spark, s"$base/lake", del)
+    val ver = StormSinks.currentVersionDir(spark, s"$base/lake")
+    assert(new java.io.File(s"$ver/fps").exists,
+      "content-keyed fps table must survive a default-args delete")
+    // bands/sets (doc-keyed) really were filtered
+    assert(spark.read.parquet(s"$ver/bands")
+      .join(del, Seq("doc_id"), "left_semi").count() == 0,
+      "bands rows of deleted docs survived")
+    // the stream's next micro-batch probes the post-delete snapshot
+    // end-to-end (fingerprint anti-join + band join both read it)
+    doc.where($"doc_id" > 200 && $"doc_id" <= 260).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/lake", s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() > 0,
+      "post-delete probe micro-batch produced nothing")
+  }
+
+  test("cluster lake carries (k, threshold) metadata; a mismatched repair or merge RAISES") {
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma epsilon",
+      10L -> "one two three four", 11L -> "one two three five"
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-meta").toString
+    CorpusStream.publishClusterLake(corpus, s"$base/lake", k = 2, threshold = 0.4)
+    // repairing under a DIFFERENT similarity must refuse, not silently
+    // rewrite affected clusters under the wrong parameters
+    val e = intercept[IllegalArgumentException](
+      LakeDeletion.deleteFromClusterLake(spark, s"$base/lake",
+        Seq(1L).toDF("doc_id"), k = 3, threshold = 0.5))
+    assert(e.getMessage.contains("k=2") && e.getMessage.contains("threshold=0.4"),
+      s"error must cite the published parameters: ${e.getMessage}")
+    // the streaming maintainer validates the same contract
+    Seq(20L -> "alpha beta gamma zeta").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    val q = CorpusStream.startIncrementalClusters(spark, s"$base/in",
+      s"$base/lake", s"$base/cp", k = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(se.getMessage.contains("k=2") || se.toString.contains("k=2"),
+      s"stream must refuse a mismatched merge: ${se.getMessage}")
+    // matching parameters proceed, and the meta table survives the
+    // delete (carried through with every other snapshot table)
+    LakeDeletion.deleteFromClusterLake(spark, s"$base/lake",
+      Seq(1L).toDF("doc_id"), k = 2, threshold = 0.4)
+    val ver = StormSinks.currentVersionDir(spark, s"$base/lake")
+    assert(new java.io.File(s"$ver/meta").exists, "meta dropped by the delete")
+    val m = spark.read.parquet(s"$ver/meta").head()
+    assert(m.getAs[Int]("k") == 2 && m.getAs[Double]("threshold") == 0.4)
+  }
+
   test("retrieval lake delete: BM25 recomputes global stats, dense filters") {
     val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val embs = Tables.embeddings(spark, sfDir)

@@ -70,6 +70,51 @@ class MaterializeSpec extends SparkSpec {
     assert(reliable == local)
   }
 
+  test("tracking collects every once()-materialized frame; nested scopes propagate, even on failure") {
+    val df = (1 to 20).map(i => (i.toLong, (i % 3).toLong)).toDF("a", "b")
+    val ((m, innerFrames), outerFrames) = Materialize.tracking {
+      Materialize.tracking(Materialize.once(df))
+    }
+    assert(m.count() == 20)
+    assert(innerFrames.size == 1 && (innerFrames.head eq m),
+      "inner scope must hand back the frame once() materialized")
+    assert(outerFrames.size == 1 && (outerFrames.head eq m),
+      "inner scope must ALSO report its frame to the enclosing scope")
+    Materialize.free(m)
+    // failure path: a frame materialized before the inner body threw
+    // must still reach the enclosing scope (or a retry loop strands
+    // one frame set per attempt — the r11 ADVICE finding)
+    val (_, failFrames) = Materialize.tracking {
+      intercept[RuntimeException](Materialize.tracking {
+        Materialize.once(df).count()
+        throw new RuntimeException("boom")
+      })
+    }
+    assert(failFrames.size == 1,
+      "frames from a failed inner scope must propagate to the outer scope")
+    failFrames.foreach(Materialize.free)
+  }
+
+  test("scoped frees everything the body materializes — success AND failure paths") {
+    val df = (1 to 20).map(i => (i.toLong, (i % 3).toLong)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = Materialize.scoped {
+      val a = Materialize.once(df)
+      val b = Materialize.once(a.where(col("a") > 5))
+      b.count()
+    }
+    assert(n == 15)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "scoped must free every frame its body materialized")
+    intercept[RuntimeException](Materialize.scoped {
+      Materialize.once(df).count()
+      throw new RuntimeException("boom")
+    })
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "a failed scope must still free its frames (retried micro-batches " +
+        "re-materialize; keeping the dead set leaks one per attempt)")
+  }
+
   test("unknown mode is rejected") {
     spark.conf.set(Materialize.ModeKey, "bogus")
     try intercept[IllegalArgumentException](

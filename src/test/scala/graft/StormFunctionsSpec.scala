@@ -79,7 +79,14 @@ class StormFunctionsSpec extends SparkSpec {
       // engines pin the explicit guard instead
       "0x11112222333344445p0" -> 0.0,
       "0x1111222233334444p0" -> 0x1111222233334444L.toDouble, // 16 digits still exact
-      "0x1.11122223333444455p0" -> 0.0)
+      "0x1.11122223333444455p0" -> 0.0,
+      // the cutoff counts SIGNIFICANT digits: leading zeros don't
+      // consume the 64-bit window, so Go parses these exactly and so
+      // must both engines (r11 ADVICE: the raw-length guard mapped the
+      // first to 0.0 while Go says 1.0)
+      "0x00000000000000001p0" -> 1.0, // 17 raw digits, 1 significant
+      "0x0.000000000000000001p0" -> math.pow(2.0, -72), // frac zeros set the exponent
+      "0x000011112222333344445p0" -> 0.0) // 17 SIGNIFICANT digits still 0
     val got = cases.map(_._1).toDF("x")
       .select(parseFloatOrZero($"x").as("r")).collect().map(_.getDouble(0))
     cases.zip(got).foreach { case ((s, want), g) =>
