@@ -334,12 +334,15 @@ object Bench {
     // ...and APPEND to a cumulative history so per-round per-query
     // series survive in git without archaeology (r8's map had to be
     // recovered from bench_last.json's git history for the r9 verdict;
-    // BENCH_rN.json stdout tails truncate with "parsed": null)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
-      (line + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    catch { case t: Throwable => System.err.println(s"[bench] history write failed: $t") }
+    // BENCH_rN.json stdout tails truncate with "parsed": null).
+    // Driver-SF runs only: the history documents the round-over-round
+    // sf0.1 series, and quick sf0.001 iteration runs were polluting it
+    if (sfDir.endsWith("sf0.1"))
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case t: Throwable => System.err.println(s"[bench] history write failed: $t") }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_stages.json"),
       (stageRecs.asScala.mkString("[\n", ",\n", "\n]") + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"[bench] stages write failed: $t") }

@@ -272,6 +272,70 @@ object Knn {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------- IVF semantic-decon probe (#126b)
+  /** Semantic-decontamination scores, IVF flavor — the corpus-scale
+    * benchmark path the broadcast `decon_embed` key documents: when
+    * the benchmark set is itself too large to broadcast-crossJoin,
+    * index the BENCHMARK into IVF cells and have every corpus vector
+    * probe only its `nProbe` nearest cells. `max_cos` is the probed
+    * maximum — exact over probed candidates, a lower bound on the
+    * true maximum (a contaminating benchmark vector in an unprobed
+    * cell is missed; recall, like every IVF path, is the nProbe
+    * dial). Corpus vectors whose probed cells hold no benchmark
+    * vector report max_cos = −1 (nothing anywhere near them).
+    *
+    * Scale shape: probe selection is MAP-SIDE ONLY — the centroids
+    * collapse to ONE broadcast array row and each corpus vector picks
+    * its top-nProbe cells inside a single projection (per-cell cosine
+    * on the exact 1e-6 integer grid, long-negated for the ascending
+    * struct sort — no −0.0 ordering hazard), so there is no window,
+    * no explode-then-rank, and no shuffle before the cell join. The
+    * cell join keys n·nProbe probe rows against the benchmark
+    * assignment (AQE broadcasts it while the benchmark is small;
+    * shuffles on cell_id once it isn't), candidate pairs are
+    * n·nProbe·(|bench|/nCells) instead of the crossJoin's n·|bench|
+    * (HotKeyStressSpec bounds the ratio), and the final max combines
+    * map-side to one row per corpus vector. Every step is
+    * deterministic linear algebra, so the DuckDB oracle replays
+    * centroid pick, probes, and scores end-to-end.
+    *
+    * `nCells <= 0` → [[autoCells]] from `benchSize` when supplied,
+    * else from a `bench.count()` (an extra scan — callers that know
+    * their benchmark size should pass it). */
+  def deconEmbedIvf(corpus: DataFrame, bench: DataFrame, threshold: Double,
+      nCells: Int = 0, nProbe: Int = 4, benchSize: Long = -1L): DataFrame = {
+    val nc = if (nCells > 0) nCells
+      else autoCells(if (benchSize > 0) benchSize else bench.count())
+    val cents = ivfCentroids(bench, nc)
+    val assigned = ivfAssign(bench, cents)
+    val centArr = cents.agg(sort_array(
+      collect_list(struct(col("cell_id"), col("centroid")))).as("cents"))
+    // floor(round6·1e6 + 0.5) is a monotone bijection from the rounded
+    // cosine grid to longs: ordering by (−qcos, cell_id) ascending ==
+    // ordering by rounded cosine DESC, cell_id ASC — the exact order
+    // the oracle's row_number replays — with no float negation
+    val probes = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-floor(round(cosine(col("embedding"), c.getField("centroid")), 6)
+              * 1e6 + 0.5).cast("long")).as("nq"),
+            c.getField("cell_id").as("cell_id")))), 1, nProbe)).as("pr"))
+      .select(col("vec_id"), col("embedding"), col("pr.cell_id").as("cell_id"))
+    val b = assigned.select(col("cell_id"), col("embedding").as("b_emb"))
+    // LEFT join: a probe row with no benchmark occupant still yields a
+    // row, so every corpus vector reaches the aggregate (max_cos = −1)
+    probes.join(b, Seq("cell_id"), "left")
+      .select(col("vec_id"),
+        when(col("b_emb").isNotNull,
+          round(cosine(col("embedding"), col("b_emb")), 6))
+          .otherwise(lit(-1.0)).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
+
   // ----------------------------------------------- MMR diversity re-rank
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein,
     * SIGIR'98) — the diversity pass a retrieval serving tier runs so

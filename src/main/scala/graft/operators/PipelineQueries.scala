@@ -584,27 +584,14 @@ object PipelineQueries {
     "corpus_drift" -> ((s, d) => {
       val doc = docs(s, d)
       val cut = math.floor(docCount(s, d) * 0.7).toLong
-      def f(name: String, c: org.apache.spark.sql.Column) = doc.select(
-        lit(name).as("feature"), c.cast("string").as("bucket"),
-        (col("doc_id") < cut).as("is_ref"))
-      val rows = f("lang", col("lang"))
-        .unionByName(f("source", col("source")))
-        .unionByName(f("len", concat(lit("chars_"), expr("n_chars div 200"))))
-      val counts = rows.groupBy(col("feature"), col("bucket"))
+      // one scan: featureRows keeps doc_id so ref/cur split stays a
+      // per-row flag, and the pair counts come from one aggregation
+      val counts = Drift.featureRows(doc)
+        .withColumn("is_ref", col("doc_id") < cut)
+        .groupBy(col("feature"), col("bucket"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
-      val tot = counts.groupBy(col("feature"))
-        .agg(sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"),
-          count(lit(1)).as("nb"))
-      val p = (col("ref_n") + 1).cast("double") / (col("ref_tot") + col("nb")).cast("double")
-      val q = (col("cur_n") + 1).cast("double") / (col("cur_tot") + col("nb")).cast("double")
-      val ratio = ((col("ref_n") + 1) * (col("cur_tot") + col("nb"))).cast("double") /
-        ((col("cur_n") + 1) * (col("ref_tot") + col("nb"))).cast("double")
-      counts.join(tot, "feature")
-        .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
-          round(round(log(ratio), 6) * round(p - q, 6) * lit(1000000.0))
-            .cast("long").as("term_i"))
-        .orderBy(col("feature"), col("bucket"))
+      Drift.psiTerms(counts).orderBy(col("feature"), col("bucket"))
     }),
     // 124: leakage-free train/val/test split — the split assignment a
     // training pipeline must make CLUSTER-aware: hashing doc_ids
@@ -695,6 +682,18 @@ object PipelineQueries {
         .agg(max(col("cos")).as("max_cos"))
         .select(col("vec_id"), col("max_cos"),
           (col("max_cos") >= 0.35).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+    // 126b: decon_embed's corpus-scale swap-in made concrete — the
+    // benchmark set indexed into IVF cells, each corpus vector probing
+    // its 4 nearest. Same output shape and threshold as decon_embed;
+    // max_cos is the probed maximum (DeconIvfSpec pins flag agreement
+    // with the broadcast variant and HotKeyStressSpec bounds the
+    // probed-pair count).
+    "decon_embed_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.deconEmbedIvf(e.where(col("vec_id") % 20 =!= 7),
+          e.where(col("vec_id") % 20 === 7), threshold = 0.35)
         .orderBy(col("vec_id"))
     }),
     // 103: hard-negative mining — per query vector, the 5 most-similar
@@ -3102,6 +3101,47 @@ object PipelineQueries {
         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
         |       sqrt(list_dot_product(b.b_emb, b.b_emb))), 6) AS cos
         |  FROM embeddings e, b WHERE e.vec_id % 20 <> 7
+        |)
+        |SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.35 AS contaminated
+        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // 126b: full IVF replay over the BENCHMARK side — deterministic
+    // centroid pick (first nc bench vectors by id — ORDER BY/LIMIT,
+    // not a dense-id filter: the %20 split is sparse), benchmark
+    // assignment, 4-cell probes, probed max. Probe order replays the
+    // Spark side's (−qcos, cell_id) integer-grid sort as rounded
+    // cosine DESC, cell_id ASC.
+    "decon_embed_ivf" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 20 = 7),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 20 <> 7),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM b ORDER BY vec_id
+        |         LIMIT (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS INT)) FROM b)),
+        |bassign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT b.vec_id, b.v, cent.cell_id,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        round(list_dot_product(b.v, cent.cv) /
+        |          (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+        |        cent.cell_id) AS rn
+        |    FROM b CROSS JOIN cent
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cent.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_dot_product(c.v, cent.cv) /
+        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+        |        cent.cell_id) AS rn
+        |    FROM c CROSS JOIN cent
+        |  ) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT p.vec_id,
+        |    CASE WHEN a.vec_id IS NULL THEN -1.0
+        |         ELSE round(list_dot_product(p.v, a.v) /
+        |           (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(a.v, a.v))), 6)
+        |    END AS cos
+        |  FROM probes p LEFT JOIN bassign a ON p.cell_id = a.cell_id
         |)
         |SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.35 AS contaminated
         |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin,

@@ -596,4 +596,105 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ------------------------------------------------ streaming drift gate
+  /** Publish the drift REFERENCE profile: the (feature, bucket, ref_n)
+    * counts of the training corpus the gate compares every ingest
+    * against. Bucket-cardinality-sized (one aggregation over the
+    * corpus, tiny output) and versioned like every other lake. */
+  def publishDriftRef(ref: DataFrame, dir: String): Unit =
+    graft.Materialize.scoped {
+      graft.sources.StormSinks.writeVersionedGroup(ref.sparkSession, dir,
+        Seq("ref" -> graft.operators.Drift.bucketCounts(ref, "ref_n")))
+      ()
+    }
+
+  /** Streaming drift gate: per micro-batch, fold the batch's feature
+    * counts into the CUMULATIVE ingest counts (counts are additive —
+    * the one PSI input that streams exactly), then emit the full PSI
+    * term table of (published reference) vs (everything ingested so
+    * far), stamped with `batch_seq`. The last committed batch's terms
+    * therefore equal the BATCH corpus_drift computation on the same
+    * (reference, total ingest) pair — same [[graft.operators.Drift]]
+    * expressions, same counts (CorpusStreamSpec pins equality) — so a
+    * monitor alerting on Σterm_i/1e6 sees exactly what a nightly
+    * batch job would.
+    *
+    * State = the cumulative counts, committed as a versioned group
+    * (counts + last_batch meta) AFTER the term write: a replayed
+    * batch (crash before the state commit) re-adds from the OLD
+    * snapshot — cumulative counts never double-count — and re-emits
+    * the same terms, which [[latestDriftTerms]] collapses (the
+    * standard at-least-once output / exactly-once state split the
+    * other lake-backed streams use). A batch at-or-below the
+    * committed last_batch is a pure replay and skips entirely.
+    * Everything after the per-batch count aggregation is
+    * bucket-cardinality-sized — the gate's cost at any corpus scale
+    * is one narrow map + one tiny aggregation per batch. */
+  def startDriftGate(spark: SparkSession, inDir: String, refDir: String,
+      stateDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val refC = s2.read.parquet(
+            s"${StormSinks.currentVersionDir(s2, refDir)}/ref")
+          val (prev, lastBatch) = readDriftState(s2, stateDir)
+          if (batchId > lastBatch) {
+            val counts = graft.Materialize.once(
+              prev.unionByName(graft.operators.Drift.bucketCounts(batch, "cur_n"))
+                .groupBy(col("feature"), col("bucket"))
+                .agg(sum(col("cur_n")).as("cur_n")))
+            // full outer: buckets seen only in the reference (cur_n=0)
+            // and only in the ingest (ref_n=0) both carry PSI terms,
+            // exactly like the batch computation's union of buckets
+            val joined = refC.join(counts, Seq("feature", "bucket"), "full_outer")
+              .select(col("feature"), col("bucket"),
+                coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+                coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+            graft.operators.Drift.psiTerms(joined)
+              .withColumn("batch_seq", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(outDir)
+            import s2.implicits._
+            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+              "counts" -> counts,
+              "meta" -> Seq(batchId).toDF("last_batch")))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/driftgate")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Cumulative-count state at the current version; (-1, empty) on a
+    * cold start (no state published yet). */
+  private def readDriftState(spark: SparkSession, stateDir: String): (DataFrame, Long) =
+    try {
+      val v = graft.sources.StormSinks.currentVersionDir(spark, stateDir)
+      (spark.read.parquet(s"$v/counts"),
+        spark.read.parquet(s"$v/meta").head().getLong(0))
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("feature", StringType),
+            StructField("bucket", StringType), StructField("cur_n", LongType)))),
+          -1L)
+    }
+
+  /** The gate's CURRENT drift verdict: the last committed batch's PSI
+    * term table, deduped against at-least-once replays of the term
+    * write. Equals the batch corpus_drift terms on (published ref,
+    * everything ingested). */
+  def latestDriftTerms(spark: SparkSession, outDir: String): DataFrame = {
+    val t = spark.read.parquet(outDir)
+    val mx = t.agg(max(col("batch_seq"))).head().getLong(0)
+    t.where(col("batch_seq") === mx)
+      .dropDuplicates("feature", "bucket")
+      .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+        col("term_i"))
+  }
 }

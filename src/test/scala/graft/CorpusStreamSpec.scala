@@ -332,4 +332,40 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == a3,
       "publishClusterLake left its CC labels materialized")
   }
+
+  test("drift gate: final streaming PSI terms == batch corpus_drift; replay adds nothing") {
+    // the gate folds per-batch counts into cumulative state, so after
+    // ingesting everything corpus_drift's cur side holds, its LAST
+    // batch's terms must equal the one-shot batch computation — same
+    // Drift expressions, same counts, proved end-to-end across 3
+    // micro-batches rather than by construction alone.
+    val base = Files.createTempDirectory("graft-drift-gate").toString
+    val doc = Tables.documents(spark, sfDir)
+    val cut = math.floor(doc.count() * 0.7).toLong
+    CorpusStream.publishDriftRef(doc.where(col("doc_id") < cut), s"$base/ref")
+    doc.where(col("doc_id") >= cut).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    val b0 = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startDriftGate(spark, s"$base/in", s"$base/ref",
+      s"$base/state", s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(spark.sparkContext.getPersistentRDDs.size == b0,
+      "drift gate leaked materialized frames")
+    val got = CorpusStream.latestDriftTerms(spark, s"$base/out")
+      .orderBy(col("feature"), col("bucket")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.PipelineQueries.queries("corpus_drift")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "streaming gate diverged from batch corpus_drift")
+    // intermediate batches were also stamped (3 files -> 3 term dumps)
+    assert(spark.read.parquet(s"$base/out")
+      .select(col("batch_seq")).distinct().count() == 3)
+    // replaying the committed stream is a no-op: same checkpoint, no
+    // new input -> no new terms, no state version churn
+    val before = spark.read.parquet(s"$base/out").count()
+    CorpusStream.startDriftGate(spark, s"$base/in", s"$base/ref",
+      s"$base/state", s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == before,
+      "replaying committed batches re-emitted terms")
+  }
 }
