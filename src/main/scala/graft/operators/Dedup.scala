@@ -17,6 +17,19 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Session conf: max fresh-set ROW COUNT the lake probe still
+    * broadcasts for its shadow anti-joins. Fresh ids are longs, so the
+    * default (4M rows ≈ 32 MB serialized) sits comfortably inside any
+    * executor's broadcast budget while covering weeks of normal
+    * publish cadence; past it the probe switches to a plain shuffle
+    * anti-join instead of forcing a near-corpus-sized broadcast on
+    * every executor. */
+  val FreshBroadcastMaxKey = "spark.graft.dedup.freshBroadcastMax"
+  val FreshBroadcastMaxDefault = 4000000L
+  private def freshBroadcastMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(FreshBroadcastMaxKey).map(_.toLong)
+      .getOrElse(FreshBroadcastMaxDefault)
+
   // ----------------------------------------------------------- 25: exact
   /** Exact dedup groups: normalized-text sha-256 -> group size +
     * canonical (min) doc id. Input may contain replayed rows. */
@@ -738,6 +751,22 @@ object Dedup {
     val freshSets = graft.Materialize.once(
       freshDocs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
         .dropDuplicates("doc_id"))
+    // The fresh side grows until the next republish, so a forced
+    // broadcast of its ids is a publish-cadence time bomb: neglect the
+    // cadence long enough and every executor receives a near-corpus-
+    // sized id set. Dial: broadcast while the fresh set is small (the
+    // normal cadence — fresh is a few batches), plain shuffle
+    // anti-join beyond the threshold (HotKeyStressSpec pins the two
+    // paths row-identical and the over-threshold path hint-free). The
+    // count is one job over the already-materialized batch-sized
+    // frame — noise next to the probe itself.
+    val freshN = freshSets.count()
+    val freshIds = freshSets.select(col("doc_id"))
+    val antiFresh: DataFrame => DataFrame =
+      if (freshN <= freshBroadcastMax(spark))
+        df => df.join(broadcast(freshIds), Seq("doc_id"), "left_anti")
+      else
+        df => df.join(freshIds, Seq("doc_id"), "left_anti")
     val postings = freshSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val w = org.apache.spark.sql.expressions.Window
@@ -753,8 +782,8 @@ object Dedup {
       .select(col("s"), col("doc_id"), col("n_sh"), col("rk")))
     // fresh docs SHADOW the lake on overlap (replayed batch): drop the
     // lake's rows for fresh ids so prefixes and sets stay one-per-doc
-    val lakeOnlyPrefix = prefixL.select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
-      .join(broadcast(freshSets.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val lakeOnlyPrefix = antiFresh(
+      prefixL.select(col("s"), col("doc_id"), col("n_sh"), col("rk")))
     val allPrefix = lakeOnlyPrefix.unionByName(freshPrefix)
     val a = allPrefix.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("s"), col("doc_id").as("doc_a"),
@@ -762,8 +791,7 @@ object Dedup {
     val b = allPrefix.select(col("s"), col("doc_id").as("doc_b"),
       col("n_sh").as("n_b"), col("rk").as("rk_b"))
     val cand = prefixCandidates(a, b, threshold, parts)
-    val setsAll = setsL.select(col("doc_id"), col("sh"))
-      .join(broadcast(freshSets.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val setsAll = antiFresh(setsL.select(col("doc_id"), col("sh")))
       .unionByName(freshSets)
     verifyJaccard(cand,
       setsAll.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

@@ -112,6 +112,68 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: decode, 8×8
+    * nearest-neighbor thumbnail (the [[thumbSummary]] transform), then
+    * bit t set iff 64·thumb[t] > Σthumb — strictly-above-mean on the
+    * integer grid, no division, so any engine replays the hash from
+    * the predicted pixels. Visually-near-identical images (crops of
+    * the same bytes, small edits) land within a few bits; the
+    * SimHash chunk-banding discipline turns that into candidates
+    * without an all-pairs join ([[phashPairs]]). */
+  def avgHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new PngCodec
+        rows.map { case (id, payload) =>
+          val d = codec.decode(payload)
+          val thumb = codec.resizeNN(d, 8, 8)
+          var tot = 0L
+          var i = 0
+          while (i < 64) { tot += thumb(i) & 0xff; i += 1 }
+          var h = 0L
+          i = 0
+          while (i < 64) {
+            if (64L * (thumb(i) & 0xff) > tot) h |= (1L << i)
+            i += 1
+          }
+          (id, h)
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual image near-dup pairs: the SimHash pigeonhole over
+    * [[avgHash]] — hamming ≤ 3 over 64 bits guarantees one of the 4
+    * 16-bit chunks matches exactly, so candidates come from a
+    * chunk-keyed self-join (shuffle keyed on (chunk, value), never
+    * all-pairs) and only candidates pay the exact hamming verify.
+    * Same scale shape as [[Dedup.simhashPairs]]; the decode cost is a
+    * narrow per-row map ahead of it. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"chunk banding covers hamming <= 3, got $maxHamming")
+    val nChunks = 4
+    val chunkBits = 16
+    val hashed = avgHash(media)
+    val chunked = hashed.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+        c => call_function("shiftrightunsigned", col("phash"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
+    val a = chunked.select(col("chunk"), col("val"),
+      col("media_id").as("media_a"), col("phash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("val"),
+      col("media_id").as("media_b"), col("phash").as("h_b"))
+    a.join(b, Seq("chunk", "val"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("media_a", "media_b")
+  }
+
   /** Query surface: decode-derived values only (see class doc) —
     * dimensions, pixel count, fixed-point feature mass; the binary
     * column is pruned away and no deflate-dependent byte count leaks

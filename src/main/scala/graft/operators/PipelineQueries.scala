@@ -1376,6 +1376,17 @@ object PipelineQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.thumbSummary(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy(col("media_id"))),
+    // 127: perceptual image near-dup (average-hash) — decode the PNG,
+    // 8x8 thumbnail, strictly-above-mean bit per pixel, SimHash-style
+    // 16-bit chunk banding for candidates, exact hamming <= 3 verify.
+    // The documents table's planted near-dup texts become planted
+    // near-dup IMAGES through the deterministic media synthesis, so
+    // the key returns real pairs; the oracle replays the hash from the
+    // PREDICTED decoded pixels (the mm_resize thumbnail mapping), so a
+    // broken decode/resize/hash step breaks the match.
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy(col("media_a"), col("media_b"))),
     // 114: video modality — multi-frame GVID container (real PNG
     // frames, 64 text bytes each) walked with keyframe-stride
     // sampling: only every stride-th frame is inflated, the rest are
@@ -3044,6 +3055,47 @@ object PipelineQueries {
          |  CAST(frame_rows AS BIGINT) AS frame_rows,
          |  CAST(coalesce(frame_sum, 0) AS BIGINT) AS frame_sum
          |FROM sums ORDER BY media_id""".stripMargin,
+    // 127: average-hash replay from the PREDICTED decoded pixels —
+    // the mm_resize thumbnail index mapping, strictly-above-mean bits
+    // summed into a UBIGINT (the dedup_simhash idiom), pairs by exact
+    // hamming (the chunk banding is a lossless candidate filter for
+    // hamming <= 3, so the oracle's all-pairs form returns the same
+    // rows the banded Spark join does).
+    "mm_dedup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), dims AS (
+         |  SELECT doc_id, hx, n,
+         |    least(64, greatest(1, n)) AS w,
+         |    greatest(1, (n + least(64, greatest(1, n)) - 1)
+         |      // least(64, greatest(1, n))) AS h
+         |  FROM b
+         |), bytes AS (
+         |  SELECT doc_id, n, w, h,
+         |    list_transform(range(0, n), i ->
+         |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
+         |  FROM dims
+         |), tvals AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN (((t // 8) * h // 8) * w + ((t % 8) * w // 8)) < n
+         |      THEN bs[CAST((((t // 8) * h // 8) * w + ((t % 8) * w // 8)) AS INT) + 1]
+         |      ELSE 0 END AS v
+         |  FROM bytes, unnest(range(0, 64)) AS u(t)
+         |), tot AS (
+         |  SELECT doc_id, sum(v) AS tot FROM tvals GROUP BY doc_id
+         |), hv AS (
+         |  SELECT tvals.doc_id,
+         |    CAST(sum(CASE WHEN 64 * v > tot
+         |      THEN CAST(1 AS UBIGINT) << CAST(t AS INT)
+         |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph
+         |  FROM tvals JOIN tot USING (doc_id) GROUP BY tvals.doc_id
+         |)
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

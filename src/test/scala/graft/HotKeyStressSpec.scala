@@ -376,4 +376,56 @@ class HotKeyStressSpec extends SparkSpec {
     assert(shuffledInc.toDouble * 1.3 < shuffledFull,
       s"incremental probe shuffled $shuffledInc vs full recompute $shuffledFull")
   }
+
+  test("lake probe fresh-set dial: a 20%-of-corpus fresh set drops the broadcast, rows identical") {
+    // The fresh side of jaccardPairsTouchingLake grows until the next
+    // republish; its shadow anti-joins used to FORCE a broadcast of
+    // the fresh ids regardless of size — a publish-cadence time bomb
+    // at corpus scale. The dial keeps the hint while fresh is small
+    // and switches to a plain shuffle anti-join beyond
+    // spark.graft.dedup.freshBroadcastMax. Fixture: 1000-doc published
+    // corpus, 200-doc fresh backlog (20%, simulating a neglected
+    // cadence), 5-doc batch of planted near-dups.
+    import spark.implicits._
+    def mk(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 to 7).map(j => concat(lit(s"w${j}f"), idc)): _*)
+    val corpus = spark.range(1000).select(col("id").cast("long").as("doc_id"),
+      mk(col("id")).as("text"))
+    val fresh = spark.range(200).select((col("id") + 5000).cast("long").as("doc_id"),
+      mk(col("id") + 10000).as("text")) // distinct content, no corpus dups
+    val batch = spark.range(5).select((col("id") + 9000).cast("long").as("doc_id"),
+      mk(col("id")).as("text")) // near-dups of corpus docs 0-4
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-dial").toString
+    graft.operators.Dedup.publishJaccardLake(corpus, dir, k = 2, threshold = 0.5)
+    def run(): Array[org.apache.spark.sql.Row] =
+      graft.operators.Dedup.jaccardPairsTouchingLake(spark, dir,
+        fresh.unionByName(batch), batch.select(col("doc_id")),
+        k = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")).collect()
+    def hintCount(): Int = {
+      val df = graft.operators.Dedup.jaccardPairsTouchingLake(spark, dir,
+        fresh.unionByName(batch), batch.select(col("doc_id")),
+        k = 2, threshold = 0.5)
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    }
+    val broadcastRows = run()
+    val broadcastHints = hintCount()
+    assert(broadcastRows.length == 5, "expected the 5 planted near-dup pairs")
+    spark.conf.set(graft.operators.Dedup.FreshBroadcastMaxKey, "100")
+    try {
+      // over-threshold: every broadcast hint in the probe is a
+      // fresh-shadow hint (the 2 sites each appear twice in the tree —
+      // allPrefix and setsAll both feed two consumer branches), so the
+      // dial must drop them ALL; nothing else in the probe forces a
+      // broadcast
+      assert(broadcastHints > 0, "broadcast path carried no hints to drop")
+      assert(hintCount() == 0,
+        s"expected all $broadcastHints fresh-shadow hints dropped, " +
+          s"got ${hintCount()}")
+      assert(run().toSeq == broadcastRows.toSeq,
+        "shuffle-anti-join path diverged from the broadcast path")
+    } finally spark.conf.unset(graft.operators.Dedup.FreshBroadcastMaxKey)
+  }
 }

@@ -181,4 +181,25 @@ class MultimodalSpec extends SparkSpec {
         assert(r.motion == sums.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.sum)
       }
   }
+
+  test("phash pairs: chunk banding is lossless vs brute-force hamming; planted near-dups surface") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val banded = Multimodal.phashPairs(media)
+      .orderBy(col("media_a"), col("media_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute force over the hashes: every pair, exact hamming — the
+    // pigeonhole (hamming <= 3 over 4 x 16-bit chunks forces one exact
+    // chunk match) makes the banded join return EXACTLY this set
+    val h = Multimodal.avgHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = for {
+      i <- h.indices; j <- (i + 1) until h.length
+      d = java.lang.Long.bitCount(h(i)._2 ^ h(j)._2) if d <= 3
+    } yield (h(i)._1, h(j)._1, d)
+    assert(banded.toSeq == brute.toSeq.sorted,
+      s"banded candidates diverged from brute force: ${banded.length} vs ${brute.length}")
+    // the documents table's planted near-dup texts become planted
+    // near-dup images — the detector must actually find some
+    assert(banded.nonEmpty, "no perceptual near-dups found in the corpus")
+  }
 }
