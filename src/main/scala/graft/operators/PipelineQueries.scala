@@ -1283,6 +1283,13 @@ object PipelineQueries {
           col("r_stop") && col("r_toptok") && col("r_dupbg"))
         .orderBy(col("doc_id"))
     }),
+    // 128: trained linear quality classifier — the Gopher rule set
+    // distilled into a hard-sigmoid logistic probe over 1e-6-grid
+    // integer text features; 8 deterministic full-batch gradient
+    // steps, every score oracle-replayed including the training loop
+    // (Classify's scaladoc has the determinism discipline).
+    "corpus_classify" -> ((s, d) =>
+      Classify.scores(docs(s, d)).orderBy(col("doc_id"))),
     // 62: bigram-LM fluency scoring (KenLM-class quality filter): train
     // add-one-smoothed bigram stats on the corpus itself, score each
     // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
@@ -1977,6 +1984,88 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB replay of Classify.scores: the corpus_gopher measurement
+    * CTEs feed 1e-6-grid features + the rule label (`f`), then
+    * `steps` unrolled hard-sigmoid gradient CTEs (per-row residual
+    * contributions floored onto the 1e-6 long grid, BIGINT sums —
+    * order-free like the Spark side — and weights re-rounded per
+    * step), ending in `w{steps}s`. The caller selects the final
+    * scores from `f CROSS JOIN w{steps}s`. */
+  private def classifySql(steps: Int, lr: String): String = {
+    val enList = graft.functions.Text.stopwords.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    def z(w: String) =
+      s"($w.w0 + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3 + $w.w4 * f.x4)"
+    def p(w: String) =
+      s"least(greatest(0.25 * ${z(w)} + 0.5, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"
+    val base =
+      s"""t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), bb AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg
+         |  FROM t
+         |), mm AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tot_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(tk, x -> list_contains($enList, x))) AS BIGINT) AS stop_hits,
+         |    CAST(CASE WHEN len(tk) = 0 THEN 0
+         |      ELSE list_max(list_transform(list_distinct(tk),
+         |        u -> len(list_filter(tk, x -> x = u)))) END AS BIGINT) AS top_n,
+         |    CAST(len(bg) AS BIGINT) AS n_bg,
+         |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_bg_d
+         |  FROM bb
+         |), f AS (
+         |  SELECT doc_id,
+         |    floor((least(n, 200) / 200.0) * 1000000.0 + 0.5) / 1000000.0 AS x1,
+         |    floor((n_alpha / greatest(n, 1)) * 1000000.0 + 0.5) / 1000000.0 AS x2,
+         |    floor((stop_hits / greatest(n, 1)) * 1000000.0 + 0.5) / 1000000.0 AS x3,
+         |    floor(((n_bg - n_bg_d) / greatest(n_bg, 1)) * 1000000.0 + 0.5) / 1000000.0 AS x4,
+         |    CASE WHEN (n >= 30 AND n <= 100000)
+         |      AND (tot_len >= 3 * n AND tot_len <= 10 * n AND n > 0)
+         |      AND (5 * n_alpha >= 4 * n AND n > 0) AND stop_hits >= 2
+         |      AND 5 * top_n <= n AND (n_bg - n_bg_d) * 5 <= n_bg
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+         |    (n >= 30 AND n <= 100000)
+         |      AND (tot_len >= 3 * n AND tot_len <= 10 * n AND n > 0)
+         |      AND (5 * n_alpha >= 4 * n AND n > 0) AND stop_hits >= 2
+         |      AND 5 * top_n <= n AND (n_bg - n_bg_d) * 5 <= n_bg AS label
+         |  FROM mm
+         |), w0s AS (
+         |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         |    CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+         |    CAST(0.0 AS DOUBLE) AS w4
+         |)""".stripMargin
+    val stepCtes = (1 to steps).map { k =>
+      val prev = s"w${k - 1}s"
+      s"""r$k AS (
+         |  SELECT f.x1, f.x2, f.x3, f.x4, ${p("w")} - f.y AS r
+         |  FROM f CROSS JOIN $prev w
+         |), g$k AS (
+         |  SELECT CAST(sum(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+         |    CAST(sum(CAST(floor(r * x1 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+         |    CAST(sum(CAST(floor(r * x2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g2,
+         |    CAST(sum(CAST(floor(r * x3 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g3,
+         |    CAST(sum(CAST(floor(r * x4 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g4,
+         |    count(*) AS nd
+         |  FROM r$k
+         |), w${k}s AS (
+         |  SELECT
+         |    floor((w.w0 - $lr * (CAST(g.g0 AS DOUBLE) / (g.nd * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w0,
+         |    floor((w.w1 - $lr * (CAST(g.g1 AS DOUBLE) / (g.nd * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w1,
+         |    floor((w.w2 - $lr * (CAST(g.g2 AS DOUBLE) / (g.nd * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w2,
+         |    floor((w.w3 - $lr * (CAST(g.g3 AS DOUBLE) / (g.nd * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w3,
+         |    floor((w.w4 - $lr * (CAST(g.g4 AS DOUBLE) / (g.nd * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w4
+         |  FROM g$k g CROSS JOIN $prev w
+         |)""".stripMargin
+    }
+    (base +: stepCtes).mkString(",\n")
+  }
 
   /** DuckDB replay of Knn.kmeansAssignments: c0 = first k vectors as
     * doubles; each round r assigns by rounded-cosine argmax (ties to
@@ -3514,6 +3603,19 @@ object PipelineQueries {
          |    AND 5 * top_n <= n AND (n_bg - n_bg_d) * 5 <= n_bg AS pass
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // 128: full training-loop replay — gopher features on the 1e-6
+    // grid, 8 unrolled hard-sigmoid gradient steps, trained-weight
+    // scores. A drifted gradient sum, weight rounding, or link clamp
+    // anywhere breaks every score.
+    "corpus_classify" ->
+      s"""WITH ${classifySql(8, "8.0")}
+         |SELECT f.doc_id,
+         |  floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+         |  (floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) >= 0.5 AS pred,
+         |  f.label
+         |FROM f CROSS JOIN w8s w ORDER BY f.doc_id""".stripMargin,
     // 55: same token/bigram array math, list-op mirror
     "text_repetition" ->
       s"""WITH t AS (
