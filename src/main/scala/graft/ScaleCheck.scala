@@ -128,7 +128,16 @@ object ScaleCheck {
       // the fresh side only — the corpus-rank absence claim), the
       // 8-round BPE trainer (vocabulary-sized rounds), keep-one
       // dupcut (election folded into the df aggregate)
-      "dedup_cluster_lake", "text_bpe_train", "text_dupcut_keepone")
+      "dedup_cluster_lake", "text_bpe_train", "text_dupcut_keepone",
+      // round-12: semantic decon — the broadcast crossJoin scales with
+      // n·|bench| BY DESIGN (bench grows with the corpus in this
+      // synthesis: every 20th vector), so judge decon_embed against
+      // rows_10x; decon_embed_ivf is the cell-bounded swap-in whose
+      // wall should stay near-linear. mm_dedup decodes every PNG then
+      // chunk-bands (near-dup texts are within-replica only, so pairs
+      // scale ~10×); corpus_classify is 8 corpus aggregations + a
+      // narrow scoring map.
+      "decon_embed", "decon_embed_ivf", "mm_dedup", "corpus_classify")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames

@@ -120,7 +120,12 @@ object Classify {
     * pred = score ≥ 0.5. Building this DataFrame RUNS the training
     * aggregations (the eager-materialization caveat Pca shares). */
   def scores(docs: DataFrame, steps: Int = 8, lr: Double = 8.0): DataFrame = {
-    val feats = features(docs)
+    // every training step AND the final scoring consume the feature
+    // frame — without truncation that is steps+1 full tokenization
+    // passes over the corpus (the multi-consumer recompute rule);
+    // materialized, the expensive token/bigram pass runs ONCE and the
+    // steps re-scan a (doc_id, 4 doubles, y, label) frame
+    val feats = graft.Materialize.once(features(docs))
     val w = trainWeights(feats, steps, lr)
     feats.select(col("doc_id"), r6(linkP(w)).as("score"),
       (r6(linkP(w)) >= lit(0.5)).as("pred"), col("label"))

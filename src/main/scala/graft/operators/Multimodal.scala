@@ -156,7 +156,11 @@ object Multimodal {
       s"chunk banding covers hamming <= 3, got $maxHamming")
     val nChunks = 4
     val chunkBits = 16
-    val hashed = avgHash(media)
+    // the self-join consumes the hash frame twice, and exchange reuse
+    // does not fire across self-join branches (the multi-consumer
+    // recompute rule) — without this every PNG would decode TWICE;
+    // the materialized frame is two longs per image
+    val hashed = graft.Materialize.once(avgHash(media))
     val chunked = hashed.select(col("media_id"), col("phash"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         c => call_function("shiftrightunsigned", col("phash"), c * chunkBits)
