@@ -165,14 +165,49 @@ object LakeDeletion {
         .join(broadcast(affected), Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
       // carry every other snapshot table (meta, publisher extras)
-      // through unchanged so the new version stays complete
+      // through so the new version stays complete — but classify by
+      // schema like deleteFromMinhashLake: a doc-keyed extra (e.g. the
+      // indexed layout's `fresh` backlog, which carries doc_id + full
+      // text) must anti-join too, or deleted documents' text would
+      // persist in the new version and re-enter the next probe — a
+      // deletion-completeness hole. Content-keyed tables (meta, df
+      // stats) copy through unchanged.
       val extras = tablesOf(spark, ver)
         .filterNot(n => n == "docs" || n == "labels")
-        .map(n => n -> spark.read.parquet(s"$ver/$n"))
+        .map { n =>
+          val df = spark.read.parquet(s"$ver/$n")
+          n -> (if (df.columns.contains("doc_id"))
+            df.join(broadcast(del), Seq("doc_id"), "left_anti")
+          else df)
+        }
       StormSinks.writeVersionedGroup(spark, dir, Seq(
         "docs" -> docs1,
         "labels" -> keep.unionByName(
           repaired.select(col("doc_id"), col("cluster_id")))) ++ extras)
       ()
     }
+
+  /** Complete deletion for the
+    * [[graft.streaming.CorpusStream.publishClusterLakeIndexed]]
+    * layout, where deleted documents are cited from THREE places: the
+    * state group's doc-keyed tables (docs / labels / fresh — handled
+    * by [[deleteFromClusterLake]]'s schema classification), and the
+    * Jaccard prefix index at `indexDir`, whose df-frozen prefix
+    * entries would otherwise keep matching deleted text on every
+    * subsequent probe. The index is a global-stat structure (its df
+    * order must re-freeze over the remaining corpus), so its delete
+    * path is a republish, not a filter —
+    * [[graft.streaming.CorpusStream.republishClusterIndex]] rebuilds
+    * it from the post-delete state docs and resets `fresh`. A crash
+    * between the two publishes leaves the state clean but the index
+    * stale: probes may still CITE deleted ids until the republish
+    * lands, but the deleted docs/labels/fresh rows (and their text)
+    * are already gone — re-running the republish completes it. */
+  def deleteFromClusterLakeIndexed(spark: SparkSession, stateDir: String,
+      indexDir: String, deleteIds: DataFrame,
+      k: Int = 3, threshold: Double = 0.5): Unit = {
+    deleteFromClusterLake(spark, stateDir, deleteIds, k, threshold)
+    graft.streaming.CorpusStream.republishClusterIndex(
+      spark, stateDir, indexDir, k, threshold)
+  }
 }

@@ -155,6 +155,65 @@ class DeletionSpec extends SparkSpec {
     assert(docsAfter == Set(1L, 2L, 10L, 11L, 20L), "docs table not edited")
   }
 
+  test("indexed cluster lake delete: fresh backlog filtered, index republished, deleted text unreachable") {
+    // the r12 ADVICE deletion-completeness hole: on a
+    // publishClusterLakeIndexed state, deleteFromClusterLake used to
+    // copy the doc-keyed `fresh` backlog (doc_id + full text) through
+    // unfiltered, so deleted documents' text persisted in the new
+    // version and re-entered the next probe.
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma epsilon",
+      10L -> "one two three four"
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-del-idx").toString
+    CorpusStream.publishClusterLakeIndexed(corpus, s"$base/state",
+      s"$base/index", k = 2, threshold = 0.4)
+    // one micro-batch so fresh is non-empty: 20 near-dups the alpha
+    // cluster, 21 is unrelated and must SURVIVE the delete
+    Seq(20L -> "alpha beta gamma zeta", 21L -> "unrelated words entirely here")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+        s"$base/state", s"$base/index", s"$base/cp",
+        k = 2, threshold = 0.4, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val del = Seq(1L, 20L).toDF("doc_id")
+    // state-only delete: the doc-keyed fresh backlog anti-joins like
+    // docs/labels; content-keyed meta copies through
+    LakeDeletion.deleteFromClusterLake(spark, s"$base/state", del,
+      k = 2, threshold = 0.4)
+    val sVer = StormSinks.currentVersionDir(spark, s"$base/state")
+    val freshIds = spark.read.parquet(s"$sVer/fresh")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(freshIds == Set(21L),
+      s"fresh backlog must drop deleted docs and keep survivors: $freshIds")
+    assert(spark.read.parquet(s"$sVer/docs")
+      .where($"doc_id".isin(1L, 20L)).count() == 0, "docs not filtered")
+    assert(new java.io.File(s"$sVer/meta").exists, "content-keyed meta dropped")
+    // the prefix index still cites deleted docs until republished —
+    // the complete path does both steps
+    LakeDeletion.deleteFromClusterLakeIndexed(spark, s"$base/state",
+      s"$base/index", del, k = 2, threshold = 0.4)
+    // a new near-dup of the DELETED text now merges only with the
+    // surviving member, never resurrects a deleted id
+    Seq(30L -> "alpha beta gamma eta").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/in2")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/in2").toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      java.nio.file.Paths.get(s"$base/in/batch2.parquet"))
+    CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
+        s"$base/state", s"$base/index", s"$base/cp",
+        k = 2, threshold = 0.4, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val labels = CorpusStream.readClusterLake(spark, s"$base/state", "labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!labels.keySet.exists(Set(1L, 20L)) &&
+      !labels.values.exists(Set(1L, 20L)),
+      s"deleted ids resurface in labels: $labels")
+    assert(labels.get(30L).contains(2L) && labels.get(2L).contains(2L),
+      s"new near-dup must merge with the surviving member only: $labels")
+  }
+
   test("cluster lake delete at sf scale: effective labels equal rebuild-from-scratch") {
     val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val corpus = doc.where($"doc_id" < 300)
