@@ -106,6 +106,9 @@ object Classify {
           sum(col("g4")), count(lit(1)))
         .head()
       val nd = row.getLong(5)
+      // on an empty frame the sums are NULL and nd = 0 — getLong would
+      // NPE and the update would divide by zero; fail with intent
+      require(nd > 0, "corpus_classify needs a non-empty corpus")
       w = w.indices.toArray.map { j =>
         val g = row.getLong(j).toDouble / (nd.toDouble * 1000000.0)
         math.floor((w(j) - lr * g) * 1000000.0 + 0.5) / 1000000.0

@@ -139,9 +139,13 @@ object Multimodal {
             if (64L * (thumb(i) & 0xff) > tot) h |= (1L << i)
             i += 1
           }
-          (id, h)
+          // ptot (64 × mean brightness) rides along: aHash is blind to
+          // uniform intensity (any flat image hashes to 0), so the
+          // pair verify needs the brightness to tell all-white from
+          // all-black
+          (id, h, tot)
         }
-      }.toDF("media_id", "phash")
+      }.toDF("media_id", "phash", "ptot")
   }
 
   /** Perceptual image near-dup pairs: the SimHash pigeonhole over
@@ -151,7 +155,36 @@ object Multimodal {
     * all-pairs) and only candidates pay the exact hamming verify.
     * Same scale shape as [[Dedup.simhashPairs]]; the decode cost is a
     * narrow per-row map ahead of it. */
-  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Per-(chunk, value) occupancy cap for [[phashPairs]]' banded
+    * self-join. The SimHash pigeonhole's "65,536 buckets per chunk"
+    * uniformity argument holds for sha-derived bits but NOT for aHash
+    * bits on a natural corpus: flat/dark images collapse onto
+    * degenerate chunk values (a uniform image hashes to 0 entirely),
+    * so one hot bucket can hold millions of images — a quadratic
+    * candidate blowup. Buckets above the cap are dropped before the
+    * join (MOSS's "ignore overly-common fingerprints" rule, the
+    * winnow_pairs df<=50 precedent), bounding per-bucket pair work at
+    * cap². Recall effect: a pair survives if ANY of its 4 shared
+    * chunks sits in a below-cap bucket; only pairs ALL of whose
+    * matching chunks are degenerate-hot are lost — exactly the
+    * flat-image crowd whose pairwise enumeration is meaningless at
+    * scale. KEEP IN SYNC with the literal in the mm_dedup oracle SQL
+    * (PipelineQueries). */
+  val phashBucketCap = 4096L
+
+  /** Brightness tolerance for the pair verify, in units of Σ over the
+    * 64 thumbnail bytes (64 × mean-pixel delta). aHash thresholds
+    * AROUND the mean, so any two uniform images — all-white and
+    * all-black alike — collide at hamming 0; requiring
+    * |ptot_a − ptot_b| ≤ 64·32 separates flat images of different
+    * intensity while passing genuine near-dups (small text edits move
+    * the byte mean by a few units at most). KEEP IN SYNC with the
+    * mm_dedup oracle SQL. */
+  val phashBrightnessTol = 64L * 32L
+
+  def phashPairs(media: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = phashBucketCap,
+      brightnessTol: Long = phashBrightnessTol): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"chunk banding covers hamming <= 3, got $maxHamming")
     val nChunks = 4
@@ -159,19 +192,25 @@ object Multimodal {
     // the self-join consumes the hash frame twice, and exchange reuse
     // does not fire across self-join branches (the multi-consumer
     // recompute rule) — without this every PNG would decode TWICE;
-    // the materialized frame is two longs per image
+    // the materialized frame is three longs per image
     val hashed = graft.Materialize.once(avgHash(media))
-    val chunked = hashed.select(col("media_id"), col("phash"),
+    val chunked = hashed.select(col("media_id"), col("phash"), col("ptot"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         c => call_function("shiftrightunsigned", col("phash"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
-    val a = chunked.select(col("chunk"), col("val"),
-      col("media_id").as("media_a"), col("phash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("val"),
-      col("media_id").as("media_b"), col("phash").as("h_b"))
+    // occupancy guard: hot (chunk, value) buckets never reach the join
+    val kept = chunked.join(
+      chunked.groupBy(col("chunk"), col("val")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= bucketCap).select(col("chunk"), col("val")),
+      Seq("chunk", "val"))
+    val a = kept.select(col("chunk"), col("val"),
+      col("media_id").as("media_a"), col("phash").as("h_a"), col("ptot").as("t_a"))
+    val b = kept.select(col("chunk"), col("val"),
+      col("media_id").as("media_b"), col("phash").as("h_b"), col("ptot").as("t_b"))
     a.join(b, Seq("chunk", "val"))
       .where(col("media_a") < col("media_b"))
+      .where(abs(col("t_a") - col("t_b")) <= brightnessTol)
       .select(col("media_a"), col("media_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -3146,10 +3146,16 @@ object PipelineQueries {
          |FROM sums ORDER BY media_id""".stripMargin,
     // 127: average-hash replay from the PREDICTED decoded pixels —
     // the mm_resize thumbnail index mapping, strictly-above-mean bits
-    // summed into a UBIGINT (the dedup_simhash idiom), pairs by exact
-    // hamming (the chunk banding is a lossless candidate filter for
-    // hamming <= 3, so the oracle's all-pairs form returns the same
-    // rows the banded Spark join does).
+    // summed into a UBIGINT (the dedup_simhash idiom). The oracle
+    // replays the BANDED join including its two scale/quality guards
+    // (they are part of the operator's contract, so they must be
+    // oracle-checked): (chunk, value) buckets with df > 4096 are
+    // dropped before pairing (aHash bits are NOT uniform — flat
+    // images collapse onto degenerate chunk values; see
+    // Multimodal.phashBucketCap, literal kept in sync), and pairs
+    // must agree on brightness within |Δ ptot| <= 2048 = 64·32 (aHash
+    // is blind to uniform intensity — all-white and all-black both
+    // hash to 0; see Multimodal.phashBrightnessTol).
     "mm_dedup" ->
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -3177,13 +3183,24 @@ object PipelineQueries {
          |  SELECT tvals.doc_id,
          |    CAST(sum(CASE WHEN 64 * v > tot
          |      THEN CAST(1 AS UBIGINT) << CAST(t AS INT)
-         |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph
+         |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph,
+         |    CAST(max(tot) AS BIGINT) AS ptot
          |  FROM tvals JOIN tot USING (doc_id) GROUP BY tvals.doc_id
+         |), ch AS (
+         |  SELECT doc_id, ph, ptot, c,
+         |    CAST((ph >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
+         |  FROM hv, unnest([0, 1, 2, 3]) AS u(c)
+         |), kept AS (
+         |  SELECT ch.* FROM ch JOIN (
+         |    SELECT c, val FROM ch GROUP BY c, val HAVING count(*) <= 4096
+         |  ) ok USING (c, val)
          |)
-         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-         |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |FROM kept a JOIN kept b
+         |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |WHERE abs(a.ptot - b.ptot) <= 2048
+         |  AND bit_count(xor(a.ph, b.ph)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS (

@@ -202,7 +202,11 @@ object StormQueries {
     // construction. Leading zeros are stripped before both the guard
     // and the cast (mirroring hexDouble): they don't consume the
     // 64-bit window, so '0x00000000000000001p0' parses 1.0 like Go.
-    val sig = s"regexp_replace($ip || $fp, '^0+', '')"
+    // an ALL-zero mantissa strips to '' — TRY_CAST('0x') would yield
+    // NULL -> 0.0 here while Spark still computes sign * 0 = -0.0 for
+    // "-0x0p0" (Go's ParseFloat also returns -0.0); coalescing the
+    // empty significand to '0' keeps the signed-zero on both engines
+    val sig = s"COALESCE(NULLIF(regexp_replace($ip || $fp, '^0+', ''), ''), '0')"
     val hv = s"(CASE WHEN $x LIKE '-%' THEN -1.0 ELSE 1.0 END) * " +
       s"CAST(TRY_CAST(('0x' || $sig) AS UBIGINT) AS DOUBLE) * " +
       s"pow(2.0, $ex - 4 * length($fp))"

@@ -690,9 +690,20 @@ object CorpusStream {
     * write. Equals the batch corpus_drift terms on (published ref,
     * everything ingested). */
   def latestDriftTerms(spark: SparkSession, outDir: String): DataFrame = {
-    val t = spark.read.parquet(outDir)
-    val mx = t.agg(max(col("batch_seq"))).head().getLong(0)
-    t.where(col("batch_seq") === mx)
+    // the gate's cold/no-op states (outDir not written yet, or the
+    // term table exists but is empty so max(batch_seq) is NULL) are an
+    // EMPTY verdict, not a crash — mirror readDriftState's cold-start
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("feature", StringType),
+        StructField("bucket", StringType), StructField("ref_n", LongType),
+        StructField("cur_n", LongType), StructField("term_i", DoubleType))))
+    val t = try spark.read.parquet(outDir) catch {
+      case _: org.apache.spark.sql.AnalysisException => return empty
+    }
+    val mxRow = t.agg(max(col("batch_seq"))).head()
+    if (mxRow.isNullAt(0)) return empty
+    t.where(col("batch_seq") === mxRow.getLong(0))
       .dropDuplicates("feature", "bucket")
       .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
         col("term_i"))

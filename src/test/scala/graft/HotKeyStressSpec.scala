@@ -428,4 +428,49 @@ class HotKeyStressSpec extends SparkSpec {
         "shuffle-anti-join path diverged from the broadcast path")
     } finally spark.conf.unset(graft.operators.Dedup.FreshBroadcastMaxKey)
   }
+
+  test("phashPairs: 10^4 flat images collapse onto one chunk bucket without a pair blowup") {
+    // aHash bits are NOT uniform: any flat image hashes to 0, so a
+    // natural corpus's flat/dark crowd lands in ONE (chunk, value)
+    // bucket per chunk — 10^4 docs here would make ~5·10^7 candidate
+    // pairs (all flowing through the dropDuplicates exchange) if the
+    // banded join were uncapped. The occupancy cap must drop those
+    // buckets pre-join while planted non-degenerate near-dups survive.
+    import spark.implicits._
+    val nFlat = 10000
+    val flat = spark.range(nFlat).select(col("id").as("doc_id"),
+      // two brightness classes of flat image: all-'a' (0x61) and
+      // all-'!' (0x21) — both hash to 0
+      when(col("id") % 2 === 0, lit("a" * 64)).otherwise(lit("!" * 64)).as("text"))
+    val planted = (0 until 20).flatMap { i =>
+      // varied ~512-byte content (w=64, h=8 image) so the hash is
+      // non-degenerate; each pair shares one text => hamming 0
+      val t = (0 until 8).map(r => s"pair$i row$r " +
+        ("xyz XYZ 0123 " * 4)).mkString("")
+      Seq((100000L + 2 * i, t), (100000L + 2 * i + 1, t))
+    }.toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.mediaFromDocuments(
+      flat.unionByName(planted))
+    // fixture sanity: the planted hashes must be non-degenerate or
+    // they'd ride the hot bucket and void the recall assertion
+    val ph = graft.operators.Multimodal.avgHash(
+      graft.operators.Multimodal.mediaFromDocuments(planted.limit(2)))
+      .select(col("phash")).as[Long].head()
+    assert(ph != 0L, "planted fixture degenerated to a flat hash")
+    val (pairs, _, shuffleRecs, _) = metered {
+      graft.operators.Multimodal.phashPairs(media).collect()
+    }
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(ids.contains((100000L + 2 * i, 100000L + 2 * i + 1)),
+        s"planted pair $i lost to the occupancy cap")
+    }
+    assert(!ids.exists { case (a, b) => a < nFlat || b < nFlat },
+      "flat images leaked into the pair output")
+    // bounded shuffle: chunk rows (4 per doc) through the df groupBy +
+    // both join sides + the surviving candidates through
+    // dropDuplicates — O(n), nowhere near the uncapped ~5·10^7 pairs
+    assert(shuffleRecs < 500000L,
+      s"banded join shuffled $shuffleRecs records — hot-bucket cap not engaged")
+  }
 }

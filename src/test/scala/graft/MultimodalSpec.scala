@@ -187,17 +187,25 @@ class MultimodalSpec extends SparkSpec {
     val banded = Multimodal.phashPairs(media)
       .orderBy(col("media_a"), col("media_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    // brute force over the hashes: every pair, exact hamming — the
-    // pigeonhole (hamming <= 3 over 4 x 16-bit chunks forces one exact
-    // chunk match) makes the banded join return EXACTLY this set
+    // brute force over the hashes: every pair, exact hamming + the
+    // brightness verify — the pigeonhole (hamming <= 3 over 4 x 16-bit
+    // chunks forces one exact chunk match) makes the banded join
+    // return EXACTLY this set, PROVIDED no bucket trips the occupancy
+    // cap (asserted below, so the lossless claim is really tested)
     val h = Multimodal.avgHash(media).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val brute = for {
       i <- h.indices; j <- (i + 1) until h.length
-      d = java.lang.Long.bitCount(h(i)._2 ^ h(j)._2) if d <= 3
+      d = java.lang.Long.bitCount(h(i)._2 ^ h(j)._2)
+      if d <= 3 && math.abs(h(i)._3 - h(j)._3) <= Multimodal.phashBrightnessTol
     } yield (h(i)._1, h(j)._1, d)
     assert(banded.toSeq == brute.toSeq.sorted,
       s"banded candidates diverged from brute force: ${banded.length} vs ${brute.length}")
+    val maxDf = h.flatMap { case (_, ph, _) =>
+      (0 until 4).map(c => (c, (ph >>> (16 * c)) & 0xffffL)) }
+      .groupBy(identity).values.map(_.length).max
+    assert(maxDf <= Multimodal.phashBucketCap,
+      s"corpus trips the occupancy cap ($maxDf) — lossless comparison void")
     // the documents table's planted near-dup texts become planted
     // near-dup images — the detector must actually find some
     assert(banded.nonEmpty, "no perceptual near-dups found in the corpus")

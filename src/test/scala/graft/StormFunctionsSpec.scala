@@ -92,6 +92,21 @@ class StormFunctionsSpec extends SparkSpec {
     cases.zip(got).foreach { case ((s, want), g) =>
       assert(g == want, s"ParseFloat('$s'): got $g want $want")
     }
+    // signed zero: Go's ParseFloat("-0x0p0") returns -0.0, and the
+    // all-zero mantissa must not trip the leading-zero strip (r12
+    // ADVICE: an empty significand made the DuckDB mirror yield +0.0
+    // through TRY_CAST('0x') -> NULL while Spark kept -0.0). IEEE ==
+    // can't see the sign, so pin the raw bits.
+    val zeros = Seq("-0x0p0", "0x0p0", "-0x0.0p5", "-0x00p0")
+      .toDF("x").select(parseFloatOrZero($"x").as("r"))
+      .collect().map(_.getDouble(0))
+    assert(java.lang.Double.doubleToRawLongBits(zeros(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0), s"-0x0p0 lost its sign: ${zeros(0)}")
+    assert(java.lang.Double.doubleToRawLongBits(zeros(1)) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(zeros(2)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(java.lang.Double.doubleToRawLongBits(zeros(3)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
   test("severity thresholds per type (transform.go:212-257)") {
