@@ -137,7 +137,11 @@ object ScaleCheck {
       // chunk-bands (near-dup texts are within-replica only, so pairs
       // scale ~10×); corpus_classify is 8 corpus aggregations + a
       // narrow scoring map.
-      "decon_embed", "decon_embed_ivf", "mm_dedup", "corpus_classify")
+      "decon_embed", "decon_embed_ivf", "mm_dedup", "corpus_classify",
+      // round-13 keys: line/paragraph cleaning (explode + keep-first
+      // aggregation — the hot-boilerplate claim), classifier-gated
+      // corpus prep (training loop + TakeOrdered rank gate)
+      "text_lines", "dedup_paragraph", "corpus_clean_ml")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames

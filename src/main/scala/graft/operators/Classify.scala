@@ -118,6 +118,16 @@ object Classify {
     w
   }
 
+  /** Score documents under GIVEN weights — the serving face: a
+    * training job publishes `w` once, every consumer (batch scoring,
+    * the streaming classify gate) runs this one narrow map. Same
+    * output shape and 1e-6-grid rounding as [[scores]]. */
+  def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == 5, s"need 5 weights (w0..w4), got ${w.length}")
+    features(docs).select(col("doc_id"), r6(linkP(w)).as("score"),
+      (r6(linkP(w)) >= lit(0.5)).as("pred"), col("label"))
+  }
+
   /** Train on the corpus, score the corpus: (doc_id, score, pred,
     * label) with score = round6(p) under the trained weights and
     * pred = score ≥ 0.5. Building this DataFrame RUNS the training

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line- and paragraph-granularity corpus cleaning — the C4 /
+  * RefinedWeb curation stages between raw text and document-level
+  * dedup:
+  *
+  * - [[cleanLines]] is C4 §2.2's line filter set (Raffel et al., 2020)
+  *   plus RefinedWeb-style cross-document duplicate-line removal:
+  *   per-line keep rules (minimum word count, the "javascript" rule,
+  *   optional terminal-punctuation requirement), page-level drops
+  *   ("lorem ipsum", curly brace), then every normalized line that
+  *   repeats across the corpus keeps only its first occurrence —
+  *   boilerplate headers/footers/cookie banners vanish from every
+  *   page but one.
+  * - [[dedupParagraphs]] is Falcon/RefinedWeb exact-dedup at paragraph
+  *   granularity: split on blank lines, fingerprint the normalized
+  *   paragraph, keep-first across the corpus, reassemble.
+  *
+  * Scale shape (both): explode is a narrow map; first-occurrence
+  * election is ONE aggregation keyed on the normalized line/paragraph
+  * (map-side combine absorbs hot boilerplate keys — a footer in 10⁶
+  * docs produces one partial per map task, never a 10⁶-row reduce
+  * group), and the keep-first join's key includes (doc_id, idx), so
+  * no hot key reaches a join. Reassembly groups by doc_id — bounded
+  * by document size, the doc_chunk discipline. Nothing corpus-sized
+  * crosses the driver.
+  */
+object Lines {
+
+  /** The shared whitespace-collapse normalization (the corpus NORM
+    * convention) applied to one line/paragraph. */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** C4-style line cleaning. Returns (doc_id, clean_text, n_kept,
+    * n_lines); documents with zero surviving lines (or tripping the
+    * page-level rules) drop out, like C4's empty-page discard.
+    *
+    * `requireTerminalPunct` is C4's "retain only lines ending in
+    * terminal punctuation" — real web-crawl hygiene, but a synthetic
+    * punctuation-free corpus would lose every line, so the query key
+    * runs with it off and the planted-fixture spec pins it on. */
+  def cleanLines(docs: DataFrame, minWords: Int = 3,
+      requireTerminalPunct: Boolean = false): DataFrame = {
+    // page-level rules first: C4 drops any page containing "lorem
+    // ipsum" (placeholder text) or a curly brace (leftover code)
+    val pages = docs.select(col("doc_id"), col("text"))
+      .where(!lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{"))
+    val lines = pages
+      .select(col("doc_id"), size(split(col("text"), "\n", -1)).as("n_lines"),
+        posexplode(split(col("text"), "\n", -1)))
+      .withColumnRenamed("pos", "line_idx").withColumnRenamed("col", "line")
+    val tl = trim(col("line"))
+    val wc = when(tl === "", lit(0)).otherwise(size(split(tl, " +", -1)))
+    val punctOk =
+      if (requireTerminalPunct) tl.rlike("[.!?\"]$") else lit(true)
+    val kept = lines
+      .where(wc >= minWords && !lower(col("line")).contains("javascript") &&
+        punctOk)
+      .withColumn("lnorm", norm(col("line")))
+    // cross-document duplicate-line removal, keep-first: elect the
+    // lexicographically smallest (doc_id, line_idx) per normalized
+    // line via ONE aggregation, then re-join on a key that includes
+    // the position (never hot)
+    val firsts = kept.groupBy(col("lnorm"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+    val keptFirst = kept.join(firsts,
+        kept("lnorm") === firsts("lnorm") &&
+          col("doc_id") === col("first.doc_id") &&
+          col("line_idx") === col("first.line_idx"))
+      .select(col("doc_id"), col("line_idx"), col("line"), col("n_lines"))
+    keptFirst.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        first(col("n_lines")).cast("long").as("n_lines"))
+  }
+
+  /** Paragraph-level exact dedup (Falcon/RefinedWeb): split on blank
+    * lines, fingerprint the normalized paragraph (sha-256 — the
+    * dedup_exact convention), keep only the corpus-first occurrence of
+    * each fingerprint, reassemble with blank-line separators. Returns
+    * (doc_id, clean_text, n_pars, n_removed); documents whose every
+    * paragraph is a repeat drop out entirely. */
+  def dedupParagraphs(docs: DataFrame): DataFrame = {
+    val pars = docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), posexplode(split(col("text"), "\\n{2,}", -1)))
+      .withColumnRenamed("pos", "par_idx").withColumnRenamed("col", "par")
+      .withColumn("pnorm", norm(col("par")))
+      .where(col("pnorm") =!= "")
+      .withColumn("fp", sha2(col("pnorm"), 256))
+    val nPars = pars.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"))
+    val firsts = pars.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_idx"))).as("first"))
+    val keptFirst = pars.join(firsts,
+        pars("fp") === firsts("fp") &&
+          col("doc_id") === col("first.doc_id") &&
+          col("par_idx") === col("first.par_idx"))
+      .select(col("doc_id"), col("par_idx"), col("par"))
+    keptFirst.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("par_idx"), col("par")))),
+          x => x("par")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(nPars, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_pars"),
+        (col("n_pars") - col("n_kept")).as("n_removed"))
+  }
+}

@@ -625,6 +625,51 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
+    // 129: classifier-gated corpus prep — corpus_clean with the static
+    // rule-set quality gate swapped for the trained linear probe (the
+    // two-stage quality pipeline Classify's scaladoc describes: rules
+    // label a seed set, the probe generalizes them). The gate is
+    // RANK-based — keep the top 30% by (score DESC, doc_id), CCNet's
+    // head-selection shape — because an absolute τ is corpus-fragile
+    // (this corpus's trained scores top out near 0.16 at sf0.01 and
+    // near 0.7 at sf0.001; a fixed 0.5 kept everything or nothing).
+    // Top-k is TakeOrdered (orderBy+limit), never a global sort; the
+    // oracle nests the FULL 8-step training-loop replay inside the
+    // cluster-dedup closure, so a drifting trained weight breaks the
+    // hash.
+    "corpus_clean_ml" -> ((s, d) => {
+      val doc = docs(s, d)
+      val clu = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      val scored = graft.Materialize.once(
+        Classify.scores(doc).select(col("doc_id"), col("score")))
+      val k = 3L * scored.count() / 10L
+      scored.orderBy(col("score").desc, col("doc_id")).limit(k.toInt)
+        .join(clu, Seq("doc_id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+    // 130: C4-style line-level cleaning (Raffel et al. §2.2 +
+    // RefinedWeb duplicate-line removal): per-line min-words and
+    // "javascript" rules, page-level lorem-ipsum/brace drops, then
+    // cross-document keep-first dedup of normalized lines. The
+    // terminal-punctuation rule is OFF for this corpus (synthetic
+    // punctuation-free text would lose every line); LinesSpec pins it
+    // on against a planted fixture. The oracle hash-checks the
+    // reassembled clean text.
+    "text_lines" -> ((s, d) =>
+      Lines.cleanLines(docs(s, d)).orderBy(col("doc_id"))),
+    // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
+    // blank-line split, normalized-paragraph fingerprint, keep-first
+    // across the corpus, reassemble. The dedup_exact shifted-union
+    // makes every paragraph a guaranteed repeat, so the removal path
+    // is hot: the +1000000 copies lose all paragraphs and drop out.
+    "dedup_paragraph" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("text"))
+      Lines.dedupParagraphs(t.unionByName(
+          t.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+        .orderBy(col("doc_id"))
+    }),
     // 45: the composed training-data pipeline end to end — quality
     // gate + cluster dedup (corpus_clean), stratified sample (#41),
     // context-window chunking (#42). What a pre-training corpus job
@@ -2915,6 +2960,111 @@ object PipelineQueries {
     "corpus_clean" ->
       s"""$CORPUS_CLEAN_BODY
          |ORDER BY q.doc_id""".stripMargin,
+    // 129: the corpus_clean closure with the trained-probe gate — the
+    // full 8-step training loop replays inside (classifySql), then
+    // score >= 0.5 plus the canonical-member rule.
+    "corpus_clean_ml" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |),
+         |${classifySql(8, "8.0")},
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM f CROSS JOIN w8s w
+         |), rk2 AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+         |    (SELECT count(*) FROM scored) AS n
+         |  FROM scored
+         |)
+         |SELECT r.doc_id, r.score
+         |FROM rk2 r LEFT JOIN clu ON r.doc_id = clu.doc_id
+         |WHERE r.rn <= (3 * r.n) // 10
+         |  AND (clu.cluster_id IS NULL OR clu.cluster_id = r.doc_id)
+         |ORDER BY r.doc_id""".stripMargin,
+    // 130: the C4 line rules + keep-first duplicate-line removal,
+    // reassembled text hash-checked. Keep-first mirrors Spark's
+    // min(struct(doc_id, line_idx)) as a row_number window.
+    "text_lines" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT contains(text, '{')
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ll FROM d0
+         |), ln AS (
+         |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+         |    ll[CAST(i AS INT) + 1] AS line, len(ll) AS n_lines
+         |  FROM ls, unnest(range(0, len(ll))) AS u(i)
+         |), flt AS (
+         |  SELECT doc_id, line_idx, line, n_lines,
+         |    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS lnorm
+         |  FROM ln
+         |  WHERE (CASE WHEN trim(line) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(line), ' +')) END) >= 3
+         |    AND NOT contains(lower(line), 'javascript')
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lnorm
+         |    ORDER BY doc_id, line_idx) AS rn
+         |  FROM flt
+         |)
+         |SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+         |  count(*) AS n_kept,
+         |  CAST(max(n_lines) AS BIGINT) AS n_lines
+         |FROM rk WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 131: paragraph split + normalized fingerprint + keep-first; the
+    // shifted union guarantees every paragraph repeats (grouping is by
+    // the normalized TEXT on both engines — the sha fingerprint is a
+    // shuffle-key compaction, not a semantic).
+    "dedup_paragraph" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |), sp AS (
+         |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM u
+         |), pr AS (
+         |  SELECT doc_id, CAST(i AS INT) AS par_idx,
+         |    ps[CAST(i AS INT) + 1] AS par
+         |  FROM sp, unnest(range(0, len(ps))) AS u2(i)
+         |), pn AS (
+         |  SELECT doc_id, par_idx, par,
+         |    regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') AS pnorm
+         |  FROM pr
+         |  WHERE regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') <> ''
+         |), np AS (
+         |  SELECT doc_id, count(*) AS n_pars FROM pn GROUP BY doc_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY pnorm
+         |    ORDER BY doc_id, par_idx) AS rn
+         |  FROM pn
+         |), agg AS (
+         |  SELECT doc_id,
+         |    string_agg(par, chr(10) || chr(10) ORDER BY par_idx) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM rk WHERE rn = 1 GROUP BY doc_id
+         |)
+         |SELECT agg.doc_id, clean_text,
+         |  CAST(np.n_pars AS BIGINT) AS n_pars,
+         |  CAST(np.n_pars - n_kept AS BIGINT) AS n_removed
+         |FROM agg JOIN np ON agg.doc_id = np.doc_id
+         |ORDER BY agg.doc_id""".stripMargin,
     // 45: the full training-data pipeline — corpus_clean survivors,
     // stratified-sampled, chunked to 64/16 context windows. The whole
     // corpus_clean query nests as a subquery; sampling and chunking

@@ -708,4 +708,73 @@ object CorpusStream {
       .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
         col("term_i"))
   }
+
+  // ------------------------------------------- streaming classify gate
+  /** Train the linear quality probe on `corpus` and publish the 5
+    * weights as a versioned lake group — corpus_classify's serving
+    * split: the training job pays the 8 corpus aggregations once;
+    * every scorer reads one 5-double row. Returns the weights. */
+  def publishClassifier(corpus: DataFrame, dir: String,
+      steps: Int = 8, lr: Double = 8.0): Array[Double] =
+    graft.Materialize.scoped {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val feats = graft.Materialize.once(
+        graft.operators.Classify.features(corpus))
+      val w = graft.operators.Classify.trainWeights(feats, steps, lr)
+      graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "weights" -> Seq((w(0), w(1), w(2), w(3), w(4)))
+          .toDF("w0", "w1", "w2", "w3", "w4")))
+      w
+    }
+
+  /** Streaming quality-classify gate: score each micro-batch under
+    * the CURRENT published weights ([[publishClassifier]]) — the
+    * `_current` pointer re-resolves per batch, so a weight republish
+    * takes effect on the next trigger without restarting the stream
+    * (the startDriftGate discipline). Emits (doc_id, score, pred,
+    * label, batch_seq) appends; scoring is deterministic under a
+    * given weight version, so an at-least-once replay re-emits
+    * identical rows and a doc-keyed reader collapses them — no state
+    * beyond the checkpoint, nothing grows with the stream. */
+  def startClassifyGate(spark: SparkSession, inDir: String,
+      modelDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          val wRow = s2.read.parquet(
+            s"${graft.sources.StormSinks.currentVersionDir(s2, modelDir)}/weights")
+            .head()
+          val w = Array.tabulate(5)(wRow.getDouble)
+          graft.operators.Classify.scoreWith(batch, w)
+            .withColumn("batch_seq", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/classify")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The gate's scores, one row per doc (replay duplicates collapsed
+    * keeping the LATEST batch's row — a doc re-scored after a weight
+    * republish reports its newest score). Empty on cold start. */
+  def latestClassifyScores(spark: SparkSession, outDir: String): DataFrame = {
+    val t = try spark.read.parquet(outDir) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("score", DoubleType), StructField("pred", BooleanType),
+            StructField("label", BooleanType))))
+    }
+    t.groupBy(col("doc_id"))
+      .agg(max(struct(col("batch_seq"), col("score"), col("pred"),
+        col("label"))).as("m"))
+      .select(col("doc_id"), col("m.score").as("score"),
+        col("m.pred").as("pred"), col("m.label").as("label"))
+  }
 }

@@ -368,4 +368,49 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() == before,
       "replaying committed batches re-emitted terms")
   }
+
+  test("classify gate: stream scores == batch Classify.scores; republish re-resolves; replay adds nothing") {
+    val base = Files.createTempDirectory("graft-classify-gate").toString
+    val doc = Tables.documents(spark, sfDir)
+    CorpusStream.publishClassifier(doc, s"$base/model")
+    doc.repartition(2).write.mode("overwrite").parquet(s"$base/in")
+    val b0 = spark.sparkContext.getPersistentRDDs.size
+    CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(spark.sparkContext.getPersistentRDDs.size == b0,
+      "classify gate leaked materialized frames")
+    // the gate scores under the published weights; Classify.scores
+    // trains on the SAME corpus, so the two must agree doc-for-doc
+    val got = CorpusStream.latestClassifyScores(spark, s"$base/out")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Classify.scores(doc)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got == want, "streaming scores diverged from batch Classify.scores")
+    // replay: same checkpoint, no new input -> no new rows
+    val before = spark.read.parquet(s"$base/out").count()
+    CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == before,
+      "replaying committed batches re-emitted scores")
+    // weight republish (different steps => different weights) takes
+    // effect on the NEXT batch without a stream restart: new docs
+    // score under v2, and the doc-keyed reader keeps the newest row
+    val w2 = CorpusStream.publishClassifier(doc, s"$base/model", steps = 2)
+    val fresh = doc.limit(5).select(col("doc_id") + 900000L, col("text"),
+      col("lang"), col("source"), col("n_chars"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    fresh.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val gotFresh = CorpusStream.latestClassifyScores(spark, s"$base/out")
+      .where(col("doc_id") >= 900000L)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val wantFresh = graft.operators.Classify.scoreWith(fresh, w2)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(gotFresh == wantFresh,
+      "post-republish batch did not score under the new weights")
+  }
 }
