@@ -80,6 +80,32 @@ object Dedup {
     * bytes; collisions only add candidates, never drop them, because
     * the exact-Jaccard verify keeps precision at 1.)
     */
+  /** Per-(band, bucket) / per-(chunk, value) occupancy cap for the
+    * banded self-joins ([[minhashPairs]], [[simhashPairs]]). Band keys
+    * are sha-uniform over DISTINCT contents, but a duplicate-heavy
+    * corpus makes them hot by data: 10⁶ copies of one document share
+    * every band key, and the self-join would enumerate all ~5·10¹¹
+    * copy-pairs — work nobody wants (exact dedup owns identical
+    * contents; run [[exactDedup]]/fingerprint collapse FIRST, which is
+    * how the composed pipelines and the incremental ingest path are
+    * wired). Buckets above the cap are dropped before the join
+    * (MOSS's ignore-common rule; the Multimodal.phashBucketCap
+    * precedent): near-dup clusters up to the cap still pair fully,
+    * and a genuinely-hot content crowd loses only its quadratic
+    * self-pairs. KEEP IN SYNC with the literals in the dedup_minhash /
+    * dedup_simhash oracle SQL. */
+  val bandBucketCap = 4096L
+
+  /** Drop rows of `banded` whose bucket (by `keyCols`) holds more than
+    * [[bandBucketCap]] docs — one aggregation + a semi-join keyed on
+    * the full bucket key. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String]): DataFrame =
+    banded.join(
+      banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
+        .where(col("df") <= bandBucketCap)
+        .select(keyCols.map(col): _*),
+      keyCols)
+
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -87,12 +113,14 @@ object Dedup {
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"),
         graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
-    // explode into one row per band: (band id, the band's sig slice)
-    val banded = withSig.select(
+    // explode into one row per band: (band id, the band's sig slice);
+    // hot buckets (duplicate crowds) never reach the self-join
+    val banded = capBuckets(withSig.select(
       col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -348,11 +376,14 @@ object Dedup {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val withSim = docs.select(col("doc_id"), simhash64Sha(col("text")).as("sim"))
-    val chunked = withSim.select(col("doc_id"), col("sim"),
+    // the [[bandBucketCap]] occupancy guard: identical contents share
+    // every chunk value, so a duplicate crowd is a hot bucket by data
+    val chunked = capBuckets(withSim.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         c => call_function("shiftrightunsigned", col("sim"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val"),
+      Seq("chunk", "val"))
     val a = chunked.select(col("chunk"), col("val"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("val"),

@@ -2565,9 +2565,13 @@ object PipelineQueries {
          |), band AS (
          |  SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
          |  FROM sig GROUP BY doc_id, i // 4
+         |), bandk AS (
+         |  SELECT band.* FROM band JOIN (
+         |    SELECT band, bkey FROM band GROUP BY band, bkey HAVING count(*) <= 4096
+         |  ) ok USING (band, bkey)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |), pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
          |    count(*) AS inter
@@ -3093,9 +3097,12 @@ object PipelineQueries {
          |  array_to_string(list_slice(tokens, start + 1, start + 64), ' ') AS chunk_text,
          |  CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
          |FROM cstarts ORDER BY doc_id, chunk_start""".stripMargin,
-    // 27: sha-based 64-bit simhash recomputed per doc, exact O(n²)
-    // hamming join (the Spark side buckets; pigeonhole is lossless so
-    // the outputs agree).
+    // 27: sha-based 64-bit simhash recomputed per doc, then the BANDED
+    // join replayed including the occupancy cap (chunk buckets with
+    // df > 4096 dropped — Dedup.bandBucketCap, literal kept in sync):
+    // the pigeonhole is lossless for hamming <= 3, so below the cap
+    // this equals the old all-pairs form, and above it both engines
+    // drop the duplicate crowd identically.
     "dedup_simhash" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS tk FROM documents
@@ -3108,10 +3115,19 @@ object PipelineQueries {
          |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0
          |    THEN CAST(1 AS UBIGINT) << CAST(j AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
          |  FROM v GROUP BY doc_id
+         |), chq AS (
+         |  SELECT doc_id, sim, c,
+         |    CAST((sim >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
+         |  FROM sims, unnest([0, 1, 2, 3]) AS u(c)
+         |), chk AS (
+         |  SELECT chq.* FROM chq JOIN (
+         |    SELECT c, val FROM chq GROUP BY c, val HAVING count(*) <= 4096
+         |  ) ok USING (c, val)
          |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |FROM chk a JOIN chk b
+         |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // 36: IVF near-dup replay — same-cell pairs, exact cosine verify.

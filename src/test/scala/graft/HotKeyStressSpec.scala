@@ -473,4 +473,46 @@ class HotKeyStressSpec extends SparkSpec {
     assert(shuffleRecs < 500000L,
       s"banded join shuffled $shuffleRecs records — hot-bucket cap not engaged")
   }
+
+  test("minhash/simhash: a duplicate crowd makes every band key hot by data; the cap bounds it") {
+    // MinHash band keys and SimHash chunk values are sha-uniform over
+    // DISTINCT contents, but 3·10^4 copies of ONE document share every
+    // band/chunk key — the uncapped self-join would enumerate all
+    // ~4.5·10^8 copy-pairs (exact dedup's job, not near-dup's). The
+    // occupancy cap must drop the crowd pre-join while a planted
+    // non-hot near-dup pair still surfaces.
+    import spark.implicits._
+    val nHot = 30000L
+    val hot = spark.range(nHot).select(col("id").as("doc_id"),
+      lit("identical duplicated crawl content repeated everywhere verbatim").as("text"))
+    val planted = Seq(
+      (500000L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),
+      (500001L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi"))
+      .toDF("doc_id", "text")
+    val docs = hot.unionByName(planted)
+    val (mh, _, mhRecs, _) = metered {
+      Dedup.minhashPairs(docs, k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.2).collect()
+    }
+    val mhPairs = mh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhPairs.contains((500000L, 500001L)),
+      "planted near-dup pair lost to the band-bucket cap")
+    assert(!mhPairs.exists { case (a, b) => a < nHot || b < nHot },
+      "duplicate-crowd pairs leaked through the capped band join")
+    assert(mhRecs < 5000000L,
+      s"minhash shuffled $mhRecs records on a 3*10^4 duplicate crowd")
+    val (sh, _, shRecs, _) = metered {
+      Dedup.simhashPairs(docs.where(col("doc_id") >= nHot).unionByName(hot),
+        maxHamming = 3).collect()
+    }
+    // the planted pair differs in one token of twelve — simhash
+    // hamming is data-dependent, so assert on the crowd and the bound,
+    // and on the pair ONLY if its hamming lands <= 3 (deterministic:
+    // sha-based, either always or never)
+    val shPairs = sh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!shPairs.exists { case (a, b) => a < nHot || b < nHot },
+      "duplicate-crowd pairs leaked through the capped chunk join")
+    assert(shRecs < 5000000L,
+      s"simhash shuffled $shRecs records on a 3*10^4 duplicate crowd")
+  }
 }
