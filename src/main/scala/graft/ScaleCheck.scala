@@ -141,7 +141,10 @@ object ScaleCheck {
       // round-13 keys: line/paragraph cleaning (explode + keep-first
       // aggregation — the hot-boilerplate claim), classifier-gated
       // corpus prep (training loop + TakeOrdered rank gate)
-      "text_lines", "dedup_paragraph", "corpus_clean_ml")
+      "text_lines", "dedup_paragraph", "corpus_clean_ml",
+      // novelty is the corpus-sized (doc_id, gram) distinct + owner
+      // join; fertility replays the BPE trainer + a per-lang agg
+      "corpus_novelty", "text_fertility")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames

@@ -670,6 +670,67 @@ object PipelineQueries {
           t.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
         .orderBy(col("doc_id"))
     }),
+    // 132: first-occurrence novelty scoring — per doc, the fraction of
+    // its distinct 8-grams whose corpus-FIRST occurrence (min doc_id,
+    // the ingest-order convention) is this doc: the marginal-content
+    // measure dedup-aware sampling weighs by (a doc that is 90%
+    // already-seen n-grams contributes 10% new signal regardless of
+    // near-dup verdicts). Scale shape: one (doc_id, gram) distinct,
+    // one min-owner aggregation (map-side combined — a boilerplate
+    // gram in 10⁶ docs produces one partial per map task), one join
+    // on the gram (hot grams are linear output; AQE skew split
+    // applies). Docs shorter than 8 tokens have no grams and score
+    // novelty 1.0 — no evidence of duplication.
+    "corpus_novelty" -> ((s, d) => {
+      val doc = docs(s, d)
+      val grams = doc
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
+        .select(col("doc_id"), explode(Text.ngramsOf(col("tk"), 8)).as("g"))
+        .distinct()
+      val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+      val per = grams.join(owner, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L)).as("n_novel"))
+      doc.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+            .otherwise(lit(1.0)).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+    // 133: tokenizer fertility report — subtokens-per-word and
+    // chars-per-subtoken by language under the TRAINED 8-round BPE
+    // tokenizer (text_bpe_train's vocabulary): the stat that tells a
+    // training-data pipeline which languages a tokenizer punishes
+    // (fertility 2× means half the effective context). BPE merges
+    // concatenate symbols, so Σ chars across a token's subtokens
+    // equals the token's length — chars_per_subtoken needs no extra
+    // bookkeeping. The oracle replays the full trainer cascade plus
+    // the per-lang aggregation.
+    "text_fertility" -> ((s, d) => {
+      val doc = docs(s, d)
+      val seg = graft.Materialize.once(bpeSegmentsOf(doc, rounds = 8)
+        .select(col("token"), size(col("sy")).as("n_sub"),
+          length(col("token")).cast("long").as("n_chars")))
+      val tok = doc.select(col("doc_id"), col("lang"),
+        explode(Text.tokensOrEmpty(col("text"))).as("token"))
+      val nd = doc.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      tok.join(seg, "token")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).cast("long").as("n_subtokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .join(nd, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+          round(col("n_subtokens").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_subtokens").cast("double"), 6)
+            .as("chars_per_subtoken"))
+        .orderBy(col("lang"))
+    }),
     // 45: the composed training-data pipeline end to end — quality
     // gate + cluster dedup (corpus_clean), stratified sample (#41),
     // context-window chunking (#42). What a pre-training corpus job
@@ -3069,6 +3130,61 @@ object PipelineQueries {
          |  CAST(np.n_pars - n_kept AS BIGINT) AS n_removed
          |FROM agg JOIN np ON agg.doc_id = np.doc_id
          |ORDER BY agg.doc_id""".stripMargin,
+    // 132: distinct 8-grams, min-doc_id owner, per-doc novel fraction;
+    // sub-8-token docs have no grams and score 1.0 like the Spark side
+    "corpus_novelty" ->
+      s"""WITH tkn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(w) - 6),
+         |        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |             w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END) AS g
+         |    FROM tkn)
+         |), own AS (
+         |  SELECT g, min(doc_id) AS owner FROM g GROUP BY g
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS n_novel
+         |  FROM g JOIN own USING (g) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         |    ELSE 1.0 END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // 133: the trained-tokenizer cascade + per-lang fertility math
+    "text_fertility" ->
+      s"""$BPE_CASCADE, segs AS (
+         |  SELECT token, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy
+         |  FROM sym$BPE_ROUNDS
+         |), tkc AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, lang, unnest(tk) AS token FROM tkc
+         |), st AS (
+         |  SELECT lang, count(*) AS n_words,
+         |    CAST(sum(len(s.sy)) AS BIGINT) AS n_subtokens,
+         |    CAST(sum(length(t.token)) AS BIGINT) AS n_chars
+         |  FROM tok t JOIN segs s USING (token) GROUP BY lang
+         |), nd AS (
+         |  SELECT lang, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang
+         |)
+         |SELECT st.lang, CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |  CAST(st.n_words AS BIGINT) AS n_words, st.n_subtokens,
+         |  round(CAST(st.n_subtokens AS DOUBLE) / CAST(st.n_words AS DOUBLE), 6) AS fertility,
+         |  round(CAST(st.n_chars AS DOUBLE) / CAST(st.n_subtokens AS DOUBLE), 6) AS chars_per_subtoken
+         |FROM st JOIN nd USING (lang)
+         |ORDER BY st.lang""".stripMargin,
     // 45: the full training-data pipeline — corpus_clean survivors,
     // stratified-sampled, chunked to 64/16 context windows. The whole
     // corpus_clean query nests as a subquery; sampling and chunking
