@@ -35,18 +35,13 @@ object Lines {
   private def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** C4-style line cleaning. Returns (doc_id, clean_text, n_kept,
-    * n_lines); documents with zero surviving lines (or tripping the
-    * page-level rules) drop out, like C4's empty-page discard.
-    *
-    * `requireTerminalPunct` is C4's "retain only lines ending in
-    * terminal punctuation" — real web-crawl hygiene, but a synthetic
-    * punctuation-free corpus would lose every line, so the query key
-    * runs with it off and the planted-fixture spec pins it on. */
-  def cleanLines(docs: DataFrame, minWords: Int = 3,
-      requireTerminalPunct: Boolean = false): DataFrame = {
-    // page-level rules first: C4 drops any page containing "lorem
-    // ipsum" (placeholder text) or a curly brace (leftover code)
+  /** Page + line rule stage shared by [[cleanLines]] and the
+    * streaming gate: page-level drops (C4's "lorem ipsum" / curly
+    * brace), then per-line min-words, "javascript", and optional
+    * terminal-punctuation filters. Returns (doc_id, line_idx, line,
+    * n_lines, lnorm). */
+  private[graft] def ruleLines(docs: DataFrame, minWords: Int,
+      requireTerminalPunct: Boolean): DataFrame = {
     val pages = docs.select(col("doc_id"), col("text"))
       .where(!lower(col("text")).contains("lorem ipsum") &&
         !col("text").contains("{"))
@@ -58,14 +53,18 @@ object Lines {
     val wc = when(tl === "", lit(0)).otherwise(size(split(tl, " +", -1)))
     val punctOk =
       if (requireTerminalPunct) tl.rlike("[.!?\"]$") else lit(true)
-    val kept = lines
+    lines
       .where(wc >= minWords && !lower(col("line")).contains("javascript") &&
         punctOk)
       .withColumn("lnorm", norm(col("line")))
-    // cross-document duplicate-line removal, keep-first: elect the
-    // lexicographically smallest (doc_id, line_idx) per normalized
-    // line via ONE aggregation, then re-join on a key that includes
-    // the position (never hot)
+  }
+
+  /** Keep-first duplicate-line removal + per-doc reassembly over a
+    * [[ruleLines]]-shaped frame: elect the lexicographically smallest
+    * (doc_id, line_idx) per normalized line via ONE aggregation (hot
+    * boilerplate keys combine map-side), re-join on a key that
+    * includes the position (never hot), rebuild the text. */
+  private[graft] def assembleKeepFirst(kept: DataFrame): DataFrame = {
     val firsts = kept.groupBy(col("lnorm"))
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
     val keptFirst = kept.join(firsts,
@@ -81,6 +80,18 @@ object Lines {
         count(lit(1)).as("n_kept"),
         first(col("n_lines")).cast("long").as("n_lines"))
   }
+
+  /** C4-style line cleaning. Returns (doc_id, clean_text, n_kept,
+    * n_lines); documents with zero surviving lines (or tripping the
+    * page-level rules) drop out, like C4's empty-page discard.
+    *
+    * `requireTerminalPunct` is C4's "retain only lines ending in
+    * terminal punctuation" — real web-crawl hygiene, but a synthetic
+    * punctuation-free corpus would lose every line, so the query key
+    * runs with it off and the planted-fixture spec pins it on. */
+  def cleanLines(docs: DataFrame, minWords: Int = 3,
+      requireTerminalPunct: Boolean = false): DataFrame =
+    assembleKeepFirst(ruleLines(docs, minWords, requireTerminalPunct))
 
   /** Paragraph-level exact dedup (Falcon/RefinedWeb): split on blank
     * lines, fingerprint the normalized paragraph (sha-256 — the

@@ -777,4 +777,76 @@ object CorpusStream {
       .select(col("doc_id"), col("m.score").as("score"),
         col("m.pred").as("pred"), col("m.label").as("label"))
   }
+
+  // --------------------------------------------- streaming line cleaning
+  /** Publish the seen-line registry: sha-256 fingerprints of every
+    * rule-surviving normalized line of `corpus` — the cross-STREAM
+    * state [[startLineClean]]'s duplicate-line removal anti-joins
+    * against (text_lines' keep-first, made incremental: the corpus
+    * owns every line it has already published, so a streamed page
+    * keeps only lines the whole deployment has never seen). Versioned
+    * group (fps + last_batch meta) like every other lake state. */
+  def publishLineIndex(corpus: DataFrame, dir: String, minWords: Int = 3,
+      requireTerminalPunct: Boolean = false): Unit =
+    graft.Materialize.scoped {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val fps = graft.operators.Lines
+        .ruleLines(corpus, minWords, requireTerminalPunct)
+        .select(sha2(col("lnorm"), 256).as("fp")).distinct()
+      graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "fps" -> fps, "meta" -> Seq(-1L).toDF("last_batch")))
+      ()
+    }
+
+  /** Streaming C4 line cleaning with cross-stream duplicate-line
+    * removal: per micro-batch, rule-filter the batch's lines, drop
+    * every line whose fingerprint is already in the published
+    * registry, keep-first WITHIN the batch (the same election batch
+    * [[graft.operators.Lines.cleanLines]] runs), emit the cleaned
+    * documents, then commit (registry ∪ batch fingerprints,
+    * last_batch) as ONE versioned group AFTER the output write. A
+    * replayed batch (crash before the state commit) is at-or-below
+    * the committed last_batch and skips entirely — re-playing against
+    * a registry that already contains its lines would wrongly drop
+    * them all, so the batch_seq gate is load-bearing here, not just
+    * hygiene (the drift-gate discipline).
+    *
+    * Scale: the registry rewrite is registry-sized per batch — the
+    * cluster stream's docs/labels republish shape; a deployment
+    * compacts/shards it on the maintenance cadence. The anti-join is
+    * a plain shuffle join (the registry grows unboundedly with the
+    * stream, so no broadcast hint — the freshBroadcastMax lesson
+    * applied from the start). */
+  def startLineClean(spark: SparkSession, inDir: String, stateDir: String,
+      outDir: String, checkpointDir: String, minWords: Int = 3,
+      requireTerminalPunct: Boolean = false,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val ver = StormSinks.currentVersionDir(s2, stateDir)
+          val lastBatch = s2.read.parquet(s"$ver/meta").head().getLong(0)
+          if (batchId > lastBatch) {
+            val seen = s2.read.parquet(s"$ver/fps")
+            val lines = graft.Materialize.once(graft.operators.Lines
+              .ruleLines(batch, minWords, requireTerminalPunct)
+              .withColumn("fp", sha2(col("lnorm"), 256)))
+            graft.operators.Lines
+              .assembleKeepFirst(lines.join(seen, Seq("fp"), "left_anti"))
+              .coalesce(1).write.mode("append").parquet(outDir)
+            import s2.implicits._
+            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+              "fps" -> seen.unionByName(lines.select(col("fp"))).distinct(),
+              "meta" -> Seq(batchId).toDF("last_batch")))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/lineclean")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

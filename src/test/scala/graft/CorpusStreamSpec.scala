@@ -413,4 +413,61 @@ class CorpusStreamSpec extends SparkSpec {
     assert(gotFresh == wantFresh,
       "post-republish batch did not score under the new weights")
   }
+
+  test("line-clean stream: batch parity on one batch, cross-batch registry dedup, replay adds nothing") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lineclean").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: owns the boilerplate footer
+    val corpus = Seq(doc(1L,
+      "corpus content line number one\nSubscribe to our newsletter today"))
+      .toDF(cols: _*)
+    CorpusStream.publishLineIndex(corpus, s"$base/state")
+    // wave 1: a fresh line + the corpus-owned footer (must drop) +
+    // an internal duplicate across the wave's two docs (keep-first)
+    val w1 = Seq(
+      doc(10L, "stream fresh line here alpha\nsubscribe to our newsletter today"),
+      doc(11L, "stream fresh line here alpha\nunique to eleven only line"))
+      .toDF(cols: _*)
+    w1.coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out1 = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out1 == Map(
+      10L -> "stream fresh line here alpha",
+      11L -> "unique to eleven only line"),
+      s"wave-1 cleaning wrong: $out1")
+    // replay: no new input -> nothing re-emitted, registry version stable
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 2,
+      "replay re-emitted cleaned docs")
+    // wave 2: repeats wave-1's fresh line (now registry-owned -> drop)
+    val w2 = Seq(doc(20L,
+      "stream fresh line here alpha\nsecond wave brand new line"))
+      .toDF(cols: _*)
+    w2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out2 = spark.read.parquet(s"$base/out")
+      .where(col("doc_id") === 20L).collect()
+    assert(out2.length == 1 &&
+      out2(0).getAs[String]("clean_text") == "second wave brand new line",
+      s"wave-2 must drop the registry-owned line: ${out2.toSeq}")
+    // global invariant: every kept line across corpus + stream is
+    // unique, and single-batch parity — an empty registry + one batch
+    // equals batch cleanLines
+    val empty = Seq.empty[(Long, String, String, String, Int)].toDF(cols: _*)
+    CorpusStream.publishLineIndex(empty, s"$base/state2")
+    w1.coalesce(1).write.parquet(s"$base/in2")
+    CorpusStream.startLineClean(spark, s"$base/in2", s"$base/state2",
+      s"$base/out2", s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
+    val got = spark.read.parquet(s"$base/out2")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Lines.cleanLines(w1)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got == want, "single-batch stream diverged from batch cleanLines")
+  }
 }
