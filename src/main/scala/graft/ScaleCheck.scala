@@ -143,8 +143,9 @@ object ScaleCheck {
       // corpus prep (training loop + TakeOrdered rank gate)
       "text_lines", "dedup_paragraph", "corpus_clean_ml",
       // novelty is the corpus-sized (doc_id, gram) distinct + owner
-      // join; fertility replays the BPE trainer + a per-lang agg
-      "corpus_novelty", "text_fertility")
+      // join; fertility replays the BPE trainer + a per-lang agg;
+      // diversify is the auto-cell k-means trainer + per-cell windows
+      "corpus_novelty", "text_fertility", "embed_diversify")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames

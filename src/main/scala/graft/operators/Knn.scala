@@ -531,6 +531,31 @@ object Knn {
       .select(col("vec_id"), col("cell_id"))
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al., 2023,
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after SemDeDup-style near-dup removal, the
+    * remaining redundancy is each semantic cluster's PROTOTYPICAL
+    * core — many documents saying the average thing. Train k-means
+    * cells (the shared deterministic integer-grid trainer, so the
+    * oracle replays every centroid), rank each cell's members by
+    * cosine-to-own-centroid DESC (most prototypical first, ties to
+    * the lowest vec_id), and drop each cell's top quarter
+    * (`n_cell div 4`); survivors keep the corpus's semantic spread.
+    * Scale shape: the ranking windows partition by cell — ~√n rows
+    * per cell under autoCells, so no hot partition — and everything
+    * upstream is the kmeansAssignments contract (per-iter one
+    * broadcast-assign pass + one k·d aggregation). */
+  def diversify(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val a = kmeansAssignments(corpus, k, iters)
+    val byProto = Window.partitionBy(col("cell_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cell = Window.partitionBy(col("cell_id"))
+    a.withColumn("rk", row_number().over(byProto))
+      .withColumn("n_cell", count(lit(1)).over(cell))
+      .where(col("rk") > expr("n_cell div 4"))
+      .select(col("vec_id"), col("cell_id"), col("cos"))
+  }
+
   // --------------------------------------------------------- quantization
   /** Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
     * max|x|), scale = max|x| / 127 — the standard 4× embedding

@@ -905,6 +905,14 @@ object PipelineQueries {
           threshold = 0.35)
         .orderBy(col("vec_id"))
     }),
+    // 134: D4 prototypicality pruning — dedup_semantic's complement:
+    // SemDeDup drops near-COPIES; this drops each semantic cluster's
+    // prototypical CORE (the quarter nearest its centroid), keeping
+    // the corpus's spread. Same auto-cell k-means trainer, so the
+    // oracle replays centroids, ranking and the div-4 cut exactly.
+    "embed_diversify" -> ((s, d) =>
+      Knn.diversify(embs(s, d), k = Knn.autoCells(embCount(s, d)), iters = 2)
+        .orderBy(col("vec_id"))),
     // 110: top-principal-component projection — matrix-free distributed
     // power iteration (3 rounds, exact integer-grid accumulation, so
     // the oracle replays the whole training loop like embed_kmeans);
@@ -3279,6 +3287,20 @@ object PipelineQueries {
          |SELECT f.vec_id, f.cell_id FROM afin f
          |WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY f.vec_id""".stripMargin,
+    // 134: same trained cells, rank by cosine-to-centroid, drop each
+    // cell's top quarter (integer div, ties to the lowest vec_id)
+    "embed_diversify" ->
+      s"""WITH ${kmeansSql(AUTO_CELLS_SQL, 2)},
+         |rkd AS (
+         |  SELECT vec_id, cell_id, cos,
+         |    row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY cos DESC, vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY cell_id) AS n_cell
+         |  FROM afin
+         |)
+         |SELECT vec_id, cell_id, cos FROM rkd
+         |WHERE rk > n_cell // 4
+         |ORDER BY vec_id""".stripMargin,
     // 37: IVF ANN replay — probe 4 nearest cells of each query vector,
     // exact re-rank, top-5.
     "knn_ivf" ->

@@ -309,4 +309,31 @@ class KnnSpec extends SparkSpec {
     // re-execution blowup would be hours, not seconds
     assert(secs < 120, f"k=50 MMR took $secs%.1fs — step re-execution came back?")
   }
+
+  test("diversify: drops exactly each cell's most-prototypical quarter") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val k = graft.operators.Knn.autoCells(e.count())
+    val assigned = graft.operators.Knn.kmeansAssignments(e, k, iters = 2)
+      .select(col("vec_id"), col("cell_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val kept = graft.operators.Knn.diversify(e, k, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keptIds = kept.map(_._1).toSet
+    assigned.groupBy(_._2).foreach { case (cell, members) =>
+      val cellKept = members.filter(m => keptIds.contains(m._1))
+      assert(cellKept.length == members.length - members.length / 4,
+        s"cell $cell: ${members.length} members, ${cellKept.length} kept")
+      if (members.length / 4 > 0) {
+        // every dropped member is at least as prototypical (by the
+        // (cos DESC, vec_id) order) as every kept one
+        val dropped = members.filterNot(m => keptIds.contains(m._1))
+        val worstDropped = dropped.map(m => (-m._3, m._1)).max
+        val bestKept = cellKept.map(m => (-m._3, m._1)).min
+        assert(worstDropped._1 < bestKept._1 ||
+          (worstDropped._1 == bestKept._1 && worstDropped._2 < bestKept._2),
+          s"cell $cell: kept a more-prototypical member than one dropped")
+      }
+    }
+    assert(kept.nonEmpty && kept.length < assigned.length)
+  }
 }
