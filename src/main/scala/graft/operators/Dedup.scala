@@ -92,17 +92,21 @@ object Dedup {
     * (MOSS's ignore-common rule; the Multimodal.phashBucketCap
     * precedent): near-dup clusters up to the cap still pair fully,
     * and a genuinely-hot content crowd loses only its quadratic
-    * self-pairs. KEEP IN SYNC with the literals in the dedup_minhash /
-    * dedup_simhash oracle SQL. */
+    * self-pairs. The constant is INTERPOLATED into the oracle SQL
+    * (dedup_minhash / dedup_simhash / dedup_recall), so the two sides
+    * cannot drift. */
   val bandBucketCap = 4096L
 
   /** Drop rows of `banded` whose bucket (by `keyCols`) holds more than
-    * [[bandBucketCap]] docs — one aggregation + a semi-join keyed on
-    * the full bucket key. */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String]): DataFrame =
+    * `cap` rows — one aggregation + a semi-join keyed on the full
+    * bucket key (partial aggregation absorbs the hot key map-side).
+    * Shared by the minhash/simhash band joins and
+    * [[Multimodal.phashPairs]]. */
+  private[operators] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      cap: Long = bandBucketCap): DataFrame =
     banded.join(
       banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
-        .where(col("df") <= bandBucketCap)
+        .where(col("df") <= cap)
         .select(keyCols.map(col): _*),
       keyCols)
 
@@ -113,22 +117,26 @@ object Dedup {
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"),
         graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
-    // explode into one row per band: (band id, the band's sig slice);
-    // hot buckets (duplicate crowds) never reach the self-join
-    val banded = capBuckets(withSig.select(
-      col("doc_id"), col("sh"),
+    // explode into one row per band: (band id, the band's sig slice),
+    // ids only — shingle arrays re-attach after the distinct. The
+    // capped frame is MATERIALIZED once: it feeds the occupancy
+    // groupBy plus both self-join sides, exchange reuse does not fire
+    // across those branches, and an un-truncated plan would recompute
+    // the per-doc signature pass on each (the multi-consumer
+    // recompute rule); the frame is 3 small values per (doc, band).
+    // Hot buckets (duplicate crowds) never reach the self-join.
+    val banded = graft.Materialize.once(capBuckets(withSig.select(
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     // candidate ids only through the shuffle (a pair may collide in many
-    // bands); shingle arrays re-attach after the distinct. Fixed-width
-    // repartition + O(n+m) intersect kernel: see jaccardPairs.
-    val cand = a.drop("sh_a").join(b.drop("sh_b"), Seq("band", "bucket"))
+    // bands). Fixed-width repartition + O(n+m) intersect kernel: see
+    // jaccardPairs.
+    val cand = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .repartition(parts, col("doc_a"), col("doc_b"))
@@ -377,13 +385,16 @@ object Dedup {
     val chunkBits = 64 / nChunks
     val withSim = docs.select(col("doc_id"), simhash64Sha(col("text")).as("sim"))
     // the [[bandBucketCap]] occupancy guard: identical contents share
-    // every chunk value, so a duplicate crowd is a hot bucket by data
-    val chunked = capBuckets(withSim.select(col("doc_id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
-        c => call_function("shiftrightunsigned", col("sim"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val"),
-      Seq("chunk", "val"))
+    // every chunk value, so a duplicate crowd is a hot bucket by data.
+    // Materialized once for the same three-consumer reason as
+    // minhashPairs' banded frame (3 longs per (doc, chunk) row).
+    val chunked = graft.Materialize.once(
+      capBuckets(withSim.select(col("doc_id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+          c => call_function("shiftrightunsigned", col("sim"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)))))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val"),
+        Seq("chunk", "val")))
     val a = chunked.select(col("chunk"), col("val"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("val"),

@@ -168,8 +168,8 @@ object Multimodal {
     * chunks sits in a below-cap bucket; only pairs ALL of whose
     * matching chunks are degenerate-hot are lost — exactly the
     * flat-image crowd whose pairwise enumeration is meaningless at
-    * scale. KEEP IN SYNC with the literal in the mm_dedup oracle SQL
-    * (PipelineQueries). */
+    * scale. The constant is INTERPOLATED into the mm_dedup oracle SQL,
+    * so the two sides cannot drift. */
   val phashBucketCap = 4096L
 
   /** Brightness tolerance for the pair verify, in units of Σ over the
@@ -178,7 +178,7 @@ object Multimodal {
     * all-black alike — collide at hamming 0; requiring
     * |ptot_a − ptot_b| ≤ 64·32 separates flat images of different
     * intensity while passing genuine near-dups (small text edits move
-    * the byte mean by a few units at most). KEEP IN SYNC with the
+    * the byte mean by a few units at most). INTERPOLATED into the
     * mm_dedup oracle SQL. */
   val phashBrightnessTol = 64L * 32L
 
@@ -200,10 +200,7 @@ object Multimodal {
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
     // occupancy guard: hot (chunk, value) buckets never reach the join
-    val kept = chunked.join(
-      chunked.groupBy(col("chunk"), col("val")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= bucketCap).select(col("chunk"), col("val")),
-      Seq("chunk", "val"))
+    val kept = Dedup.capBuckets(chunked, Seq("chunk", "val"), bucketCap)
     val a = kept.select(col("chunk"), col("val"),
       col("media_id").as("media_a"), col("phash").as("h_a"), col("ptot").as("t_a"))
     val b = kept.select(col("chunk"), col("val"),

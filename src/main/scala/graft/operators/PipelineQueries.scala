@@ -643,6 +643,13 @@ object PipelineQueries {
       val scored = graft.Materialize.once(
         Classify.scores(doc).select(col("doc_id"), col("score")))
       val k = 3L * scored.count() / 10L
+      // TakeOrderedAndProject holds the k kept rows in one merge task:
+      // fine to ~10^8 docs. Beyond that, swap the rank gate for a
+      // grid-histogram threshold — scores live on the 1e-6 grid, so a
+      // groupBy(score).count() is <= 10^6+1 rows, the cut score falls
+      // out of one cumulative pass, and `score > t` is a narrow
+      // filter; only the <= 1-grid-step boundary tie-break needs a
+      // secondary rule (doc-id hash lattice, the sample_* convention).
       scored.orderBy(col("score").desc, col("doc_id")).limit(k.toInt)
         .join(clu, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -2636,7 +2643,8 @@ object PipelineQueries {
          |  FROM sig GROUP BY doc_id, i // 4
          |), bandk AS (
          |  SELECT band.* FROM band JOIN (
-         |    SELECT band, bkey FROM band GROUP BY band, bkey HAVING count(*) <= 4096
+         |    SELECT band, bkey FROM band GROUP BY band, bkey
+         |    HAVING count(*) <= ${Dedup.bandBucketCap}
          |  ) ok USING (band, bkey)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2753,9 +2761,14 @@ object PipelineQueries {
          |), band AS (
          |  SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
          |  FROM sig GROUP BY doc_id, i // 4
+         |), bandk AS (
+         |  SELECT band.* FROM band JOIN (
+         |    SELECT band, bkey FROM band GROUP BY band, bkey
+         |    HAVING count(*) <= ${Dedup.bandBucketCap}
+         |  ) ok USING (band, bkey)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |), mh AS (
          |  SELECT c.doc_a, c.doc_b FROM (
          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
@@ -3034,8 +3047,9 @@ object PipelineQueries {
       s"""$CORPUS_CLEAN_BODY
          |ORDER BY q.doc_id""".stripMargin,
     // 129: the corpus_clean closure with the trained-probe gate — the
-    // full 8-step training loop replays inside (classifySql), then
-    // score >= 0.5 plus the canonical-member rule.
+    // full 8-step training loop replays inside (classifySql), then the
+    // RANK gate (top 30% by (score DESC, doc_id) — floor(3n/10) rows)
+    // plus the canonical-member rule.
     "corpus_clean_ml" ->
       s"""WITH RECURSIVE $SH3, jp AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3223,7 +3237,7 @@ object PipelineQueries {
          |FROM cstarts ORDER BY doc_id, chunk_start""".stripMargin,
     // 27: sha-based 64-bit simhash recomputed per doc, then the BANDED
     // join replayed including the occupancy cap (chunk buckets with
-    // df > 4096 dropped — Dedup.bandBucketCap, literal kept in sync):
+    // df > cap dropped — Dedup.bandBucketCap, interpolated):
     // the pigeonhole is lossless for hamming <= 3, so below the cap
     // this equals the old all-pairs form, and above it both engines
     // drop the duplicate crowd identically.
@@ -3245,7 +3259,8 @@ object PipelineQueries {
          |  FROM sims, unnest([0, 1, 2, 3]) AS u(c)
          |), chk AS (
          |  SELECT chq.* FROM chq JOIN (
-         |    SELECT c, val FROM chq GROUP BY c, val HAVING count(*) <= 4096
+         |    SELECT c, val FROM chq GROUP BY c, val
+         |    HAVING count(*) <= ${Dedup.bandBucketCap}
          |  ) ok USING (c, val)
          |)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3456,7 +3471,7 @@ object PipelineQueries {
     // oracle-checked): (chunk, value) buckets with df > 4096 are
     // dropped before pairing (aHash bits are NOT uniform — flat
     // images collapse onto degenerate chunk values; see
-    // Multimodal.phashBucketCap, literal kept in sync), and pairs
+    // Multimodal.phashBucketCap, interpolated), and pairs
     // must agree on brightness within |Δ ptot| <= 2048 = 64·32 (aHash
     // is blind to uniform intensity — all-white and all-black both
     // hash to 0; see Multimodal.phashBrightnessTol).
@@ -3496,14 +3511,15 @@ object PipelineQueries {
          |  FROM hv, unnest([0, 1, 2, 3]) AS u(c)
          |), kept AS (
          |  SELECT ch.* FROM ch JOIN (
-         |    SELECT c, val FROM ch GROUP BY c, val HAVING count(*) <= 4096
+         |    SELECT c, val FROM ch GROUP BY c, val
+         |    HAVING count(*) <= ${Multimodal.phashBucketCap}
          |  ) ok USING (c, val)
          |)
          |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
          |FROM kept a JOIN kept b
          |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
-         |WHERE abs(a.ptot - b.ptot) <= 2048
+         |WHERE abs(a.ptot - b.ptot) <= ${Multimodal.phashBrightnessTol}
          |  AND bit_count(xor(a.ph, b.ph)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
     "dedup_exact" ->

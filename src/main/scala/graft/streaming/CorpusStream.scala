@@ -733,10 +733,15 @@ object CorpusStream {
     * `_current` pointer re-resolves per batch, so a weight republish
     * takes effect on the next trigger without restarting the stream
     * (the startDriftGate discipline). Emits (doc_id, score, pred,
-    * label, batch_seq) appends; scoring is deterministic under a
-    * given weight version, so an at-least-once replay re-emits
-    * identical rows and a doc-keyed reader collapses them — no state
-    * beyond the checkpoint, nothing grows with the stream. */
+    * label, batch_seq, model_ver) appends. Scoring is deterministic
+    * under a given weight VERSION, but a replay can land after a
+    * republish (crash between the output append and the checkpoint
+    * commit, weights republished before restart): the replayed batch
+    * re-resolves `_current` and appends rows under the NEW version
+    * with the SAME batch_seq — which is why the monotonic lake
+    * version rides along in `model_ver`, so [[latestClassifyScores]]
+    * can collapse duplicates to one CONSISTENT version per batch
+    * instead of mixing two weight versions row-by-row. */
   def startClassifyGate(spark: SparkSession, inDir: String,
       modelDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 16): StreamingQuery =
@@ -745,12 +750,13 @@ object CorpusStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.Materialize.scoped {
           val s2 = batch.sparkSession
-          val wRow = s2.read.parquet(
-            s"${graft.sources.StormSinks.currentVersionDir(s2, modelDir)}/weights")
-            .head()
+          val ver = graft.sources.StormSinks.currentVersionDir(s2, modelDir)
+          val wRow = s2.read.parquet(s"$ver/weights").head()
           val w = Array.tabulate(5)(wRow.getDouble)
+          val modelVer = ver.substring(ver.lastIndexOf("v-") + 2).toLong
           graft.operators.Classify.scoreWith(batch, w)
             .withColumn("batch_seq", lit(batchId))
+            .withColumn("model_ver", lit(modelVer))
             .coalesce(1).write.mode("append").parquet(outDir)
           ()
         }
@@ -759,9 +765,12 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The gate's scores, one row per doc (replay duplicates collapsed
-    * keeping the LATEST batch's row — a doc re-scored after a weight
-    * republish reports its newest score). Empty on cold start. */
+  /** The gate's scores, one row per doc: duplicates collapse to the
+    * LATEST (batch_seq, model_ver) — a doc re-scored in a later batch
+    * (or a replayed batch re-scored under republished weights) reports
+    * its newest consistent score; the version-before-score tie-break
+    * keeps a replayed-after-republish batch from mixing two weight
+    * versions row-by-row. Empty on cold start. */
   def latestClassifyScores(spark: SparkSession, outDir: String): DataFrame = {
     val t = try spark.read.parquet(outDir) catch {
       case _: org.apache.spark.sql.AnalysisException =>
@@ -772,8 +781,8 @@ object CorpusStream {
             StructField("label", BooleanType))))
     }
     t.groupBy(col("doc_id"))
-      .agg(max(struct(col("batch_seq"), col("score"), col("pred"),
-        col("label"))).as("m"))
+      .agg(max(struct(col("batch_seq"), col("model_ver"), col("score"),
+        col("pred"), col("label"))).as("m"))
       .select(col("doc_id"), col("m.score").as("score"),
         col("m.pred").as("pred"), col("m.label").as("label"))
   }
@@ -805,12 +814,18 @@ object CorpusStream {
     * registry, keep-first WITHIN the batch (the same election batch
     * [[graft.operators.Lines.cleanLines]] runs), emit the cleaned
     * documents, then commit (registry ∪ batch fingerprints,
-    * last_batch) as ONE versioned group AFTER the output write. A
-    * replayed batch (crash before the state commit) is at-or-below
-    * the committed last_batch and skips entirely — re-playing against
-    * a registry that already contains its lines would wrongly drop
-    * them all, so the batch_seq gate is load-bearing here, not just
-    * hygiene (the drift-gate discipline).
+    * last_batch) as ONE versioned group AFTER the output write. Crash
+    * interleavings: a crash BEFORE the state commit replays the batch
+    * against the OLD registry — deterministic, so the duplicate
+    * output rows are byte-identical and [[latestCleanLines]] collapses
+    * them; a crash AFTER the state commit replays a batch at-or-below
+    * the committed last_batch, which SKIPS — that gate is
+    * load-bearing, not hygiene, because re-cleaning against a registry
+    * that already holds the batch's lines would wrongly drop them all.
+    * The registry is keyed to THIS stream's batch ids, so a fresh
+    * checkpoint against a used registry is rejected at start (the
+    * trends-stream freshness guard): reprocessing would silently
+    * swallow every replayed document otherwise.
     *
     * Scale: the registry rewrite is registry-sized per batch — the
     * cluster stream's docs/labels republish shape; a deployment
@@ -821,7 +836,18 @@ object CorpusStream {
   def startLineClean(spark: SparkSession, inDir: String, stateDir: String,
       outDir: String, checkpointDir: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = false,
-      maxFilesPerTrigger: Int = 16): StreamingQuery =
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val committed = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
+    if (committed >= 0 &&
+        !new java.io.File(s"$checkpointDir/lineclean").exists)
+      throw new IllegalStateException(
+        s"line-clean registry at $stateDir has committed batches up to " +
+          s"$committed but the checkpoint at $checkpointDir/lineclean is " +
+          "fresh: batch ids would restart at 0 and every replayed batch " +
+          "would be skipped by the replay gate (its documents silently " +
+          "never emitted). Restore the original checkpoint, or republish " +
+          "the registry (publishLineIndex) to start a new stream.")
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -849,4 +875,25 @@ object CorpusStream {
       .option("checkpointLocation", s"$checkpointDir/lineclean")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** The line-clean stream's cleaned documents, duplicates collapsed.
+    * A crash after the output append but before the state commit
+    * replays the batch against the OLD registry — deterministic, so
+    * the re-emitted rows are byte-identical and one row per doc_id
+    * survives (the standard at-least-once output / exactly-once state
+    * split; the batch_seq gate prevents the OTHER interleaving, where
+    * a committed registry would wrongly swallow a replayed batch).
+    * Empty on cold start. */
+  def latestCleanLines(spark: SparkSession, outDir: String): DataFrame = {
+    val t = try spark.read.parquet(outDir) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("clean_text", StringType),
+            StructField("n_kept", LongType), StructField("n_lines", LongType))))
+    }
+    t.dropDuplicates("doc_id")
+  }
 }

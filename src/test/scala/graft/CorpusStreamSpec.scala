@@ -469,5 +469,8 @@ class CorpusStreamSpec extends SparkSpec {
     val want = graft.operators.Lines.cleanLines(w1)
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(got == want, "single-batch stream diverged from batch cleanLines")
+    // the at-least-once reader: one row per doc, empty on cold start
+    assert(CorpusStream.latestCleanLines(spark, s"$base/out").count() == 3)
+    assert(CorpusStream.latestCleanLines(spark, s"$base/never-written").count() == 0)
   }
 }
