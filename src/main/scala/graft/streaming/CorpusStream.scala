@@ -780,8 +780,16 @@ object CorpusStream {
             StructField("score", DoubleType), StructField("pred", BooleanType),
             StructField("label", BooleanType))))
     }
-    t.groupBy(col("doc_id"))
-      .agg(max(struct(col("batch_seq"), col("model_ver"), col("score"),
+    // model_ver-major: lake versions are monotonic in publish time, so
+    // the newest weights win even across a checkpoint reset that
+    // restarts batch ids at 0 (batch_seq-major would let a stale
+    // old-run row shadow the re-score forever); within one version the
+    // later batch wins. Outputs written before model_ver existed read
+    // as version 0.
+    val tv = if (t.columns.contains("model_ver")) t
+      else t.withColumn("model_ver", lit(0L))
+    tv.groupBy(col("doc_id"))
+      .agg(max(struct(col("model_ver"), col("batch_seq"), col("score"),
         col("pred"), col("label"))).as("m"))
       .select(col("doc_id"), col("m.score").as("score"),
         col("m.pred").as("pred"), col("m.label").as("label"))
@@ -839,15 +847,25 @@ object CorpusStream {
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
-    if (committed >= 0 &&
-        !new java.io.File(s"$checkpointDir/lineclean").exists)
+    // the trends-guard discipline, Hadoop-FS resolved (a local
+    // java.io.File check would read EVERY hdfs://-s3a:// checkpoint as
+    // fresh and block legitimate restarts) and keyed on committed
+    // OFFSETS, not directory existence (a pre-created-but-empty
+    // checkpoint dir is just as lineage-less as a missing one)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/lineclean/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
       throw new IllegalStateException(
-        s"line-clean registry at $stateDir has committed batches up to " +
-          s"$committed but the checkpoint at $checkpointDir/lineclean is " +
-          "fresh: batch ids would restart at 0 and every replayed batch " +
-          "would be skipped by the replay gate (its documents silently " +
-          "never emitted). Restore the original checkpoint, or republish " +
-          "the registry (publishLineIndex) to start a new stream.")
+        s"graft.CorpusStream.startLineClean: the registry at $stateDir has " +
+          s"committed batches up to $committed but the checkpoint at " +
+          s"$checkpointDir/lineclean has no committed offsets: batch ids " +
+          "would restart at 0 and every replayed batch would be skipped by " +
+          "the replay gate (its documents silently never emitted). Restore " +
+          "the original checkpoint, or republish the registry " +
+          "(publishLineIndex) to start a new stream.")
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -863,6 +881,7 @@ object CorpusStream {
               .withColumn("fp", sha2(col("lnorm"), 256)))
             graft.operators.Lines
               .assembleKeepFirst(lines.join(seen, Seq("fp"), "left_anti"))
+              .withColumn("batch_seq", lit(batchId))
               .coalesce(1).write.mode("append").parquet(outDir)
             import s2.implicits._
             StormSinks.writeVersionedGroup(s2, stateDir, Seq(
@@ -894,6 +913,14 @@ object CorpusStream {
             StructField("clean_text", StringType),
             StructField("n_kept", LongType), StructField("n_lines", LongType))))
     }
-    t.dropDuplicates("doc_id")
+    // a doc re-emitted in a later batch (re-crawl: its already-seen
+    // lines drop, only fresh lines survive) must resolve to the NEWEST
+    // row deterministically — a bare dropDuplicates would keep an
+    // arbitrary one
+    t.groupBy(col("doc_id"))
+      .agg(max(struct(col("batch_seq"), col("clean_text"), col("n_kept"),
+        col("n_lines"))).as("m"))
+      .select(col("doc_id"), col("m.clean_text").as("clean_text"),
+        col("m.n_kept").as("n_kept"), col("m.n_lines").as("n_lines"))
   }
 }

@@ -433,7 +433,7 @@ class CorpusStreamSpec extends SparkSpec {
     w1.coalesce(1).write.parquet(s"$base/in")
     CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
       s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
-    val out1 = spark.read.parquet(s"$base/out").collect()
+    val out1 = CorpusStream.latestCleanLines(spark, s"$base/out").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
     assert(out1 == Map(
       10L -> "stream fresh line here alpha",
@@ -464,7 +464,7 @@ class CorpusStreamSpec extends SparkSpec {
     w1.coalesce(1).write.parquet(s"$base/in2")
     CorpusStream.startLineClean(spark, s"$base/in2", s"$base/state2",
       s"$base/out2", s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
-    val got = spark.read.parquet(s"$base/out2")
+    val got = CorpusStream.latestCleanLines(spark, s"$base/out2")
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     val want = graft.operators.Lines.cleanLines(w1)
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
@@ -472,5 +472,21 @@ class CorpusStreamSpec extends SparkSpec {
     // the at-least-once reader: one row per doc, empty on cold start
     assert(CorpusStream.latestCleanLines(spark, s"$base/out").count() == 3)
     assert(CorpusStream.latestCleanLines(spark, s"$base/never-written").count() == 0)
+    // the freshness guard: a used registry with a lineage-less
+    // checkpoint must be rejected at start, not silently skip batches
+    // (it is load-bearing against data loss — the replay gate would
+    // swallow every document of the restarted batch ids otherwise)
+    val e1 = intercept[IllegalStateException] {
+      CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp-lost", maxFilesPerTrigger = 1)
+    }
+    assert(e1.getMessage.contains("no committed offsets"))
+    // a pre-created-but-EMPTY checkpoint dir is just as lineage-less
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/cp-empty/lineclean/offsets"))
+    intercept[IllegalStateException] {
+      CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp-empty", maxFilesPerTrigger = 1)
+    }
   }
 }
