@@ -131,14 +131,14 @@ class CorpusStreamSpec extends SparkSpec {
     val corpus = docs.where(col("doc_id") <= 60)
     docs.where(col("doc_id") > 60).coalesce(3)
       .write.mode("overwrite").parquet(s"$base/in")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startIncrementalDedup(spark, s"$base/in", corpus,
         s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
       .awaitTermination()
-    val after = spark.sparkContext.getPersistentRDDs.size
+    val after = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
     assert(spark.read.parquet(s"$base/out").count() > 0)
-    assert(after - before <= 2,
-      s"per-batch blocks leaked: $before persistent RDDs before, $after after " +
+    assert(after <= 2,
+      s"per-batch blocks leaked: $after new persistent RDDs " +
         "(expected only the corpus index + fingerprint set to remain)")
   }
 
@@ -303,34 +303,38 @@ class CorpusStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$base/in")
 
     CorpusStream.publishClusterLake(corpus, s"$base/lake")
-    val b1 = spark.sparkContext.getPersistentRDDs.size
+    // leak detection by ID difference — count equality flakes when the
+    // async cleaner retires an older suite's block mid-test
+    val b1 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
       s"$base/cp1", maxFilesPerTrigger = 1).awaitTermination()
-    val a1 = spark.sparkContext.getPersistentRDDs.size
-    assert(a1 == b1, s"incremental-clusters stream leaked blocks: $b1 -> $a1")
+    val a1 = spark.sparkContext.getPersistentRDDs.keySet -- b1
+    assert(a1.isEmpty, s"incremental-clusters stream leaked blocks: $a1")
 
     CorpusStream.publishClusterLakeIndexed(corpus, s"$base/state", s"$base/index")
-    val b2 = spark.sparkContext.getPersistentRDDs.size
+    val b2 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startIncrementalClustersIndexed(spark, s"$base/in",
         s"$base/state", s"$base/index", s"$base/cp2", maxFilesPerTrigger = 1)
       .awaitTermination()
-    val a2 = spark.sparkContext.getPersistentRDDs.size
-    assert(a2 == b2, s"indexed-clusters stream leaked blocks: $b2 -> $a2")
+    val a2 = spark.sparkContext.getPersistentRDDs.keySet -- b2
+    assert(a2.isEmpty, s"indexed-clusters stream leaked blocks: $a2")
 
     CorpusStream.publishDedupLake(corpus, s"$base/dlake")
-    val b3 = spark.sparkContext.getPersistentRDDs.size
+    val b3 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
         s"$base/dlake", s"$base/out3", s"$base/cp3", maxFilesPerTrigger = 1)
       .awaitTermination()
-    val a3 = spark.sparkContext.getPersistentRDDs.size
-    assert(a3 == b3, s"lake-dedup stream leaked blocks: $b3 -> $a3")
+    val a3 = spark.sparkContext.getPersistentRDDs.keySet -- b3
+    assert(a3.isEmpty, s"lake-dedup stream leaked blocks: $a3")
     assert(spark.read.parquet(s"$base/out3").count() > 0, "dedup stream wrote nothing")
 
     // the publishers themselves are scoped too — no session residue
     // beyond what existed before this test's publishes
+    val b4 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.publishClusterLake(corpus, s"$base/lake2")
-    assert(spark.sparkContext.getPersistentRDDs.size == a3,
-      "publishClusterLake left its CC labels materialized")
+    val a4 = spark.sparkContext.getPersistentRDDs.keySet -- b4
+    assert(a4.isEmpty,
+      s"publishClusterLake left its CC labels materialized: $a4")
   }
 
   test("drift gate: final streaming PSI terms == batch corpus_drift; replay adds nothing") {
@@ -345,11 +349,11 @@ class CorpusStreamSpec extends SparkSpec {
     CorpusStream.publishDriftRef(doc.where(col("doc_id") < cut), s"$base/ref")
     doc.where(col("doc_id") >= cut).repartition(3)
       .write.mode("overwrite").parquet(s"$base/in")
-    val b0 = spark.sparkContext.getPersistentRDDs.size
+    val b0 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startDriftGate(spark, s"$base/in", s"$base/ref",
       s"$base/state", s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
       .awaitTermination()
-    assert(spark.sparkContext.getPersistentRDDs.size == b0,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- b0).isEmpty,
       "drift gate leaked materialized frames")
     val got = CorpusStream.latestDriftTerms(spark, s"$base/out")
       .orderBy(col("feature"), col("bucket")).collect().map(_.toSeq).toSeq
@@ -374,11 +378,11 @@ class CorpusStreamSpec extends SparkSpec {
     val doc = Tables.documents(spark, sfDir)
     CorpusStream.publishClassifier(doc, s"$base/model")
     doc.repartition(2).write.mode("overwrite").parquet(s"$base/in")
-    val b0 = spark.sparkContext.getPersistentRDDs.size
+    val b0 = spark.sparkContext.getPersistentRDDs.keySet
     CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
       s"$base/out", s"$base/cp", maxFilesPerTrigger = 1)
       .awaitTermination()
-    assert(spark.sparkContext.getPersistentRDDs.size == b0,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- b0).isEmpty,
       "classify gate leaked materialized frames")
     // the gate scores under the published weights; Classify.scores
     // trains on the SAME corpus, so the two must agree doc-for-doc

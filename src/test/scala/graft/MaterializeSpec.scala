@@ -97,22 +97,28 @@ class MaterializeSpec extends SparkSpec {
 
   test("scoped frees everything the body materializes — success AND failure paths") {
     val df = (1 to 20).map(i => (i.toLong, (i % 3).toLong)).toDF("a", "b")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // leak detection by ID DIFFERENCE, not count equality: the session
+    // is shared across suites and the async ContextCleaner can retire
+    // an OLDER suite's block mid-test, which would make a count
+    // comparison flake downward (observed once in a full-suite run)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n = Materialize.scoped {
       val a = Materialize.once(df)
       val b = Materialize.once(a.where(col("a") > 5))
       b.count()
     }
     assert(n == 15)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "scoped must free every frame its body materialized")
+    val leaked1 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked1.isEmpty,
+      s"scoped must free every frame its body materialized: $leaked1")
     intercept[RuntimeException](Materialize.scoped {
       Materialize.once(df).count()
       throw new RuntimeException("boom")
     })
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.isEmpty,
       "a failed scope must still free its frames (retried micro-batches " +
-        "re-materialize; keeping the dead set leaks one per attempt)")
+        s"re-materialize; keeping the dead set leaks one per attempt): $leaked2")
   }
 
   test("unknown mode is rejected") {
