@@ -515,4 +515,34 @@ class HotKeyStressSpec extends SparkSpec {
     assert(shRecs < 5000000L,
       s"simhash shuffled $shRecs records on a 3*10^4 duplicate crowd")
   }
+
+  test("corpus_novelty: a 3*10^4-doc boilerplate gram stays linear through the owner join") {
+    // the min-owner aggregation combines map-side and the gram-keyed
+    // join's hot group emits one row per (doc, hot-gram) — LINEAR in
+    // the crowd, never pair work. 3*10^4 docs share their first 8
+    // tokens (one fully-shared 8-gram window per doc) and then
+    // diverge; a quadratic-leaning plan would blow past the bound.
+    import spark.implicits._
+    val n = 30000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("shared boiler plate footer text goes right here uniq"),
+        col("id"), lit(" tail words for doc "), col("id")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty-hot").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val (rows, _, recs, _) = metered {
+      graft.operators.PipelineQueries.queries("corpus_novelty")(spark, dir)
+        .collect()
+    }
+    assert(rows.length == n)
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 owns everything it has; every later doc loses exactly the
+    // one fully-shared window but owns its id-bearing grams
+    assert(byId(0L)._1 == byId(0L)._2, s"doc 0 must own all its grams: ${byId(0L)}")
+    assert(byId(1L)._2 == byId(1L)._1 - 1,
+      s"doc 1 must lose exactly the shared window: ${byId(1L)}")
+    assert(recs < 5000000L,
+      s"novelty shuffled $recs records on a shared-boilerplate corpus")
+  }
 }
