@@ -145,7 +145,7 @@ object ScaleCheck {
       // novelty is the corpus-sized (doc_id, gram) distinct + owner
       // join; fertility replays the BPE trainer + a per-lang agg;
       // diversify is the auto-cell k-means trainer + per-cell windows
-      "corpus_novelty", "text_fertility", "embed_diversify")
+      "corpus_novelty", "text_fertility", "embed_diversify", "text_entropy")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames

@@ -974,6 +974,37 @@ object PipelineQueries {
     // 55: repetition signals (Gopher-class quality filters) — duplicate
     // token / most-frequent-token / duplicate-bigram fractions, all
     // narrow per-document array math (no shuffle at any corpus size)
+    // 135: token-distribution entropy — the information-density
+    // quality signal (low entropy = keyword stuffing / boilerplate /
+    // repetition; complements text_repetition's ratio family): H =
+    // Σ (c/n)·ln(n/c) over distinct tokens. Each term floors onto the
+    // 1e-6 grid and the per-doc sum runs in BIGINT (ORDER-FREE — the
+    // drift-PSI / lmscore discipline, so double-assoc order can't
+    // diverge the engines); single-token docs get exactly 0, empty
+    // docs 0 with zero counts. Two partial-agg shuffles, corpus-linear.
+    "text_entropy" -> ((s, d) => {
+      val doc = docs(s, d)
+      val cnt = doc.select(col("doc_id"),
+          explode(Text.tokensOrEmpty(col("text"))).as("tk"))
+        .where(col("tk") =!= "")
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      val per = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      val terms = cnt.join(per, Seq("doc_id"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          floor((col("c").cast("double") / col("n").cast("double")) *
+            log(col("n").cast("double") / col("c").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+        .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+        .agg(sum(col("t")).as("ts"))
+      doc.select(col("doc_id")).join(terms, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          round(coalesce(col("ts"), lit(0L)).cast("double") / lit(1000000.0), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
     "text_repetition" -> ((s, d) => {
       val staged = docs(s, d)
         .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
@@ -3953,6 +3984,31 @@ object PipelineQueries {
          |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) >= 0.5 AS pred,
          |  f.label
          |FROM f CROSS JOIN w8s w ORDER BY f.doc_id""".stripMargin,
+    // 135: same (c/n)·ln(n/c) per distinct token, floored onto the
+    // 1e-6 grid, summed as BIGINT — order-free on both engines
+    "text_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS tk FROM documents
+         |), cnt AS (
+         |  SELECT doc_id, tk, count(*) AS c FROM tok WHERE tk <> ''
+         |  GROUP BY doc_id, tk
+         |), per AS (
+         |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM cnt
+         |  GROUP BY doc_id
+         |), terms AS (
+         |  SELECT cnt.doc_id, per.n, per.n_distinct,
+         |    CAST(sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS ts
+         |  FROM cnt JOIN per USING (doc_id)
+         |  GROUP BY cnt.doc_id, per.n, per.n_distinct
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(t.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  round(CAST(coalesce(t.ts, 0) AS DOUBLE) / 1000000.0, 6) AS entropy
+         |FROM documents d LEFT JOIN terms t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // 55: same token/bigram array math, list-op mirror
     "text_repetition" ->
       s"""WITH t AS (

@@ -51,4 +51,32 @@ class NoveltySpec extends SparkSpec {
       assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
     }
   }
+
+  test("text_entropy: uniform = ln(k), repeated = 0, bounded by ln(n_distinct)") {
+    val docs = Seq(
+      1L -> "a b c d",                 // uniform over 4 -> ln 4
+      2L -> "same same same same",     // one distinct -> 0
+      3L -> "x x x y",                 // 3/4 ln(4/3) + 1/4 ln 4
+      4L -> ""                         // empty -> 0 with zero counts
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.PipelineQueries.queries("text_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(out(1L)._3 - math.log(4.0)) < 2e-6, s"uniform: ${out(1L)}")
+    assert(out(2L) == ((4L, 1L, 0.0)))
+    val h3 = 0.75 * math.log(4.0 / 3.0) + 0.25 * math.log(4.0)
+    assert(math.abs(out(3L)._3 - h3) < 2e-6, s"mixed: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // corpus-wide bound: H <= ln(n_distinct) (+ grid slack)
+    graft.operators.PipelineQueries.queries("text_entropy")(spark, sfDir)
+      .collect().foreach { r =>
+        val (nd, h) = (r.getLong(2), r.getDouble(3))
+        assert(h >= 0.0 &&
+          (nd <= 1 || h <= math.log(nd.toDouble) + 1e-4), s"bound violated: $r")
+      }
+  }
 }
