@@ -629,28 +629,28 @@ object PipelineQueries {
     // rule-set quality gate swapped for the trained linear probe (the
     // two-stage quality pipeline Classify's scaladoc describes: rules
     // label a seed set, the probe generalizes them). The gate is
-    // RANK-based — keep the top 30% by (score DESC, doc_id), CCNet's
-    // head-selection shape — because an absolute τ is corpus-fragile
-    // (this corpus's trained scores top out near 0.16 at sf0.01 and
-    // near 0.7 at sf0.001; a fixed 0.5 kept everything or nothing).
-    // Top-k is TakeOrdered (orderBy+limit), never a global sort; the
-    // oracle nests the FULL 8-step training-loop replay inside the
-    // cluster-dedup closure, so a drifting trained weight breaks the
-    // hash.
+    // RANK-based — keep the top 30% by score, CCNet's head-selection
+    // shape — because an absolute τ is corpus-fragile (this corpus's
+    // trained scores top out near 0.16 at sf0.01 and near 0.7 at
+    // sf0.001; a fixed 0.5 kept everything or nothing). The gate is
+    // Sampling.topFraction's grid-histogram cascade — exact
+    // floor(3n/10) under (score DESC, md5-bucket, doc_id) with no
+    // corpus-wide rank, no driver count, and no TakeOrdered merge
+    // task holding k rows (corpus-unbounded, unlike the former
+    // orderBy+limit gate whose single merge task capped it at ~10⁸
+    // docs). The oracle nests the FULL 8-step training-loop replay
+    // inside the cluster-dedup closure, so a drifting trained weight
+    // breaks the hash, and replays the gate as a plain
+    // row_number() OVER (ORDER BY score DESC, bucket, doc_id).
     "corpus_clean_ml" -> ((s, d) => {
       val doc = docs(s, d)
       val clu = Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5))
+      // scored feeds the histogram, the n aggregate, and the join-back
+      // (the multi-consumer rule) — materialize once
       val scored = graft.Materialize.once(
         Classify.scores(doc).select(col("doc_id"), col("score")))
-      val k = 3L * scored.count() / 10L
-      // TakeOrderedAndProject holds the k kept rows in one merge task:
-      // fine to ~10^8 docs. Beyond that, swap the rank gate for a
-      // grid-histogram threshold — scores live on the 1e-6 grid, so a
-      // groupBy(score).count() is <= 10^6+1 rows, the cut score falls
-      // out of one cumulative pass, and `score > t` is a narrow
-      // filter; only the <= 1-grid-step boundary tie-break needs a
-      // secondary rule (doc-id hash lattice, the sample_* convention).
-      scored.orderBy(col("score").desc, col("doc_id")).limit(k.toInt)
+      Sampling.topFraction(scored, col("score"), col("doc_id"),
+          num = 3L, den = 10L, salt = "cleanml")
         .join(clu, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id"), col("score"))
@@ -3079,7 +3079,9 @@ object PipelineQueries {
          |ORDER BY q.doc_id""".stripMargin,
     // 129: the corpus_clean closure with the trained-probe gate — the
     // full 8-step training loop replays inside (classifySql), then the
-    // RANK gate (top 30% by (score DESC, doc_id) — floor(3n/10) rows)
+    // RANK gate (top 30% — exactly floor(3n/10) rows under the total
+    // order (score DESC, md5-lattice bucket, doc_id), the order
+    // Sampling.topFraction's histogram cascade realizes scale-free)
     // plus the canonical-member rule.
     "corpus_clean_ml" ->
       s"""WITH RECURSIVE $SH3, jp AS (
@@ -3106,7 +3108,9 @@ object PipelineQueries {
          |  FROM f CROSS JOIN w8s w
          |), rk2 AS (
          |  SELECT doc_id, score,
-         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+         |    row_number() OVER (ORDER BY score DESC,
+         |      CAST(('0x' || substr(md5('cleanml:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |        % 1000000 AS BIGINT), doc_id) AS rn,
          |    (SELECT count(*) FROM scored) AS n
          |  FROM scored
          |)

@@ -276,4 +276,84 @@ object Sampling {
       .where(col("bucket") < col("__thr"))
       .drop("__g", "__thr")
   }
+
+  /** Corpus-unbounded EXACT top-fraction gate: keep the
+    * floor(num·n/den) best rows under the total order
+    * (score DESC, md5-bucket ASC, id ASC) — with NO corpus-wide rank
+    * window, NO TakeOrdered over a corpus-proportional k, and NO
+    * driver-side count. The rank-gate shape (`orderBy(...).limit(k)`)
+    * funnels all k kept rows through one merge task, which caps it at
+    * ~10⁸ docs; this gate is a cascade of three bounded selections:
+    *
+    *  1. Scores are on the 1e-6 grid, so a `groupBy(score).count()`
+    *     histogram has at most (score-range · 10⁶)+1 rows — bounded by
+    *     the score RANGE, not the corpus. One cumulative window over
+    *     the histogram (single partition over ≤ 10⁶ rows — the
+    *     text_ccnet precedent) finds the cut: grid values whose whole
+    *     tie group fits inside k keep outright; exactly ONE grid value
+    *     straddles the cut and carries a residual quota m₁.
+    *  2. Inside that one boundary tie group, the salted-md5 lattice
+    *     bucket plays the same role one level down: a ≤ 10⁶-row bucket
+    *     histogram + cumulative pass keeps whole buckets up to m₁ and
+    *     isolates ONE partial bucket with quota m₂.
+    *  3. The partial bucket holds ~|tie group|/10⁶ rows (md5-uniform:
+    *     10⁴ rows even for a 10¹⁰-doc degenerate all-ties corpus) — an
+    *     exact `row_number` by id over that one bucket finishes the
+    *     selection.
+    *
+    * Both histogram joins broadcast (≤ 10⁶ rows each); n and k come
+    * from a broadcast aggregate, not a driver action. The md5 bucket
+    * (not the raw id) breaks score ties so the boundary pick is
+    * ingest-order-unbiased AND replayable by the DuckDB oracle as a
+    * plain `row_number() OVER (ORDER BY score DESC, bucket, id)` —
+    * SamplingSpec pins gate == global-rank on boundary-tie and
+    * bucket-collision fixtures. */
+  def topFraction(df: DataFrame, scoreCol: Column, idCol: Column,
+      num: Long, den: Long, salt: String): DataFrame = {
+    require(num >= 0 && den > 0, s"need num >= 0, den > 0, got $num/$den")
+    val outCols = df.columns.map(col).toIndexedSeq
+    val si = df.withColumn("__si", round(scoreCol * 1e6).cast("long"))
+    val hist1 = si.groupBy(col("__si")).agg(count(lit(1)).as("__c"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__si").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    // grid values still in play: whole groups inside k, plus the one
+    // straddling group with its residual quota m1
+    val g1 = hist1
+      .withColumn("__cum", coalesce(sum(col("__c")).over(w1), lit(0L)))
+      .crossJoin(n)
+      .withColumn("__k", expr(s"($num * __n) div $den"))
+      .where(col("__cum") < col("__k"))
+      .select(col("__si"),
+        (col("__cum") + col("__c") <= col("__k")).as("__all"),
+        (col("__k") - col("__cum")).as("__m1"))
+    val j1 = si.join(broadcast(g1), Seq("__si"))
+    val keepWhole = j1.where(col("__all"))
+    val boundary = j1.where(!col("__all"))
+      .withColumn("__b", hashBucket(idCol, salt))
+    // __m1 is constant across the boundary group; max() carries it
+    // into the bucket histogram without a second broadcast
+    val hist2 = boundary.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c2"), max(col("__m1")).as("__q"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val g2 = hist2
+      .withColumn("__cum2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
+      .where(col("__cum2") < col("__q"))
+      .select(col("__b"),
+        (col("__cum2") + col("__c2") <= col("__q")).as("__all2"),
+        (col("__q") - col("__cum2")).as("__m2"))
+    val j2 = boundary.join(broadcast(g2), Seq("__b"))
+    val keepBucket = j2.where(col("__all2"))
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(idCol)
+    val keepPartial = j2.where(!col("__all2"))
+      .withColumn("__rn", row_number().over(w3))
+      .where(col("__rn") <= col("__m2"))
+    keepWhole.select(outCols: _*)
+      .unionByName(keepBucket.select(outCols: _*))
+      .unionByName(keepPartial.select(outCols: _*))
+  }
 }

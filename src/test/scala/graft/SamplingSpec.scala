@@ -248,4 +248,71 @@ class SamplingSpec extends SparkSpec {
     assert(frac.getOrElse("train", 0.0) > 0.8, frac.toString)
     assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
   }
+
+  // the reference the histogram cascade must reproduce exactly: a
+  // global rank over the SAME total order (score DESC, md5 bucket,
+  // id) — fine at spec scale, the very shape topFraction exists to
+  // avoid at corpus scale
+  private def rankGate(df: org.apache.spark.sql.DataFrame, num: Long, den: Long,
+      salt: String): Set[Long] = {
+    val n = df.count()
+    val k = (num * n / den).toInt
+    df.withColumn("__b", Sampling.hashBucket(col("doc_id"), salt))
+      .orderBy(col("score").desc, col("__b"), col("doc_id")).limit(k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def gateIds(df: org.apache.spark.sql.DataFrame, num: Long, den: Long,
+      salt: String): Set[Long] =
+    Sampling.topFraction(df, col("score"), col("doc_id"), num, den, salt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("topFraction == global rank gate on a boundary-straddling tie fixture") {
+    import spark.implicits._
+    // 10 clear keepers, a 10-doc tie group straddling the cut
+    // (k = 15 -> 5 of the ties, lattice-chosen), 10 clear drops
+    val rows = (0L until 10L).map(i => (i, 0.9)) ++
+      (10L until 20L).map(i => (i, 0.5)) ++
+      (20L until 30L).map(i => (i, 0.1))
+    val df = rows.toDF("doc_id", "score")
+    val got = gateIds(df, 1L, 2L, "cleanml")
+    assert(got.size == 15)
+    assert(got == rankGate(df, 1L, 2L, "cleanml"))
+    assert((0L until 10L).toSet.subsetOf(got), "whole above-cut groups must keep")
+    assert(got.intersect((20L until 30L).toSet).isEmpty, "below-cut groups must drop")
+  }
+
+  test("topFraction level-3: md5-bucket collision inside the partial bucket") {
+    import spark.implicits._
+    // find two ids that collide on the cleanml lattice so the partial
+    // bucket genuinely holds >1 row and the id-rank tie-break decides
+    val probe = (0L until 40000L).toDF("doc_id")
+      .withColumn("b", Sampling.hashBucket(col("doc_id"), "cleanml"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (a, b) = probe.groupBy(_._2).values.find(_.length >= 2)
+      .map(g => (g(0)._1, g(1)._1))
+      .getOrElse(fail("no lattice collision in 40k ids (p < 1e-300)"))
+    val lo = math.min(a, b); val hi = math.max(a, b)
+    // both colliders tie on score; k = 1 -> quota cuts INSIDE their
+    // shared bucket -> keep the smaller id only
+    val df = Seq((lo, 0.5), (hi, 0.5)).toDF("doc_id", "score")
+    val got = gateIds(df, 1L, 2L, "cleanml")
+    assert(got == Set(lo), s"expected Set($lo), got $got")
+    assert(got == rankGate(df, 1L, 2L, "cleanml"))
+  }
+
+  test("topFraction: exact count, degenerate all-ties corpus, empty quota") {
+    import spark.implicits._
+    // all 100 docs tie: the entire selection is lattice-driven
+    val ties = (0L until 100L).map(i => (i, 0.25)).toDF("doc_id", "score")
+    val got = gateIds(ties, 3L, 10L, "cleanml")
+    assert(got.size == 30)
+    assert(got == rankGate(ties, 3L, 10L, "cleanml"))
+    // k = 0 (n < den/num) keeps nothing
+    val tiny = Seq((1L, 0.9), (2L, 0.8)).toDF("doc_id", "score")
+    assert(gateIds(tiny, 3L, 10L, "cleanml").isEmpty)
+    // distinct scores, no straddle ambiguity: plain top-30%
+    val dist = (0L until 20L).map(i => (i, i.toDouble / 100.0)).toDF("doc_id", "score")
+    assert(gateIds(dist, 3L, 10L, "s2") == (14L until 20L).toSet)
+  }
 }
