@@ -94,21 +94,55 @@ object Dedup {
     * and a genuinely-hot content crowd loses only its quadratic
     * self-pairs. The constant is INTERPOLATED into the oracle SQL
     * (dedup_minhash / dedup_simhash / dedup_recall), so the two sides
-    * cannot drift. */
+    * cannot drift.
+    *
+    * RECALL CONTRACT — the cap is NOT limited to identical-content
+    * crowds: a giant NEAR-dup family of DISTINCT texts (a templated
+    * page stamped out 10⁵ times) also pushes shared band keys past the
+    * cap, and every tripped bucket loses that family's pairs — its
+    * recall quietly falls below 1 even though exact dedup would never
+    * have collapsed it. Connectivity usually survives (a family member
+    * pairs through any ONE below-cap band, and clustering needs a
+    * spanning set, not all pairs), but pair-level recall inside >cap
+    * families is explicitly best-effort. So the cap's engagement must
+    * be VISIBLE: [[capBuckets]] publishes `dropped_buckets` /
+    * `dropped_rows` observed metrics (Spark UI SQL tab /
+    * QueryExecutionListener, names `graft.capBuckets.N`) — an operator
+    * watching a crawl corpus sees nonzero `dropped_rows` and knows to
+    * run exact/fingerprint collapse ahead of the banded join or raise
+    * the cap. DedupSpec pins the metric against a planted crowd. */
   val bandBucketCap = 4096L
 
+  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Drop rows of `banded` whose bucket (by `keyCols`) holds more than
-    * `cap` rows — one aggregation + a semi-join keyed on the full
-    * bucket key (partial aggregation absorbs the hot key map-side).
-    * Shared by the minhash/simhash band joins and
-    * [[Multimodal.phashPairs]]. */
+    * `cap` rows — one aggregation + a join keyed on the full bucket
+    * key (partial aggregation absorbs the hot key map-side). Shared by
+    * the minhash/simhash band joins and [[Multimodal.phashPairs]].
+    * Engagement is observable: a CollectMetrics node between the
+    * df-attach join and the cap filter counts the rows/buckets the cap
+    * removes (see [[bandBucketCap]]'s recall contract). The node sits
+    * ABOVE the join on the UNFILTERED histogram deliberately — with
+    * the filter on the histogram side (the semi-join shape), a corpus
+    * whose every bucket is hot leaves that side empty and AQE's
+    * empty-relation propagation deletes the whole join subtree,
+    * CollectMetrics included: the metric vanished exactly when it
+    * mattered most (found live in DedupSpec's all-hot crowd case).
+    * `dropped_buckets` sums 1/df per dropped row — exactly 1.0 per hot
+    * bucket up to fp dust (distinct aggregates are not allowed in
+    * observed metrics). The name is uniqued per call site because
+    * Spark requires observed names to be distinct within one plan. */
   private[operators] def capBuckets(banded: DataFrame, keyCols: Seq[String],
       cap: Long = bandBucketCap): DataFrame =
     banded.join(
-      banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap)
-        .select(keyCols.map(col): _*),
-      keyCols)
+        banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df")),
+        keyCols)
+      .observe(s"graft.capBuckets.${capObsId.incrementAndGet()}",
+        round(sum(when(col("__df") > cap,
+          lit(1.0) / col("__df")).otherwise(0.0))).cast("long").as("dropped_buckets"),
+        sum(when(col("__df") > cap, 1L).otherwise(0L)).as("dropped_rows"))
+      .where(col("__df") <= cap)
+      .drop("__df")
 
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2 #35).
@@ -177,10 +177,24 @@ object Multimodal {
     * AROUND the mean, so any two uniform images — all-white and
     * all-black alike — collide at hamming 0; requiring
     * |ptot_a − ptot_b| ≤ 64·32 separates flat images of different
-    * intensity while passing genuine near-dups (small text edits move
-    * the byte mean by a few units at most). INTERPOLATED into the
-    * mm_dedup oracle SQL. */
+    * intensity. INTERPOLATED into the mm_dedup oracle SQL. */
   val phashBrightnessTol = 64L * 32L
+
+  /** A hash with ≤ this many bits on its minority side is DEGENERATE:
+    * near-flat images collapse onto all-0/all-1 bit patterns that
+    * carry almost no structure, so hamming distance cannot tell
+    * all-white from all-black and the [[phashBrightnessTol]] verify
+    * must decide. The verify applies ONLY when both sides of a pair
+    * are degenerate: for structured hashes aHash's per-image mean
+    * threshold makes it brightness-INVARIANT by design — a globally
+    * brightened copy is a canonical near-dup it exists to catch — and
+    * an unconditional brightness gate (the r13 shape) silently dropped
+    * that whole dup class once the mean shifted by more than ~32 byte
+    * levels. At hamming ≤ 3 a structured hash can only pair with
+    * another structured hash (bit counts differ by ≤ 3), so gating on
+    * BOTH sides adds no flat-vs-structured leak. INTERPOLATED into the
+    * mm_dedup oracle SQL. */
+  val phashDegenerateBits = 4L
 
   def phashPairs(media: DataFrame, maxHamming: Int = 3,
       bucketCap: Long = phashBucketCap,
@@ -205,9 +219,14 @@ object Multimodal {
       col("media_id").as("media_a"), col("phash").as("h_a"), col("ptot").as("t_a"))
     val b = kept.select(col("chunk"), col("val"),
       col("media_id").as("media_b"), col("phash").as("h_b"), col("ptot").as("t_b"))
+    // brightness verify, DEGENERATE pairs only (see phashDegenerateBits):
+    // structured hashes keep aHash's intrinsic brightness invariance
+    def degenerate(h: Column): Column =
+      least(bit_count(h), lit(64) - bit_count(h)) <= phashDegenerateBits
     a.join(b, Seq("chunk", "val"))
       .where(col("media_a") < col("media_b"))
-      .where(abs(col("t_a") - col("t_b")) <= brightnessTol)
+      .where(!(degenerate(col("h_a")) && degenerate(col("h_b"))) ||
+        abs(col("t_a") - col("t_b")) <= brightnessTol)
       .select(col("media_a"), col("media_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -3506,10 +3506,13 @@ object PipelineQueries {
     // oracle-checked): (chunk, value) buckets with df > 4096 are
     // dropped before pairing (aHash bits are NOT uniform — flat
     // images collapse onto degenerate chunk values; see
-    // Multimodal.phashBucketCap, interpolated), and pairs
-    // must agree on brightness within |Δ ptot| <= 2048 = 64·32 (aHash
-    // is blind to uniform intensity — all-white and all-black both
-    // hash to 0; see Multimodal.phashBrightnessTol).
+    // Multimodal.phashBucketCap, interpolated), and DEGENERATE pairs
+    // (both hashes within 4 bits of all-0/all-1) must agree on
+    // brightness within |Δ ptot| <= 2048 = 64·32 (aHash is blind to
+    // uniform intensity — all-white and all-black both hash to 0;
+    // structured pairs skip the verify so brightness-shifted copies
+    // of a real image stay caught; see Multimodal.phashBrightnessTol
+    // / phashDegenerateBits).
     "mm_dedup" ->
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -3554,7 +3557,9 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
          |FROM kept a JOIN kept b
          |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
-         |WHERE abs(a.ptot - b.ptot) <= ${Multimodal.phashBrightnessTol}
+         |WHERE (least(bit_count(a.ph), 64 - bit_count(a.ph)) > ${Multimodal.phashDegenerateBits}
+         |    OR least(bit_count(b.ph), 64 - bit_count(b.ph)) > ${Multimodal.phashDegenerateBits}
+         |    OR abs(a.ptot - b.ptot) <= ${Multimodal.phashBrightnessTol})
          |  AND bit_count(xor(a.ph, b.ph)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
     "dedup_exact" ->

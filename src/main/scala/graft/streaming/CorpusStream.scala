@@ -744,7 +744,30 @@ object CorpusStream {
     * instead of mixing two weight versions row-by-row. */
   def startClassifyGate(spark: SparkSession, inDir: String,
       modelDir: String, outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 16): StreamingQuery =
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    // the trends/line-clean freshness guard: scores exist but the
+    // checkpoint has no committed offsets -> batch ids restart at 0,
+    // and (absent a weight republish bumping model_ver) a re-crawled
+    // doc's fresh score would lose the (model_ver, batch_seq) collapse
+    // to its stale higher-batch_seq row forever. Fail fast instead.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasScores = fs.exists(outPath) &&
+      fs.listStatus(outPath).exists(_.getPath.getName.startsWith("part-"))
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/classify/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (hasScores && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startClassifyGate: scores exist at $outDir but " +
+          s"the streaming checkpoint at $checkpointDir/classify is fresh - " +
+          "batch ids would restart at 0 and, unless the weights are " +
+          "republished under a new model_ver, re-scored documents would " +
+          "lose to their stale higher-batch_seq rows forever. Restore the " +
+          "original checkpoint, republish the model (new model_ver wins " +
+          "the collapse), or move the score directory aside.")
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -764,6 +787,7 @@ object CorpusStream {
       .option("checkpointLocation", s"$checkpointDir/classify")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The gate's scores, one row per doc: duplicates collapse to the
     * LATEST (batch_seq, model_ver) — a doc re-scored in a later batch
@@ -781,11 +805,15 @@ object CorpusStream {
             StructField("label", BooleanType))))
     }
     // model_ver-major: lake versions are monotonic in publish time, so
-    // the newest weights win even across a checkpoint reset that
-    // restarts batch ids at 0 (batch_seq-major would let a stale
-    // old-run row shadow the re-score forever); within one version the
-    // later batch wins. Outputs written before model_ver existed read
-    // as version 0.
+    // the newest weights win across a checkpoint reset that restarts
+    // batch ids at 0 PROVIDED the reset came with a weight republish
+    // (batch_seq-major would let a stale old-run row shadow the
+    // re-score forever); within one version the later batch wins. A
+    // reset WITHOUT a republish (same model_ver, batch ids back at 0)
+    // is NOT recoverable by this collapse — startClassifyGate's
+    // freshness guard rejects that lineage-less restart at start, so
+    // rows here always come from one checkpoint lineage per model_ver.
+    // Outputs written before model_ver existed read as version 0.
     val tv = if (t.columns.contains("model_ver")) t
       else t.withColumn("model_ver", lit(0L))
     tv.groupBy(col("doc_id"))

@@ -416,6 +416,15 @@ class CorpusStreamSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(gotFresh == wantFresh,
       "post-republish batch did not score under the new weights")
+    // freshness guard: a lineage-less checkpoint against existing
+    // scores must be rejected at start — without a weight republish a
+    // re-scored doc would lose the (model_ver, batch_seq) collapse to
+    // its stale higher-batch_seq row forever
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+        s"$base/out", s"$base/cp-fresh", maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("fresh"), e.getMessage)
   }
 
   test("line-clean stream: batch parity on one batch, cross-batch registry dedup, replay adds nothing") {

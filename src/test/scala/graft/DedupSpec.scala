@@ -300,4 +300,39 @@ class DedupSpec extends SparkSpec {
     assert(viaLake == viaSession, "lake-indexed labels differ from in-session")
     assert(viaLake.size == all.count(), "label table must cover every doc")
   }
+
+  test("capBuckets engagement is observable: dropped_buckets/rows metrics fire on a crowd") {
+    // the bandBucketCap recall contract promises operators SEE the cap
+    // engage (a >cap near-dup family loses pairs silently otherwise):
+    // every capBuckets call publishes graft.capBuckets.N observed
+    // metrics through the listener bus / Spark UI
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.capBuckets."))
+            seen.add((row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 4200 copies of one text: every band bucket holds 4200 > 4096
+      val crowd = spark.range(4200).select(col("id").as("doc_id"),
+        lit("identical crowd content shared across every copy of this document").as("text"))
+      val pairs = Dedup.minhashPairs(crowd, k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.5)
+      assert(pairs.count() == 0, "the whole crowd must be capped out")
+      // listener delivery is async — poll up to 15s
+      val deadline = System.nanoTime() + 15000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val hits = seen.toArray(Array.empty[(Long, Long)])
+      assert(hits.exists { case (buckets, rows) => buckets > 0 && rows >= 4200L },
+        s"no capBuckets engagement metric observed; got ${hits.toSeq}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -194,10 +194,15 @@ class MultimodalSpec extends SparkSpec {
     // cap (asserted below, so the lossless claim is really tested)
     val h = Multimodal.avgHash(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def degen(ph: Long): Boolean = {
+      val bc = java.lang.Long.bitCount(ph)
+      math.min(bc, 64 - bc) <= Multimodal.phashDegenerateBits
+    }
     val brute = for {
       i <- h.indices; j <- (i + 1) until h.length
       d = java.lang.Long.bitCount(h(i)._2 ^ h(j)._2)
-      if d <= 3 && math.abs(h(i)._3 - h(j)._3) <= Multimodal.phashBrightnessTol
+      if d <= 3 && (!(degen(h(i)._2) && degen(h(j)._2)) ||
+        math.abs(h(i)._3 - h(j)._3) <= Multimodal.phashBrightnessTol)
     } yield (h(i)._1, h(j)._1, d)
     assert(banded.toSeq == brute.toSeq.sorted,
       s"banded candidates diverged from brute force: ${banded.length} vs ${brute.length}")
@@ -209,5 +214,38 @@ class MultimodalSpec extends SparkSpec {
     // the documents table's planted near-dup texts become planted
     // near-dup images — the detector must actually find some
     assert(banded.nonEmpty, "no perceptual near-dups found in the corpus")
+  }
+
+  test("phash pairs: brightness-shifted structured dup caught; flat pair still brightness-gated") {
+    import spark.implicits._
+    // 512-byte texts in 8-char blocks so the 8x8 thumbnail samples one
+    // byte per block: blocks alternate low/high -> a structured
+    // 32-bit-set hash. B is A shifted +0x2E per byte (mean +46 > the
+    // 32-level tolerance) with the SAME alternation -> identical bit
+    // pattern, hamming 0: the canonical brightness-shifted near-dup
+    // aHash is built to catch, which the r13 unconditional brightness
+    // gate silently dropped
+    def blocks(lo: Char, hi: Char): String =
+      (0 until 64).map(j => (if (j % 2 == 0) lo else hi).toString * 8).mkString
+    val structuredA = blocks(' ', '0')  // bytes 0x20/0x30, mean 0x28
+    val structuredB = blocks('N', '^')  // bytes 0x4E/0x5E, mean 0x56
+    val flatDark = "!" * 64             // hash 0 (degenerate)
+    val flatLight = "a" * 64            // hash 0, mean +64 levels
+    val media = Multimodal.mediaFromDocuments(Seq(
+      1L -> structuredA, 2L -> structuredB, 3L -> flatDark, 4L -> flatLight
+    ).toDF("doc_id", "text"))
+    // fixture sanity: structured hashes identical and non-degenerate
+    val h = Multimodal.avgHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L)._1 == h(2L)._1 && java.lang.Long.bitCount(h(1L)._1) == 32,
+      s"fixture drifted: ${h(1L)}, ${h(2L)}")
+    assert(h(3L)._1 == 0L && h(4L)._1 == 0L)
+    assert(math.abs(h(1L)._2 - h(2L)._2) > Multimodal.phashBrightnessTol)
+    val ids = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)),
+      "brightness-shifted structured near-dup lost — degenerate gate regressed")
+    assert(!ids.contains((3L, 4L)),
+      "flat images of different intensity must stay separated")
   }
 }
