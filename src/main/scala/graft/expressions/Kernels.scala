@@ -26,6 +26,19 @@ object Kernels {
   /** Mirrors split(normalize(text), " "): Java regex split, limit -1. */
   def tokens(text: UTF8String): Array[String] = normalize(text).split(" ", -1)
 
+  /** Unicode NFC normalization (UAX #15, JDK implementation — agrees
+    * with DuckDB's utf8proc `nfc_normalize` on the standard
+    * composition table, which text_normalize's oracle hash-checks).
+    * Fast path: the quick-check pass allocates nothing for
+    * already-normalized text (all ASCII in particular) and returns the
+    * input UTF8String unchanged. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** == xxhash64(stringCol): XXH64 of the UTF-8 bytes, seed 42. */
   def hashString(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)

@@ -29,6 +29,23 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a codegen'd scalar — Spark has no
+  * built-in normalizer function (collation-level normalization exists,
+  * but not as a value transform), and this is exactly the "built-ins
+  * genuinely can't express it" bar for a custom Expression. Null-safe,
+  * StringType → StringType, single static call into [[Kernels.nfc]]
+  * with an allocation-free already-normalized fast path. */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  protected override def nullSafeEval(s: Any): Any =
+    Kernels.nfc(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.nfc($c)")
+  protected override def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
@@ -147,6 +164,7 @@ case class LshSignShaExpr(child: Expression, nPlanes: Int) extends UnaryExpressi
 object native {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64Expr(expr(text)))
+  def nfc(text: Column): Column = GraftColumnBridge.column(NfcExpr(expr(text)))
   def simhash64Sha(text: Column): Column = GraftColumnBridge.column(SimHashSha64Expr(expr(text)))
   def minhashSigSha(text: Column, k: Int, perms: Int): Column =
     GraftColumnBridge.column(MinHashShaSigExpr(expr(text), k, perms))
@@ -218,6 +236,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineFExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_sign"), info("graft_lsh_sign"),
       (args: Seq[Expression]) => LshSignExpr(args(0), constInt(args, 1, "graft_lsh_sign"))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"), info("graft_nfc"),
+      (args: Seq[Expression]) => NfcExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_simhash64_sha"), info("graft_simhash64_sha"),
       (args: Seq[Expression]) => SimHashSha64Expr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),

@@ -103,6 +103,54 @@ object Text {
     round(lenScore * 0.4 + mtlScore * 0.2 + punctScore * 0.2 + swScore * 0.2, 6)
   }
 
+  // ------------------------------------------- encoding normalization
+  /** ftfy-class mojibake repairs: the common UTF-8-bytes-decoded-as-
+    * Latin-1 double encodings seen in web crawls (curly quote family
+    * through â€¦, accented Latin through Ã¤). Fixed order, applied via
+    * chained `replace` in BOTH engines — the table is INTERPOLATED
+    * into the text_normalize oracle SQL so the two sides cannot drift.
+    * No pattern is a substring of another, so the chain is
+    * order-insensitive in effect but kept ordered for determinism.
+    * Deliberately excludes sequences containing C1 controls (e.g. the
+    * â€ right-double-quote corruption) — those arrive already
+    * mangled differently per decoder and are left to the scrub pass. */
+  val mojibake: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€¦" -> "…", "â€“" -> "–", "â€”" -> "—",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß",
+    "Ã§" -> "ç", "Ã " -> "à")
+
+  /** Zero-width / control scrub class, written in the regex subset
+    * Java and RE2 interpret identically: C0 controls except \t \n \r
+    * (\r is rewritten to \n by [[fixText]] BEFORE this class applies),
+    * DEL, soft hyphen, zero-width space/non-joiner/joiner, word
+    * joiner, BOM/zero-width-no-break. */
+  val scrubRe: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{00AD}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+
+  /** Chained mojibake repair (codegen'd `replace` built-ins). */
+  def repairMojibake(text: Column): Column =
+    mojibake.foldLeft(text) { case (c, (bad, good)) => replace(c, lit(bad), lit(good)) }
+
+  /** Full encoding/Unicode normalization pass — the curation stage
+    * that runs BEFORE any fingerprinting or dedup keying
+    * (text_fingerprint / dedup_exact / dedup_paragraph), so
+    * visually-identical texts that differ only in NFD-vs-NFC form,
+    * zero-width characters, line endings, or mojibake unify onto one
+    * key. Order: mojibake repair (operates on the corrupted byte
+    * sequences), CRLF/CR → LF, zero-width+control scrub, then NFC
+    * composition LAST (scrubbing a zero-width-non-joiner can newly
+    * juxtapose a base letter and a combining mark — composing first
+    * would miss it). All built-ins except the final NFC, which Spark
+    * lacks: [[graft.expressions.native.nfc]], a codegen'd Catalyst
+    * scalar over the JDK normalizer. */
+  def fixText(text: Column): Column = {
+    val crlf = replace(replace(repairMojibake(text), lit("\r\n"), lit("\n")),
+      lit("\r"), lit("\n"))
+    graft.expressions.native.nfc(regexp_replace(crlf, scrubRe, ""))
+  }
+
   // ----------------------------------------------------- PII redaction
   /** Redaction patterns — written in the regex subset Java and RE2
     * (DuckDB) interpret identically, so the text_redact oracle replays

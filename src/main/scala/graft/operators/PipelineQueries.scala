@@ -954,6 +954,37 @@ object PipelineQueries {
         when(bestScore > 0, bestLang).otherwise(lit("und")).as("lang_detected"))
         .orderBy(col("doc_id"))
     }),
+    // 136: Unicode/encoding normalization — the curation stage that
+    // runs BEFORE fingerprinting/dedup keying so NFD-vs-NFC forms,
+    // zero-width characters, line endings, and mojibake unify onto one
+    // dedup key (Text.fixText's scaladoc documents the composition
+    // point ahead of text_fingerprint / dedup_exact /
+    // dedup_paragraph). The synthetic corpus is ASCII (identity path),
+    // so the pipeline is exercised by planted rows UNIONed in BOTH
+    // engines from the same interpolated constants: NFD marks,
+    // zero-width family, mojibake, controls + CRLF, and the
+    // scrub-then-compose ordering case. Pure narrow map (one custom
+    // codegen'd NFC scalar + built-ins) — zero shuffles at any corpus
+    // size; the oracle hash-checks the normalized text directly
+    // against DuckDB's utf8proc nfc_normalize.
+    "text_normalize" -> ((s, d) => {
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(normPlanted.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          Text.fixText(col("text")).as("text_norm"),
+          Text.repairMojibake(col("text")).as("moj"))
+        .select(col("doc_id"), col("text_norm"),
+          (col("text_norm") =!= col("text")).as("changed"),
+          (col("moj") =!= col("text")).as("mojibake_fixed"))
+        .orderBy(col("doc_id"))
+    }),
     // 32: quality scoring
     "text_quality" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -1796,6 +1827,39 @@ object PipelineQueries {
 
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** text_normalize planted fixtures (negative doc_ids), shared by the
+    * Spark union and the oracle VALUES so the two sides cannot drift:
+    * NFD combining marks, the zero-width family, mojibake (incl. a
+    * deliberately-unrepaired Ã¯ — the table is the common-corruption
+    * list, not a decoder), C0 controls + CRLF/CR, and the
+    * scrub-then-compose ordering case (e + ZWNJ + combining acute
+    * composes to é only if the scrub runs before NFC). */
+  private val normPlanted: Seq[(Long, String)] = Seq(
+    -4L -> "ctrlchars\r\nnext\rline e‌́",
+    -3L -> "itâ€™s â€œquotedâ€¦ Ã©lan â€” Ã¼ber naÃ¯ve",
+    -2L -> "zero​width‌and‍joiners⁠here﻿",
+    -1L -> "Café au thé")
+
+  /** DuckDB string literal for `s`: quotes doubled, control chars
+    * (<0x20) emitted as chr(n) concatenation so the SQL stays printable
+    * (raw newlines inside a literal would also collide with the
+    * surrounding stripMargin). */
+  private def sqlStr(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach {
+      case '\'' => sb.append("''")
+      case c if c < ' ' => sb.append(s"' || chr(${c.toInt}) || '")
+      case c => sb.append(c)
+    }
+    sb.append("'").toString
+  }
+
+  /** The [[Text.mojibake]] repair chain over column `text`, as DuckDB
+    * SQL — interpolated from the same table the Spark side folds. */
+  private lazy val MOJ_CHAIN: String =
+    Text.mojibake.foldLeft("text") { case (acc, (bad, good)) =>
+      s"replace($acc, ${sqlStr(bad)}, ${sqlStr(good)})" }
 
   private val BPE_ROUNDS = 8
   /** The 8-round BPE merge cascade shared by text_bpe_train (reads
@@ -3725,6 +3789,31 @@ object PipelineQueries {
          |SELECT doc_id, lang AS lang_label,
          |  CASE WHEN ${bestExpr._2} > 0 THEN ${bestExpr._1} ELSE 'und' END AS lang_detected
          |FROM staged ORDER BY doc_id""".stripMargin
+    },
+    // 136: same planted fixtures (sqlStr-interpolated from
+    // normPlanted), same repair chain (MOJ_CHAIN from Text.mojibake),
+    // same scrub class, with DuckDB's utf8proc nfc_normalize standing
+    // in for the JDK normalizer — both implement UAX #15 NFC, which
+    // the hash compare proves agree on every row.
+    "text_normalize" -> {
+      val vals = normPlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $vals) AS v(doc_id, text)
+         |), moj AS (
+         |  SELECT doc_id, text, $MOJ_CHAIN AS m FROM src
+         |), fx AS (
+         |  SELECT doc_id, text, m,
+         |    nfc_normalize(regexp_replace(
+         |      replace(replace(m, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+         |      '${Text.scrubRe}', '', 'g')) AS text_norm
+         |  FROM moj
+         |)
+         |SELECT doc_id, text_norm, text_norm <> text AS changed,
+         |  m <> text AS mojibake_fixed
+         |FROM fx ORDER BY doc_id""".stripMargin
     },
     "text_quality" ->
       s"""WITH t AS (

@@ -99,6 +99,43 @@ class TextSpec extends SparkSpec {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("fixText: NFD composes, zero-width/control scrub, CRLF, mojibake, scrub-before-NFC order") {
+    def fx(s: String): String = one(Text.fixText(lit(s))).asInstanceOf[String]
+    // NFD combining marks compose to the precomposed form
+    assert(fx("Café au thé") == "Café au thé")
+    // already-NFC text is untouched (fast path)
+    assert(fx("Café au thé") == "Café au thé")
+    // zero-width family scrubbed
+    assert(fx("a​b‌c‍d⁠e﻿f­g") == "abcdefg")
+    // C0 controls go, \t and \n stay, CRLF/CR become LF
+    assert(fx("ab\tc\r\nd\ref") == "ab\tc\nd\ne f".replace(" ", ""))
+    // mojibake repairs (and Ã¯ is deliberately not in the table)
+    assert(fx("itâ€™s Ã©lan â€” naÃ¯ve") == "it’s élan — naÃ¯ve")
+    // scrub-before-NFC: e + ZWNJ + combining acute must compose
+    assert(fx("e‌́") == "é")
+    // dedup-key composition point: fingerprints unify after fixText
+    val nfd = Text.fingerprint64(Text.fixText(lit("Café")))
+    val nfc = Text.fingerprint64(Text.fixText(lit("Café")))
+    assert(one(nfd) == one(nfc))
+  }
+
+  test("text_normalize query: corpus rows identity, planted rows repaired, flags consistent") {
+    val out = graft.operators.PipelineQueries.queries("text_normalize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    // 500 corpus + 4 planted
+    assert(out.length == 504)
+    val (planted, corpus) = out.partition(_._1 < 0)
+    // the synthetic corpus is ASCII: identity, nothing flagged
+    assert(corpus.forall(r => !r._3 && !r._4))
+    // every planted row changed; only -3 had mojibake
+    assert(planted.forall(_._3))
+    assert(planted.filter(_._4).map(_._1).toSeq == Seq(-3L))
+    val byId = planted.map(r => r._1 -> r._2).toMap
+    assert(byId(-1L) == "Café au thé")
+    assert(byId(-2L) == "zerowidthandjoinershere")
+    assert(byId(-4L).contains("é") && !byId(-4L).contains("\r"))
+  }
+
   test("fingerprints: normalization-invariant, 64-bit variant stable") {
     val a = one(Text.fingerprint(lit("Hello   World")))
     val b = one(Text.fingerprint(lit("hello world ")))
