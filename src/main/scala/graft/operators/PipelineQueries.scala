@@ -954,6 +954,17 @@ object PipelineQueries {
         when(bestScore > 0, bestLang).otherwise(lit("und")).as("lang_detected"))
         .orderBy(col("doc_id"))
     }),
+    // 137: char-trigram naive-Bayes language ID — the fastText-shaped
+    // upgrade over text_langid's stopword heuristic (LangId's scaladoc
+    // has the model + scale shape; LangIdSpec shows it classifying
+    // short stopword-free docs the heuristic calls "und"). Trained on
+    // even doc_ids, so odd-doc predictions are out-of-sample; on THIS
+    // corpus the lang label is independent of the synthetic text, so
+    // the oracle validates the exact integer-grid NB arithmetic, not
+    // detection quality — the spec's planted multilingual fixture
+    // validates that.
+    "text_langid2" -> ((s, d) =>
+      LangId.langIdTrigram(docs(s, d)).orderBy(col("doc_id"))),
     // 136: Unicode/encoding normalization — the curation stage that
     // runs BEFORE fingerprinting/dedup keying so NFD-vs-NFC forms,
     // zero-width characters, line endings, and mojibake unify onto one
@@ -3790,6 +3801,55 @@ object PipelineQueries {
          |  CASE WHEN ${bestExpr._2} > 0 THEN ${bestExpr._1} ELSE 'und' END AS lang_detected
          |FROM staged ORDER BY doc_id""".stripMargin
     },
+    // 137: the same trigram-NB replay — salted-md5 buckets, add-one
+    // smoothing, 1e-6-grid BIGINT ln sums, argmax via row_number with
+    // (score DESC, lang) order, und for trigram-less docs.
+    "text_langid2" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, lang, $NORM AS s FROM documents
+         |), tri AS (
+         |  SELECT doc_id, lang, unnest(list_transform(range(1, length(s) - 1),
+         |    i -> substr(s, CAST(i AS INT), 3))) AS t
+         |  FROM nrm WHERE length(s) >= 3
+         |), tb AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5('lid:' || t), 1, 8))::UBIGINT
+         |      % ${LangId.defaultBuckets} AS BIGINT) AS b
+         |  FROM tri
+         |), prof AS (
+         |  SELECT lang, b, count(*) AS c FROM tb WHERE doc_id % 2 = 0 GROUP BY 1, 2
+         |), w AS (
+         |  SELECT lang, b,
+         |    CAST(round(round(ln(CAST(c AS DOUBLE) + 1.0), 6) * 1000000) AS BIGINT) AS w
+         |  FROM prof
+         |), base AS (
+         |  SELECT lang AS cand,
+         |    CAST(round(round(ln(CAST(sum(c) AS DOUBLE) + ${LangId.defaultBuckets}.0), 6)
+         |      * 1000000) AS BIGINT) AS base
+         |  FROM prof GROUP BY 1
+         |), dm AS (
+         |  SELECT doc_id, b, count(*) AS m FROM tb GROUP BY 1, 2
+         |), dn AS (
+         |  SELECT doc_id, count(*) AS n_tri FROM tb GROUP BY 1
+         |), hits AS (
+         |  SELECT dm.doc_id, w.lang, sum(dm.m * w.w) AS hit
+         |  FROM dm JOIN w USING (b) GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT dn.doc_id, base.cand, dn.n_tri,
+         |    coalesce(hits.hit, 0) - dn.n_tri * base.base AS score
+         |  FROM dn CROSS JOIN base
+         |  LEFT JOIN hits ON hits.doc_id = dn.doc_id AND hits.lang = base.cand
+         |), win AS (
+         |  SELECT doc_id, cand, n_tri FROM (
+         |    SELECT doc_id, cand, n_tri,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |    FROM sc) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.lang AS lang_label,
+         |  coalesce(win.cand, 'und') AS lang_tri,
+         |  coalesce(win.n_tri, 0) AS n_tri
+         |FROM documents d LEFT JOIN win ON win.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // 136: same planted fixtures (sqlStr-interpolated from
     // normPlanted), same repair chain (MOJ_CHAIN from Text.mojibake),
     // same scrub class, with DuckDB's utf8proc nfc_normalize standing
