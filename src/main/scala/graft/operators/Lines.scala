@@ -100,18 +100,36 @@ object Lines {
     * (doc_id, clean_text, n_pars, n_removed); documents whose every
     * paragraph is a repeat drop out entirely. */
   def dedupParagraphs(docs: DataFrame): DataFrame = {
-    val pars = docs.select(col("doc_id"), col("text"))
+    val pars = paragraphs(docs)
+    assembleParagraphsKeepFirst(pars, pars)
+  }
+
+  /** Fingerprinted paragraph rows of `docs`: (doc_id, par_idx, par,
+    * pnorm, fp) — blank-line split, empty paragraphs dropped, sha-256
+    * of the normalized paragraph. Shared by [[dedupParagraphs]] and
+    * the streaming gate (CorpusStream.startParagraphDedup). */
+  private[graft] def paragraphs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
       .select(col("doc_id"), posexplode(split(col("text"), "\\n{2,}", -1)))
       .withColumnRenamed("pos", "par_idx").withColumnRenamed("col", "par")
       .withColumn("pnorm", norm(col("par")))
       .where(col("pnorm") =!= "")
       .withColumn("fp", sha2(col("pnorm"), 256))
-    val nPars = pars.groupBy(col("doc_id"))
+
+  /** Keep-first election + reassembly over [[paragraphs]]-shaped
+    * frames: `eligible` supplies the candidate paragraphs (the batch
+    * minus the already-published registry, in the streaming case),
+    * `all` supplies the per-doc paragraph totals the n_pars/n_removed
+    * accounting reports (the FULL split, so a registry-dropped
+    * paragraph still counts as removed). */
+  private[graft] def assembleParagraphsKeepFirst(eligible: DataFrame,
+      all: DataFrame): DataFrame = {
+    val nPars = all.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pars"))
-    val firsts = pars.groupBy(col("fp"))
+    val firsts = eligible.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("par_idx"))).as("first"))
-    val keptFirst = pars.join(firsts,
-        pars("fp") === firsts("fp") &&
+    val keptFirst = eligible.join(firsts,
+        eligible("fp") === firsts("fp") &&
           col("doc_id") === col("first.doc_id") &&
           col("par_idx") === col("first.par_idx"))
       .select(col("doc_id"), col("par_idx"), col("par"))

@@ -924,6 +924,111 @@ object CorpusStream {
       .start()
   }
 
+  // ----------------------------------------- streaming paragraph dedup
+  /** Publish the seen-paragraph registry: sha-256 fingerprints of
+    * every normalized paragraph of `corpus` — the cross-stream state
+    * [[startParagraphDedup]] anti-joins against (dedup_paragraph's
+    * keep-first, made incremental). Versioned fps + last_batch group,
+    * the publishLineIndex shape. */
+  def publishParagraphIndex(corpus: DataFrame, dir: String): Unit =
+    graft.Materialize.scoped {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val fps = graft.operators.Lines.paragraphs(corpus)
+        .select(col("fp")).distinct()
+      graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
+        "fps" -> fps, "meta" -> Seq(-1L).toDF("last_batch")))
+      ()
+    }
+
+  /** Streaming paragraph-level exact dedup (Falcon/RefinedWeb made
+    * incremental): per micro-batch, split + fingerprint the batch's
+    * paragraphs, drop fingerprints already in the published registry,
+    * keep-first WITHIN the batch, reassemble with the full-batch
+    * paragraph totals (a registry-dropped paragraph still counts in
+    * n_removed), emit, then commit (registry ∪ batch fps, last_batch)
+    * as ONE versioned group AFTER the output write. Crash
+    * interleavings and the freshness guard are exactly
+    * [[startLineClean]]'s: pre-commit crash replays byte-identically
+    * (collapsed by [[latestParagraphDedup]]); post-commit replay skips
+    * via the batch_seq gate — load-bearing, because re-splitting
+    * against a registry that already holds the batch's paragraphs
+    * would wrongly drop every one; a fresh checkpoint against a used
+    * registry is rejected at start.
+    *
+    * Scale: anti-join is a plain shuffle join (the registry grows with
+    * the stream — no broadcast hint); registry rewrite is
+    * registry-sized per batch, compacted on the maintenance cadence;
+    * everything else is batch-sized. */
+  def startParagraphDedup(spark: SparkSession, inDir: String,
+      stateDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val committed = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/pardedup/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startParagraphDedup: the registry at $stateDir " +
+          s"has committed batches up to $committed but the checkpoint at " +
+          s"$checkpointDir/pardedup has no committed offsets: batch ids " +
+          "would restart at 0 and every replayed batch would be skipped by " +
+          "the replay gate (its documents silently never emitted). Restore " +
+          "the original checkpoint, or republish the registry " +
+          "(publishParagraphIndex) to start a new stream.")
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val ver = StormSinks.currentVersionDir(s2, stateDir)
+          val lastBatch = s2.read.parquet(s"$ver/meta").head().getLong(0)
+          if (batchId > lastBatch) {
+            val seen = s2.read.parquet(s"$ver/fps")
+            val pars = graft.Materialize.once(
+              graft.operators.Lines.paragraphs(batch))
+            graft.operators.Lines
+              .assembleParagraphsKeepFirst(
+                pars.join(seen, Seq("fp"), "left_anti"), pars)
+              .withColumn("batch_seq", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(outDir)
+            import s2.implicits._
+            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+              "fps" -> seen.unionByName(pars.select(col("fp"))).distinct(),
+              "meta" -> Seq(batchId).toDF("last_batch")))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/pardedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The paragraph-dedup stream's output, one row per doc: a doc
+    * re-emitted in a later batch resolves to the NEWEST row
+    * deterministically (the latestCleanLines collapse). Empty on cold
+    * start. */
+  def latestParagraphDedup(spark: SparkSession, outDir: String): DataFrame = {
+    val t = try spark.read.parquet(outDir) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("clean_text", StringType),
+            StructField("n_pars", LongType), StructField("n_removed", LongType))))
+    }
+    t.groupBy(col("doc_id"))
+      .agg(max(struct(col("batch_seq"), col("clean_text"), col("n_pars"),
+        col("n_removed"))).as("m"))
+      .select(col("doc_id"), col("m.clean_text").as("clean_text"),
+        col("m.n_pars").as("n_pars"), col("m.n_removed").as("n_removed"))
+  }
+
   /** The line-clean stream's cleaned documents, duplicates collapsed.
     * A crash after the output append but before the state commit
     * replays the batch against the OLD registry — deterministic, so

@@ -502,4 +502,70 @@ class CorpusStreamSpec extends SparkSpec {
         s"$base/out", s"$base/cp-empty", maxFilesPerTrigger = 1)
     }
   }
+
+  test("paragraph-dedup stream: batch parity, cross-batch registry dedup, replay no-op, freshness guard") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pardedup").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // corpus owns the boilerplate paragraph
+    val corpus = Seq(doc(1L,
+      "original corpus paragraph\n\nshared boilerplate footer paragraph"))
+      .toDF(cols: _*)
+    CorpusStream.publishParagraphIndex(corpus, s"$base/state")
+    // wave 1: fresh par + corpus-owned par (drops, still counts in
+    // n_removed) + an internal cross-doc duplicate (keep-first: doc 10)
+    val w1 = Seq(
+      doc(10L, "alpha fresh paragraph\n\nShared   Boilerplate Footer Paragraph"),
+      doc(11L, "alpha fresh paragraph\n\nunique to eleven paragraph"))
+      .toDF(cols: _*)
+    w1.coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startParagraphDedup(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out1 = CorpusStream.latestParagraphDedup(spark, s"$base/out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_pars"), r.getAs[Long]("n_removed")))).toMap
+    assert(out1 == Map(
+      10L -> (("alpha fresh paragraph", 2L, 1L)),
+      11L -> (("unique to eleven paragraph", 2L, 1L))),
+      s"wave-1 dedup wrong: $out1")
+    // replay: nothing re-emitted
+    CorpusStream.startParagraphDedup(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 2,
+      "replay re-emitted deduped docs")
+    // wave 2: repeats wave-1's fresh paragraph (now registry-owned);
+    // a doc whose EVERY paragraph is seen drops out entirely
+    val w2 = Seq(
+      doc(20L, "alpha fresh paragraph\n\nsecond wave novel paragraph"),
+      doc(21L, "alpha fresh paragraph"))
+      .toDF(cols: _*)
+    w2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startParagraphDedup(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out2 = spark.read.parquet(s"$base/out")
+      .where(col("doc_id") >= 20L).collect()
+    assert(out2.length == 1 && out2(0).getAs[Long]("doc_id") == 20L &&
+      out2(0).getAs[String]("clean_text") == "second wave novel paragraph",
+      s"wave-2 registry dedup wrong: ${out2.toSeq}")
+    // single-batch parity: empty registry + one batch == batch
+    // dedupParagraphs
+    val empty = Seq.empty[(Long, String, String, String, Int)].toDF(cols: _*)
+    CorpusStream.publishParagraphIndex(empty, s"$base/state2")
+    w1.coalesce(1).write.parquet(s"$base/in2")
+    CorpusStream.startParagraphDedup(spark, s"$base/in2", s"$base/state2",
+      s"$base/out2", s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
+    val got = CorpusStream.latestParagraphDedup(spark, s"$base/out2")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Lines.dedupParagraphs(w1)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got == want, "single-batch stream diverged from batch dedupParagraphs")
+    // cold start + freshness guard
+    assert(CorpusStream.latestParagraphDedup(spark, s"$base/nowhere").count() == 0)
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startParagraphDedup(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp-lost", maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("no committed offsets"))
+  }
 }
