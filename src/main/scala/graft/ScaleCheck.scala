@@ -27,6 +27,41 @@ import org.apache.spark.sql.functions._
   * both timings are second-run minima).
   */
 object ScaleCheck {
+
+  private val SCALE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** Deterministic Fisher–Yates permutation of [[SCALE_ALPHABET]] for
+    * replica `r` (identity for r = 0), LCG-seeded — the v3 synthesis's
+    * per-replica byte-palette redraw. */
+  private def permutedAlphabet(r: Int): String = {
+    val chars = SCALE_ALPHABET.toCharArray
+    if (r == 0) return new String(chars)
+    var seed = r * 2654435761L + 0x9e3779b9L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    var i = chars.length - 1
+    while (i > 0) {
+      val j = next(i + 1)
+      val t = chars(i); chars(i) = chars(j); chars(j) = t
+      i -= 1
+    }
+    new String(chars)
+  }
+
+  /** Boilerplate appended to EVERY document of the @boiler fixture
+    * (r13 VERDICT #8): five shared rule-surviving lines + two shared
+    * paragraphs, so text_lines' and dedup_paragraph's keep-first
+    * elections see corpus-hot keys (every doc in the 10× corpus holds
+    * the same line/paragraph) instead of the near-flat all-distinct
+    * regime the bijective renaming produces. */
+  private val BOILER = "\nsubscribe to our newsletter for weekly updates" +
+    "\nall rights reserved by the site operator" +
+    "\ncontact the editorial team for corrections" +
+    "\n\nthis site uses cookies to improve your browsing experience" +
+    "\n\nprivacy settings can be adjusted in your account preferences"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
@@ -34,19 +69,44 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val bigDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      s"/graft-scale-${mult}x-v2-" +
+      s"/graft-scale-${mult}x-v3-" +
       java.lang.Integer.toHexString(sfDir.hashCode)
     val marker = new java.io.File(bigDir, "_SCALE_OK")
     if (!marker.exists) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // v3 (r13 VERDICT #6): on top of the suffix renaming, replica
+      // r > 0 applies a pseudo-random [a-z0-9] character PERMUTATION
+      // (deterministic Fisher–Yates). Character bijections preserve
+      // every within-replica relation the suffix bijection preserved
+      // (token equality, shingle Jaccard, df profile, token/char
+      // lengths), but unlike the suffix — which left ~98% of each
+      // byte stream identical across replicas, so 8×8 thumbnail
+      // aHashes stayed near-dups ACROSS replicas and mm_dedup's scale
+      // row measured ×233 output growth instead of operator scaling —
+      // a permutation redraws the whole byte palette per replica:
+      // cross-replica pixel patterns decorrelate and image near-dups
+      // confine to one replica like every text relation. Cross-replica
+      // token disjointness is ASSERTED after synthesis (a char
+      // bijection alone can't guarantee it), so a collision fails
+      // loudly instead of silently confounding df-sensitive rows.
       (0 until mult).map { r =>
         docs.select(
           (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", "$1z" + r).as("text"),
+          translate(regexp_replace(col("text"), "(\\S+)", "$1z" + r),
+            SCALE_ALPHABET, permutedAlphabet(r)).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      val baseTok = docs
+        .select(explode(split(col("text"), "\\s+")).as("t"))
+        .where(col("t") =!= "").distinct().count()
+      val bigTok = spark.read.parquet(s"$bigDir/documents.parquet")
+        .select(explode(split(col("text"), "\\s+")).as("t"))
+        .where(col("t") =!= "").distinct().count()
+      require(bigTok == mult.toLong * baseTok,
+        s"cross-replica token collision: $baseTok base tokens -> $bigTok " +
+          s"(expected ${mult.toLong * baseTok}); pick different permutation seeds")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       (0 until mult).map { r =>
         emb.select(
@@ -104,6 +164,52 @@ object ScaleCheck {
       marker.createNewFile()
     }
 
+    // @media fixture dir: the 10× documents with a per-replica filler
+    // TAIL (replica r appends r·10 copies of " zfill" — constant
+    // within a replica, so every within-replica thumbnail relation
+    // survives). The v3 palette permutation alone cannot decorrelate
+    // thumbnails whose dominant aHash signal is document LENGTH (the
+    // bright-text-block / zero-padding geometry is shared by any two
+    // similar-length docs in ANY replicas — measured: 14,160 of
+    // 18,151 10× pairs were cross-replica under permutation only),
+    // and brightness stratification stopped separating structured
+    // hashes when the r14 degenerate-only gate restored aHash's
+    // intrinsic brightness invariance. Length stratification shifts
+    // each replica into a different padding geometry instead. Only
+    // mm_dedup reads this dir, so the token-relation distortion the
+    // filler causes (df, quality length score) affects nothing else.
+    val mediaBig = s"$bigDir-media"
+    locally {
+      val m = new java.io.File(mediaBig, "_SCALE_OK")
+      if (!m.exists) {
+        spark.read.parquet(s"$bigDir/documents.parquet")
+          .select(col("doc_id"),
+            concat(col("text"), repeat(lit(" zfill"),
+              (col("doc_id") / 10000000L).cast("int") * 10)).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$mediaBig/documents.parquet")
+        m.createNewFile()
+      }
+    }
+
+    // @boiler fixture dirs: base and 10× documents with the shared
+    // boilerplate appended to every doc (documents.parquet only — the
+    // two line/paragraph keys read nothing else)
+    val boilBase = s"$bigDir-boilbase"
+    val boilBig = s"$bigDir-boilbig"
+    for ((src, dst) <- Seq(sfDir -> boilBase, bigDir -> boilBig)) {
+      val m = new java.io.File(dst, "_SCALE_OK")
+      if (!m.exists) {
+        spark.read.parquet(s"$src/documents.parquet")
+          .select(col("doc_id"), concat(col("text"), lit(BOILER)).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        m.createNewFile()
+      }
+    }
+
     val defaultNames = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
       "graph_pagerank", "corpus_clean", "corpus_chunks", "dedup_recall",
       "dedup_semantic", "dedup_embed", "embed_kmeans", "text_tfidf",
@@ -145,7 +251,14 @@ object ScaleCheck {
       // novelty is the corpus-sized (doc_id, gram) distinct + owner
       // join; fertility replays the BPE trainer + a per-lang agg;
       // diversify is the auto-cell k-means trainer + per-cell windows
-      "corpus_novelty", "text_fertility", "embed_diversify", "text_entropy")
+      "corpus_novelty", "text_fertility", "embed_diversify", "text_entropy",
+      // round-14 keys: trigram-NB language ID (corpus-linear explode,
+      // broadcast profile), encoding normalization (pure narrow map;
+      // +4 planted rows constant), and the @boiler hot-key fixtures
+      // for the line/paragraph keep-first elections (r13 VERDICT #8 —
+      // the plain corpus is all-distinct, near-flat)
+      "text_langid2", "text_normalize",
+      "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames
@@ -167,8 +280,12 @@ object ScaleCheck {
       (times.min, rows)
     }
     val results = names.map { n =>
-      val (t1, rows1) = minOf2(n, sfDir)
-      val (tN, rowsN) = minOf2(n, bigDir)
+      val (qname, d1, dN) =
+        if (n.endsWith("@boiler")) (n.stripSuffix("@boiler"), boilBase, boilBig)
+        else if (n.endsWith("@media")) (n.stripSuffix("@media"), sfDir, mediaBig)
+        else (n, sfDir, bigDir)
+      val (t1, rows1) = minOf2(qname, d1)
+      val (tN, rowsN) = minOf2(qname, dN)
       val line = f"""{"query":"$n","sec_base":$t1%.3f,"sec_${mult}x":$tN%.3f,""" +
         f""""factor":${tN / t1}%.2f,"rows_base":$rows1,"rows_${mult}x":$rowsN}"""
       println(s"[scale] $line")
