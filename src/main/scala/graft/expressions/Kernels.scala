@@ -31,7 +31,17 @@ object Kernels {
     * composition table, which text_normalize's oracle hash-checks).
     * Fast path: the quick-check pass allocates nothing for
     * already-normalized text (all ASCII in particular) and returns the
-    * input UTF8String unchanged. */
+    * input UTF8String unchanged.
+    *
+    * Unicode-VERSION coupling: the JDK normalizer carries the Unicode
+    * data of its JDK release while utf8proc carries its own — the two
+    * can diverge on compositions added in a newer Unicode version than
+    * the older of the pair supports. UAX #15 stabilizes existing
+    * normalization results, so divergence is confined to
+    * newer-than-both-tables characters; the planted fixtures cover the
+    * stable composition classes (Latin accents, Hangul-adjacent
+    * combining marks), and a corpus from a future Unicode version
+    * should re-verify engine agreement before trusting the oracle. */
   def nfc(text: UTF8String): UTF8String = {
     val s = text.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text

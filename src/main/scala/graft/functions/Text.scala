@@ -113,13 +113,17 @@ object Text {
     * order-insensitive in effect but kept ordered for determinism.
     * Deliberately excludes sequences containing C1 controls (e.g. the
     * â€ right-double-quote corruption) — those arrive already
-    * mangled differently per decoder and are left to the scrub pass. */
+    * mangled differently per decoder and are left to the scrub pass.
+    * NOTE the à entry: à is bytes C3 A0, so its Latin-1/cp1252
+    * mojibake is Ã followed by NBSP (U+00A0), NOT Ã + ASCII space —
+    * "Ã " with a plain space is legitimate text (word-final Ã, e.g.
+    * Portuguese "IRMÃ DELE") and must be left untouched. */
   val mojibake: Seq[(String, String)] = Seq(
     "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
     "â€¦" -> "…", "â€“" -> "–", "â€”" -> "—",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
     "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß",
-    "Ã§" -> "ç", "Ã " -> "à")
+    "Ã§" -> "ç", "Ã\u00A0" -> "à")
 
   /** Zero-width / control scrub class, written in the regex subset
     * Java and RE2 interpret identically: C0 controls except \t \n \r

@@ -15,14 +15,22 @@ import graft.functions.Text
   * arithmetic both engines replay bit-for-bit); add-one smoothing over
   * the bucket space makes every score finite:
   *
-  *   score(doc, L) = Σ_t ln((c[L, b(t)] + 1) / (T_L + B))
-  *                 = Σ_b m[doc,b] · lnGrid(c[L,b] + 1)  −  n_tri · lnGrid(T_L + B)
+  *   score(doc, L) = ln N_L + Σ_t ln((c[L, b(t)] + 1) / (T_L + B))
+  *                 = lnGrid(N_L) + Σ_b m[doc,b] · lnGrid(c[L,b] + 1)
+  *                   − n_tri · lnGrid(T_L + B)
   *
-  * with every ln floored onto the 1e-6 integer grid and summed in
-  * BIGINT (order-free — the DSIR/lmscore discipline, so double
-  * association order can't diverge the engines). Winner = max score,
-  * ties to the alphabetically-first language; docs with no trigrams
-  * (normalized length < 3) stay "und".
+  * where N_L = training-doc count of L (the unnormalized class prior —
+  * subtracting the shared ln N constant can't change the argmax, so it
+  * is omitted), with every ln floored onto the 1e-6 integer grid and
+  * summed in BIGINT (order-free — the DSIR/lmscore discipline, so
+  * double association order can't diverge the engines). Winner = max
+  * score, ties to the alphabetically-first language; docs with no
+  * trigrams (normalized length < 3) stay "und". The prior term means a
+  * doc sharing no trigrams with any profile scores
+  * lnGrid(N_L) − n_tri·lnGrid(T_L+B) — dominated by the smallest
+  * per-trigram penalty for long docs, but prior-tilted toward the
+  * best-represented language when n_tri is small, instead of always
+  * resolving to the rarest-trained language.
   *
   * Scale shape: one corpus-linear trigram explode (a doc of L chars
   * yields L−2 rows), materialized once for its three consumers
@@ -66,11 +74,20 @@ object LangId {
     // from the materialized tb, both bounded
     val w = prof.select(col("lang"), col("b"),
       round(round(log(col("c").cast("double") + 1.0), 6) * 1e6).cast("long").as("w"))
+    // class prior lnGrid(N_L): training-DOC counts per language from
+    // the documents table itself (trigram-less training docs still
+    // count). |langs| rows; inner-joined to base so the candidate set
+    // stays exactly the profiled languages.
+    val prior = docs.where(trainFilter)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .select(col("lang").as("cand"),
+        round(round(log(col("nd").cast("double")), 6) * 1e6).cast("long").as("prior"))
     val base = prof.groupBy(col("lang"))
       .agg(sum(col("c")).as("T"))
       .select(col("lang").as("cand"),
         round(round(log(col("T").cast("double") + buckets.toDouble), 6) * 1e6)
           .cast("long").as("base"))
+      .join(prior, "cand")
     val dm = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
     val dn = tb.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
     val hits = dm.join(broadcast(w), "b")
@@ -79,7 +96,8 @@ object LangId {
     val sc = dn.crossJoin(broadcast(base))
       .join(hits, dn("doc_id") === hits("doc_id") && col("cand") === hits("lang"), "left")
       .select(dn("doc_id"), col("cand"), col("n_tri"),
-        (coalesce(col("hit"), lit(0L)) - col("n_tri") * col("base")).as("score"))
+        (col("prior") + coalesce(col("hit"), lit(0L)) - col("n_tri") * col("base"))
+          .as("score"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
     val win = sc.withColumn("rn", row_number().over(wq)).where(col("rn") === 1)

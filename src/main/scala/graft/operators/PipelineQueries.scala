@@ -1845,8 +1845,11 @@ object PipelineQueries {
     * deliberately-unrepaired Ã¯ — the table is the common-corruption
     * list, not a decoder), C0 controls + CRLF/CR, and the
     * scrub-then-compose ordering case (e + ZWNJ + combining acute
-    * composes to é only if the scrub runs before NFC). */
+    * composes to é only if the scrub runs before NFC). Row -5 pins
+    * the à-mojibake boundary: "Ã"+NBSP repairs to à while
+    * "Ã "+ASCII-space (legitimate word-final Ã) is left intact. */
   private val normPlanted: Seq[(Long, String)] = Seq(
+    -5L -> "IRMÃ DELE voilÃ\u00A0tout",
     -4L -> "ctrlchars\r\nnext\rline e‌́",
     -3L -> "itâ€™s â€œquotedâ€¦ Ã©lan â€” Ã¼ber naÃ¯ve",
     -2L -> "zero​width‌and‍joiners⁠here﻿",
@@ -3822,11 +3825,16 @@ object PipelineQueries {
          |  SELECT lang, b,
          |    CAST(round(round(ln(CAST(c AS DOUBLE) + 1.0), 6) * 1000000) AS BIGINT) AS w
          |  FROM prof
+         |), prior AS (
+         |  SELECT lang AS cand,
+         |    CAST(round(round(ln(CAST(count(*) AS DOUBLE)), 6) * 1000000) AS BIGINT) AS prior
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
          |), base AS (
          |  SELECT lang AS cand,
          |    CAST(round(round(ln(CAST(sum(c) AS DOUBLE) + ${LangId.defaultBuckets}.0), 6)
-         |      * 1000000) AS BIGINT) AS base
-         |  FROM prof GROUP BY 1
+         |      * 1000000) AS BIGINT) AS base,
+         |    prior
+         |  FROM prof JOIN prior ON prior.cand = prof.lang GROUP BY 1, 3
          |), dm AS (
          |  SELECT doc_id, b, count(*) AS m FROM tb GROUP BY 1, 2
          |), dn AS (
@@ -3836,7 +3844,7 @@ object PipelineQueries {
          |  FROM dm JOIN w USING (b) GROUP BY 1, 2
          |), sc AS (
          |  SELECT dn.doc_id, base.cand, dn.n_tri,
-         |    coalesce(hits.hit, 0) - dn.n_tri * base.base AS score
+         |    base.prior + coalesce(hits.hit, 0) - dn.n_tri * base.base AS score
          |  FROM dn CROSS JOIN base
          |  LEFT JOIN hits ON hits.doc_id = dn.doc_id AND hits.lang = base.cand
          |), win AS (

@@ -307,12 +307,27 @@ object Sampling {
     * ingest-order-unbiased AND replayable by the DuckDB oracle as a
     * plain `row_number() OVER (ORDER BY score DESC, bucket, id)` —
     * SamplingSpec pins gate == global-rank on boundary-tie and
-    * bucket-collision fixtures. */
+    * bucket-collision fixtures.
+    *
+    * CALLER CONTRACT: `scoreCol` must lie on the 1e-6 grid (i.e. be a
+    * `round(x, 6)` product — every graft score is). An off-grid score
+    * would silently merge distinct scores into one tie group in step 1,
+    * diverging from the documented total order — so the grid
+    * precondition is ENFORCED per row: any score farther than 1e-3
+    * grid units from its rounded value raises at execution time
+    * (a codegen'd compare, negligible next to the histogram pass). */
   def topFraction(df: DataFrame, scoreCol: Column, idCol: Column,
       num: Long, den: Long, salt: String): DataFrame = {
     require(num >= 0 && den > 0, s"need num >= 0, den > 0, got $num/$den")
     val outCols = df.columns.map(col).toIndexedSeq
-    val si = df.withColumn("__si", round(scoreCol * 1e6).cast("long"))
+    val scaled = scoreCol * lit(1e6)
+    val si = df.withColumn("__si",
+      when(abs(scaled - round(scaled)) <= lit(1e-3),
+        round(scaled).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("graft.Sampling.topFraction: score off the 1e-6 grid "
+          + "(caller must pre-round scores with round(x, 6)): "),
+        scoreCol.cast("string"))).cast("long")))
     val hist1 = si.groupBy(col("__si")).agg(count(lit(1)).as("__c"))
     val w1 = org.apache.spark.sql.expressions.Window
       .orderBy(col("__si").desc)

@@ -759,15 +759,39 @@ object CorpusStream {
     val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ckptFresh = !ckptFs.exists(ckptOffsets) ||
       !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
-    if (hasScores && ckptFresh)
-      throw new IllegalStateException(
-        s"graft.CorpusStream.startClassifyGate: scores exist at $outDir but " +
-          s"the streaming checkpoint at $checkpointDir/classify is fresh - " +
-          "batch ids would restart at 0 and, unless the weights are " +
-          "republished under a new model_ver, re-scored documents would " +
-          "lose to their stale higher-batch_seq rows forever. Restore the " +
-          "original checkpoint, republish the model (new model_ver wins " +
-          "the collapse), or move the score directory aside.")
+    if (hasScores && ckptFresh) {
+      // The model_ver-major collapse makes one fresh-checkpoint restart
+      // SAFE: when the currently-published model version exceeds every
+      // existing score's model_ver, each fresh score wins the
+      // (model_ver, batch_seq) max regardless of batch ids restarting
+      // at 0. That is the designed recovery — checkpoint lost, user
+      // republishes (bumping the lake version), restarts. Only when the
+      // published version does NOT exceed the scores' max (no republish
+      // since the old run) is the restart unrecoverable; fail fast then.
+      val curVer: Option[Long] =
+        try {
+          val ver = graft.sources.StormSinks.currentVersionDir(spark, modelDir)
+          Some(ver.substring(ver.lastIndexOf("v-") + 2).toLong)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val scores = spark.read.parquet(outDir)
+      val maxScoreVer: Long =
+        if (scores.columns.contains("model_ver")) {
+          val r = scores.agg(max(col("model_ver"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        } else 0L
+      if (!curVer.exists(_ > maxScoreVer))
+        throw new IllegalStateException(
+          s"graft.CorpusStream.startClassifyGate: scores exist at $outDir " +
+            s"(max model_ver $maxScoreVer) but the streaming checkpoint at " +
+            s"$checkpointDir/classify is fresh and the published model " +
+            s"version (${curVer.fold("none")(_.toString)}) does not exceed " +
+            "it - batch ids would restart at 0 and re-scored documents " +
+            "would lose the (model_ver, batch_seq) collapse to their stale " +
+            "higher-batch_seq rows forever. Either republish the model " +
+            "(the bumped model_ver then wins the collapse for every fresh " +
+            "score) and restart, restore the original checkpoint, or move " +
+            "the score directory aside.")
+    }
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

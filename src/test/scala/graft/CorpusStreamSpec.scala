@@ -425,6 +425,21 @@ class CorpusStreamSpec extends SparkSpec {
         s"$base/out", s"$base/cp-fresh", maxFilesPerTrigger = 1)
     }
     assert(e.getMessage.contains("fresh"), e.getMessage)
+    // ...but the DESIGNED checkpoint-loss recovery must work: after a
+    // republish bumps the lake version past every existing score's
+    // model_ver, a lineage-less start is safe (model_ver-major collapse
+    // means every fresh score wins regardless of restarted batch ids)
+    val w3 = CorpusStream.publishClassifier(doc, s"$base/model", steps = 3)
+    CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+      s"$base/out", s"$base/cp-fresh", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val gotV3 = CorpusStream.latestClassifyScores(spark, s"$base/out")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val allDocs = doc.unionByName(fresh)
+    val wantV3 = graft.operators.Classify.scoreWith(allDocs, w3)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(gotV3 == wantV3,
+      "post-recovery scores did not collapse to the republished version")
   }
 
   test("line-clean stream: batch parity on one batch, cross-batch registry dedup, replay adds nothing") {

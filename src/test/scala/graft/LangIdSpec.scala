@@ -50,8 +50,11 @@ class LangIdSpec extends SparkSpec {
     val b = LangId.langIdTrigram(docs).orderBy("doc_id").collect().toSeq
     assert(a == b)
     // a doc sharing no trigrams with ANY profile: every language scores
-    // -n_tri*base, winner is the smallest base (largest training mass),
-    // ties alphabetical - deterministic, never null
+    // prior - n_tri*base. Here every language trains on 2 docs (equal
+    // prior), so the winner is the SMALLEST base = ln(T_L + B), i.e.
+    // the LEAST training trigram mass; with unequal training splits the
+    // prior tilts short alien docs toward the best-represented
+    // language. Ties alphabetical - deterministic, never null
     val alien = Seq((99L, "zz", "零宽字符测试样本")).toDF("doc_id", "lang", "text")
     val out = LangId.langIdTrigram(docs.unionByName(alien))
       .where(col("doc_id") === 99L).collect()

@@ -315,4 +315,22 @@ class SamplingSpec extends SparkSpec {
     val dist = (0L until 20L).map(i => (i, i.toDouble / 100.0)).toDF("doc_id", "score")
     assert(gateIds(dist, 3L, 10L, "s2") == (14L until 20L).toSet)
   }
+
+  test("topFraction: off-grid score violates the caller contract and raises") {
+    import spark.implicits._
+    // 1/3 is not a round(x, 6) product — the guard must raise instead
+    // of silently merging distinct scores into one grid tie group
+    val offGrid = Seq((1L, 0.5), (2L, 1.0 / 3.0)).toDF("doc_id", "score")
+    val e = intercept[Exception] {
+      Sampling.topFraction(offGrid, col("score"), col("doc_id"),
+        1L, 2L, "s").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("off the 1e-6 grid")), e.toString)
+    // on-grid scores (round(x, 6) products) pass the guard untouched
+    val onGrid = Seq((1L, 0.5), (2L, 0.333333)).toDF("doc_id", "score")
+    assert(gateIds(onGrid, 1L, 2L, "s") == Set(1L))
+  }
 }

@@ -111,6 +111,10 @@ class TextSpec extends SparkSpec {
     assert(fx("ab\tc\r\nd\ref") == "ab\tc\nd\ne f".replace(" ", ""))
     // mojibake repairs (and Ã¯ is deliberately not in the table)
     assert(fx("itâ€™s Ã©lan â€” naÃ¯ve") == "it’s élan — naÃ¯ve")
+    // à-mojibake is Ã+NBSP; Ã+ASCII-space is legitimate text and
+    // must NOT be rewritten (word-final Ã, e.g. Portuguese IRMÃ)
+    assert(fx("voil\u00C3\u00A0 tout") == "voilà tout")
+    assert(fx("IRM\u00C3 DELE") == "IRM\u00C3 DELE")
     // scrub-before-NFC: e + ZWNJ + combining acute must compose
     assert(fx("e‌́") == "é")
     // dedup-key composition point: fingerprints unify after fixText
@@ -122,18 +126,20 @@ class TextSpec extends SparkSpec {
   test("text_normalize query: corpus rows identity, planted rows repaired, flags consistent") {
     val out = graft.operators.PipelineQueries.queries("text_normalize")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
-    // 500 corpus + 4 planted
-    assert(out.length == 504)
+    // 500 corpus + 5 planted
+    assert(out.length == 505)
     val (planted, corpus) = out.partition(_._1 < 0)
     // the synthetic corpus is ASCII: identity, nothing flagged
     assert(corpus.forall(r => !r._3 && !r._4))
-    // every planted row changed; only -3 had mojibake
+    // every planted row changed; only -5 and -3 had mojibake
     assert(planted.forall(_._3))
-    assert(planted.filter(_._4).map(_._1).toSeq == Seq(-3L))
+    assert(planted.filter(_._4).map(_._1).toSeq.sorted == Seq(-5L, -3L))
     val byId = planted.map(r => r._1 -> r._2).toMap
     assert(byId(-1L) == "Café au thé")
     assert(byId(-2L) == "zerowidthandjoinershere")
     assert(byId(-4L).contains("é") && !byId(-4L).contains("\r"))
+    // -5: NBSP form repaired, ASCII-space form untouched
+    assert(byId(-5L) == "IRM\u00C3 DELE voil\u00E0tout")
   }
 
   test("fingerprints: normalization-invariant, 64-bit variant stable") {
