@@ -239,13 +239,213 @@ object StormSinks {
     next
   }
 
+  // ------------------------------------------- delta-segment versions
+  /** The delta-segment extension of the versioned-group protocol: a
+    * version may be SEGMENTED — `v-N` then carries a `_segments`
+    * manifest (ordered `table <TAB> relpath` lines) instead of table
+    * subdirs, and the data lives in immutable `$dir/seg-K/<table>`
+    * dirs SHARED across versions. A micro-batch state commit
+    * ([[appendDeltaGroup]]) therefore writes only its batch-sized
+    * delta segments plus a manifest a few hundred bytes long, and
+    * swaps the one pointer — per-trigger state I/O is O(batch), not
+    * O(accumulated state), which is what lets a 24/7 stream carry a
+    * 10¹⁰-row registry. Readers resolve the pointer once and union a
+    * table's manifest segments (order carries "later wins" for keyed
+    * tables — [[readGroupTableKeyedAt]]); a legacy whole-table version
+    * reads as a synthesized one-segment-per-table manifest, so the two
+    * layouts interoperate under one pointer history. The maintenance
+    * cadence ([[compactGroupSegments]] + [[vacuumSegments]]) folds
+    * segments back into a whole-table version and reclaims
+    * unreferenced segment dirs. NOTE the `graftlake` DSv2 format reads
+    * whole version dirs and does not resolve manifests — serve
+    * segmented groups through these readers (or post-compaction). */
+  private val ManifestName = "_segments"
+
+  /** Parse `v-N/_segments`: ordered (table, relpath) entries. None =
+    * legacy whole-table version (no manifest file). */
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, verName: String): Option[Seq[(String, String)]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$verName/$ManifestName")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      Some(s.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt $ManifestName line: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      })
+    }
+  }
+
+  /** Manifest of `verName`, synthesizing one from a legacy layout:
+    * each table subdir of the version dir becomes a single segment. */
+  private def manifestOrLegacy(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, verName: String): Seq[(String, String)] =
+    readManifestFile(fs, dir, verName).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$verName")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName -> s"$verName/${st.getPath.getName}")
+        .sortBy(_._1)
+    }
+
+  private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, verName: String, entries: Seq[(String, String)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$verName/$ManifestName")
+    val out = fs.create(p, true)
+    try out.write(entries.map { case (t, rp) => s"$t\t$rp\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Basename (`v-N`) of the current version — the handle for the
+    * `...At` readers, so one resolution covers a whole multi-table
+    * read (the [[currentVersionDir]] consistency discipline). */
+  def currentVersionName(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val fs = fsFor(spark, dir)
+    val ptr = readPointer(fs, dir).orElse { Thread.sleep(100); readPointer(fs, dir) }
+    ptr.getOrElse(throw new java.io.FileNotFoundException(
+      s"no _current pointer under $dir"))._2
+  }
+
+  /** Table names of the group at version `verName` (manifest tables,
+    * or the legacy subdir listing). */
+  def groupTablesAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+      verName: String): Seq[String] =
+    manifestOrLegacy(fsFor(spark, dir), dir, verName)
+      .map(_._1).distinct.sorted
+
+  /** Ordered absolute segment paths of `name` at version `verName`. */
+  def segmentsAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+      verName: String, name: String): Seq[String] =
+    manifestOrLegacy(fsFor(spark, dir), dir, verName)
+      .collect { case (t, rp) if t == name => s"$dir/$rp" }
+
+  /** One table at version `verName`: the UNION of its segments (raw —
+    * a keyed table's stale rows are NOT collapsed; use
+    * [[readGroupTableKeyedAt]] for latest-wins semantics). */
+  def readGroupTableAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+      verName: String, name: String): DataFrame = {
+    val segs = segmentsAt(spark, dir, verName, name)
+    if (segs.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"group table '$name' not present in $dir/$verName")
+    segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Latest-wins view of a KEYED table at version `verName`: rows of
+    * later segments override earlier rows with the same key (the
+    * merge-on-read collapse for upsert-delta tables, e.g. cluster
+    * labels). Output columns: keys first, then the remaining columns
+    * in segment order. A single-segment table skips the collapse. */
+  def readGroupTableKeyedAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, verName: String, name: String,
+      keys: Seq[String]): DataFrame = {
+    val segs = segmentsAt(spark, dir, verName, name)
+    if (segs.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"group table '$name' not present in $dir/$verName")
+    if (segs.size == 1) return spark.read.parquet(segs.head)
+    val u = segs.zipWithIndex
+      .map { case (p, i) => spark.read.parquet(p).withColumn("__seg", lit(i)) }
+      .reduce(_.unionByName(_))
+    val others = u.columns.filterNot(c => keys.contains(c) || c == "__seg").toSeq
+    u.groupBy(keys.map(col): _*)
+      .agg(max(struct((col("__seg") +: others.map(col)): _*)).as("__m"))
+      .select(keys.map(col) ++ others.map(o => col(s"__m.$o").as(o)): _*)
+  }
+
+  /** O(batch) state commit: append batch-sized delta segments to the
+    * current group version — `appends` tables gain a segment, `replaces`
+    * tables are reset to just the new segment (for small per-commit
+    * metadata like a last_batch watermark), every other table's
+    * segment list carries FORWARD untouched (zero data I/O). Writes
+    * `$dir/seg-{N+1}/<table>` for each given table, then the new
+    * manifest, then ONE pointer swap — so a crash anywhere before the
+    * swap leaves the previous version intact and only orphan segment
+    * dirs behind, which the deterministic replay of the same commit
+    * OVERWRITES (version numbering restarts from the committed
+    * pointer) and [[vacuumSegments]] reclaims. Requires an existing
+    * base version ([[writeVersionedGroup]] publishes one). */
+  def appendDeltaGroup(spark: org.apache.spark.sql.SparkSession, dir: String,
+      appends: Seq[(String, DataFrame)],
+      replaces: Seq[(String, DataFrame)] = Nil): Int = {
+    require(appends.nonEmpty || replaces.nonEmpty,
+      "appendDeltaGroup needs at least one table")
+    val fs = fsFor(spark, dir)
+    val (curN, curName) = readPointer(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"appendDeltaGroup needs a published base version under $dir"))
+    val next = curN + 1
+    val cur = manifestOrLegacy(fs, dir, curName)
+    (appends ++ replaces).foreach { case (name, df) =>
+      require(name.nonEmpty && !name.contains("/") && name != ManifestName,
+        s"bad group table name '$name'")
+      df.write.mode("overwrite").parquet(s"$dir/seg-$next/$name")
+    }
+    val appendNames = appends.map(_._1).toSet
+    val replaceNames = replaces.map(_._1).toSet
+    require(appendNames.intersect(replaceNames).isEmpty,
+      "a table cannot be both appended and replaced in one commit")
+    val carried = cur.filterNot { case (t, _) => replaceNames.contains(t) }
+    val fresh = (appends ++ replaces).map { case (t, _) => t -> s"seg-$next/$t" }
+    writeManifestFile(fs, dir, s"v-$next", carried ++ fresh)
+    publish(fs, dir, next)
+    next
+  }
+
+  /** Maintenance-cadence compaction of a segmented group: fold every
+    * table's segments into ONE segment in a fresh whole-table version
+    * (readable by legacy readers again). Tables named in `keyed` are
+    * collapsed latest-wins on the given key columns; the rest are
+    * plain unions (append-delta tables are disjoint by writer
+    * contract). Publishes atomically; old versions/segments await
+    * [[vacuumVersions]] + [[vacuumSegments]]. */
+  def compactGroupSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyed: Map[String, Seq[String]] = Map.empty): Int = {
+    val verName = currentVersionName(spark, dir)
+    val tables = groupTablesAt(spark, dir, verName).map { t =>
+      t -> (keyed.get(t) match {
+        case Some(ks) => readGroupTableKeyedAt(spark, dir, verName, t, ks)
+        case None => readGroupTableAt(spark, dir, verName, t)
+      })
+    }
+    writeVersionedGroup(spark, dir, tables)
+  }
+
+  /** Delete `seg-K` dirs referenced by NO surviving version's manifest
+    * (run after [[vacuumVersions]]; in-flight readers of retained
+    * versions keep every segment they can resolve). Returns deleted
+    * names. */
+  def vacuumSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return Seq.empty
+    val vers = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v-[0-9]+"))
+    val referenced = vers.flatMap(v => manifestOrLegacy(fs, dir, v))
+      .map(_._2.split("/")(0)).toSet
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("seg-[0-9]+") &&
+        !referenced.contains(p.getName))
+      .map { p => fs.delete(p, true); p.getName }
+  }
+
   /** Read one table of a [[writeVersionedGroup]] lake at the CURRENT
-    * version. For multi-table consistency across reads, resolve
-    * [[currentVersionDir]] once yourself and read each
-    * `<ver>/<name>` — this convenience re-resolves per call. */
+    * version (segment-aware: a segmented version reads as the union of
+    * the table's manifest segments — see [[readGroupTableKeyedAt]] for
+    * keyed latest-wins tables). For multi-table consistency across
+    * reads, resolve [[currentVersionName]] once yourself and use
+    * [[readGroupTableAt]] — this convenience re-resolves per call. */
   def readVersionedGroupTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, name: String): DataFrame =
-    spark.read.parquet(s"${currentVersionDir(spark, dir)}/$name")
+    readGroupTableAt(spark, dir, currentVersionName(spark, dir), name)
 
   /** Resolve the live immutable version dir (`$dir/v-N` named by
     * `_current`). A missing pointer is retried briefly before failing:

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.StormSinks
+
+/** Delta-segment versioned groups (the O(batch)-per-trigger state
+  * protocol behind the accumulating streams): append commits write
+  * only their delta, carried tables cost zero I/O, keyed tables
+  * collapse latest-wins, crashes between delta-append and pointer
+  * swap are invisible, and the maintenance cadence compacts + vacuums
+  * back to a whole-table layout. */
+class DeltaGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileSet(dir: String): Set[String] = {
+    val root = new java.io.File(dir)
+    if (!root.exists) Set.empty
+    else {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => f.getPath + "@" + f.lastModified).toSet
+    }
+  }
+
+  test("append commits are O(delta): carried segments untouched, manifest-only versions") {
+    val dir = Files.createTempDirectory("graft-delta-proto").toString
+    // base: a large registry published whole (legacy layout)
+    val base = (0L until 10000L).map(i => s"fp$i").toDF("fp")
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "fps" -> base, "meta" -> Seq(-1L).toDF("last_batch")))
+    val baseFiles = fileSet(s"$dir/v-0")
+    // delta commit: 3 fresh fps, meta replaced
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("fps" -> Seq("fresh1", "fresh2", "fresh3").toDF("fp")),
+      replaces = Seq("meta" -> Seq(0L).toDF("last_batch")))
+    // the base version's data was not rewritten, byte for byte
+    assert(fileSet(s"$dir/v-0") == baseFiles, "base segment files changed")
+    // the new version dir holds ONLY the manifest — no table data
+    assert(new java.io.File(s"$dir/v-1").listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).toSet ==
+      Set("_segments"), "delta version dir must hold only the manifest")
+    // the delta segment holds exactly the delta rows
+    assert(spark.read.parquet(s"$dir/seg-1/fps").count() == 3)
+    // readers see base ∪ delta through the one pointer
+    val fps = StormSinks.readVersionedGroupTable(spark, dir, "fps")
+    assert(fps.count() == 10003)
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "meta")
+      .head().getLong(0) == 0L)
+    // a second delta: carried 'fps' list grows, still no base rewrite
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("fps" -> Seq("fresh4").toDF("fp")),
+      replaces = Seq("meta" -> Seq(1L).toDF("last_batch")))
+    assert(fileSet(s"$dir/v-0") == baseFiles)
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "fps").count() == 10004)
+    // meta is replace-mode: exactly one row, the newest
+    val meta = StormSinks.readVersionedGroupTable(spark, dir, "meta")
+    assert(meta.count() == 1 && meta.head().getLong(0) == 1L)
+  }
+
+  test("keyed latest-wins collapse: later segments override, base rows survive") {
+    val dir = Files.createTempDirectory("graft-delta-keyed").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "labels" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "cluster_id")))
+    // delta 1: doc 2 relabeled, doc 4 new
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("labels" -> Seq((2L, 99L), (4L, 40L)).toDF("doc_id", "cluster_id")))
+    // delta 2: doc 2 relabeled AGAIN, doc 3 relabeled
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("labels" -> Seq((2L, 7L), (3L, 7L)).toDF("doc_id", "cluster_id")))
+    val ver = StormSinks.currentVersionName(spark, dir)
+    val got = StormSinks.readGroupTableKeyedAt(spark, dir, ver, "labels", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 7L, 3L -> 7L, 4L -> 40L), got.toString)
+    // the raw union still holds every historical row (merge-on-read)
+    assert(StormSinks.readGroupTableAt(spark, dir, ver, "labels").count() == 7)
+  }
+
+  test("crash between delta-append and pointer-swap: orphans invisible, replay overwrites") {
+    val dir = Files.createTempDirectory("graft-delta-crash").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "fps" -> Seq("a", "b").toDF("fp")))
+    // simulate the crash: the NEXT commit's segment + manifest land on
+    // disk but the pointer swap never happens
+    Seq("GARBAGE-ROW").toDF("fp").write.parquet(s"$dir/seg-1/fps")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v-1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v-1/_segments"),
+      "fps\tv-0/fps\nfps\tseg-1/fps\n")
+    // readers resolve the committed pointer — the orphan is invisible
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "fps").count() == 2)
+    // the replayed commit recomputes the SAME version number and
+    // overwrites both orphan artifacts
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("fps" -> Seq("c").toDF("fp")))
+    val fps = StormSinks.readVersionedGroupTable(spark, dir, "fps")
+      .as[String].collect().toSet
+    assert(fps == Set("a", "b", "c"), fps.toString)
+  }
+
+  test("compaction folds segments to one whole-table version; vacuum reclaims segments") {
+    val dir = Files.createTempDirectory("graft-delta-compact").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "fps" -> Seq("a", "b").toDF("fp"),
+      "labels" -> Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "cluster_id")))
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("fps" -> Seq("c").toDF("fp"),
+        "labels" -> Seq((2L, 1L)).toDF("doc_id", "cluster_id")))
+    val wantFps = Set("a", "b", "c")
+    val wantLbl = Map(1L -> 10L, 2L -> 1L)
+    StormSinks.compactGroupSegments(spark, dir,
+      keyed = Map("labels" -> Seq("doc_id")))
+    // post-compaction: whole-table layout, content identical
+    val ver = StormSinks.currentVersionName(spark, dir)
+    assert(new java.io.File(s"${StormSinks.currentVersionDir(spark, dir)}/fps").exists,
+      "compaction must restore the whole-table layout")
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "fps")
+      .as[String].collect().toSet == wantFps)
+    val lbl = StormSinks.readVersionedGroupTable(spark, dir, "labels")
+    assert(lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == wantLbl)
+    assert(lbl.count() == 2, "compacted keyed table must hold no stale rows")
+    // vacuum: old versions out, then every seg-* unreferenced is gone
+    StormSinks.vacuumVersions(spark, dir, keep = 0)
+    val deleted = StormSinks.vacuumSegments(spark, dir)
+    assert(deleted == Seq("seg-1"), deleted.toString)
+    assert(!new java.io.File(s"$dir/seg-1").exists)
+    // the compacted current version still reads
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "fps").count() == 3)
+  }
+}
