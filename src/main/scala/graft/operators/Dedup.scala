@@ -1009,6 +1009,88 @@ object Dedup {
     corpusSide.unionByName(batchSide)
   }
 
+  /** CHANGED-ROWS-ONLY [[incrementalClusters]] — the delta-segment
+    * streaming face's label commit: returns exactly the label rows
+    * that differ from (or are absent in) `corpusLabels`, i.e. corpus
+    * docs whose cluster the quotient merge remapped plus every batch
+    * doc. Upserting the delta into `corpusLabels` (latest wins per
+    * doc_id — [[graft.sources.StormSinks.readGroupTableKeyedAt]])
+    * reproduces [[incrementalClusters]]' full output row-for-row
+    * (DedupSpec pins it).
+    *
+    * CONTRACT: `corpusLabels` must cover EVERY corpus doc (the
+    * [[graft.streaming.CorpusStream.publishClusterLake]] full-coverage
+    * invariant — singletons carry explicit self-label rows). Coverage
+    * is what makes the changed set computable WITHOUT a corpus-keyed
+    * shuffle: a remapped corpus doc is findable through its label row
+    * (cluster_id ∈ quotient nodes), so the only corpus-sized work is
+    * broadcast-hash SCANS of docs and labels — the
+    * corpusIds ⋈ labels exchange [[quotientMerge]] pays to emit its
+    * full output disappears along with the O(corpus) write. */
+  def incrementalClustersDelta(corpusDocs: DataFrame, corpusLabels: DataFrame,
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val batch = graft.Materialize.once(
+      batchDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    val corpusOnly = corpusDocs.select(col("doc_id"), col("text"))
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val union = corpusOnly.unionByName(batch)
+    val newPairs = jaccardPairsTouching(union,
+      batch.select(col("doc_id")), k, threshold)
+    quotientMergeDelta(newPairs, corpusLabels, batch.select(col("doc_id")))
+  }
+
+  /** [[incrementalClustersDelta]] against a RESOLVED
+    * [[publishJaccardLake]] index version (the
+    * [[incrementalClustersLakeAt]] probe shape): batch-and-fresh-sized
+    * ranking, columnar index scans, changed-labels-only output. Same
+    * full-coverage contract on `corpusLabels`. */
+  private[graft] def incrementalClustersLakeAtDelta(ver: String,
+      corpusLabels: DataFrame, priorFresh: DataFrame,
+      batchDocs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val batch = graft.Materialize.once(
+      batchDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    val bIds = batch.select(col("doc_id"))
+    val prior = priorFresh.select(col("doc_id"), col("text"))
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+    val fresh = prior.unionByName(batch)
+    val pairs = jaccardPairsTouchingLakeAt(ver, fresh, bIds, k, threshold)
+    quotientMergeDelta(pairs, corpusLabels, bIds)
+  }
+
+  /** The changed-rows core of [[incrementalClustersDelta]]: same
+    * contraction + quotient CC as [[quotientMerge]], but instead of
+    * remapping every corpus doc it emits only
+    *  (a) corpus label rows whose cluster_id is a quotient node that
+    *      CC moved (broadcast-hash join of labels against the
+    *      batch-pair-sized quotient — a labels scan, no shuffle), and
+    *  (b) one row per batch doc (new or replayed — identical values
+    *      on replay, so the latest-wins collapse is a no-op).
+    * Relies on the full-coverage contract: with every corpus doc
+    * labeled, no corpus doc can be remapped through its raw doc_id. */
+  private def quotientMergeDelta(newPairs: DataFrame, corpusLabels: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val e = newPairs
+      .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
+        Seq("doc_a"), "left")
+      .join(lbl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val quotient = clusters(e) // (doc_id = node, cluster_id) — tiny graph
+    val q = quotient.select(col("doc_id").as("node"), col("cluster_id").as("qlab"))
+    val relabeled = lbl
+      .join(broadcast(q.withColumnRenamed("node", "cluster_id")), Seq("cluster_id"))
+      .where(col("qlab") =!= col("cluster_id"))
+      .select(col("doc_id"), col("qlab").as("cluster_id"))
+    val batchSide = batchIds
+      .join(broadcast(q.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
+    relabeled.unionByName(batchSide)
+  }
+
   // ------------------------------------------ 93: asymmetric containment
   /** Asymmetric containment join (quote / inclusion detection):
     * pairs with C(A,B) = |A∩B| / |A| ≥ threshold — "A is mostly

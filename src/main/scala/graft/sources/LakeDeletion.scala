@@ -137,15 +137,17 @@ object LakeDeletion {
       deleteIds: DataFrame, k: Int = 3, threshold: Double = 0.5): Unit =
     graft.Materialize.scoped {
       // one pointer resolution = one consistent (docs, labels) snapshot
-      val ver = StormSinks.currentVersionDir(spark, dir)
+      val verName = StormSinks.currentVersionName(spark, dir)
       // repairing under a different similarity than the published
       // labels' would silently rewrite affected clusters wrong — the
       // lake's persisted (k, threshold) are authoritative; mismatch
       // raises (DeletionSpec pins it)
-      graft.streaming.CorpusStream.validateClusterMeta(spark, ver, k, threshold,
-        "graft.LakeDeletion.deleteFromClusterLake")
-      val docs0 = spark.read.parquet(s"$ver/docs")
-      val labels0 = spark.read.parquet(s"$ver/labels")
+      graft.streaming.CorpusStream.validateClusterMeta(spark, dir, verName,
+        k, threshold, "graft.LakeDeletion.deleteFromClusterLake")
+      // segment-aware: docs segments union, labels collapse latest-wins
+      val docs0 = StormSinks.readGroupTableAt(spark, dir, verName, "docs")
+      val labels0 = StormSinks.readGroupTableKeyedAt(
+        spark, dir, verName, "labels", Seq("doc_id"))
       val del = graft.Materialize.once(ids(deleteIds))
       val docs1 = docs0.join(broadcast(del), Seq("doc_id"), "left_anti")
       // clusters that lost >= 1 member (a deleted doc with no label row
@@ -158,8 +160,15 @@ object LakeDeletion {
         .select(col("doc_id"))
       val members = docs1.join(affectedDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"))
-      val repaired = graft.operators.Dedup.clusters(
+      // full-coverage repair: every surviving member keeps an explicit
+      // row (self-label when the repair leaves it unpaired) — the
+      // invariant the delta-segment label commits depend on
+      val repairedPairs = graft.operators.Dedup.clusters(
         graft.operators.Dedup.jaccardPairs(members, k, threshold))
+      val repaired = members.select(col("doc_id"))
+        .join(repairedPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       val keep = labels0
         .join(broadcast(del), Seq("doc_id"), "left_anti")
         .join(broadcast(affected), Seq("cluster_id"), "left_anti")
@@ -172,10 +181,10 @@ object LakeDeletion {
       // persist in the new version and re-enter the next probe — a
       // deletion-completeness hole. Content-keyed tables (meta, df
       // stats) copy through unchanged.
-      val extras = tablesOf(spark, ver)
+      val extras = StormSinks.groupTablesAt(spark, dir, verName)
         .filterNot(n => n == "docs" || n == "labels")
         .map { n =>
-          val df = spark.read.parquet(s"$ver/$n")
+          val df = StormSinks.readGroupTableAt(spark, dir, verName, n)
           n -> (if (df.columns.contains("doc_id"))
             df.join(broadcast(del), Seq("doc_id"), "left_anti")
           else df)

@@ -54,6 +54,29 @@ object CorpusStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
 
+  /** Size-targeted repartition for BATCH-SIZED micro-batch outputs —
+    * replaces the old `coalesce(1)`, which pinned every post-shuffle
+    * write stage to ONE task: bounded at maxFilesPerTrigger = 16, but
+    * a deployment raising the trigger size silently serialized its
+    * output. File count now scales with the batch
+    * (`ceil(rows / spark.graft.stream.rowsPerFile)`, default 4M rows
+    * ≈ a few hundred MB of documents, capped at 1024 tasks), so small
+    * test batches still write one file while a large trigger fans
+    * out. The count is an extra bounded action over the batch-sized
+    * frame (its expensive inputs are Materialize.once'd by the
+    * callers). Genuinely STATE-BOUNDED outputs (the trends stream's
+    * k-slot summary, the drift gate's feature×bucket terms) keep
+    * coalesce(1) — their row count is independent of trigger size. */
+  private def sizedBatchOutput(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rowsPerFile = df.sparkSession.conf
+      .getOption("spark.graft.stream.rowsPerFile").map(_.toLong)
+      .getOrElse(4000000L)
+    require(rowsPerFile > 0, s"spark.graft.stream.rowsPerFile must be > 0")
+    val n = df.count()
+    df.repartition(math.max(1L, math.min(1024L,
+      (n + rowsPerFile - 1) / rowsPerFile)).toInt)
+  }
+
   /** Start the chunk sink (parquet, checkpointed, AvailableNow). */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
@@ -203,13 +226,29 @@ object CorpusStream {
     * the stream only maintains. */
   def publishClusterLake(corpus: DataFrame, dir: String,
       k: Int = 3, threshold: Double = 0.5): Unit = graft.Materialize.scoped {
-    import graft.operators.Dedup
     val docs = corpus.select(col("doc_id"), col("text"))
     graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, dir, Seq(
       "docs" -> docs,
-      "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
+      "labels" -> fullLabels(docs, k, threshold),
       "meta" -> clusterMeta(corpus.sparkSession, k, threshold)))
     ()
+  }
+
+  /** FULL-COVERAGE labels of `docs`: the CC labels over the Jaccard
+    * pairs, plus an explicit self-label row for every unpaired doc —
+    * one label row per corpus doc, always. This is the invariant the
+    * delta-segment label commits depend on
+    * ([[graft.operators.Dedup.incrementalClustersDelta]]'s contract:
+    * a remapped corpus doc must be findable through its label row, so
+    * coverage is what keeps the per-batch changed-set computation free
+    * of corpus-keyed shuffles). One corpus-sized left join, paid at
+    * PUBLISH time — the publisher owns corpus-sized jobs. */
+  private def fullLabels(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val paired = Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold))
+    docs.select(col("doc_id")).join(paired, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** One-row (k, threshold) record committed with every cluster-lake
@@ -226,20 +265,20 @@ object CorpusStream {
     Seq((k, threshold)).toDF("k", "threshold")
   }
 
-  /** Raise if `ver` (a resolved cluster-lake group version) carries a
-    * `meta` table whose (k, threshold) differ from the caller's. A
-    * lake published before meta existed has no table — caller-trusted,
-    * as before; the next maintainer republish writes one. */
-  private[graft] def validateClusterMeta(spark: SparkSession, ver: String,
-      k: Int, threshold: Double, caller: String): Unit = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$ver/meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath)) {
-      val r = spark.read.parquet(s"$ver/meta").head()
+  /** Raise if version `verName` of the cluster-lake group at `dir`
+    * carries a `meta` table whose (k, threshold) differ from the
+    * caller's. A lake published before meta existed has no table —
+    * caller-trusted, as before; the next maintainer republish writes
+    * one. Segment-aware (meta may live in a delta segment). */
+  private[graft] def validateClusterMeta(spark: SparkSession, dir: String,
+      verName: String, k: Int, threshold: Double, caller: String): Unit = {
+    import graft.sources.StormSinks
+    if (StormSinks.groupTablesAt(spark, dir, verName).contains("meta")) {
+      val r = StormSinks.readGroupTableAt(spark, dir, verName, "meta").head()
       val (pk, pt) = (r.getAs[Int]("k"), r.getAs[Double]("threshold"))
       if (pk != k || pt != threshold)
         throw new IllegalArgumentException(
-          s"$caller: cluster lake version $ver was published with k=$pk, " +
+          s"$caller: cluster lake version $dir/$verName was published with k=$pk, " +
             s"threshold=$pt but the caller passed k=$k, threshold=$threshold - " +
             "maintaining or repairing under a different similarity silently " +
             "corrupts the labels. Pass the published parameters (or republish " +
@@ -248,33 +287,50 @@ object CorpusStream {
   }
 
   /** Read one table ("docs" / "labels") of a [[publishClusterLake]]
-    * lake at its current version. */
-  def readClusterLake(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.StormSinks.readVersionedGroupTable(spark, dir, name)
+    * lake at its current version. Segment-aware: `labels` is an
+    * UPSERT-delta table under the streaming maintainers, so it reads
+    * through the latest-wins collapse; `docs` segments are disjoint
+    * appends and read as a plain union. */
+  def readClusterLake(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import graft.sources.StormSinks
+    val ver = StormSinks.currentVersionName(spark, dir)
+    if (name == "labels")
+      StormSinks.readGroupTableKeyedAt(spark, dir, ver, name, Seq("doc_id"))
+    else StormSinks.readGroupTableAt(spark, dir, ver, name)
+  }
 
   /** Streaming incremental cluster maintenance — the continuous-ingest
     * face of [[graft.operators.Dedup.incrementalClusters]]: each
     * micro-batch of documents merges into the published cluster lake
     * (batch-touching pairs only, quotient-graph CC, label remap — the
     * algebra the dedup_cluster_inc oracle proves equal to a full
-    * recompute), then REPUBLISHES docs + labels so the next batch
-    * (or any reader) sees the maintained state through `_current`.
-    * Corpus CC never re-runs; per-batch CC cost is quotient-sized.
-    * The corpus-linear piece per batch is the posting/df scan inside
-    * the pair probe (see jaccardPairsTouching's lake note).
+    * recompute), then COMMITS an O(batch) delta under the group
+    * pointer ([[graft.sources.StormSinks.appendDeltaGroup]]): a docs
+    * segment holding only the batch's genuinely-new documents, and a
+    * labels segment holding only the CHANGED label rows
+    * ([[graft.operators.Dedup.incrementalClustersDelta]] — batch docs
+    * plus corpus docs whose cluster the merge moved). Neither the
+    * corpus docs table nor the labels table is ever rewritten in
+    * stream; readers resolve labels through the latest-wins collapse
+    * ([[readClusterLake]]) and the maintenance cadence compacts
+    * ([[graft.sources.StormSinks.compactGroupSegments]]). Corpus CC
+    * never re-runs; per-batch CC cost is quotient-sized. The
+    * corpus-linear piece per batch is the posting/df scan inside the
+    * pair probe (see jaccardPairsTouching's lake note).
     *
     * Crash-safe and checkpoint-idempotent, two independent layers:
-    * (1) docs + labels commit as ONE [[graft.sources.StormSinks
-    * .writeVersionedGroup]] version — a crash anywhere before the
-    * single pointer swap leaves the previous consistent snapshot, so
-    * a replay (and every concurrent reader) always sees docs and
-    * labels from the SAME version, never merged docs with stale
-    * labels; (2) [[graft.operators.Dedup.incrementalClusters]] is
-    * itself replay-safe — a re-delivered batch whose docs already
-    * landed is anti-joined out of the corpus side and re-merged to the
-    * IDENTICAL labels (min-labels compose), so republishing is a
-    * no-op. CorpusStreamSpec pins two-wave stream == one full batch
-    * CC, and replay-of-committed-batch == unchanged labels. */
+    * (1) the delta segments and manifest land BEFORE the single
+    * pointer swap — a crash anywhere earlier leaves the previous
+    * consistent snapshot, so a replay (and every concurrent reader)
+    * always sees docs and labels from the SAME version, never merged
+    * docs with stale labels, and the replayed commit overwrites the
+    * orphan segments (DeltaGroupSpec pins the window); (2) the delta
+    * operator is itself replay-safe — a re-delivered batch whose docs
+    * already landed appends an EMPTY docs delta (anti-joined) and
+    * re-derives byte-identical label rows (min-labels compose), which
+    * the latest-wins collapse absorbs as a no-op. CorpusStreamSpec
+    * pins two-wave stream == one full batch CC, and
+    * replay-of-committed-batch == unchanged labels. */
   def startIncrementalClusters(spark: SparkSession, inDir: String,
       lakeDir: String, checkpointDir: String,
       k: Int = 3, threshold: Double = 0.5,
@@ -290,22 +346,30 @@ object CorpusStream {
         // the stream's lifetime (CorpusStreamSpec pins zero growth).
         graft.Materialize.scoped {
           val s2 = batch.sparkSession
-          // resolve the pointer ONCE: both tables come from the same
+          import graft.sources.StormSinks
+          // resolve the pointer ONCE: all tables come from the same
           // immutable snapshot
-          val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+          val verName = StormSinks.currentVersionName(s2, lakeDir)
           // merging under a different similarity than the published
           // labels' would corrupt them undetectably — validate first
-          validateClusterMeta(s2, ver, k, threshold,
+          validateClusterMeta(s2, lakeDir, verName, k, threshold,
             "graft.CorpusStream.startIncrementalClusters")
-          val corpus = s2.read.parquet(s"$ver/docs")
-          val labels = s2.read.parquet(s"$ver/labels")
-          val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-          val updated = graft.Materialize.once(
-            graft.operators.Dedup.incrementalClusters(corpus, labels, b, k, threshold))
-          graft.sources.StormSinks.writeVersionedGroup(s2, lakeDir, Seq(
-            "docs" -> corpus.unionByName(b).dropDuplicates("doc_id"),
-            "labels" -> updated,
-            "meta" -> clusterMeta(s2, k, threshold)))
+          val corpus = StormSinks.readGroupTableAt(s2, lakeDir, verName, "docs")
+          val labels = StormSinks.readGroupTableKeyedAt(
+            s2, lakeDir, verName, "labels", Seq("doc_id"))
+          val b = graft.Materialize.once(
+            batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+          // genuinely-new docs only: re-ingested ids are found with a
+          // corpus SCAN (broadcast semi) and anti-joined out of the
+          // delta, so docs segments stay disjoint with no corpus shuffle
+          val dupIds = corpus.select(col("doc_id"))
+            .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          val bNew = b.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          val delta = graft.Materialize.once(
+            graft.operators.Dedup.incrementalClustersDelta(
+              corpus, labels, b, k, threshold))
+          StormSinks.appendDeltaGroup(s2, lakeDir,
+            appends = Seq("docs" -> bNew, "labels" -> delta))
         }
         ()
       }
@@ -339,7 +403,7 @@ object CorpusStream {
       Dedup.publishJaccardLake(docs, indexDir, k, threshold)
       graft.sources.StormSinks.writeVersionedGroup(corpus.sparkSession, stateDir, Seq(
         "docs" -> docs,
-        "labels" -> Dedup.clusters(Dedup.jaccardPairs(docs, k, threshold)),
+        "labels" -> fullLabels(docs, k, threshold),
         "fresh" -> docs.where(lit(false)),
         "meta" -> clusterMeta(corpus.sparkSession, k, threshold)))
       ()
@@ -354,14 +418,18 @@ object CorpusStream {
   def republishClusterIndex(spark: SparkSession, stateDir: String,
       indexDir: String, k: Int = 3, threshold: Double = 0.5): Unit =
     graft.Materialize.scoped {
-      val ver = graft.sources.StormSinks.currentVersionDir(spark, stateDir)
-      validateClusterMeta(spark, ver, k, threshold,
+      import graft.sources.StormSinks
+      val verName = StormSinks.currentVersionName(spark, stateDir)
+      validateClusterMeta(spark, stateDir, verName, k, threshold,
         "graft.CorpusStream.republishClusterIndex")
-      val docs = spark.read.parquet(s"$ver/docs")
+      val docs = StormSinks.readGroupTableAt(spark, stateDir, verName, "docs")
       graft.operators.Dedup.publishJaccardLake(docs, indexDir, k, threshold)
-      graft.sources.StormSinks.writeVersionedGroup(spark, stateDir, Seq(
+      // whole-group rewrite = the state's segment COMPACTION, riding
+      // the maintenance cadence the index rebuild already owns
+      StormSinks.writeVersionedGroup(spark, stateDir, Seq(
         "docs" -> docs,
-        "labels" -> spark.read.parquet(s"$ver/labels"),
+        "labels" -> StormSinks.readGroupTableKeyedAt(
+          spark, stateDir, verName, "labels", Seq("doc_id")),
         "fresh" -> docs.where(lit(false)),
         "meta" -> clusterMeta(spark, k, threshold)))
       ()
@@ -384,22 +452,28 @@ object CorpusStream {
         graft.Materialize.scoped {
           val s2 = batch.sparkSession
           import graft.sources.StormSinks
-          val sVer = StormSinks.currentVersionDir(s2, stateDir)
+          val sVerName = StormSinks.currentVersionName(s2, stateDir)
           val iVer = StormSinks.currentVersionDir(s2, indexDir)
-          validateClusterMeta(s2, sVer, k, threshold,
+          validateClusterMeta(s2, stateDir, sVerName, k, threshold,
             "graft.CorpusStream.startIncrementalClustersIndexed")
-          val docs0 = s2.read.parquet(s"$sVer/docs")
-          val labels0 = s2.read.parquet(s"$sVer/labels")
-          val fresh0 = s2.read.parquet(s"$sVer/fresh")
-          val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-          val updated = graft.Materialize.once(
-            graft.operators.Dedup.incrementalClustersLakeAt(
+          val docs0 = StormSinks.readGroupTableAt(s2, stateDir, sVerName, "docs")
+          val labels0 = StormSinks.readGroupTableKeyedAt(
+            s2, stateDir, sVerName, "labels", Seq("doc_id"))
+          val fresh0 = StormSinks.readGroupTableAt(s2, stateDir, sVerName, "fresh")
+          val b = graft.Materialize.once(
+            batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+          // genuinely-new docs only (corpus scan + broadcast, no shuffle);
+          // the SAME delta extends `fresh` — a doc already in docs is
+          // either indexed or already in fresh, so the probe covers it
+          val dupIds = docs0.select(col("doc_id"))
+            .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          val bNew = graft.Materialize.once(
+            b.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
+          val delta = graft.Materialize.once(
+            graft.operators.Dedup.incrementalClustersLakeAtDelta(
               iVer, labels0, fresh0, b, k, threshold))
-          StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-            "docs" -> docs0.unionByName(b).dropDuplicates("doc_id"),
-            "labels" -> updated,
-            "fresh" -> fresh0.unionByName(b).dropDuplicates("doc_id"),
-            "meta" -> clusterMeta(s2, k, threshold)))
+          StormSinks.appendDeltaGroup(s2, stateDir,
+            appends = Seq("docs" -> bNew, "labels" -> delta, "fresh" -> bNew))
         }
         ()
       }
@@ -588,6 +662,8 @@ object CorpusStream {
           import s2.implicits._
           running.toSeq.sortBy(_._1).toDF("token", "est")
             .withColumn("batch_seq", lit(batchId))
+            // k-slot summary: ≤ capacity rows regardless of trigger
+            // size, so one output file is the right shape
             .coalesce(1).write.mode("append").parquet(outDir)
         }
         ()
@@ -657,6 +733,8 @@ object CorpusStream {
                 coalesce(col("cur_n"), lit(0L)).as("cur_n"))
             graft.operators.Drift.psiTerms(joined)
               .withColumn("batch_seq", lit(batchId))
+              // feature×bucket grid: bounded by the histogram shape,
+              // not the trigger size — one file is the right shape
               .coalesce(1).write.mode("append").parquet(outDir)
             import s2.implicits._
             StormSinks.writeVersionedGroup(s2, stateDir, Seq(
@@ -801,10 +879,10 @@ object CorpusStream {
           val wRow = s2.read.parquet(s"$ver/weights").head()
           val w = Array.tabulate(5)(wRow.getDouble)
           val modelVer = ver.substring(ver.lastIndexOf("v-") + 2).toLong
-          graft.operators.Classify.scoreWith(batch, w)
+          sizedBatchOutput(graft.operators.Classify.scoreWith(batch, w)
             .withColumn("batch_seq", lit(batchId))
-            .withColumn("model_ver", lit(modelVer))
-            .coalesce(1).write.mode("append").parquet(outDir)
+            .withColumn("model_ver", lit(modelVer)))
+            .write.mode("append").parquet(outDir)
           ()
         }
       }
@@ -868,6 +946,27 @@ object CorpusStream {
       ()
     }
 
+  /** Maintenance-cadence compaction for a registry state group
+    * (fps + meta): fold the stream's delta segments into one
+    * whole-table version, then reclaim superseded versions and
+    * unreferenced segment dirs. Readers (and the stream itself) are
+    * unaffected at any point — every step is pointer-atomic. */
+  private def compactRegistry(spark: SparkSession, dir: String,
+      keepVersions: Int): Unit = {
+    graft.sources.StormSinks.compactGroupSegments(spark, dir)
+    graft.sources.StormSinks.vacuumVersions(spark, dir, keepVersions)
+    graft.sources.StormSinks.vacuumSegments(spark, dir)
+    ()
+  }
+
+  /** [[compactRegistry]] for the [[startLineClean]] registry. */
+  def compactLineIndex(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): Unit = compactRegistry(spark, dir, keepVersions)
+
+  /** [[compactRegistry]] for the [[startParagraphDedup]] registry. */
+  def compactParagraphIndex(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): Unit = compactRegistry(spark, dir, keepVersions)
+
   /** Streaming C4 line cleaning with cross-stream duplicate-line
     * removal: per micro-batch, rule-filter the batch's lines, drop
     * every line whose fingerprint is already in the published
@@ -887,12 +986,16 @@ object CorpusStream {
     * trends-stream freshness guard): reprocessing would silently
     * swallow every replayed document otherwise.
     *
-    * Scale: the registry rewrite is registry-sized per batch — the
-    * cluster stream's docs/labels republish shape; a deployment
-    * compacts/shards it on the maintenance cadence. The anti-join is
-    * a plain shuffle join (the registry grows unboundedly with the
-    * stream, so no broadcast hint — the freshBroadcastMax lesson
-    * applied from the start). */
+    * Scale: per-batch state I/O is O(batch) — the commit APPENDS the
+    * batch's fresh fingerprints as a delta segment under the group
+    * pointer ([[graft.sources.StormSinks.appendDeltaGroup]]; deltas
+    * are anti-joined against the registry, so segments stay disjoint
+    * and the union-read needs no dedup) and replaces only the one-row
+    * last_batch meta; the registry itself is never rewritten. The
+    * maintenance cadence folds segments ([[compactLineIndex]]) and
+    * vacuums. The anti-join is a plain shuffle join (the registry
+    * grows unboundedly with the stream, so no broadcast hint — the
+    * freshBroadcastMax lesson applied from the start). */
   def startLineClean(spark: SparkSession, inDir: String, stateDir: String,
       outDir: String, checkpointDir: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = false,
@@ -924,21 +1027,29 @@ object CorpusStream {
         graft.Materialize.scoped {
           val s2 = batch.sparkSession
           import graft.sources.StormSinks
-          val ver = StormSinks.currentVersionDir(s2, stateDir)
-          val lastBatch = s2.read.parquet(s"$ver/meta").head().getLong(0)
+          // one resolution = one consistent (fps, meta) snapshot
+          val verName = StormSinks.currentVersionName(s2, stateDir)
+          val lastBatch = StormSinks
+            .readGroupTableAt(s2, stateDir, verName, "meta").head().getLong(0)
           if (batchId > lastBatch) {
-            val seen = s2.read.parquet(s"$ver/fps")
+            val seen = StormSinks.readGroupTableAt(s2, stateDir, verName, "fps")
             val lines = graft.Materialize.once(graft.operators.Lines
               .ruleLines(batch, minWords, requireTerminalPunct)
               .withColumn("fp", sha2(col("lnorm"), 256)))
-            graft.operators.Lines
-              .assembleKeepFirst(lines.join(seen, Seq("fp"), "left_anti"))
-              .withColumn("batch_seq", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(outDir)
+            // fresh lines feed the output AND the delta segment —
+            // materialize once so the registry anti-join runs once
+            val fresh = graft.Materialize.once(
+              lines.join(seen, Seq("fp"), "left_anti"))
+            sizedBatchOutput(graft.operators.Lines.assembleKeepFirst(fresh)
+              .withColumn("batch_seq", lit(batchId)))
+              .write.mode("append").parquet(outDir)
             import s2.implicits._
-            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-              "fps" -> seen.unionByName(lines.select(col("fp"))).distinct(),
-              "meta" -> Seq(batchId).toDF("last_batch")))
+            // O(batch) commit: fps gains the batch's FRESH fingerprints
+            // (disjoint from every committed segment by the anti-join),
+            // meta is replaced — the registry is never rewritten
+            StormSinks.appendDeltaGroup(s2, stateDir,
+              appends = Seq("fps" -> fresh.select(col("fp")).distinct()),
+              replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
           }
           ()
         }
@@ -981,9 +1092,12 @@ object CorpusStream {
     * registry is rejected at start.
     *
     * Scale: anti-join is a plain shuffle join (the registry grows with
-    * the stream — no broadcast hint); registry rewrite is
-    * registry-sized per batch, compacted on the maintenance cadence;
-    * everything else is batch-sized. */
+    * the stream — no broadcast hint); the state commit APPENDS the
+    * batch's fresh fingerprints as a delta segment and replaces only
+    * the one-row meta ([[graft.sources.StormSinks.appendDeltaGroup]]
+    * — O(batch) state I/O per trigger; segments stay disjoint via the
+    * anti-join), compacted on the maintenance cadence
+    * ([[compactParagraphIndex]]); everything else is batch-sized. */
   def startParagraphDedup(spark: SparkSession, inDir: String,
       stateDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
@@ -1009,21 +1123,27 @@ object CorpusStream {
         graft.Materialize.scoped {
           val s2 = batch.sparkSession
           import graft.sources.StormSinks
-          val ver = StormSinks.currentVersionDir(s2, stateDir)
-          val lastBatch = s2.read.parquet(s"$ver/meta").head().getLong(0)
+          // one resolution = one consistent (fps, meta) snapshot
+          val verName = StormSinks.currentVersionName(s2, stateDir)
+          val lastBatch = StormSinks
+            .readGroupTableAt(s2, stateDir, verName, "meta").head().getLong(0)
           if (batchId > lastBatch) {
-            val seen = s2.read.parquet(s"$ver/fps")
+            val seen = StormSinks.readGroupTableAt(s2, stateDir, verName, "fps")
             val pars = graft.Materialize.once(
               graft.operators.Lines.paragraphs(batch))
-            graft.operators.Lines
-              .assembleParagraphsKeepFirst(
-                pars.join(seen, Seq("fp"), "left_anti"), pars)
-              .withColumn("batch_seq", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(outDir)
+            // fresh paragraphs feed the output AND the delta segment
+            val fresh = graft.Materialize.once(
+              pars.join(seen, Seq("fp"), "left_anti"))
+            sizedBatchOutput(graft.operators.Lines
+              .assembleParagraphsKeepFirst(fresh, pars)
+              .withColumn("batch_seq", lit(batchId)))
+              .write.mode("append").parquet(outDir)
             import s2.implicits._
-            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-              "fps" -> seen.unionByName(pars.select(col("fp"))).distinct(),
-              "meta" -> Seq(batchId).toDF("last_batch")))
+            // O(batch) commit: fps gains only the batch's fresh
+            // fingerprints; the registry is never rewritten
+            StormSinks.appendDeltaGroup(s2, stateDir,
+              appends = Seq("fps" -> fresh.select(col("fp")).distinct()),
+              replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
           }
           ()
         }

@@ -232,12 +232,29 @@ class CorpusStreamSpec extends SparkSpec {
     val docs3 = CorpusStream.readClusterLake(spark, s"$base/lake", "docs")
     assert(docs3.count() == docs3.select("doc_id").distinct().count(),
       "replay produced duplicate doc rows")
-    // both tables resolve through ONE pointer: the group version dir
-    // holds docs and labels together (no half-committed snapshot
-    // is ever addressable)
-    val ver = graft.sources.StormSinks.currentVersionDir(spark, s"$base/lake")
-    assert(new java.io.File(s"$ver/docs").exists && new java.io.File(s"$ver/labels").exists,
-      "group version dir must hold both tables")
+    // both tables resolve through ONE pointer: the current version's
+    // manifest (or legacy dir) addresses docs and labels together (no
+    // half-committed snapshot is ever addressable)
+    val verName = graft.sources.StormSinks.currentVersionName(spark, s"$base/lake")
+    val tables = graft.sources.StormSinks.groupTablesAt(spark, s"$base/lake", verName)
+    assert(tables.contains("docs") && tables.contains("labels"),
+      s"group version must address both tables, got $tables")
+    // O(batch) state I/O: the streaming commits appended delta
+    // segments — the base version's corpus-sized tables were written
+    // once by the publisher and never rewritten by any micro-batch
+    val baseFps = new java.io.File(s"$base/lake/v-0/docs")
+    assert(baseFps.exists, "publisher base version must hold the corpus docs")
+    val segDirs = new java.io.File(s"$base/lake").listFiles
+      .filter(_.getName.startsWith("seg-")).map(_.getName)
+    assert(segDirs.nonEmpty, "streaming commits must be delta segments")
+    // each docs delta holds at most one WAVE of docs (100), never the
+    // accumulated corpus
+    segDirs.foreach { sd =>
+      val d = new java.io.File(s"$base/lake/$sd/docs")
+      if (d.exists)
+        assert(spark.read.parquet(d.getPath).count() <= 100,
+          s"$sd/docs is not batch-sized")
+    }
   }
 
   test("INDEXED streaming clusters == full batch CC across an index republish") {
@@ -245,8 +262,8 @@ class CorpusStreamSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.where(col("doc_id") < 300)
     CorpusStream.publishClusterLakeIndexed(corpus, s"$base/state", s"$base/index")
-    def labelMap() = graft.sources.StormSinks
-      .readVersionedGroupTable(spark, s"$base/state", "labels")
+    def labelMap() = CorpusStream
+      .readClusterLake(spark, s"$base/state", "labels")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // wave 1 merges through the published index (fresh side = batch only)
     docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
@@ -582,5 +599,84 @@ class CorpusStreamSpec extends SparkSpec {
         s"$base/out", s"$base/cp-lost", maxFilesPerTrigger = 1)
     }
     assert(e.getMessage.contains("no committed offsets"))
+  }
+
+  test("registry commits are O(batch): base segments untouched, deltas batch-sized, compaction folds") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-obatch-registry").toString
+    def fileSet(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f => f.getPath + "@" + f.lastModified).toSet
+    }
+    // big corpus registry: every rule-surviving line of the sf corpus
+    val docs = Tables.documents(spark, sfDir)
+    CorpusStream.publishLineIndex(docs, s"$base/state")
+    val regSize = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fps").count()
+    assert(regSize > 100, s"fixture registry too small: $regSize")
+    val baseFiles = fileSet(s"$base/state/v-0")
+    // one TINY streamed doc: 2 fresh lines (>= 3 words each)
+    Seq((900001L, "totally fresh streamed line alpha\nanother fresh streamed line beta",
+      "en", "s", 60)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    // the state commit wrote a BATCH-sized delta, never the registry:
+    // the base version's files are byte-identical and the new segment
+    // holds exactly the 2 fresh fingerprints
+    assert(fileSet(s"$base/state/v-0") == baseFiles,
+      "micro-batch rewrote the base registry")
+    assert(spark.read.parquet(s"$base/state/seg-1/fps").count() == 2,
+      "delta segment is not batch-sized")
+    assert(graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fps").count() == regSize + 2)
+    // maintenance compaction: fold to a whole-table version, vacuum,
+    // content identical
+    CorpusStream.compactLineIndex(spark, s"$base/state", keepVersions = 0)
+    assert(new java.io.File(
+      s"${graft.sources.StormSinks.currentVersionDir(spark, s"$base/state")}/fps").exists,
+      "compaction must restore the whole-table layout")
+    assert(!new java.io.File(s"$base/state/seg-1").exists,
+      "compaction + vacuum must reclaim the delta segment")
+    assert(graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fps").count() == regSize + 2)
+    // the stream continues across the compaction boundary: wave 2
+    // repeats a wave-1 line (registry-owned now -> drop) + a fresh one
+    Seq((900002L, "another fresh streamed line beta\npost compaction novel line here",
+      "en", "s", 60)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val w2 = spark.read.parquet(s"$base/out").where(col("doc_id") === 900002L)
+      .collect()
+    assert(w2.length == 1 &&
+      w2(0).getAs[String]("clean_text") == "post compaction novel line here",
+      s"post-compaction batch wrong: ${w2.toSeq}")
+  }
+
+  test("batch-sized sinks scale output files with the trigger, small batches stay single-file") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sized-output").toString
+    val docs = Tables.documents(spark, sfDir)
+    CorpusStream.publishClassifier(docs, s"$base/model")
+    docs.coalesce(1).write.parquet(s"$base/in")
+    def partFiles(dir: String) = new java.io.File(dir).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // small-file behavior at the default target: one file per batch
+    CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+      s"$base/out1", s"$base/cp1", maxFilesPerTrigger = 1).awaitTermination()
+    assert(partFiles(s"$base/out1") == 1,
+      "a small batch must still write one file")
+    // a large trigger (here: a tiny rows-per-file target standing in
+    // for one) fans the write out — the old coalesce(1) pinned it to
+    // ONE task no matter the batch size
+    spark.conf.set("spark.graft.stream.rowsPerFile", "100")
+    try {
+      CorpusStream.startClassifyGate(spark, s"$base/in", s"$base/model",
+        s"$base/out2", s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
+      assert(partFiles(s"$base/out2") >= 4,
+        s"output parallelism must scale with batch size, got ${partFiles(s"$base/out2")} files")
+    } finally spark.conf.unset("spark.graft.stream.rowsPerFile")
   }
 }

@@ -251,6 +251,48 @@ class DedupSpec extends SparkSpec {
     assert(inc(40) == 40 && inc(20) == 20)
   }
 
+  test("incrementalClustersDelta: upsert into full-coverage labels == full output, changed-only rows") {
+    import spark.implicits._
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val tb = "omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, ta), (2L, ta + " eta"),
+      (10L, tb), (11L, tb + " phi"),
+      (20L, "completely unrelated content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    // the delta contract's full-coverage base: CC labels + explicit
+    // self rows (the publishClusterLake invariant)
+    val paired = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(corpus, k = 2, threshold = 0.4))
+    val labels = corpus.select(col("doc_id")).join(paired, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val batch = Seq(
+      (30L, ta + " " + tb),
+      (40L, "another novel document with fresh words only")
+    ).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = m(graft.operators.Dedup.incrementalClustersDelta(
+      corpus, labels, batch, k = 2, threshold = 0.4))
+    val full = m(graft.operators.Dedup.incrementalClusters(
+      corpus, labels, batch, k = 2, threshold = 0.4))
+    // upsert law: base overridden by delta == the full output
+    assert(m(labels) ++ delta == full,
+      s"upsert(base, delta) != full: delta=$delta full=$full")
+    // changed-only: the untouched singleton emits no delta row; every
+    // remapped corpus doc and every batch doc does
+    assert(!delta.contains(20L), s"unchanged doc in delta: $delta")
+    assert(delta.keySet == Set(2L, 10L, 11L, 30L, 40L) ||
+      delta.keySet == Set(10L, 11L, 30L, 40L), // 1 is the min label: 1,2 may both stay
+      s"unexpected delta keys: ${delta.keySet}")
+    // replay: against the post-commit COLLAPSED state (corpus ∪ batch,
+    // upserted labels), the re-derived delta upserts to a no-op
+    val replay = m(graft.operators.Dedup.incrementalClustersDelta(
+      corpus.unionByName(batch), full.toSeq.toDF("doc_id", "cluster_id"),
+      batch, k = 2, threshold = 0.4))
+    assert((full ++ replay) == full, s"replay delta changed labels: $replay")
+  }
+
   test("lake-indexed probe: pairs and labels identical to in-session, batch-sized rank only") {
     val all = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))

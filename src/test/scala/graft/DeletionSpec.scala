@@ -147,8 +147,11 @@ class DeletionSpec extends SparkSpec {
     LakeDeletion.deleteFromClusterLake(spark, s"$base/lake",
       Seq(30L).toDF("doc_id"), k = 2, threshold = 0.4)
     val after = labels()
-    // the split no label FILTER can produce: {1,2} and {10,11} again
-    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+    // the split no label FILTER can produce: {1,2} and {10,11} again —
+    // and the full-coverage invariant keeps the unpaired doc 20's
+    // explicit self-label row (the delta-segment commits depend on
+    // every surviving doc having a label row)
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L),
       s"bridge delete did not split: $after")
     val docsAfter = CorpusStream.readClusterLake(spark, s"$base/lake", "docs")
       .select($"doc_id").as[Long].collect().toSet
