@@ -81,6 +81,31 @@ object Lines {
         first(col("n_lines")).cast("long").as("n_lines"))
   }
 
+  /** The page blocklist (C4 §2.2's "bad word" rule: drop any page
+    * containing a listed token — the "List of Dirty, Naughty, Obscene
+    * or Otherwise Bad Words" stand-in). A FIXED interpolated list, the
+    * mojibake-table convention: the same Seq folds into the Spark
+    * filter and the text_badwords oracle SQL, so the two engines
+    * cannot drift. The list is matched against NORMALIZED whitespace
+    * tokens (exact token equality, not substring — "scunthorpe" stays
+    * clean), which is C4's actual behavior. Contains both
+    * corpus-present tokens (so the sf fixtures exercise the drop
+    * branch) and absent ones (the keep branch). */
+  val badwords: Seq[String] = Seq("dup", "poison", "hazmat", "contraband")
+
+  /** Per-page blocklist audit: (doc_id, n_bad, kept) — `n_bad` counts
+    * blocklisted tokens (with multiplicity), `kept` = no hits. A pure
+    * narrow map over the token array (array HOF against a 4-element
+    * literal array — codegen'd, zero shuffles at any corpus size);
+    * page filtering composes as `.where(col("kept"))`. */
+  def badwordAudit(docs: DataFrame): DataFrame = {
+    val arr = array(badwords.map(lit): _*)
+    docs.select(col("doc_id"),
+      size(filter(graft.functions.Text.tokensOrEmpty(col("text")),
+        t => array_contains(arr, t))).cast("long").as("n_bad"))
+      .select(col("doc_id"), col("n_bad"), (col("n_bad") === 0).as("kept"))
+  }
+
   /** C4-style line cleaning. Returns (doc_id, clean_text, n_kept,
     * n_lines); documents with zero surviving lines (or tripping the
     * page-level rules) drop out, like C4's empty-page discard.

@@ -666,6 +666,72 @@ object PipelineQueries {
     // reassembled clean text.
     "text_lines" -> ((s, d) =>
       Lines.cleanLines(docs(s, d)).orderBy(col("doc_id"))),
+    // 138: C4 §2.2's remaining rule — the page BLOCKLIST filter: drop
+    // any page containing a blocklisted token (exact normalized-token
+    // equality; Lines.badwords is interpolated into the oracle SQL so
+    // the engines share one list). Pure narrow map (array HOF over a
+    // literal array), zero shuffles at any corpus size; the audit
+    // emits per-page hit counts so the drop is observable, and page
+    // filtering composes as .where(col("kept")).
+    "text_badwords" -> ((s, d) =>
+      Lines.badwordAudit(docs(s, d)).orderBy(col("doc_id"))),
+    // 139: HTML/markup stripping AHEAD of the text stack — crawl pages
+    // arrive as HTML; this reduces them to the plain text every
+    // downstream stage (fixText, text_lines, dedup_paragraph,
+    // fingerprints) assumes. Script/style/comment spans drop, block
+    // tags become newlines (preserving line/paragraph structure),
+    // inline tags become spaces, the fixed entity table decodes
+    // (&amp; last — double-escape safe), whitespace collapses. All
+    // regexp/replace built-ins in the Java∩RE2 subset; the corpus is
+    // markup-free so the planted pages carry the behavior, UNIONed in
+    // both engines from the same interpolated constants. Pure narrow
+    // map — zero shuffles at any corpus size.
+    "html_extract" -> ((s, d) => {
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(htmlPlanted.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Html.extractText(col("text")).as("text_plain"))
+        .select(col("doc_id"), col("text_plain"),
+          (col("text_plain") =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+    // 140: the composed end-to-end pretraining-prep flagship — the
+    // full curation stack in its documented order (normalize →
+    // blocklist → line clean → paragraph dedup → near-dup
+    // keep-canonical → trained classifier rank gate → benchmark
+    // decontamination → temperature sampling → shard manifest), as
+    // ONE oracle-replayed query. Integration bugs live BETWEEN
+    // operators; the per-operator oracles can't see them. The planted
+    // NFD/mojibake pair (-12/-11) exercises fixText's composition
+    // point ahead of the dedup keys. Benchmark = the raw %20==7 docs
+    // (the decontaminate convention); the corpus keeps them and the
+    // decon stage removes them (sharing 8-grams with themselves).
+    "corpus_pretrain" -> ((s, d) => {
+      val doc = docs(s, d)
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
+          org.apache.spark.sql.Row(id, t, lg) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val src = doc.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(planted)
+      val bench = doc.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Pretrain.run(src, bench)
+        .orderBy(col("shard_id"), col("pos"))
+    }),
     // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
     // blank-line split, normalized-paragraph fingerprint, keep-first
     // across the corpus, reassemble. The dedup_exact shifted-union
@@ -1854,6 +1920,39 @@ object PipelineQueries {
     -3L -> "itâ€™s â€œquotedâ€¦ Ã©lan â€” Ã¼ber naÃ¯ve",
     -2L -> "zero​width‌and‍joiners⁠here﻿",
     -1L -> "Café au thé")
+
+  /** corpus_pretrain planted near-dup pair (negative doc_ids, both
+    * engines share the constants): -12 is NFC/clean, -11 is the SAME
+    * text in NFD form with a mojibake token and CRLF line endings —
+    * the pair unifies onto one dedup key only AFTER the normalize
+    * stage (fixText's documented composition point), which is exactly
+    * what the composed pipeline exists to exercise. PretrainSpec pins
+    * that WITHOUT stage 1 the pair survives dedup separately. */
+  private val pretrainPlanted: Seq[(Long, String, String)] = Seq(
+    (-12L, "caf\u00E9 cr\u00E8me br\u00FBl\u00E9e \u00E9lan planted paragraph one\n" +
+      "planted unique line two here\nplanted unique line three here", "fr"),
+    (-11L, "cafe\u0301 cre\u0300me bru\u0302le\u0301e \u00C3\u00A9lan planted paragraph one\r\n" +
+      "planted unique line two here\r\nplanted unique line three here", "fr"))
+
+  /** html_extract planted fixtures (negative doc_ids), shared by the
+    * Spark union and the oracle VALUES: a full page (title/style/
+    * script/comment drops, block-tag line structure, list items), the
+    * inline-markup word-separation case, entity decoding incl. the
+    * double-escape guard (&amp;lt; must decode ONCE to &lt;), and an
+    * unclosed-tag fragment. The synthetic corpus is markup-free
+    * (identity path), so these carry the whole behavior. */
+  private val htmlPlanted: Seq[(Long, String)] = Seq(
+    -4L -> ("<html><head><title>Page Title</title>" +
+      "<style>p { color: red }</style></head><body>" +
+      "<h1>Header One Here</h1><p>first paragraph of text</p>" +
+      "<p>second &amp; third &lt;angle&gt; bits</p>" +
+      "<script>var x = 1; if (x < 2) { x = 2; }</script>" +
+      "<div>closing div content</div>" +
+      "<ul><li>item one text</li><li>item two text</li></ul>" +
+      "<!-- hidden comment text --></body></html>"),
+    -3L -> "a<b>b</b> c&nbsp;d &amp;lt; stays escaped",
+    -2L -> "line one<br>line two<br/>line three",
+    -1L -> "broken <em unclosed fragment")
 
   /** DuckDB string literal for `s`: quotes doubled, control chars
     * (<0x20) emitted as chr(n) concatenation so the SQL stays printable
@@ -3228,6 +3327,225 @@ object PipelineQueries {
          |  count(*) AS n_kept,
          |  CAST(max(n_lines) AS BIGINT) AS n_lines
          |FROM rk WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 138: blocklist page filter — same interpolated token list as
+    // the Spark side (exact token equality over NORM tokens).
+    "text_badwords" -> {
+      val lst = graft.operators.Lines.badwords
+        .map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS n_bad,
+         |  len(list_filter(toks, x -> list_contains($lst, x))) = 0 AS kept
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // 139: the same strip/decode chain, generated from the SAME
+    // constants (dropRes / blockTagRe / anyTagRe / entities) the Spark
+    // side folds — one definition, two engines.
+    "html_extract" -> {
+      import graft.functions.Html
+      val vals = htmlPlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      def rr(acc: String, re: String, repl: String) =
+        s"regexp_replace($acc, ${sqlStr(re)}, $repl, 'g')"
+      val dropped = Html.dropRes.foldLeft("text")((a, re) => rr(a, re, "''"))
+      val blocks = rr(dropped, Html.blockTagRe, "chr(10)")
+      val untagged = rr(blocks, Html.anyTagRe, "' '")
+      val decoded = Html.entities.foldLeft(untagged) {
+        case (a, (e, v)) => s"replace($a, ${sqlStr(e)}, ${sqlStr(v)})" }
+      val sp = rr(decoded, "[ \\t]+", "' '")
+      val nl = rr(sp, " ?\\n ?", "chr(10)")
+      val para = rr(nl, "\\n{3,}", "chr(10) || chr(10)")
+      val out = s"trim(${rr(para, "^\\n+|\\n+$", "''")})"
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $vals) AS v(doc_id, text)
+         |)
+         |SELECT doc_id, $out AS text_plain, $out <> text AS changed
+         |FROM src ORDER BY doc_id""".stripMargin
+    },
+    // 140: the whole pipeline as one generated WITH cascade — every
+    // stage's fragment reuses the SAME shared constants as its
+    // standalone oracle (MOJ_CHAIN/scrubRe, the badwords list, SH3 and
+    // the CC closure retargeted onto the cleaned text, the full
+    // 8-step classifier training replay over the deduped corpus, the
+    // 'pretrain:' gate bucket, the 8-gram decon probe against RAW
+    // benchmark text, the 'temp:' thresholds over cleaned char mass,
+    // and the 'shard:' manifest). One definition per constant, two
+    // engines.
+    "corpus_pretrain" -> {
+      val vals = pretrainPlanted.map { case (id, t, lg) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)}, ${sqlStr(lg)})" }.mkString(",\n    ")
+      val bw = graft.operators.Lines.badwords
+        .map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+      val fixed =
+        s"""nfc_normalize(regexp_replace(
+           |      replace(replace($MOJ_CHAIN, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+           |      '${graft.functions.Text.scrubRe}', '', 'g'))""".stripMargin
+      val raw = s"""WITH RECURSIVE psrc AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $vals) AS v(doc_id, text, lang)
+         |), pfx AS (
+         |  SELECT doc_id, $fixed AS text, lang FROM psrc
+         |), pbw AS (
+         |  SELECT doc_id, text FROM pfx
+         |  WHERE len(list_filter(
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END,
+         |    x -> list_contains($bw, x))) = 0
+         |), d0 AS (
+         |  SELECT doc_id, text FROM pbw
+         |  WHERE NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT contains(text, '{')
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ll FROM d0
+         |), lln AS (
+         |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+         |    ll[CAST(i AS INT) + 1] AS line
+         |  FROM ls, unnest(range(0, len(ll))) AS u(i)
+         |), flt AS (
+         |  SELECT doc_id, line_idx, line,
+         |    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS lnorm
+         |  FROM lln
+         |  WHERE (CASE WHEN trim(line) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(line), ' +')) END) >= 3
+         |    AND NOT contains(lower(line), 'javascript')
+         |), lrk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lnorm
+         |    ORDER BY doc_id, line_idx) AS rn
+         |  FROM flt
+         |), lout AS (
+         |  SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY line_idx) AS text
+         |  FROM lrk WHERE rn = 1 GROUP BY doc_id
+         |), sp AS (
+         |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM lout
+         |), ppr AS (
+         |  SELECT doc_id, CAST(i AS INT) AS par_idx,
+         |    ps[CAST(i AS INT) + 1] AS par
+         |  FROM sp, unnest(range(0, len(ps))) AS u2(i)
+         |), pn AS (
+         |  SELECT doc_id, par_idx, par,
+         |    regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') AS pnorm
+         |  FROM ppr
+         |  WHERE regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') <> ''
+         |), prk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY pnorm
+         |    ORDER BY doc_id, par_idx) AS rn
+         |  FROM pn
+         |), pout AS (
+         |  SELECT doc_id,
+         |    string_agg(par, chr(10) || chr(10) ORDER BY par_idx) AS text
+         |  FROM prk WHERE rn = 1 GROUP BY doc_id
+         |), ${SH3.replace("FROM documents", "FROM pout")}, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), canon AS (
+         |  SELECT p.doc_id, p.text FROM pout p
+         |  LEFT JOIN clu ON p.doc_id = clu.doc_id
+         |  WHERE clu.cluster_id IS NULL OR clu.cluster_id = p.doc_id
+         |),
+         |${classifySql(8, "8.0").replace("FROM documents", "FROM canon")},
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM f CROSS JOIN w8s w
+         |), grk AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC,
+         |      CAST(('0x' || substr(md5('pretrain:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |        % 1000000 AS BIGINT), doc_id) AS rn,
+         |    (SELECT count(*) FROM scored) AS n
+         |  FROM scored
+         |), gt AS (
+         |  SELECT g.doc_id, g.score, c.text
+         |  FROM grk g JOIN canon c ON g.doc_id = c.doc_id
+         |  WHERE g.rn <= (3 * g.n) // 10
+         |), gsh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 6),
+         |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
+         |  FROM (SELECT doc_id, str_split($NORM, ' ') AS w FROM gt)
+         |), bsh AS (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT unnest(list_distinct(
+         |      CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |      ELSE list_transform(range(1, len(w) - 6),
+         |        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |             w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
+         |    FROM (SELECT str_split($NORM, ' ') AS w FROM documents
+         |          WHERE doc_id % 20 = 7)
+         |  )
+         |), pk2 AS (
+         |  SELECT gt.doc_id, gt.score, gt.text, psrc.lang,
+         |    CAST(length(gt.text) AS BIGINT) AS n_chars
+         |  FROM gt JOIN psrc ON gt.doc_id = psrc.doc_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM gsh JOIN bsh ON gsh.s = bsh.s
+         |    WHERE gsh.doc_id = gt.doc_id)
+         |), tg AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM pk2 GROUP BY lang
+         |), tw AS (
+         |  SELECT lang, mass,
+         |    CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS w_i
+         |  FROM tg
+         |), tt AS (
+         |  SELECT CAST(sum(mass) AS BIGINT) AS total,
+         |    CAST(sum(w_i) AS BIGINT) AS sumw_i FROM tw
+         |), tr AS (
+         |  SELECT lang, CASE WHEN mass = 0 THEN 1000000
+         |    ELSE CAST(floor(least(1.0,
+         |      0.5 * (CAST(w_i AS DOUBLE) / CAST(sumw_i AS DOUBLE))
+         |          * (CAST(total AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000) AS BIGINT)
+         |    END AS thr
+         |  FROM tw, tt
+         |), samp AS (
+         |  SELECT pk2.doc_id, pk2.lang, pk2.score
+         |  FROM pk2 JOIN tr ON pk2.lang = tr.lang
+         |  WHERE CAST(('0x' || substr(md5('temp:' || CAST(pk2.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000000 AS BIGINT) < tr.thr
+         |), man AS (
+         |  SELECT doc_id, lang, score,
+         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 4 AS BIGINT) AS shard_id
+         |  FROM samp
+         |)
+         |SELECT shard_id,
+         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
+         |  doc_id, lang, score
+         |FROM man ORDER BY shard_id, pos""".stripMargin
+      // DuckDB 1.0 inlines CTEs by default: the deep cascade re-reads
+      // the parquet source once per reference (the recursive CC +
+      // 8-step training replay multiply into thousands of scans -> it
+      // exhausts the fd limit before it exhausts the planner).
+      // MATERIALIZE the load-bearing stage boundaries so each stage
+      // evaluates once, like the Spark side's Materialize.once.
+      val matCtes = Seq("psrc", "pfx", "pbw", "lout", "pout", "sh", "clu",
+        "canon", "f", "scored", "grk", "gt", "pk2")
+      matCtes.foldLeft(raw) { (q, n) =>
+        q.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED (")
+      }
+    },
     // 131: paragraph split + normalized fingerprint + keep-first; the
     // shifted union guarantees every paragraph repeats (grouping is by
     // the normalized TEXT on both engines — the sha fingerprint is a

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** The composed end-to-end pretraining-prep flagship (SURVEY §2 #140):
+  * one pipeline chaining the curation stack in its documented order —
+  * the integration face that catches cross-operator contract drift the
+  * per-operator oracles can't (e.g. [[Text.fixText]]'s claim that it
+  * runs BEFORE any dedup keying is finally exercised: an NFD/mojibake
+  * near-dup pair unifies onto one dedup key only WITH the normalize
+  * stage, PretrainSpec pins it).
+  *
+  *   1. encoding/Unicode normalization ([[Text.fixText]])
+  *   2. blocklist page filter ([[Lines.badwordAudit]], C4 §2.2)
+  *   3. C4 line cleaning + cross-doc duplicate-line removal
+  *      ([[Lines.cleanLines]])
+  *   4. paragraph-level exact dedup ([[Lines.dedupParagraphs]])
+  *   5. near-dup cluster dedup, keep-canonical
+  *      ([[Dedup.jaccardPairs]] → [[Dedup.clusters]])
+  *   6. trained classifier gate, top-30% by score
+  *      ([[Classify.scores]] → [[Sampling.topFraction]])
+  *   7. benchmark decontamination ([[Decontaminate.clean]], raw-text
+  *      eval suite)
+  *   8. temperature-flattened language sampling
+  *      ([[Sampling.temperatureSample]], τ=2, 50% char budget over the
+  *      CLEANED char mass)
+  *   9. training-order shard manifest (salted-md5 shard + position,
+  *      the corpus_shard convention)
+  *
+  * Scale shape: every stage keeps its own audited plan — narrow maps
+  * (1, 2), keyed keep-first aggregations (3, 4), the prefix-filtered
+  * pair join + CC (5), the histogram-cascade gate (6), a broadcast
+  * bench probe (7), broadcast threshold joins (8, 9's per-shard
+  * window partitions by shard). Nothing introduced by the composition
+  * shuffles more than its standalone form. */
+object Pretrain {
+
+  /** Stages 1–4 over (doc_id, text): normalize → blocklist → line
+    * clean → paragraph dedup. Returns (doc_id, text) cleaned. */
+  def prepText(src: DataFrame): DataFrame = {
+    val fixed = src.select(col("doc_id"), Text.fixText(col("text")).as("text"))
+    val pageOk = fixed.join(
+      Lines.badwordAudit(fixed).where(col("kept")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val lined = Lines.cleanLines(pageOk)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    Lines.dedupParagraphs(lined)
+      .select(col("doc_id"), col("clean_text").as("text"))
+  }
+
+  /** The full pipeline. `src` = (doc_id, text, lang); `benchmark` =
+    * raw eval docs (doc_id, text). Returns the shard manifest
+    * (shard_id, pos, doc_id, lang, score). */
+  def run(src: DataFrame, benchmark: DataFrame, nShards: Int = 4,
+      keepNum: Long = 3L, keepDen: Long = 10L): DataFrame = {
+    // 1–4 — cleaned text feeds the pair join, the canon join-back, the
+    // classifier, decon, and the sampler: materialize once
+    val pared = graft.Materialize.once(
+      prepText(src.select(col("doc_id"), col("text"))))
+    // 5 — keep-canonical near-dup closure
+    val clu = Dedup.clusters(Dedup.jaccardPairs(pared, k = 3, threshold = 0.5))
+    val canon = graft.Materialize.once(
+      pared.join(clu, Seq("doc_id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"), col("text")))
+    // 6 — classifier trained ON the deduped corpus (training data =
+    // serving data, the corpus_clean_ml discipline), rank gate
+    val scored = graft.Materialize.once(
+      Classify.scores(canon).select(col("doc_id"), col("score")))
+    val gated = Sampling.topFraction(scored, col("score"), col("doc_id"),
+        num = keepNum, den = keepDen, salt = "pretrain")
+      .join(canon, Seq("doc_id"))
+    // 7 — decontaminate the gated docs' CLEANED text against the raw
+    // eval suite (8-gram broadcast probe)
+    val kept = Decontaminate.clean(gated, benchmark, k = 8)
+    // 8 — temperature sampling over cleaned char mass; lang rides in
+    // from the source
+    val langd = graft.Materialize.once(
+      kept.join(src.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val sampled = Sampling.temperatureSample(langd, col("doc_id"),
+      col("lang"), col("n_chars"), tau = 2.0, budgetFrac = 0.5)
+    // 9 — shard manifest (deterministic shard + in-shard order)
+    val key = md5(concat_ws(":", lit("shard"), col("doc_id").cast("string")))
+    val keyed = sampled.select(col("doc_id"), col("lang"), col("score"),
+      key.as("k"),
+      pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong)).as("shard_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard_id"), col("pos"), col("doc_id"), col("lang"),
+        col("score"))
+  }
+}

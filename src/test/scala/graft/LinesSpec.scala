@@ -86,6 +86,32 @@ class LinesSpec extends SparkSpec {
     assert(out(4L)._2 == 2 && out(4L)._3 == 1)
   }
 
+  test("badwordAudit: exact-token blocklist, substring-safe, composes with cleanLines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly clean page with useful words only"),
+      (2L, "this page mentions dup twice because dup is listed"),
+      // substring safety: a blocklisted token INSIDE a longer token
+      // must not fire (the scunthorpe class)
+      (3L, "duplicate and dupont are not the listed token"),
+      (4L, "POISON uppercase normalizes and fires"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Lines.badwordAudit(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (0L, true), 2L -> (2L, false), 3L -> (0L, true),
+      4L -> (1L, false), 5L -> (0L, true)), got.toString)
+    // the C4 composition: blocklist page filter AHEAD of line cleaning
+    val kept = docs.join(
+      graft.operators.Lines.badwordAudit(docs).where(col("kept"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cleaned = graft.operators.Lines.cleanLines(kept)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(!cleaned.contains(2L) && !cleaned.contains(4L),
+      s"blocklisted pages leaked into line cleaning: $cleaned")
+    assert(cleaned.contains(1L) && cleaned.contains(3L), cleaned.toString)
+  }
+
   test("corpus_clean_ml: rank gate keeps floor(0.3 n) canonical-filtered docs") {
     val out = graft.operators.PipelineQueries.queries("corpus_clean_ml")(spark, sfDir)
       .collect()

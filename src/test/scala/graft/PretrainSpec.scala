@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Lines, Pretrain}
+import graft.functions.Text
+
+/** Composed pretraining-prep flagship (SURVEY §2 #140): the
+  * cross-operator contract the per-operator oracles can't see —
+  * fixText's "runs BEFORE any dedup keying" composition point. */
+class PretrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the corpus_pretrain planted pair, re-stated here: -12 NFC/clean,
+  // -11 the same text in NFD form + a mojibake token + CRLF endings
+  private val nfc = (-12L,
+    "café crème brûlée élan planted paragraph one\n" +
+      "planted unique line two here\nplanted unique line three here")
+  private val nfd = (-11L,
+    "café crème brûlée Ã©lan planted paragraph one\r\n" +
+      "planted unique line two here\r\nplanted unique line three here")
+
+  test("NFD/mojibake near-dup pair dedups ONLY with the normalize stage") {
+    val pair = Seq(nfc, nfd).toDF("doc_id", "text")
+    // WITH stage 1 (the full prep): the pair unifies onto one line/
+    // paragraph key — exactly one survivor, the keep-first (-12)
+    val withNorm = Pretrain.prepText(pair)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(withNorm == Set(-12L),
+      s"normalized pair must collapse to the keep-first doc: $withNorm")
+    // WITHOUT stage 1 (raw chain: lines + paragraphs only): the texts
+    // differ byte-wise, so both survive — the drift the composed
+    // pipeline exists to catch
+    val rawLined = Lines.cleanLines(pair)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val rawPared = Lines.dedupParagraphs(rawLined)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(rawPared == Set(-12L, -11L),
+      s"un-normalized pair must NOT dedup (fixture vacuous otherwise): $rawPared")
+    // and the unification really is textual identity after fixText
+    val fx = pair.select(Text.fixText(col("text"))).as[String].collect()
+    assert(fx(0) == fx(1), "fixText must unify the planted pair")
+  }
+
+  test("composed pipeline: stage contracts hold end-to-end on the sf corpus") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val src = doc.select(col("doc_id"), col("text"), col("lang"))
+    val bench = doc.where(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val out = Pretrain.run(src, bench).collect()
+    assert(out.nonEmpty, "pipeline produced an empty corpus")
+    // manifest invariants: positions are dense 1..n per shard
+    val byShard = out.groupBy(_.getLong(0))
+    byShard.foreach { case (sid, rows) =>
+      val ps = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ps == (1L to ps.length).toSeq, s"shard $sid positions not dense: $ps")
+    }
+    val ids = out.map(_.getLong(2)).toSet
+    // no benchmark doc survives decontamination
+    val benchIds = bench.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.intersect(benchIds).isEmpty,
+      "benchmark docs leaked through decontamination")
+    // every survivor is a blocklist-clean page
+    val badIds = Lines.badwordAudit(doc).where(!col("kept"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.intersect(badIds).isEmpty,
+      "blocklisted pages leaked into the manifest")
+    // the gate kept at most 30% of the deduped corpus
+    assert(ids.size <= (doc.count() * 3) / 10,
+      s"gate fraction violated: ${ids.size}")
+  }
+}
