@@ -258,7 +258,23 @@ object ScaleCheck {
       // for the line/paragraph keep-first elections (r13 VERDICT #8 —
       // the plain corpus is all-distinct, near-flat)
       "text_langid2", "text_normalize",
-      "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media")
+      // round-15 keys: blocklist + markup strip are pure narrow maps
+      // (factors ~linear in scan size); corpus_pretrain is the
+      // composed flagship — its factor aggregates every stage's, and
+      // a super-linear reading here names a cross-stage interaction
+      // no standalone row can see
+      "text_badwords", "html_extract", "corpus_pretrain",
+      "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
+      // round-15: topFraction's documented WORST case — a degenerate
+      // all-ties corpus (every score on one grid value) pushes the
+      // ENTIRE selection into the level-2/3 lattice: the whole corpus
+      // is the straddling tie group, the md5-bucket histogram is the
+      // cut, and exactly one partial bucket finishes by row_number.
+      // hist2 is bounded at 10^6 bucket rows regardless of corpus
+      // size (the ~10^4-row partial bucket at 10^10 docs claim), so
+      // the wall must stay ~linear in the data, never in the tie
+      // group squared.
+      "topfraction@ties")
     // args select a subset (targeted re-measurement); the committed
     // artifact always comes from a no-args full run
     val names = if (args.nonEmpty) args.toSeq else defaultNames
@@ -268,11 +284,22 @@ object ScaleCheck {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // fixture-only queries (not part of the oracle surface): the
+    // degenerate all-ties topFraction gate over the dir's documents
+    val extraQueries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "topfraction" -> ((s2, dir) => {
+        val d = s2.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), lit(0.25).as("score"))
+        graft.operators.Sampling.topFraction(d, col("score"), col("doc_id"),
+          num = 3L, den = 10L, salt = "ties")
+      }))
     def minOf2(name: String, dir: String): (Double, Long) = {
       var rows = 0L
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        rows = SparkEntry.queries(name)(spark, dir).count()
+        val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
+        rows = fn(spark, dir).count()
         val s = (System.nanoTime() - t0) / 1e9
         cleanBetween()
         s
@@ -283,6 +310,7 @@ object ScaleCheck {
       val (qname, d1, dN) =
         if (n.endsWith("@boiler")) (n.stripSuffix("@boiler"), boilBase, boilBig)
         else if (n.endsWith("@media")) (n.stripSuffix("@media"), sfDir, mediaBig)
+        else if (n.endsWith("@ties")) (n.stripSuffix("@ties"), sfDir, bigDir)
         else (n, sfDir, bigDir)
       val (t1, rows1) = minOf2(qname, d1)
       val (tN, rowsN) = minOf2(qname, dN)

@@ -332,7 +332,9 @@ object Sampling {
     val w1 = org.apache.spark.sql.expressions.Window
       .orderBy(col("__si").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    // n from the histogram itself (Σ __c counts every row) — one
+    // bounded re-aggregation instead of a second corpus scan
+    val n = broadcast(hist1.agg(sum(col("__c")).as("__n")))
     // grid values still in play: whole groups inside k, plus the one
     // straddling group with its residual quota m1
     val g1 = hist1
