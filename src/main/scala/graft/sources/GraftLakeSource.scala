@@ -30,10 +30,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * under a running query — readers see the old or the new version,
   * never a gap (GraftLakeSpec races them).
   *
-  * Options: `path` (the lake root containing `_current`), and
-  * optionally `version` (`"3"` or `"v-3"`) for time travel onto any
-  * retained immutable version — the read side of
-  * [[StormSinks.vacuumVersions]]'s retention window.
+  * Options: `path` (the lake root containing `_current`), optionally
+  * `version` (`"3"` or `"v-3"`) for time travel onto any retained
+  * immutable version — the read side of
+  * [[StormSinks.vacuumVersions]]'s retention window — and optionally
+  * `table` (a [[StormSinks.writeVersionedGroup]] group-table name):
+  * with `table`, the provider resolves the version's SEGMENT list
+  * (manifest-aware, so delta-segment state lakes read through the
+  * same named source; a legacy whole-table version resolves to its
+  * one subdir) and delegates the multi-path scan. The raw segment
+  * union is what a scan can give — an upsert-keyed table's
+  * latest-wins collapse is a query-level groupBy, so keyed tables go
+  * through [[StormSinks.readGroupTableKeyedAt]] instead.
   *
   * Writes go through [[StormSinks.writeVersioned]] (publishing is a
   * pointer protocol, not a file append — a DSv2 write would bypass
@@ -55,15 +63,25 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 
   private def delegate(options: CaseInsensitiveStringMap): ParquetTable = {
     val spark = SparkSession.active
-    val versionDir = Option(options.get("version")) match {
+    val dir = lakeDir(options)
+    val verName = Option(options.get("version")) match {
       case Some(v) =>
         val n = v.stripPrefix("v-")
         require(n.matches("[0-9]+"), s"version must be N or v-N, got '$v'")
-        s"${lakeDir(options)}/v-$n" // time travel: any retained version
-      case None => StormSinks.currentVersionDir(spark, lakeDir(options))
+        s"v-$n" // time travel: any retained version
+      case None => StormSinks.currentVersionName(spark, dir)
     }
-    ParquetTable(s"graftlake ${lakeDir(options)} ($versionDir)", spark, options,
-      Seq(versionDir), None, classOf[ParquetFileFormat])
+    val paths = Option(options.get("table")) match {
+      case Some(t) =>
+        // group table: the version's ordered segment list (manifest-
+        // aware; one subdir for a legacy whole-table version)
+        val segs = StormSinks.segmentsAt(spark, dir, verName, t)
+        require(segs.nonEmpty, s"graftlake: group table '$t' not present in $dir/$verName")
+        segs
+      case None => Seq(s"$dir/$verName")
+    }
+    ParquetTable(s"graftlake $dir ($verName${Option(options.get("table")).fold("")("/" + _)})",
+      spark, options, paths, None, classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -256,9 +256,10 @@ object StormSinks {
     * layouts interoperate under one pointer history. The maintenance
     * cadence ([[compactGroupSegments]] + [[vacuumSegments]]) folds
     * segments back into a whole-table version and reclaims
-    * unreferenced segment dirs. NOTE the `graftlake` DSv2 format reads
-    * whole version dirs and does not resolve manifests — serve
-    * segmented groups through these readers (or post-compaction). */
+    * unreferenced segment dirs. The `graftlake` DSv2 format resolves
+    * manifests too (`option("table", name)` — the raw segment union;
+    * keyed latest-wins collapse stays a query-level concern,
+    * [[readGroupTableKeyedAt]]). */
   private val ManifestName = "_segments"
 
   /** Parse `v-N/_segments`: ordered (table, relpath) entries. None =
@@ -371,7 +372,17 @@ object StormSinks {
     * dirs behind, which the deterministic replay of the same commit
     * OVERWRITES (version numbering restarts from the committed
     * pointer) and [[vacuumSegments]] reclaims. Requires an existing
-    * base version ([[writeVersionedGroup]] publishes one). */
+    * base version ([[writeVersionedGroup]] publishes one).
+    *
+    * SINGLE-WRITER contract: commits are read-pointer → write →
+    * swap, with no compare-and-swap on the pointer — two concurrent
+    * writers that both resolve version N would both build v-(N+1) and
+    * the second pointer swap silently discards the first commit. The
+    * streaming checkpoints serialize each stream's commits, and each
+    * state dir has exactly ONE owning stream plus the (stop-the-
+    * stream-first) maintenance cadence — multi-writer coordination is
+    * deliberately out of protocol scope, matching the whole-table
+    * versioned-group contract this extends. */
   def appendDeltaGroup(spark: org.apache.spark.sql.SparkSession, dir: String,
       appends: Seq[(String, DataFrame)],
       replaces: Seq[(String, DataFrame)] = Nil): Int = {

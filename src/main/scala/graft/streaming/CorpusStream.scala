@@ -1153,6 +1153,147 @@ object CorpusStream {
       .start()
   }
 
+  // ------------------------------------- streaming pretrain-prep gate
+  /** Publish the composed pretrain-prep state: ONE versioned group
+    * holding BOTH registries the fused gate probes — `line_fps` =
+    * sha-256 fingerprints of every rule-surviving normalized line of
+    * the corpus's html-stripped/normalized text, and `par_fps` =
+    * fingerprints of every paragraph of the corpus's LINE-CLEANED
+    * text (the batch composition's stage order: paragraphs dedup
+    * against cleaned paragraphs, exactly what
+    * [[graft.operators.Pretrain.prepText]] keys on). One group = one
+    * pointer = the two registries can never be observed half-
+    * committed, which is what lets the fused stream keep ONE
+    * batch_seq replay gate across both stages. */
+  def publishPretrainIndex(corpus: DataFrame, dir: String,
+      minWords: Int = 3): Unit = graft.Materialize.scoped {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fixed = graft.Materialize.once(normalizePages(corpus))
+    val lineFps = graft.operators.Lines
+      .ruleLines(fixed, minWords, requireTerminalPunct = false)
+      .select(sha2(col("lnorm"), 256).as("fp")).distinct()
+    val cleaned = graft.operators.Lines.cleanLines(fixed, minWords)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val parFps = graft.operators.Lines.paragraphs(cleaned)
+      .select(col("fp")).distinct()
+    graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "line_fps" -> lineFps, "par_fps" -> parFps,
+      "meta" -> Seq(-1L).toDF("last_batch")))
+    ()
+  }
+
+  /** The stateless head of the pretrain-prep stream: html strip →
+    * fixText → blocklist page filter, over (doc_id, text[, ...]).
+    * Narrow maps only — identical in batch and stream. */
+  private def normalizePages(docs: DataFrame): DataFrame = {
+    val fixed = docs.select(col("doc_id"),
+      Text.fixText(graft.functions.Html.extractText(col("text"))).as("text"))
+    fixed.join(
+      graft.operators.Lines.badwordAudit(fixed).where(col("kept"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** Streaming pretrain prep — stages 1–4 of the composed pipeline
+    * ([[graft.operators.Pretrain.prepText]], plus the html strip in
+    * front) as a continuous-ingest gate: per micro-batch, strip +
+    * normalize + blocklist-filter the pages (stateless), drop every
+    * line the deployment has already published, keep-first within the
+    * batch, reassemble, then dedup the RESULTING paragraphs against
+    * the published cleaned-paragraph registry (keep-first within
+    * batch), emit (doc_id, clean_text, n_pars, n_removed, batch_seq),
+    * and commit BOTH registries' batch-sized deltas + the one-row
+    * meta as ONE [[graft.sources.StormSinks.appendDeltaGroup]] version.
+    *
+    * Crash interleavings collapse to startLineClean's, because the
+    * two registries share one pointer and one batch_seq gate: a crash
+    * before the commit replays byte-identically against the OLD
+    * snapshot (the reader collapses duplicate output rows); a crash
+    * after skips via the gate. A two-dir design would have a third
+    * state — lines committed, paragraphs not — from which the batch's
+    * output could NOT be deterministically reproduced; the single
+    * group removes that state by construction.
+    *
+    * Scale: per-trigger state I/O is O(batch) (two fresh-fps delta
+    * segments + one meta row); the registry anti-joins are plain
+    * shuffle joins; everything else is batch-sized. Downstream stages
+    * (near-dup CC, classifier gate, decon, sampling) stay batch jobs
+    * over the emitted lake — they are corpus-global fixpoints with no
+    * single-pass incremental form (the [[CorpusStream]] object doc's
+    * CC note), which is exactly the lake/stream split 95d/120 use. */
+  def startPretrainPrep(spark: SparkSession, inDir: String,
+      stateDir: String, outDir: String, checkpointDir: String,
+      minWords: Int = 3, maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val committed = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/pretrain/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startPretrainPrep: the registry group at " +
+          s"$stateDir has committed batches up to $committed but the " +
+          s"checkpoint at $checkpointDir/pretrain has no committed offsets: " +
+          "batch ids would restart at 0 and every replayed batch would be " +
+          "skipped by the replay gate (its documents silently never " +
+          "emitted). Restore the original checkpoint, or republish the " +
+          "registries (publishPretrainIndex) to start a new stream.")
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          // one resolution = one consistent (line_fps, par_fps, meta)
+          val verName = StormSinks.currentVersionName(s2, stateDir)
+          val lastBatch = StormSinks
+            .readGroupTableAt(s2, stateDir, verName, "meta").head().getLong(0)
+          if (batchId > lastBatch) {
+            val seenL = StormSinks.readGroupTableAt(s2, stateDir, verName, "line_fps")
+            val seenP = StormSinks.readGroupTableAt(s2, stateDir, verName, "par_fps")
+            val pages = normalizePages(batch)
+            val lines = graft.Materialize.once(graft.operators.Lines
+              .ruleLines(pages, minWords, requireTerminalPunct = false)
+              .withColumn("fp", sha2(col("lnorm"), 256)))
+            val freshL = graft.Materialize.once(
+              lines.join(seenL, Seq("fp"), "left_anti"))
+            val cleaned = graft.operators.Lines.assembleKeepFirst(freshL)
+              .select(col("doc_id"), col("clean_text").as("text"))
+            val pars = graft.Materialize.once(
+              graft.operators.Lines.paragraphs(cleaned))
+            val freshP = graft.Materialize.once(
+              pars.join(seenP, Seq("fp"), "left_anti"))
+            sizedBatchOutput(graft.operators.Lines
+              .assembleParagraphsKeepFirst(freshP, pars)
+              .withColumn("batch_seq", lit(batchId)))
+              .write.mode("append").parquet(outDir)
+            import s2.implicits._
+            // ONE atomic commit for both registries: O(batch) deltas
+            StormSinks.appendDeltaGroup(s2, stateDir,
+              appends = Seq(
+                "line_fps" -> freshL.select(col("fp")).distinct(),
+                "par_fps" -> freshP.select(col("fp")).distinct()),
+              replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/pretrain")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[compactRegistry]] for the [[startPretrainPrep]] group. */
+  def compactPretrainIndex(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): Unit = compactRegistry(spark, dir, keepVersions)
+
+  /** The pretrain-prep stream's output, one row per doc, newest batch
+    * wins (the latestCleanLines collapse). Empty on cold start. */
+  def latestPretrainPrep(spark: SparkSession, outDir: String): DataFrame =
+    latestParagraphDedup(spark, outDir)
+
   /** The paragraph-dedup stream's output, one row per doc: a doc
     * re-emitted in a later batch resolves to the NEWEST row
     * deterministically (the latestCleanLines collapse). Empty on cold

@@ -601,6 +601,83 @@ class CorpusStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed offsets"))
   }
 
+  test("pretrain-prep stream: single-batch parity, cross-batch both-registry dedup, one atomic state group") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pretrain-stream").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: owns a boilerplate line AND (via its cleaned text) a
+    // paragraph; plus enough body to survive the rules
+    val corpus = Seq(doc(1L,
+      "corpus only content line here\nsubscribe to our newsletter today" +
+        "\n\ncorpus owned paragraph body text")).toDF(cols: _*)
+    CorpusStream.publishPretrainIndex(corpus, s"$base/state")
+    // wave 1: HTML page — fresh line + corpus-owned footer (drop) +
+    // a paragraph equal to the corpus's cleaned paragraph (drop)
+    val w1 = Seq(doc(10L,
+      "<html><body><p>wave one fresh line alpha</p>" +
+        "<p>subscribe to our newsletter today</p>" +
+        "<script>tracking()</script></body></html>" +
+        "<p>corpus owned paragraph body text</p>"))
+      .toDF(cols: _*)
+    w1.coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out1 = CorpusStream.latestPretrainPrep(spark, s"$base/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out1 == Map(10L -> "wave one fresh line alpha"),
+      s"wave-1 output wrong: $out1")
+    // single-batch parity against the BATCH composition on an empty
+    // registry: stream == prepText(html-extracted page)
+    val empty = Seq.empty[(Long, String, String, String, Int)].toDF(cols: _*)
+    CorpusStream.publishPretrainIndex(empty, s"$base/state2")
+    w1.coalesce(1).write.parquet(s"$base/in2")
+    CorpusStream.startPretrainPrep(spark, s"$base/in2", s"$base/state2",
+      s"$base/out2", s"$base/cp2", maxFilesPerTrigger = 1).awaitTermination()
+    val got = CorpusStream.latestPretrainPrep(spark, s"$base/out2")
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.operators.Pretrain.prepText(w1.select(col("doc_id"),
+        graft.functions.Html.extractText(col("text")).as("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"stream=$got batch=$want")
+    // wave 2: repeats wave-1's fresh LINE (registry-owned now) and
+    // adds a fresh paragraph; the blocklisted page drops wholesale
+    val w2 = Seq(
+      doc(20L, "wave one fresh line alpha\n\nsecond wave novel paragraph here"),
+      doc(21L, "this page mentions dup and is dropped wholesale"))
+      .toDF(cols: _*)
+    w2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val out2 = CorpusStream.latestPretrainPrep(spark, s"$base/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(
+      10L -> "wave one fresh line alpha",
+      20L -> "second wave novel paragraph here"), s"wave-2 wrong: $out2")
+    // replay adds nothing
+    val before = spark.read.parquet(s"$base/out").count()
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == before,
+      "replay re-emitted docs")
+    // BOTH registries live under ONE pointer with O(batch) deltas:
+    // the commit's segment holds only the batch's fresh fps
+    val verName = graft.sources.StormSinks.currentVersionName(spark, s"$base/state")
+    val tables = graft.sources.StormSinks.groupTablesAt(spark, s"$base/state", verName)
+    assert(tables.toSet == Set("line_fps", "par_fps", "meta"), tables.toString)
+    assert(spark.read.parquet(s"$base/state/seg-1/line_fps").count() == 1,
+      "wave-1 line delta must hold exactly the one fresh line")
+    assert(spark.read.parquet(s"$base/state/seg-1/par_fps").count() == 1,
+      "wave-1 paragraph delta must hold exactly the one fresh paragraph")
+    // freshness guard
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp-lost", maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("no committed offsets"))
+  }
+
   test("registry commits are O(batch): base segments untouched, deltas batch-sized, compaction folds") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-obatch-registry").toString

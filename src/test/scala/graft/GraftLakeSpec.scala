@@ -140,6 +140,34 @@ class GraftLakeSpec extends SparkSpec {
     assert(viaLake.nonEmpty)
   }
 
+  test("option(table) reads a group table through its manifest segments") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-seg-lake").toString + "/state"
+    StormSinks.writeVersionedGroup(spark, lake, Seq(
+      "fps" -> Seq("a", "b").toDF("fp"), "meta" -> Seq(-1L).toDF("last_batch")))
+    StormSinks.appendDeltaGroup(spark, lake,
+      appends = Seq("fps" -> Seq("c", "d").toDF("fp")),
+      replaces = Seq("meta" -> Seq(0L).toDF("last_batch")))
+    // the named source resolves the manifest: base ∪ delta segments
+    val got = spark.read.format("graftlake").option("table", "fps")
+      .load(lake).as[String].collect().toSet
+    assert(got == Set("a", "b", "c", "d"), got.toString)
+    // replace-mode table: only the newest segment
+    assert(spark.read.format("graftlake").option("table", "meta")
+      .load(lake).head().getLong(0) == 0L)
+    // time travel composes: the base version's fps has no delta
+    assert(spark.read.format("graftlake").option("table", "fps")
+      .option("version", "0").load(lake).count() == 2)
+    // a legacy whole-table version resolves to its one subdir
+    assert(spark.read.format("graftlake").option("table", "meta")
+      .option("version", "v-0").load(lake).head().getLong(0) == -1L)
+    // unknown table is a clear error
+    val e = intercept[Exception] {
+      spark.read.format("graftlake").option("table", "nope").load(lake).count()
+    }
+    assert(e.getMessage.contains("not present"), e.getMessage)
+  }
+
   test("time travel: option(version) reads a retained older version") {
     val (dir, n, enriched) = freshLake()
     // v1 drops half the rows; v0 stays readable via time travel
