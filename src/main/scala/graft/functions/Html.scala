@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object Html {
 
   /** Invisible-element spans, dropped wholesale (non-greedy, dotall,
-    * case-insensitive). Comments use `[^-]` guards instead of `.*?`
-    * backtracking pathology on unclosed comments. */
+    * case-insensitive). An UNCLOSED script/style/comment simply never
+    * matches its span pattern — the open tag then falls to the
+    * generic tag strip and the (dead) content survives as text, a
+    * deliberate fail-open: dropping to end-of-document on a truncated
+    * page would eat real content. */
   val dropRes: Seq[String] = Seq(
     "(?is)<script[^>]*>.*?</script>",
     "(?is)<style[^>]*>.*?</style>",

@@ -1062,16 +1062,26 @@ object Dedup {
     * remapping every corpus doc it emits only
     *  (a) corpus label rows whose cluster_id is a quotient node that
     *      CC moved (broadcast-hash join of labels against the
-    *      batch-pair-sized quotient — a labels scan, no shuffle), and
-    *  (b) one row per batch doc (new or replayed — identical values
+    *      batch-pair-sized quotient — a labels scan, no shuffle),
+    *  (b) UNLABELED corpus endpoints of the new pairs that the
+    *      quotient moved — a lake published under the pre-coverage
+    *      layout (labels = paired docs only) has them, and dropping
+    *      their updates would silently diverge from a full recompute
+    *      (the endpoint set is batch-pair-bounded, and labeled-vs-not
+    *      resolves with ONE more broadcast-semi labels scan), and
+    *  (c) one row per batch doc (new or replayed — identical values
     *      on replay, so the latest-wins collapse is a no-op).
-    * Relies on the full-coverage contract: with every corpus doc
-    * labeled, no corpus doc can be remapped through its raw doc_id. */
+    * With the publishers' full-coverage invariant (b) is empty; it
+    * exists so a legacy partial-labels lake stays exactly
+    * effective-label-equivalent to [[quotientMerge]]. */
   private def quotientMergeDelta(newPairs: DataFrame, corpusLabels: DataFrame,
       batchIds: DataFrame): DataFrame = {
+    // the pair probe is the expensive input and now has TWO consumers
+    // (the contraction and the endpoint set) — materialize once
+    val pairs = graft.Materialize.once(newPairs)
     val lbl = corpusLabels.select(col("doc_id"), col("cluster_id"))
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
-    val e = newPairs
+    val e = pairs
       .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
         Seq("doc_a"), "left")
       .join(lbl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
@@ -1085,10 +1095,27 @@ object Dedup {
       .join(broadcast(q.withColumnRenamed("node", "cluster_id")), Seq("cluster_id"))
       .where(col("qlab") =!= col("cluster_id"))
       .select(col("doc_id"), col("qlab").as("cluster_id"))
+    // (b): corpus endpoints with NO label row entered the contraction
+    // as their raw doc_id — if the quotient moved that node, the doc
+    // needs an explicit delta row (batch-pair-bounded set; both joins
+    // broadcast the small side, the labels side is a semi SCAN)
+    val corpusEndpoints = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .dropDuplicates("doc_id")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val labeledEp = lbl
+      .join(broadcast(corpusEndpoints), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"))
+    val selfRemap = corpusEndpoints
+      .join(broadcast(labeledEp), Seq("doc_id"), "left_anti")
+      .join(broadcast(q.withColumnRenamed("node", "doc_id")), Seq("doc_id"))
+      .where(col("qlab") =!= col("doc_id"))
+      .select(col("doc_id"), col("qlab").as("cluster_id"))
     val batchSide = batchIds
       .join(broadcast(q.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
-    relabeled.unionByName(batchSide)
+    relabeled.unionByName(selfRemap).unionByName(batchSide)
   }
 
   // ------------------------------------------ 93: asymmetric containment

@@ -93,11 +93,22 @@ object Lines {
     * branch) and absent ones (the keep branch). */
   val badwords: Seq[String] = Seq("dup", "poison", "hazmat", "contraband")
 
+  /** Blocklist PAGE FILTER as a pure narrow predicate: keep rows with
+    * zero blocklisted tokens. This is the composition form — a
+    * semi-join against [[badwordAudit]] would shuffle two corpus-sized
+    * sides for what one codegen'd array-HOF `.where` expresses. */
+  def dropBadwordPages(docs: DataFrame): DataFrame = {
+    val arr = array(badwords.map(lit): _*)
+    docs.where(size(filter(graft.functions.Text.tokensOrEmpty(col("text")),
+      t => array_contains(arr, t))) === 0)
+  }
+
   /** Per-page blocklist audit: (doc_id, n_bad, kept) — `n_bad` counts
     * blocklisted tokens (with multiplicity), `kept` = no hits. A pure
     * narrow map over the token array (array HOF against a 4-element
     * literal array — codegen'd, zero shuffles at any corpus size);
-    * page filtering composes as `.where(col("kept"))`. */
+    * page filtering composes through [[dropBadwordPages]] (the
+    * narrow `.where` form — never a semi-join back onto the corpus). */
   def badwordAudit(docs: DataFrame): DataFrame = {
     val arr = array(badwords.map(lit): _*)
     docs.select(col("doc_id"),

@@ -41,9 +41,8 @@ object Pretrain {
     * clean → paragraph dedup. Returns (doc_id, text) cleaned. */
   def prepText(src: DataFrame): DataFrame = {
     val fixed = src.select(col("doc_id"), Text.fixText(col("text")).as("text"))
-    val pageOk = fixed.join(
-      Lines.badwordAudit(fixed).where(col("kept")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // narrow blocklist predicate — no join back onto the corpus
+    val pageOk = Lines.dropBadwordPages(fixed)
     val lined = Lines.cleanLines(pageOk)
       .select(col("doc_id"), col("clean_text").as("text"))
     Lines.dedupParagraphs(lined)

@@ -499,16 +499,31 @@ object StormSinks {
   }
 
   /** Delete version dirs older than the current minus `keep` (the
-    * retention window for in-flight readers). Returns deleted names. */
+    * retention window for in-flight readers) — EXCEPT any version dir
+    * a retained version's manifest still references as a segment
+    * root. Delta-version manifests carry their legacy BASE's tables
+    * as `v-K/<table>` relpaths (the synthesized one-segment manifest
+    * of a whole-table publish), so a naive delete-by-number would
+    * destroy the CURRENT version's base data out from under the
+    * pointer. Segment roots referenced by retained manifests are
+    * load-bearing, whatever their age; [[compactGroupSegments]] is
+    * what ends a base's tenure (after it, no retained manifest
+    * references the old root and the next vacuum reclaims it).
+    * Returns deleted names. */
   def vacuumVersions(spark: org.apache.spark.sql.SparkSession, dir: String,
       keep: Int = 1): Seq[String] = {
     require(keep >= 0, s"keep must be >= 0, got $keep")
     val fs = fsFor(spark, dir)
     val (cur, _) = readPointer(fs, dir).getOrElse(return Seq.empty)
+    val retained = (math.max(0, cur - keep) to cur).map(n => s"v-$n")
+    val referenced = retained
+      .flatMap(v => manifestOrLegacy(fs, dir, v))
+      .map(_._2.split("/")(0)).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .map(_.getPath)
       .filter(p => p.getName.matches("v-[0-9]+") &&
-        p.getName.stripPrefix("v-").toInt < cur - keep)
+        p.getName.stripPrefix("v-").toInt < cur - keep &&
+        !referenced.contains(p.getName))
       .map { p => fs.delete(p, true); p.getName }
   }
 

@@ -72,8 +72,13 @@ object CorpusStream {
       .getOption("spark.graft.stream.rowsPerFile").map(_.toLong)
       .getOrElse(4000000L)
     require(rowsPerFile > 0, s"spark.graft.stream.rowsPerFile must be > 0")
-    val n = df.count()
-    df.repartition(math.max(1L, math.min(1024L,
+    // materialize before sizing: count() would otherwise execute the
+    // full output plan once for the size and AGAIN for the write
+    // (every caller sits inside Materialize.scoped, so the frame is
+    // freed with the batch)
+    val m = graft.Materialize.once(df)
+    val n = m.count()
+    m.repartition(math.max(1L, math.min(1024L,
       (n + rowsPerFile - 1) / rowsPerFile)).toInt)
   }
 
@@ -299,6 +304,25 @@ object CorpusStream {
     else StormSinks.readGroupTableAt(spark, dir, ver, name)
   }
 
+  /** Maintenance-cadence compaction for a cluster lake/state group:
+    * folds the streaming delta segments into one whole-table version
+    * with the labels' latest-wins collapse APPLIED (a plain
+    * [[graft.sources.StormSinks.compactGroupSegments]] without the
+    * keyed map would bake stale duplicate label rows into one segment,
+    * where the keyed reader's single-segment fast path would serve
+    * them raw — always compact labels keyed), then vacuums superseded
+    * versions and unreferenced segments. The indexed layout usually
+    * compacts through [[republishClusterIndex]] instead (its
+    * whole-group rewrite already collapses labels). */
+  def compactClusterLake(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): Unit = {
+    graft.sources.StormSinks.compactGroupSegments(spark, dir,
+      keyed = Map("labels" -> Seq("doc_id")))
+    graft.sources.StormSinks.vacuumVersions(spark, dir, keepVersions)
+    graft.sources.StormSinks.vacuumSegments(spark, dir)
+    ()
+  }
+
   /** Streaming incremental cluster maintenance — the continuous-ingest
     * face of [[graft.operators.Dedup.incrementalClusters]]: each
     * micro-batch of documents merges into the published cluster lake
@@ -313,7 +337,7 @@ object CorpusStream {
     * corpus docs table nor the labels table is ever rewritten in
     * stream; readers resolve labels through the latest-wins collapse
     * ([[readClusterLake]]) and the maintenance cadence compacts
-    * ([[graft.sources.StormSinks.compactGroupSegments]]). Corpus CC
+    * through [[compactClusterLake]] (labels MUST compact keyed). Corpus CC
     * never re-runs; per-batch CC cost is quotient-sized. The
     * corpus-linear piece per batch is the posting/df scan inside the
     * pair probe (see jaccardPairsTouching's lake note).
@@ -360,14 +384,21 @@ object CorpusStream {
           val b = graft.Materialize.once(
             batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
           // genuinely-new docs only: re-ingested ids are found with a
-          // corpus SCAN (broadcast semi) and anti-joined out of the
-          // delta, so docs segments stay disjoint with no corpus shuffle
+          // corpus SCAN (broadcast semi) and anti-joined out, so docs
+          // segments stay disjoint with no corpus shuffle. bNew (not
+          // b) also feeds the MERGE: a committed doc_id's text is
+          // authoritative — re-delivering an id with CHANGED text must
+          // not relabel the lake from text the docs table doesn't
+          // hold (content updates go through deletion + re-ingest,
+          // LakeDeletion.deleteFromClusterLake). A replayed committed
+          // batch therefore merges nothing, trivially idempotent.
           val dupIds = corpus.select(col("doc_id"))
             .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-          val bNew = b.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          val bNew = graft.Materialize.once(
+            b.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
           val delta = graft.Materialize.once(
             graft.operators.Dedup.incrementalClustersDelta(
-              corpus, labels, b, k, threshold))
+              corpus, labels, bNew, k, threshold))
           StormSinks.appendDeltaGroup(s2, lakeDir,
             appends = Seq("docs" -> bNew, "labels" -> delta))
         }
@@ -462,16 +493,19 @@ object CorpusStream {
           val fresh0 = StormSinks.readGroupTableAt(s2, stateDir, sVerName, "fresh")
           val b = graft.Materialize.once(
             batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
-          // genuinely-new docs only (corpus scan + broadcast, no shuffle);
-          // the SAME delta extends `fresh` — a doc already in docs is
-          // either indexed or already in fresh, so the probe covers it
+          // genuinely-new docs only (corpus scan + broadcast, no
+          // shuffle); the SAME delta extends `fresh` — a doc already
+          // in docs is either indexed or already in fresh, so the
+          // probe covers it. bNew (not b) also feeds the merge:
+          // committed ids are text-authoritative (see
+          // startIncrementalClusters), so replays merge nothing.
           val dupIds = docs0.select(col("doc_id"))
             .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
           val bNew = graft.Materialize.once(
             b.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
           val delta = graft.Materialize.once(
             graft.operators.Dedup.incrementalClustersLakeAtDelta(
-              iVer, labels0, fresh0, b, k, threshold))
+              iVer, labels0, fresh0, bNew, k, threshold))
           StormSinks.appendDeltaGroup(s2, stateDir,
             appends = Seq("docs" -> bNew, "labels" -> delta, "fresh" -> bNew))
         }
@@ -898,7 +932,14 @@ object CorpusStream {
     * keeps a replayed-after-republish batch from mixing two weight
     * versions row-by-row. Empty on cold start. */
   def latestClassifyScores(spark: SparkSession, outDir: String): DataFrame = {
-    val t = try spark.read.parquet(outDir) catch {
+    // mergeSchema: an outDir holding pre-model_ver files ALONGSIDE
+    // versioned ones must surface the column (plain read takes the
+    // schema of an arbitrary first file — if a legacy file wins, every
+    // row would coerce to version 0 and the collapse would degrade to
+    // batch_seq-major, resurrecting exactly the stale-row shadowing
+    // the freshness guard exists to prevent); legacy ROWS then read
+    // the column as null and coalesce to version 0 individually.
+    val t = try spark.read.option("mergeSchema", "true").parquet(outDir) catch {
       case _: org.apache.spark.sql.AnalysisException =>
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -916,8 +957,9 @@ object CorpusStream {
     // freshness guard rejects that lineage-less restart at start, so
     // rows here always come from one checkpoint lineage per model_ver.
     // Outputs written before model_ver existed read as version 0.
-    val tv = if (t.columns.contains("model_ver")) t
-      else t.withColumn("model_ver", lit(0L))
+    val tv = if (t.columns.contains("model_ver"))
+      t.withColumn("model_ver", coalesce(col("model_ver"), lit(0L)))
+    else t.withColumn("model_ver", lit(0L))
     tv.groupBy(col("doc_id"))
       .agg(max(struct(col("model_ver"), col("batch_seq"), col("score"),
         col("pred"), col("label"))).as("m"))
@@ -1186,13 +1228,10 @@ object CorpusStream {
   /** The stateless head of the pretrain-prep stream: html strip →
     * fixText → blocklist page filter, over (doc_id, text[, ...]).
     * Narrow maps only — identical in batch and stream. */
-  private def normalizePages(docs: DataFrame): DataFrame = {
-    val fixed = docs.select(col("doc_id"),
-      Text.fixText(graft.functions.Html.extractText(col("text"))).as("text"))
-    fixed.join(
-      graft.operators.Lines.badwordAudit(fixed).where(col("kept"))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
-  }
+  private def normalizePages(docs: DataFrame): DataFrame =
+    graft.operators.Lines.dropBadwordPages(
+      docs.select(col("doc_id"),
+        Text.fixText(graft.functions.Html.extractText(col("text"))).as("text")))
 
   /** Streaming pretrain prep — stages 1–4 of the composed pipeline
     * ([[graft.operators.Pretrain.prepText]], plus the html strip in

@@ -257,6 +257,32 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("cluster stream: re-delivered id with CHANGED text leaves the lake unchanged") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-corpus-retext").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") < 100)
+    CorpusStream.publishClusterLake(corpus, s"$base/lake")
+    def snapshot() = (
+      CorpusStream.readClusterLake(spark, s"$base/lake", "docs")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap,
+      CorpusStream.readClusterLake(spark, s"$base/lake", "labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (docs0, labels0) = snapshot()
+    // re-deliver committed doc 5 with DIFFERENT text: a committed id's
+    // text is authoritative — merging from text the docs table doesn't
+    // hold would publish labels a full recompute from docs could never
+    // reproduce (content updates go through deletion + re-ingest)
+    corpus.where(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(5L))
+      .coalesce(1).write.parquet(s"$base/in")
+    CorpusStream.startIncrementalClusters(spark, s"$base/in", s"$base/lake",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val (docs1, labels1) = snapshot()
+    assert(docs1 == docs0, "changed-text re-delivery mutated the docs table")
+    assert(labels1 == labels0, "changed-text re-delivery relabeled the lake")
+  }
+
   test("INDEXED streaming clusters == full batch CC across an index republish") {
     val base = Files.createTempDirectory("graft-corpus-idxclu").toString
     val docs = Tables.documents(spark, sfDir)

@@ -293,6 +293,37 @@ class DedupSpec extends SparkSpec {
     assert((full ++ replay) == full, s"replay delta changed labels: $replay")
   }
 
+  test("incrementalClustersDelta: legacy PARTIAL labels stay effective-label-correct") {
+    import spark.implicits._
+    // a lake published before the full-coverage invariant: labels hold
+    // paired docs only — doc 10 is an unpaired singleton with NO row
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, ta), (2L, ta + " eta"),
+      (10L, "omicron pi rho sigma tau upsilon")).toDF("doc_id", "text")
+    val partial = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(corpus, k = 2, threshold = 0.4))
+    assert(partial.where(col("doc_id") === 10L).count() == 0,
+      "fixture vacuous: doc 10 must be unlabeled")
+    // batch doc 3 (< 10) near-dups the unlabeled doc: the quotient
+    // moves node 10 to label 3, and the delta MUST carry that row —
+    // dropping it would diverge from a full recompute forever
+    val batch = Seq((3L, "omicron pi rho sigma tau phi")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = m(graft.operators.Dedup.incrementalClustersDelta(
+      corpus, partial, batch, k = 2, threshold = 0.4))
+    val full = m(graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(corpus.unionByName(batch),
+        k = 2, threshold = 0.4)))
+    val effective = m(partial) ++ delta
+    for (id <- Seq(1L, 2L, 3L, 10L))
+      assert(effective.getOrElse(id, id) == full.getOrElse(id, id),
+        s"doc $id: effective=${effective.getOrElse(id, id)} full=${full.getOrElse(id, id)}")
+    assert(delta.get(10L).contains(3L),
+      s"unlabeled corpus endpoint's remap missing from delta: $delta")
+  }
+
   test("lake-indexed probe: pairs and labels identical to in-session, batch-sized rank only") {
     val all = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))

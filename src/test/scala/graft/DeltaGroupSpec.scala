@@ -98,6 +98,31 @@ class DeltaGroupSpec extends SparkSpec {
     assert(fps == Set("a", "b", "c"), fps.toString)
   }
 
+  test("vacuum never deletes a version dir that retained manifests still reference") {
+    val dir = Files.createTempDirectory("graft-delta-vacuum-safe").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "docs" -> Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")))
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("docs" -> Seq((3L, "c")).toDF("doc_id", "text")))
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("docs" -> Seq((4L, "d")).toDF("doc_id", "text")))
+    // v-1/v-2 manifests reference v-0/docs as their BASE segment: a
+    // delete-by-number vacuum would destroy the CURRENT version's
+    // corpus (the r15 review's data-loss scenario)
+    val deleted = StormSinks.vacuumVersions(spark, dir, keep = 1)
+    assert(deleted.isEmpty, s"vacuum deleted referenced base: $deleted")
+    assert(new java.io.File(s"$dir/v-0/docs").exists)
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "docs").count() == 4)
+    // compaction ends the base's tenure: after it no retained manifest
+    // references v-0, so the next vacuum reclaims everything old
+    StormSinks.compactGroupSegments(spark, dir)
+    val deleted2 = StormSinks.vacuumVersions(spark, dir, keep = 0)
+    assert(deleted2.toSet == Set("v-0", "v-1", "v-2"), deleted2.toString)
+    StormSinks.vacuumSegments(spark, dir)
+    assert(!new java.io.File(s"$dir/seg-1").exists)
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "docs").count() == 4)
+  }
+
   test("compaction folds segments to one whole-table version; vacuum reclaims segments") {
     val dir = Files.createTempDirectory("graft-delta-compact").toString
     StormSinks.writeVersionedGroup(spark, dir, Seq(
