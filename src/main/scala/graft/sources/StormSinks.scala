@@ -394,15 +394,15 @@ object StormSinks {
         s"appendDeltaGroup needs a published base version under $dir"))
     val next = curN + 1
     val cur = manifestOrLegacy(fs, dir, curName)
+    val appendNames = appends.map(_._1).toSet
+    val replaceNames = replaces.map(_._1).toSet
+    require(appendNames.intersect(replaceNames).isEmpty,
+      "a table cannot be both appended and replaced in one commit")
     (appends ++ replaces).foreach { case (name, df) =>
       require(name.nonEmpty && !name.contains("/") && name != ManifestName,
         s"bad group table name '$name'")
       df.write.mode("overwrite").parquet(s"$dir/seg-$next/$name")
     }
-    val appendNames = appends.map(_._1).toSet
-    val replaceNames = replaces.map(_._1).toSet
-    require(appendNames.intersect(replaceNames).isEmpty,
-      "a table cannot be both appended and replaced in one commit")
     val carried = cur.filterNot { case (t, _) => replaceNames.contains(t) }
     val fresh = (appends ++ replaces).map { case (t, _) => t -> s"seg-$next/$t" }
     writeManifestFile(fs, dir, s"v-$next", carried ++ fresh)

@@ -396,11 +396,17 @@ object CorpusStream {
             .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
           val bNew = graft.Materialize.once(
             b.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
-          val delta = graft.Materialize.once(
-            graft.operators.Dedup.incrementalClustersDelta(
-              corpus, labels, bNew, k, threshold))
-          StormSinks.appendDeltaGroup(s2, lakeDir,
-            appends = Seq("docs" -> bNew, "labels" -> delta))
+          // a replayed committed batch has bNew empty (and therefore
+          // an empty delta) — skip the commit entirely rather than
+          // growing the version history with empty segments
+          if (!bNew.isEmpty) {
+            val delta = graft.Materialize.once(
+              graft.operators.Dedup.incrementalClustersDelta(
+                corpus, labels, bNew, k, threshold))
+            StormSinks.appendDeltaGroup(s2, lakeDir,
+              appends = Seq("docs" -> bNew, "labels" -> delta))
+            ()
+          }
         }
         ()
       }
@@ -503,11 +509,15 @@ object CorpusStream {
             .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
           val bNew = graft.Materialize.once(
             b.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
-          val delta = graft.Materialize.once(
-            graft.operators.Dedup.incrementalClustersLakeAtDelta(
-              iVer, labels0, fresh0, bNew, k, threshold))
-          StormSinks.appendDeltaGroup(s2, stateDir,
-            appends = Seq("docs" -> bNew, "labels" -> delta, "fresh" -> bNew))
+          // replayed committed batch -> empty bNew -> skip the commit
+          if (!bNew.isEmpty) {
+            val delta = graft.Materialize.once(
+              graft.operators.Dedup.incrementalClustersLakeAtDelta(
+                iVer, labels0, fresh0, bNew, k, threshold))
+            StormSinks.appendDeltaGroup(s2, stateDir,
+              appends = Seq("docs" -> bNew, "labels" -> delta, "fresh" -> bNew))
+            ()
+          }
         }
         ()
       }

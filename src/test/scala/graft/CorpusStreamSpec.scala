@@ -371,6 +371,17 @@ class CorpusStreamSpec extends SparkSpec {
     assert(a3.isEmpty, s"lake-dedup stream leaked blocks: $a3")
     assert(spark.read.parquet(s"$base/out3").count() > 0, "dedup stream wrote nothing")
 
+    // the pretrain-prep gate materializes FOUR frames per batch
+    // (lines, fresh lines, paragraphs, fresh paragraphs) plus the
+    // sized-output frame — all must die with the batch scope
+    CorpusStream.publishPretrainIndex(corpus, s"$base/pstate")
+    val b5 = spark.sparkContext.getPersistentRDDs.keySet
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/pstate",
+        s"$base/out5", s"$base/cp5", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val a5 = spark.sparkContext.getPersistentRDDs.keySet -- b5
+    assert(a5.isEmpty, s"pretrain-prep stream leaked blocks: $a5")
+
     // the publishers themselves are scoped too — no session residue
     // beyond what existed before this test's publishes
     val b4 = spark.sparkContext.getPersistentRDDs.keySet
