@@ -336,7 +336,11 @@ object StormSinks {
     if (segs.isEmpty)
       throw new java.io.FileNotFoundException(
         s"group table '$name' not present in $dir/$verName")
-    segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // allowMissingColumns: segments written before a schema evolution
+    // surface the new column as null, the same contract the 16e
+    // mergeSchema lake read gives old file generations
+    segs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Latest-wins view of a KEYED table at version `verName`: rows of
@@ -354,7 +358,7 @@ object StormSinks {
     if (segs.size == 1) return spark.read.parquet(segs.head)
     val u = segs.zipWithIndex
       .map { case (p, i) => spark.read.parquet(p).withColumn("__seg", lit(i)) }
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val others = u.columns.filterNot(c => keys.contains(c) || c == "__seg").toSeq
     u.groupBy(keys.map(col): _*)
       .agg(max(struct((col("__seg") +: others.map(col)): _*)).as("__m"))
@@ -446,6 +450,30 @@ object StormSinks {
       .filter(p => p.getName.matches("seg-[0-9]+") &&
         !referenced.contains(p.getName))
       .map { p => fs.delete(p, true); p.getName }
+  }
+
+  /** Operational stats of a (possibly segmented) group — the numbers
+    * that tell a deployment WHEN to run the maintenance cadence,
+    * shaped for [[graft.observability.OpsServer]]'s metrics thunk:
+    * `graft.lake.version` (current version number),
+    * `graft.lake.tables`, `graft.lake.segments.total` and the
+    * per-table `graft.lake.segments.<table>` counts (a table whose
+    * segment count grows past the compaction target is the signal),
+    * plus `graft.lake.versions.on_disk` (what vacuum would trim). */
+  def groupStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] = {
+    val fs = fsFor(spark, dir)
+    val (cur, curName) = readPointer(fs, dir).getOrElse(return Map.empty)
+    val man = manifestOrLegacy(fs, dir, curName)
+    val perTable = man.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .count(_.getPath.getName.matches("v-[0-9]+")).toLong
+    Map(
+      "graft.lake.version" -> cur.toLong,
+      "graft.lake.tables" -> perTable.size.toLong,
+      "graft.lake.segments.total" -> perTable.values.sum,
+      "graft.lake.versions.on_disk" -> onDisk) ++
+      perTable.map { case (t, n) => s"graft.lake.segments.$t" -> n }
   }
 
   /** Read one table of a [[writeVersionedGroup]] lake at the CURRENT

@@ -98,6 +98,50 @@ class DeltaGroupSpec extends SparkSpec {
     assert(fps == Set("a", "b", "c"), fps.toString)
   }
 
+  test("groupStats: segment growth is observable for the maintenance cadence") {
+    val dir = Files.createTempDirectory("graft-delta-stats").toString
+    assert(StormSinks.groupStats(spark, dir).isEmpty, "no pointer -> empty stats")
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "fps" -> Seq("a").toDF("fp"), "meta" -> Seq(-1L).toDF("last_batch")))
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("fps" -> Seq("b").toDF("fp")),
+      replaces = Seq("meta" -> Seq(0L).toDF("last_batch")))
+    val stats = StormSinks.groupStats(spark, dir)
+    assert(stats("graft.lake.version") == 1L, stats.toString)
+    assert(stats("graft.lake.segments.fps") == 2L, stats.toString)
+    assert(stats("graft.lake.segments.meta") == 1L, stats.toString)
+    assert(stats("graft.lake.versions.on_disk") == 2L, stats.toString)
+    // plugs straight into the ops metrics surface
+    val srv = graft.observability.OpsServer.start(0, () => true,
+      () => StormSinks.groupStats(spark, dir))
+    try {
+      val body = scala.io.Source.fromURL(
+        s"http://127.0.0.1:${srv.port}/metrics").mkString
+      assert(body.contains("graft_lake_segments_fps 2") ||
+        body.contains("graft.lake.segments.fps 2"), body)
+    } finally srv.stop()
+  }
+
+  test("schema evolution: a delta with a NEW column reads old segments as null") {
+    val dir = Files.createTempDirectory("graft-delta-evolve").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "docs" -> Seq((1L, "a")).toDF("doc_id", "text")))
+    // the evolved writer adds a provenance column
+    StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("docs" -> Seq((2L, "b", "crawl-7"))
+        .toDF("doc_id", "text", "origin")))
+    val got = StormSinks.readVersionedGroupTable(spark, dir, "docs")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[String]("origin")))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some("crawl-7"))),
+      got.toString)
+    // the keyed reader evolves the same way
+    val keyed = StormSinks.readGroupTableKeyedAt(spark, dir,
+      StormSinks.currentVersionName(spark, dir), "docs", Seq("doc_id"))
+    assert(keyed.columns.contains("origin"))
+    assert(keyed.count() == 2)
+  }
+
   test("vacuum never deletes a version dir that retained manifests still reference") {
     val dir = Files.createTempDirectory("graft-delta-vacuum-safe").toString
     StormSinks.writeVersionedGroup(spark, dir, Seq(
