@@ -717,6 +717,81 @@ object CorpusStream {
       .start()
   }
 
+  // ---------------------------------------------- streaming dataset card
+  /** Streaming dataset card — corpus_stats' serving face for the
+    * MERGEABLE statistics: a continuously-maintained per
+    * (source, lang) profile (doc count, whitespace-token count, char
+    * mass) of everything ingested so far, the data card a 24/7
+    * pipeline publishes next to its corpus. Exact medians and
+    * cross-doc dup counts are NOT mergeable single-pass stats — they
+    * stay on the batch corpus_stats report (or compose with the
+    * dedup registries); this face carries the additive counters.
+    *
+    * State = the cumulative (source, lang) counter table — BOUNDED by
+    * the source×lang cardinality, the drift-gate/trends k-slot class,
+    * so the per-batch replace-mode rewrite is O(state-bound), never
+    * O(ingest). Replay gate + crash interleavings are exactly
+    * [[startDriftGate]]'s: counts are additive, a pre-commit replay
+    * re-adds from the OLD snapshot (never double-counts), a
+    * post-commit replay skips on last_batch. CorpusStreamSpec pins
+    * cumulative card == one batch aggregation over all input. */
+  def startCorpusCard(spark: SparkSession, inDir: String,
+      stateDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val (prev, lastBatch) = readCardState(s2, stateDir)
+          if (batchId > lastBatch) {
+            val b = batch.groupBy(col("source"), col("lang"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+                sum(col("n_chars").cast("long")).as("n_chars"))
+            val counts = prev.unionByName(b)
+              .groupBy(col("source"), col("lang"))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("n_tokens")).as("n_tokens"),
+                sum(col("n_chars")).as("n_chars"))
+            import s2.implicits._
+            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+              "counts" -> counts,
+              "meta" -> Seq(batchId).toDF("last_batch")))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/card")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def readCardState(spark: SparkSession,
+      stateDir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long, Long, Long)]
+      .toDF("source", "lang", "n_docs", "n_tokens", "n_chars")
+    try {
+      import graft.sources.StormSinks
+      val ver = StormSinks.currentVersionName(spark, stateDir)
+      (StormSinks.readGroupTableAt(spark, stateDir, ver, "counts"),
+        StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
+          .head().getLong(0))
+    } catch { case _: java.io.FileNotFoundException => (empty, -1L) }
+  }
+
+  /** The current dataset card: per (source, lang) counters plus the
+    * derived mean chars (6-dp rounded). Empty on cold start. */
+  def readCorpusCard(spark: SparkSession, stateDir: String): DataFrame = {
+    val (counts, _) = readCardState(spark, stateDir)
+    counts.select(col("source"), col("lang"), col("n_docs"),
+      col("n_tokens"), col("n_chars"),
+      round(col("n_chars").cast("double") / col("n_docs").cast("double"), 6)
+        .as("mean_chars"))
+  }
+
   // ------------------------------------------------ streaming drift gate
   /** Publish the drift REFERENCE profile: the (feature, bucket, ref_n)
     * counts of the training corpus the gate compares every ingest

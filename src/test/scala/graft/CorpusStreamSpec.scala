@@ -427,6 +427,42 @@ class CorpusStreamSpec extends SparkSpec {
       "replaying committed batches re-emitted terms")
   }
 
+  test("corpus card: cumulative counters == one batch aggregation; replay adds nothing") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-corpus-card").toString
+    val docs = Tables.documents(spark, sfDir)
+    // 3 waves, streamed file-by-file
+    docs.where(col("doc_id") < 200).coalesce(1).write.parquet(s"$base/in")
+    docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    docs.where(col("doc_id") >= 350)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/state",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = m(CorpusStream.readCorpusCard(spark, s"$base/state"))
+    val want = m(docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars")))
+    assert(got == want, s"cumulative card diverged from batch aggregation")
+    // derived mean is consistent
+    val row = CorpusStream.readCorpusCard(spark, s"$base/state")
+      .orderBy(col("source"), col("lang")).head()
+    assert(math.abs(row.getAs[Double]("mean_chars") -
+      row.getAs[Long]("n_chars").toDouble / row.getAs[Long]("n_docs")) < 1e-5)
+    // replay: no new input -> state version stable, counters unchanged
+    CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/state",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(m(CorpusStream.readCorpusCard(spark, s"$base/state")) == want,
+      "replay changed the card")
+    // cold start
+    assert(CorpusStream.readCorpusCard(spark, s"$base/never").count() == 0)
+  }
+
   test("classify gate: stream scores == batch Classify.scores; republish re-resolves; replay adds nothing") {
     val base = Files.createTempDirectory("graft-classify-gate").toString
     val doc = Tables.documents(spark, sfDir)
