@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
 object Html {
 
   /** Invisible-element spans, dropped wholesale (non-greedy, dotall,
-    * case-insensitive). An UNCLOSED script/style/comment simply never
-    * matches its span pattern — the open tag then falls to the
-    * generic tag strip and the (dead) content survives as text, a
-    * deliberate fail-open: dropping to end-of-document on a truncated
-    * page would eat real content. */
+    * case-insensitive). UNCLOSED spans never match their pattern and
+    * fall through to the later stages, whose behavior differs by
+    * kind: an unclosed `<script>`/`<style>` OPEN TAG is a well-formed
+    * tag, so [[anyTagRe]] strips it and the (dead) body survives as
+    * text; an unclosed `<!--` is not (no closing `>` within the
+    * marker), so anyTagRe matches from `<!--` to the NEXT stray `>`
+    * if one exists (eating the text between — bounded by the next
+    * `>`, never to end-of-document) or leaves the literal `<!--`
+    * when none does. Truncated pages therefore degrade locally, never
+    * losing the whole remainder of the document. */
   val dropRes: Seq[String] = Seq(
     "(?is)<script[^>]*>.*?</script>",
     "(?is)<style[^>]*>.*?</style>",

@@ -80,8 +80,21 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
         segs
       case None => Seq(s"$dir/$verName")
     }
+    // a segmented table's schema can EVOLVE across segments: without
+    // mergeSchema the delegate infers from one arbitrary footer and a
+    // newer column can silently vanish (listing-order-dependent) —
+    // default it on for multi-path group reads; an explicit caller
+    // option still wins
+    val opts =
+      if (Option(options.get("table")).isEmpty || options.containsKey("mergeSchema"))
+        options
+      else {
+        val m = new java.util.HashMap[String, String](options)
+        m.put("mergeSchema", "true")
+        new CaseInsensitiveStringMap(m)
+      }
     ParquetTable(s"graftlake $dir ($verName${Option(options.get("table")).fold("")("/" + _)})",
-      spark, options, paths, None, classOf[ParquetFileFormat])
+      spark, opts, paths, None, classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

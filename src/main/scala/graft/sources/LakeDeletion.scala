@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object LakeDeletion {
 
+  // Deletion stance for the fingerprint REGISTRIES (the line/
+  // paragraph/pretrain seen-fps state groups): they hold one-way
+  // sha-256 hashes of normalized lines/paragraphs — no document text,
+  // no doc ids — so content removal does not require editing them,
+  // and semantically a registry entry is corpus HISTORY ("this line
+  // has been published once"), not a citation of a live document:
+  // deleting a doc must not resurrect its boilerplate as "fresh" in
+  // the next micro-batch. Deployments that still want registry purges
+  // (e.g. hash-of-PII caution) republish the index from the
+  // post-delete corpus (publishLineIndex / publishParagraphIndex /
+  // publishPretrainIndex) and restart the stream — the same
+  // rebuild-not-filter path the BM25 index takes.
+
   private def ids(del: DataFrame): DataFrame =
     del.select(col("doc_id")).dropDuplicates("doc_id")
 

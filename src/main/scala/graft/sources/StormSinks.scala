@@ -402,6 +402,9 @@ object StormSinks {
     val replaceNames = replaces.map(_._1).toSet
     require(appendNames.intersect(replaceNames).isEmpty,
       "a table cannot be both appended and replaced in one commit")
+    require(appendNames.size == appends.size && replaceNames.size == replaces.size,
+      "duplicate table name within one commit (the second write would " +
+        "silently overwrite the first and the manifest would double-read it)")
     (appends ++ replaces).foreach { case (name, df) =>
       require(name.nonEmpty && !name.contains("/") && name != ManifestName,
         s"bad group table name '$name'")

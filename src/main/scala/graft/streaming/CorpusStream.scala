@@ -738,6 +738,24 @@ object CorpusStream {
   def startCorpusCard(spark: SparkSession, inDir: String,
       stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    // the standard lineage guard: a used state group with a fresh
+    // checkpoint restarts batch ids at 0 — depending on file grouping
+    // that either SKIPS never-counted files (batch <= last_batch) or
+    // double-counts already-counted ones. Fail fast like every other
+    // state-committing stream.
+    val (_, committed) = readCardState(spark, stateDir)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/card/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startCorpusCard: the card state at $stateDir " +
+          s"has committed batches up to $committed but the checkpoint at " +
+          s"$checkpointDir/card has no committed offsets: restarted batch " +
+          "ids would silently skip or double-count files. Restore the " +
+          "original checkpoint, or republish empty state to start over.")
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -759,6 +777,12 @@ object CorpusStream {
             StormSinks.writeVersionedGroup(s2, stateDir, Seq(
               "counts" -> counts,
               "meta" -> Seq(batchId).toDF("last_batch")))
+            // the state is BOUNDED but the version count is not:
+            // vacuum inline (keep=2 covers any in-flight reader of
+            // the previous pointer) so a 24/7 stream never accumulates
+            // one version dir per trigger
+            StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+            ()
           }
           ()
         }
@@ -773,13 +797,17 @@ object CorpusStream {
     import spark.implicits._
     val empty = Seq.empty[(String, String, Long, Long, Long)]
       .toDF("source", "lang", "n_docs", "n_tokens", "n_chars")
-    try {
-      import graft.sources.StormSinks
-      val ver = StormSinks.currentVersionName(spark, stateDir)
-      (StormSinks.readGroupTableAt(spark, stateDir, ver, "counts"),
-        StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
-          .head().getLong(0))
-    } catch { case _: java.io.FileNotFoundException => (empty, -1L) }
+    import graft.sources.StormSinks
+    // ONLY a missing pointer is a cold start; a pointer whose version
+    // is missing a table is CORRUPT state and must propagate —
+    // swallowing it would silently reset the cumulative card to this
+    // batch's counts (the trends-stream load-bearing distinction)
+    val ver =
+      try StormSinks.currentVersionName(spark, stateDir)
+      catch { case _: java.io.FileNotFoundException => return (empty, -1L) }
+    (StormSinks.readGroupTableAt(spark, stateDir, ver, "counts"),
+      StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
+        .head().getLong(0))
   }
 
   /** The current dataset card: per (source, lang) counters plus the
@@ -859,6 +887,9 @@ object CorpusStream {
             StormSinks.writeVersionedGroup(s2, stateDir, Seq(
               "counts" -> counts,
               "meta" -> Seq(batchId).toDF("last_batch")))
+            // bounded state, unbounded version count: vacuum inline
+            StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+            ()
           }
         }
         ()
@@ -1069,9 +1100,37 @@ object CorpusStream {
         .ruleLines(corpus, minWords, requireTerminalPunct)
         .select(sha2(col("lnorm"), 256).as("fp")).distinct()
       graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
-        "fps" -> fps, "meta" -> Seq(-1L).toDF("last_batch")))
+        "fps" -> fps,
+        "meta" -> Seq((-1L, minWords.toLong, requireTerminalPunct))
+          .toDF("last_batch", "min_words", "require_punct")))
       ()
     }
+
+  /** Raise if the registry's persisted parameters differ from the
+    * caller's — the clusterMeta discipline for the line/pretrain
+    * registries: probing under different RULES than the published
+    * fingerprints were built with silently diverges the dedup (lines
+    * the publisher never fingerprinted read as fresh forever). Metas
+    * written before the params existed (no such column) are
+    * caller-trusted, as before; the stream's next commit writes them. */
+  private def validateRegistryParams(spark: SparkSession, stateDir: String,
+      expected: Seq[(String, Any)], caller: String): Unit = {
+    val meta = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, stateDir, "meta")
+    val row = meta.head()
+    expected.foreach { case (name, want) =>
+      if (meta.columns.contains(name)) {
+        val got = row.getAs[Any](name)
+        if (got != want)
+          throw new IllegalArgumentException(
+            s"$caller: registry at $stateDir was published with $name=$got " +
+              s"but the caller passed $name=$want - probing under different " +
+              "rules than the published fingerprints silently diverges the " +
+              "dedup. Pass the published parameters (or republish the " +
+              "registry under the new ones).")
+      }
+    }
+  }
 
   /** Maintenance-cadence compaction for a registry state group
     * (fps + meta): fold the stream's delta segments into one
@@ -1129,6 +1188,10 @@ object CorpusStream {
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
+    validateRegistryParams(spark, stateDir,
+      Seq("min_words" -> minWords.toLong,
+        "require_punct" -> requireTerminalPunct),
+      "graft.CorpusStream.startLineClean")
     // the trends-guard discipline, Hadoop-FS resolved (a local
     // java.io.File check would read EVERY hdfs://-s3a:// checkpoint as
     // fresh and block legitimate restarts) and keyed on committed
@@ -1176,7 +1239,9 @@ object CorpusStream {
             // meta is replaced — the registry is never rewritten
             StormSinks.appendDeltaGroup(s2, stateDir,
               appends = Seq("fps" -> fresh.select(col("fp")).distinct()),
-              replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
+              replaces = Seq("meta" ->
+                Seq((batchId, minWords.toLong, requireTerminalPunct))
+                  .toDF("last_batch", "min_words", "require_punct")))
           }
           ()
         }
@@ -1306,7 +1371,8 @@ object CorpusStream {
       .select(col("fp")).distinct()
     graft.sources.StormSinks.writeVersionedGroup(spark, dir, Seq(
       "line_fps" -> lineFps, "par_fps" -> parFps,
-      "meta" -> Seq(-1L).toDF("last_batch")))
+      "meta" -> Seq((-1L, minWords.toLong))
+        .toDF("last_batch", "min_words")))
     ()
   }
 
@@ -1350,6 +1416,9 @@ object CorpusStream {
       minWords: Int = 3, maxFilesPerTrigger: Int = 16): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
+    validateRegistryParams(spark, stateDir,
+      Seq("min_words" -> minWords.toLong),
+      "graft.CorpusStream.startPretrainPrep")
     val ckptOffsets = new org.apache.hadoop.fs.Path(
       s"$checkpointDir/pretrain/offsets")
     val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1399,7 +1468,8 @@ object CorpusStream {
               appends = Seq(
                 "line_fps" -> freshL.select(col("fp")).distinct(),
                 "par_fps" -> freshP.select(col("fp")).distinct()),
-              replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
+              replaces = Seq("meta" -> Seq((batchId, minWords.toLong))
+                .toDF("last_batch", "min_words")))
           }
           ()
         }

@@ -461,6 +461,27 @@ class CorpusStreamSpec extends SparkSpec {
       "replay changed the card")
     // cold start
     assert(CorpusStream.readCorpusCard(spark, s"$base/never").count() == 0)
+    // bounded version history: the inline vacuum keeps at most
+    // keep+1 = 3 version dirs across the 3-batch run
+    val vdirs = new java.io.File(s"$base/state").listFiles
+      .count(_.getName.startsWith("v-"))
+    assert(vdirs <= 3, s"card versions grew unboundedly: $vdirs dirs")
+    // freshness guard: used state + lineage-less checkpoint rejected
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/state",
+        s"$base/cp-lost", maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("no committed offsets"), e.getMessage)
+    // corrupt state (pointer present, counts table gone) must
+    // PROPAGATE, never silently reset the cumulative card
+    val ver = graft.sources.StormSinks.currentVersionDir(spark, s"$base/state")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$ver/counts"))
+    intercept[java.io.FileNotFoundException] {
+      CorpusStream.readCorpusCard(spark, s"$base/state").count()
+    }
   }
 
   test("classify gate: stream scores == batch Classify.scores; republish re-resolves; replay adds nothing") {
@@ -606,6 +627,13 @@ class CorpusStreamSpec extends SparkSpec {
       CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
         s"$base/out", s"$base/cp-empty", maxFilesPerTrigger = 1)
     }
+    // parameter drift: probing under different RULES than the
+    // published fingerprints silently diverges the dedup — raise
+    val pe = intercept[IllegalArgumentException] {
+      CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp", minWords = 5, maxFilesPerTrigger = 1)
+    }
+    assert(pe.getMessage.contains("min_words"), pe.getMessage)
   }
 
   test("paragraph-dedup stream: batch parity, cross-batch registry dedup, replay no-op, freshness guard") {
@@ -749,6 +777,12 @@ class CorpusStreamSpec extends SparkSpec {
         s"$base/out", s"$base/cp-lost", maxFilesPerTrigger = 1)
     }
     assert(e.getMessage.contains("no committed offsets"))
+    // parameter drift raises (the clusterMeta discipline)
+    val pe = intercept[IllegalArgumentException] {
+      CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+        s"$base/out", s"$base/cp", minWords = 7, maxFilesPerTrigger = 1)
+    }
+    assert(pe.getMessage.contains("min_words"), pe.getMessage)
   }
 
   test("registry commits are O(batch): base segments untouched, deltas batch-sized, compaction folds") {

@@ -76,6 +76,18 @@ class DeltaGroupSpec extends SparkSpec {
     assert(StormSinks.readGroupTableAt(spark, dir, ver, "labels").count() == 7)
   }
 
+  test("a duplicated table name within one commit is rejected before any write") {
+    val dir = Files.createTempDirectory("graft-delta-dupname").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq("fps" -> Seq("a").toDF("fp")))
+    val e = intercept[IllegalArgumentException] {
+      StormSinks.appendDeltaGroup(spark, dir, appends = Seq(
+        "fps" -> Seq("b").toDF("fp"), "fps" -> Seq("c").toDF("fp")))
+    }
+    assert(e.getMessage.contains("duplicate table name"), e.getMessage)
+    // nothing was written, the group still reads
+    assert(StormSinks.readVersionedGroupTable(spark, dir, "fps").count() == 1)
+  }
+
   test("crash between delta-append and pointer-swap: orphans invisible, replay overwrites") {
     val dir = Files.createTempDirectory("graft-delta-crash").toString
     StormSinks.writeVersionedGroup(spark, dir, Seq(

@@ -166,6 +166,18 @@ class GraftLakeSpec extends SparkSpec {
       spark.read.format("graftlake").option("table", "nope").load(lake).count()
     }
     assert(e.getMessage.contains("not present"), e.getMessage)
+    // schema evolution across segments: the format defaults mergeSchema
+    // on for group reads, so the evolved column survives whatever the
+    // footer listing order (old rows read it as null)
+    StormSinks.appendDeltaGroup(spark, lake,
+      appends = Seq("fps" -> Seq(("e", "crawl-7"))
+        .toDF("fp", "origin")))
+    val evolved = spark.read.format("graftlake").option("table", "fps")
+      .load(lake)
+    assert(evolved.columns.contains("origin"),
+      s"evolved column lost: ${evolved.columns.toSeq}")
+    assert(evolved.where(col("origin").isNotNull).count() == 1)
+    assert(evolved.count() == 5)
   }
 
   test("time travel: option(version) reads a retained older version") {
