@@ -732,6 +732,31 @@ object PipelineQueries {
       graft.operators.Pretrain.run(src, bench)
         .orderBy(col("shard_id"), col("pos"))
     }),
+    // 141: the step after the manifest — TRAINER-READY examples:
+    // 64/16 context chunks of each manifest doc's cleaned text packed
+    // into 256-token examples IN TRAINING ORDER (the pack window
+    // partitions by the manifest shard and orders by
+    // (pos, chunk_start)); shard-local windows keep the sort
+    // ~n/nShards rows. Same source + benchmark as corpus_pretrain.
+    "pretrain_examples" -> ((s, d) => {
+      val doc = docs(s, d)
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
+          org.apache.spark.sql.Row(id, t, lg) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val src = doc.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(planted)
+      val bench = doc.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Pretrain.examples(src, bench)
+        .orderBy(col("shard_id"), col("pack_id"))
+    }),
     // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
     // blank-line split, normalized-paragraph fingerprint, keep-first
     // across the corpus, reassemble. The dedup_exact shifted-union
@@ -1920,6 +1945,180 @@ object PipelineQueries {
     -3L -> "itâ€™s â€œquotedâ€¦ Ã©lan â€” Ã¼ber naÃ¯ve",
     -2L -> "zero​width‌and‍joiners⁠here﻿",
     -1L -> "Café au thé")
+
+  /** The corpus_pretrain WITH-cascade through the `man` manifest CTE —
+    * shared by the corpus_pretrain and pretrain_examples oracles (one
+    * definition of the nine-stage pipeline, two final selects). */
+  private lazy val PRETRAIN_RAW: String = {
+      val vals = pretrainPlanted.map { case (id, t, lg) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)}, ${sqlStr(lg)})" }.mkString(",\n    ")
+      val bw = graft.operators.Lines.badwords
+        .map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+      val fixed =
+        s"""nfc_normalize(regexp_replace(
+           |      replace(replace($MOJ_CHAIN, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+           |      '${graft.functions.Text.scrubRe}', '', 'g'))""".stripMargin
+      val raw = s"""WITH RECURSIVE psrc AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $vals) AS v(doc_id, text, lang)
+         |), pfx AS (
+         |  SELECT doc_id, $fixed AS text, lang FROM psrc
+         |), pbw AS (
+         |  SELECT doc_id, text FROM pfx
+         |  WHERE len(list_filter(
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END,
+         |    x -> list_contains($bw, x))) = 0
+         |), d0 AS (
+         |  SELECT doc_id, text FROM pbw
+         |  WHERE NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT contains(text, '{')
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ll FROM d0
+         |), lln AS (
+         |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+         |    ll[CAST(i AS INT) + 1] AS line
+         |  FROM ls, unnest(range(0, len(ll))) AS u(i)
+         |), flt AS (
+         |  SELECT doc_id, line_idx, line,
+         |    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS lnorm
+         |  FROM lln
+         |  WHERE (CASE WHEN trim(line) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(line), ' +')) END) >= 3
+         |    AND NOT contains(lower(line), 'javascript')
+         |), lrk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lnorm
+         |    ORDER BY doc_id, line_idx) AS rn
+         |  FROM flt
+         |), lout AS (
+         |  SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY line_idx) AS text
+         |  FROM lrk WHERE rn = 1 GROUP BY doc_id
+         |), sp AS (
+         |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM lout
+         |), ppr AS (
+         |  SELECT doc_id, CAST(i AS INT) AS par_idx,
+         |    ps[CAST(i AS INT) + 1] AS par
+         |  FROM sp, unnest(range(0, len(ps))) AS u2(i)
+         |), pn AS (
+         |  SELECT doc_id, par_idx, par,
+         |    regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') AS pnorm
+         |  FROM ppr
+         |  WHERE regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') <> ''
+         |), prk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY pnorm
+         |    ORDER BY doc_id, par_idx) AS rn
+         |  FROM pn
+         |), pout AS (
+         |  SELECT doc_id,
+         |    string_agg(par, chr(10) || chr(10) ORDER BY par_idx) AS text
+         |  FROM prk WHERE rn = 1 GROUP BY doc_id
+         |), ${SH3.replace("FROM documents", "FROM pout")}, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), canon AS (
+         |  SELECT p.doc_id, p.text FROM pout p
+         |  LEFT JOIN clu ON p.doc_id = clu.doc_id
+         |  WHERE clu.cluster_id IS NULL OR clu.cluster_id = p.doc_id
+         |),
+         |${classifySql(8, "8.0").replace("FROM documents", "FROM canon")},
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM f CROSS JOIN w8s w
+         |), grk AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC,
+         |      CAST(('0x' || substr(md5('pretrain:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |        % 1000000 AS BIGINT), doc_id) AS rn,
+         |    (SELECT count(*) FROM scored) AS n
+         |  FROM scored
+         |), gt AS (
+         |  SELECT g.doc_id, g.score, c.text
+         |  FROM grk g JOIN canon c ON g.doc_id = c.doc_id
+         |  WHERE g.rn <= (3 * g.n) // 10
+         |), gsh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 6),
+         |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
+         |  FROM (SELECT doc_id, str_split($NORM, ' ') AS w FROM gt)
+         |), bsh AS (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT unnest(list_distinct(
+         |      CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |      ELSE list_transform(range(1, len(w) - 6),
+         |        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |             w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
+         |    FROM (SELECT str_split($NORM, ' ') AS w FROM documents
+         |          WHERE doc_id % 20 = 7)
+         |  )
+         |), pk2 AS (
+         |  SELECT gt.doc_id, gt.score, gt.text, psrc.lang,
+         |    CAST(length(gt.text) AS BIGINT) AS n_chars
+         |  FROM gt JOIN psrc ON gt.doc_id = psrc.doc_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM gsh JOIN bsh ON gsh.s = bsh.s
+         |    WHERE gsh.doc_id = gt.doc_id)
+         |), tg AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM pk2 GROUP BY lang
+         |), tw AS (
+         |  SELECT lang, mass,
+         |    CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS w_i
+         |  FROM tg
+         |), tt AS (
+         |  SELECT CAST(sum(mass) AS BIGINT) AS total,
+         |    CAST(sum(w_i) AS BIGINT) AS sumw_i FROM tw
+         |), tr AS (
+         |  SELECT lang, CASE WHEN mass = 0 THEN 1000000
+         |    ELSE CAST(floor(least(1.0,
+         |      0.5 * (CAST(w_i AS DOUBLE) / CAST(sumw_i AS DOUBLE))
+         |          * (CAST(total AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000) AS BIGINT)
+         |    END AS thr
+         |  FROM tw, tt
+         |), samp AS (
+         |  SELECT pk2.doc_id, pk2.lang, pk2.score, pk2.text
+         |  FROM pk2 JOIN tr ON pk2.lang = tr.lang
+         |  WHERE CAST(('0x' || substr(md5('temp:' || CAST(pk2.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000000 AS BIGINT) < tr.thr
+         |), man AS (
+         |  SELECT doc_id, lang, score, text,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 4 AS BIGINT)
+         |      ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 4 AS BIGINT) AS shard_id
+         |  FROM samp
+         |)""".stripMargin
+      raw
+  }
+
+  /** DuckDB 1.0 inlines CTEs by default: the deep cascade re-reads the
+    * parquet source once per reference (the recursive CC + 8-step
+    * training replay multiply into thousands of scans -> it exhausts
+    * the fd limit before it exhausts the planner). MATERIALIZE the
+    * load-bearing stage boundaries so each stage evaluates once, like
+    * the Spark side's Materialize.once. */
+  private def pretrainMat(q: String): String =
+    Seq("psrc", "pfx", "pbw", "lout", "pout", "sh", "clu",
+      "canon", "f", "scored", "grk", "gt", "pk2", "man")
+      .foldLeft(q) { (acc, n) =>
+        acc.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED (")
+      }
 
   /** corpus_pretrain planted near-dup pair (negative doc_ids, both
     * engines share the constants): -12 is NFC/clean, -11 is the SAME
@@ -3377,176 +3576,39 @@ object PipelineQueries {
     // benchmark text, the 'temp:' thresholds over cleaned char mass,
     // and the 'shard:' manifest). One definition per constant, two
     // engines.
-    "corpus_pretrain" -> {
-      val vals = pretrainPlanted.map { case (id, t, lg) =>
-        s"(CAST($id AS BIGINT), ${sqlStr(t)}, ${sqlStr(lg)})" }.mkString(",\n    ")
-      val bw = graft.operators.Lines.badwords
-        .map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
-      val fixed =
-        s"""nfc_normalize(regexp_replace(
-           |      replace(replace($MOJ_CHAIN, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
-           |      '${graft.functions.Text.scrubRe}', '', 'g'))""".stripMargin
-      val raw = s"""WITH RECURSIVE psrc AS (
-         |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL
-         |  SELECT * FROM (VALUES $vals) AS v(doc_id, text, lang)
-         |), pfx AS (
-         |  SELECT doc_id, $fixed AS text, lang FROM psrc
-         |), pbw AS (
-         |  SELECT doc_id, text FROM pfx
-         |  WHERE len(list_filter(
-         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END,
-         |    x -> list_contains($bw, x))) = 0
-         |), d0 AS (
-         |  SELECT doc_id, text FROM pbw
-         |  WHERE NOT contains(lower(text), 'lorem ipsum')
-         |    AND NOT contains(text, '{')
-         |), ls AS (
-         |  SELECT doc_id, string_split(text, chr(10)) AS ll FROM d0
-         |), lln AS (
-         |  SELECT doc_id, CAST(i AS INT) AS line_idx,
-         |    ll[CAST(i AS INT) + 1] AS line
-         |  FROM ls, unnest(range(0, len(ll))) AS u(i)
-         |), flt AS (
-         |  SELECT doc_id, line_idx, line,
-         |    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS lnorm
-         |  FROM lln
-         |  WHERE (CASE WHEN trim(line) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(line), ' +')) END) >= 3
-         |    AND NOT contains(lower(line), 'javascript')
-         |), lrk AS (
-         |  SELECT *, row_number() OVER (PARTITION BY lnorm
-         |    ORDER BY doc_id, line_idx) AS rn
-         |  FROM flt
-         |), lout AS (
-         |  SELECT doc_id,
-         |    string_agg(line, chr(10) ORDER BY line_idx) AS text
-         |  FROM lrk WHERE rn = 1 GROUP BY doc_id
-         |), sp AS (
-         |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM lout
-         |), ppr AS (
-         |  SELECT doc_id, CAST(i AS INT) AS par_idx,
-         |    ps[CAST(i AS INT) + 1] AS par
-         |  FROM sp, unnest(range(0, len(ps))) AS u2(i)
-         |), pn AS (
-         |  SELECT doc_id, par_idx, par,
-         |    regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') AS pnorm
-         |  FROM ppr
-         |  WHERE regexp_replace(lower(trim(par)), '\\s+', ' ', 'g') <> ''
-         |), prk AS (
-         |  SELECT *, row_number() OVER (PARTITION BY pnorm
-         |    ORDER BY doc_id, par_idx) AS rn
-         |  FROM pn
-         |), pout AS (
-         |  SELECT doc_id,
-         |    string_agg(par, chr(10) || chr(10) ORDER BY par_idx) AS text
-         |  FROM prk WHERE rn = 1 GROUP BY doc_id
-         |), ${SH3.replace("FROM documents", "FROM pout")}, jp AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 4, 5
-         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM jp
-         |  UNION ALL SELECT doc_b, doc_a FROM jp
-         |), reach AS (
-         |  SELECT src AS id, src AS lab FROM edges
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
-         |), clu AS (
-         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-         |), canon AS (
-         |  SELECT p.doc_id, p.text FROM pout p
-         |  LEFT JOIN clu ON p.doc_id = clu.doc_id
-         |  WHERE clu.cluster_id IS NULL OR clu.cluster_id = p.doc_id
-         |),
-         |${classifySql(8, "8.0").replace("FROM documents", "FROM canon")},
-         |scored AS (
-         |  SELECT f.doc_id,
-         |    floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
-         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
-         |  FROM f CROSS JOIN w8s w
-         |), grk AS (
-         |  SELECT doc_id, score,
-         |    row_number() OVER (ORDER BY score DESC,
-         |      CAST(('0x' || substr(md5('pretrain:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-         |        % 1000000 AS BIGINT), doc_id) AS rn,
-         |    (SELECT count(*) FROM scored) AS n
-         |  FROM scored
-         |), gt AS (
-         |  SELECT g.doc_id, g.score, c.text
-         |  FROM grk g JOIN canon c ON g.doc_id = c.doc_id
-         |  WHERE g.rn <= (3 * g.n) // 10
-         |), gsh AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-         |    ELSE list_transform(range(1, len(w) - 6),
-         |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
-         |           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
-         |  FROM (SELECT doc_id, str_split($NORM, ' ') AS w FROM gt)
-         |), bsh AS (
-         |  SELECT DISTINCT s FROM (
-         |    SELECT unnest(list_distinct(
-         |      CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-         |      ELSE list_transform(range(1, len(w) - 6),
-         |        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
-         |             w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]) END)) AS s
-         |    FROM (SELECT str_split($NORM, ' ') AS w FROM documents
-         |          WHERE doc_id % 20 = 7)
-         |  )
-         |), pk2 AS (
-         |  SELECT gt.doc_id, gt.score, gt.text, psrc.lang,
-         |    CAST(length(gt.text) AS BIGINT) AS n_chars
-         |  FROM gt JOIN psrc ON gt.doc_id = psrc.doc_id
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM gsh JOIN bsh ON gsh.s = bsh.s
-         |    WHERE gsh.doc_id = gt.doc_id)
-         |), tg AS (
-         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM pk2 GROUP BY lang
-         |), tw AS (
-         |  SELECT lang, mass,
-         |    CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS w_i
-         |  FROM tg
-         |), tt AS (
-         |  SELECT CAST(sum(mass) AS BIGINT) AS total,
-         |    CAST(sum(w_i) AS BIGINT) AS sumw_i FROM tw
-         |), tr AS (
-         |  SELECT lang, CASE WHEN mass = 0 THEN 1000000
-         |    ELSE CAST(floor(least(1.0,
-         |      0.5 * (CAST(w_i AS DOUBLE) / CAST(sumw_i AS DOUBLE))
-         |          * (CAST(total AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000) AS BIGINT)
-         |    END AS thr
-         |  FROM tw, tt
-         |), samp AS (
-         |  SELECT pk2.doc_id, pk2.lang, pk2.score
-         |  FROM pk2 JOIN tr ON pk2.lang = tr.lang
-         |  WHERE CAST(('0x' || substr(md5('temp:' || CAST(pk2.doc_id AS VARCHAR)), 1, 8))::UBIGINT
-         |      % 1000000 AS BIGINT) < tr.thr
-         |), man AS (
-         |  SELECT doc_id, lang, score,
-         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
-         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-         |      % 4 AS BIGINT) AS shard_id
-         |  FROM samp
-         |)
-         |SELECT shard_id,
-         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
-         |  doc_id, lang, score
-         |FROM man ORDER BY shard_id, pos""".stripMargin
-      // DuckDB 1.0 inlines CTEs by default: the deep cascade re-reads
-      // the parquet source once per reference (the recursive CC +
-      // 8-step training replay multiply into thousands of scans -> it
-      // exhausts the fd limit before it exhausts the planner).
-      // MATERIALIZE the load-bearing stage boundaries so each stage
-      // evaluates once, like the Spark side's Materialize.once.
-      val matCtes = Seq("psrc", "pfx", "pbw", "lout", "pout", "sh", "clu",
-        "canon", "f", "scored", "grk", "gt", "pk2")
-      matCtes.foldLeft(raw) { (q, n) =>
-        q.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED (")
-      }
-    },
-    // 131: paragraph split + normalized fingerprint + keep-first; the
+    "corpus_pretrain" -> pretrainMat(PRETRAIN_RAW +
+      """
+        |SELECT shard_id, pos, doc_id, lang, score
+        |FROM man ORDER BY shard_id, pos""".stripMargin),
+    // 141: manifest -> trainer-ready examples: 64/16 context chunks of
+    // each manifest doc's cleaned text, packed into 256-token examples
+    // IN TRAINING ORDER (the pack window partitions by the manifest
+    // shard and orders by (pos, chunk_start) — the chunk_pack
+    // offset-quota formulation over the manifest order).
+    "pretrain_examples" -> pretrainMat(PRETRAIN_RAW +
+      """, pchunks AS (
+        |  SELECT shard_id, pos,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
+        |  FROM man
+        |), pstarts AS (
+        |  SELECT shard_id, pos, tokens,
+        |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+        |  FROM pchunks WHERE len(tokens) > 0
+        |), pch AS (
+        |  SELECT shard_id, pos, CAST(start AS BIGINT) AS chunk_start,
+        |    CAST(least(64, len(tokens) - start) AS BIGINT) AS n_tokens
+        |  FROM pstarts
+        |), ppack AS (
+        |  SELECT shard_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
+        |  FROM pch
+        |  WINDOW w AS (PARTITION BY shard_id ORDER BY pos, chunk_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT shard_id, pack_id, count(*) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM ppack GROUP BY shard_id, pack_id
+        |ORDER BY shard_id, pack_id""".stripMargin),    // 131: paragraph split + normalized fingerprint + keep-first; the
     // shifted union guarantees every paragraph repeats (grouping is by
     // the normalized TEXT on both engines — the sha fingerprint is a
     // shuffle-key compaction, not a semantic).

@@ -28,6 +28,8 @@ import graft.functions.Text
   *      CLEANED char mass)
   *   9. training-order shard manifest (salted-md5 shard + position,
   *      the corpus_shard convention)
+  *  10. trainer-ready examples ([[examples]]): context-window
+  *      chunking + fixed-token-budget packing in manifest order
   *
   * Scale shape: every stage keeps its own audited plan — narrow maps
   * (1, 2), keyed keep-first aggregations (3, 4), the prefix-filtered
@@ -53,7 +55,15 @@ object Pretrain {
     * raw eval docs (doc_id, text). Returns the shard manifest
     * (shard_id, pos, doc_id, lang, score). */
   def run(src: DataFrame, benchmark: DataFrame, nShards: Int = 4,
-      keepNum: Long = 3L, keepDen: Long = 10L): DataFrame = {
+      keepNum: Long = 3L, keepDen: Long = 10L): DataFrame =
+    manifestWithText(src, benchmark, nShards, keepNum, keepDen)
+      .select(col("shard_id"), col("pos"), col("doc_id"), col("lang"),
+        col("score"))
+
+  /** [[run]]'s manifest WITH the cleaned text riding along — the
+    * input [[examples]] chunks and packs. */
+  private def manifestWithText(src: DataFrame, benchmark: DataFrame,
+      nShards: Int, keepNum: Long, keepDen: Long): DataFrame = {
     // 1–4 — cleaned text feeds the pair join, the canon join-back, the
     // classifier, decon, and the sampler: materialize once
     val pared = graft.Materialize.once(
@@ -84,13 +94,45 @@ object Pretrain {
     // 9 — shard manifest (deterministic shard + in-shard order)
     val key = md5(concat_ws(":", lit("shard"), col("doc_id").cast("string")))
     val keyed = sampled.select(col("doc_id"), col("lang"), col("score"),
-      key.as("k"),
+      col("text"), key.as("k"),
       pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
         lit(nShards.toLong)).as("shard_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
     keyed.withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard_id"), col("pos"), col("doc_id"), col("lang"),
-        col("score"))
+        col("score"), col("text"))
+  }
+
+  /** Stage 10 — the step after the manifest: TRAINER-READY examples.
+    * Each manifest doc's cleaned text splits into 64-token windows
+    * with 16-token overlap ([[Text.chunk]]) and the windows pack into
+    * fixed `budget`-token examples IN TRAINING ORDER — the pack window
+    * partitions by the MANIFEST shard and orders by (pos, chunk_start),
+    * so example boundaries respect the shard manifest's deterministic
+    * document order (the offset-quota formulation: pack =
+    * floor(preceding_tokens / budget), exact and parallel — see
+    * [[Text.packChunks]]'s scaladoc for why greedy packing is
+    * reformulated this way). Returns one row per (shard_id, pack_id)
+    * with n_chunks and pack_tokens; shard-local windows keep the sort
+    * ~n/nShards rows, never global. */
+  def examples(src: DataFrame, benchmark: DataFrame, budget: Int = 256,
+      nShards: Int = 4, keepNum: Long = 3L, keepDen: Long = 10L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val man = manifestWithText(src, benchmark, nShards, keepNum, keepDen)
+    val chunks = Text.chunk(
+      man.select(col("shard_id"), col("pos"), col("doc_id"), col("text")),
+      col("text"), chunkSize = 64, overlap = 16).drop("text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("pos"), col("chunk_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("shard_id"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
   }
 }

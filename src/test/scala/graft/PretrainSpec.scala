@@ -68,4 +68,38 @@ class PretrainSpec extends SparkSpec {
     assert(ids.size <= (doc.count() * 3) / 10,
       s"gate fraction violated: ${ids.size}")
   }
+
+  test("examples: packs respect training order, budget overrun bounded by one chunk") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val src = doc.select(col("doc_id"), col("text"), col("lang"))
+    val bench = doc.where(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val packs = Pretrain.examples(src, bench, budget = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packs.nonEmpty, "no examples produced")
+    // offset-quota bound: pack k spans running offsets
+    // [first ≥ k·B, first ≥ (k+1)·B), and each boundary lands within
+    // one chunk (< 64 tokens) of its quota — so every pack except a
+    // shard's LAST holds within ±one-chunk of the budget
+    val byShard = packs.groupBy(_._1)
+    byShard.foreach { case (sid, ps) =>
+      val sorted = ps.sortBy(_._2)
+      // pack ids dense from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"shard $sid pack ids not dense: ${sorted.map(_._2).toSeq}")
+      sorted.dropRight(1).foreach { case (_, pid, _, toks) =>
+        assert(toks > 256 - 64 && toks < 256 + 64,
+          s"shard $sid pack $pid tokens $toks outside (budget-chunk, budget+chunk)")
+      }
+    }
+    // conservation: Σ pack_tokens == Σ chunk tokens of the manifest
+    // docs' CLEANED text (no chunk lost or duplicated by the packing)
+    val cleaned = Pretrain.prepText(src.select(col("doc_id"), col("text")))
+      .join(Pretrain.run(src, bench).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val total = graft.functions.Text.chunk(cleaned, col("text"))
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(packs.map(_._4).sum == total,
+      s"pack tokens ${packs.map(_._4).sum} != chunk tokens $total")
+  }
 }
