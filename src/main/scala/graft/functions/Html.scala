@@ -41,6 +41,16 @@ object Html {
     * when none does. Truncated pages therefore degrade locally, never
     * losing the whole remainder of the document. */
   val dropRes: Seq[String] = Seq(
+    // whole <head> first: titles/meta are boilerplate, not content —
+    // without this, </title> becomes a newline and the page title
+    // flows into C4 line rules / line-fingerprint registries /
+    // paragraph dedup as the first "content" line of every page.
+    // `(?:\s[^>]*)?` (not `[^>]*`) so HTML5 <header>, which IS
+    // visible content, never matches; no lookahead — RE2 (the oracle
+    // engine) has none. An unclosed <head> falls through like any
+    // unclosed span (the tag strips, its text survives — local
+    // degradation, per the unclosed-span contract below).
+    "(?is)<head(?:\\s[^>]*)?>.*?</head\\s*>",
     "(?is)<script[^>]*>.*?</script>",
     "(?is)<style[^>]*>.*?</style>",
     "(?s)<!--.*?-->")

@@ -315,14 +315,28 @@ object Sampling {
     * diverging from the documented total order — so the grid
     * precondition is ENFORCED per row: any score farther than 1e-3
     * grid units from its rounded value raises at execution time
-    * (a codegen'd compare, negligible next to the histogram pass). */
+    * (a codegen'd compare, negligible next to the histogram pass).
+    * SUPPORTED MAGNITUDE: |score| ≤ 1e6. The guard's 1e-3 tolerance is
+    * ABSOLUTE in grid units, which is only meaningful while double ulp
+    * at score·1e6 stays well under it (ulp ≤ 2⁻¹⁰ up to ~4e12 grid
+    * units); beyond ~1e13 every score would trip the guard spuriously,
+    * and conversely a genuinely off-grid score within 1e-9 of a grid
+    * point passes silently at any magnitude. Scores past 1e6 raise a
+    * dedicated magnitude error rather than the misleading grid one.
+    * Graft scores are all in [0,1], far inside the bound. */
   def topFraction(df: DataFrame, scoreCol: Column, idCol: Column,
       num: Long, den: Long, salt: String): DataFrame = {
     require(num >= 0 && den > 0, s"need num >= 0, den > 0, got $num/$den")
     val outCols = df.columns.map(col).toIndexedSeq
     val scaled = scoreCol * lit(1e6)
     val si = df.withColumn("__si",
-      when(abs(scaled - round(scaled)) <= lit(1e-3),
+      when(abs(scaled) > lit(1e12),
+        raise_error(concat(
+          lit("graft.Sampling.topFraction: |score| exceeds the supported "
+            + "1e6 magnitude bound (double ulp at score*1e6 would swamp "
+            + "the grid tolerance): "),
+          scoreCol.cast("string"))).cast("long"))
+      .when(abs(scaled - round(scaled)) <= lit(1e-3),
         round(scaled).cast("long"))
       .otherwise(raise_error(concat(
         lit("graft.Sampling.topFraction: score off the 1e-6 grid "

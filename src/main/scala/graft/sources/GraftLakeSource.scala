@@ -78,7 +78,20 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
         val segs = StormSinks.segmentsAt(spark, dir, verName, t)
         require(segs.nonEmpty, s"graftlake: group table '$t' not present in $dir/$verName")
         segs
-      case None => Seq(s"$dir/$verName")
+      case None =>
+        // a group lake that has committed a delta version holds only a
+        // _segments manifest at the version dir — a bare-path read
+        // would die in parquet schema inference with an opaque error,
+        // so diagnose it here and name the fix
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$verName/_segments")))
+          throw new IllegalArgumentException(
+            s"graftlake: $dir/$verName is a segmented GROUP version (it " +
+              "carries a _segments manifest, not parquet data); pass " +
+              """option("table", <name>) to read one of its tables — """ +
+              s"available: ${StormSinks.groupTablesAt(spark, dir, verName).mkString(", ")}")
+        Seq(s"$dir/$verName")
     }
     // a segmented table's schema can EVOLVE across segments: without
     // mergeSchema the delegate infers from one arbitrary footer and a

@@ -227,6 +227,15 @@ object StormSinks {
     require(tables.nonEmpty, "writeVersionedGroup needs at least one table")
     val fs = fsFor(spark, dir)
     val next = readPointer(fs, dir).map(_._1 + 1).getOrElse(0)
+    // Clear any pre-existing unpublished v-$next: a crashed
+    // appendDeltaGroup may have left an orphan v-$next/_segments there,
+    // and manifestOrLegacy PREFERS a manifest — without this delete the
+    // whole-table publish below would be silently shadowed by the stale
+    // orphan delta state (readers would resolve the manifest, so
+    // compaction's keyed collapse / deletion's purge would never take
+    // effect). The dir is unpublished (pointer still names v-(next-1)),
+    // so deleting it races no reader.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v-$next"), true)
     tables.foreach { case (name, df) =>
       require(name.nonEmpty && !name.contains("/"),
         s"bad group table name '$name'")

@@ -110,6 +110,33 @@ class DeltaGroupSpec extends SparkSpec {
     assert(fps == Set("a", "b", "c"), fps.toString)
   }
 
+  test("orphan delta manifest cannot shadow a subsequent whole-table publish") {
+    val dir = Files.createTempDirectory("graft-delta-orphan-shadow").toString
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "labels" -> Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "cluster_id")))
+    // crashed appendDeltaGroup: v-1/_segments exists, pointer never moved
+    Seq((2L, 99L)).toDF("doc_id", "cluster_id").write.parquet(s"$dir/seg-1/labels")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v-1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v-1/_segments"),
+      "labels\tv-0/labels\nlabels\tseg-1/labels\n")
+    // the next writer is a WHOLE-TABLE publish claiming the same v-1
+    // (compaction / deletion / republish all go through this path);
+    // without clearing the orphan, manifestOrLegacy would prefer the
+    // stale manifest and readers would resolve the orphan delta state
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "labels" -> Seq((1L, 10L), (2L, 1L)).toDF("doc_id", "cluster_id")))
+    val got = StormSinks.readVersionedGroupTable(spark, dir, "labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 1L), got.toString)
+    // the orphan manifest is gone, not merely out-ranked
+    assert(!new java.io.File(s"$dir/v-1/_segments").exists)
+    // keyed reads see exactly the published rows too
+    val keyed = StormSinks.readGroupTableKeyedAt(spark, dir,
+      StormSinks.currentVersionName(spark, dir), "labels", Seq("doc_id"))
+    assert(keyed.count() == 2)
+  }
+
   test("groupStats: segment growth is observable for the maintenance cadence") {
     val dir = Files.createTempDirectory("graft-delta-stats").toString
     assert(StormSinks.groupStats(spark, dir).isEmpty, "no pointer -> empty stats")

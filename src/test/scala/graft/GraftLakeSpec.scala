@@ -178,6 +178,15 @@ class GraftLakeSpec extends SparkSpec {
       s"evolved column lost: ${evolved.columns.toSeq}")
     assert(evolved.where(col("origin").isNotNull).count() == 1)
     assert(evolved.count() == 5)
+    // a bare-path read of a segmented version must diagnose itself
+    // (the version dir holds only a _segments manifest — without the
+    // guard this dies in opaque parquet schema inference) and name the
+    // available tables
+    val e2 = intercept[Exception] {
+      spark.read.format("graftlake").load(lake).count()
+    }
+    assert(e2.getMessage.contains("segmented GROUP version") &&
+      e2.getMessage.contains("fps"), e2.getMessage)
   }
 
   test("time travel: option(version) reads a retained older version") {

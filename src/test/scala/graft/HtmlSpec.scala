@@ -25,6 +25,16 @@ class HtmlSpec extends SparkSpec {
     assert(ex("a&nbsp;b&mdash;c") == "a b—c")
     // markup-free text is (whitespace-normalized) identity
     assert(ex("plain words only") == "plain words only")
+    // head content (title/meta) is boilerplate, dropped wholesale
+    assert(ex("<head><title>Site Name</title><meta charset=\"utf-8\"></head>" +
+      "<p>real body text</p>") == "real body text")
+    assert(ex("<head profile=\"x\"><title>T</title></head>body") == "body")
+    // HTML5 <header> is VISIBLE content — must not match the head drop
+    assert(ex("<header>site banner words</header><p>body</p>")
+      .contains("site banner words"))
+    // unclosed <head> degrades locally: the tag strips, text survives
+    assert(ex("<head><title>orphan title</title>no close body words")
+      .contains("no close body words"))
   }
 
   test("composition: html -> fixText -> badwords -> cleanLines yields clean pages") {

@@ -332,5 +332,15 @@ class SamplingSpec extends SparkSpec {
     // on-grid scores (round(x, 6) products) pass the guard untouched
     val onGrid = Seq((1L, 0.5), (2L, 0.333333)).toDF("doc_id", "score")
     assert(gateIds(onGrid, 1L, 2L, "s") == Set(1L))
+    // past the documented 1e6 magnitude bound the guard raises its own
+    // diagnostic (double ulp at score*1e6 would swamp the absolute
+    // tolerance there — without this, a huge ON-grid score trips the
+    // grid error spuriously)
+    val huge = Seq((1L, 0.5), (2L, 1e14)).toDF("doc_id", "score")
+    val e2 = intercept[Exception] {
+      Sampling.topFraction(huge, col("score"), col("doc_id"),
+        1L, 2L, "s").collect()
+    }
+    assert(chain(e2).exists(_.contains("magnitude bound")), e2.toString)
   }
 }
