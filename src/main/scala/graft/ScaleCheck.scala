@@ -210,6 +210,41 @@ object ScaleCheck {
       }
     }
 
+    // delta-read amplification fixture (r15 VERDICT #1): the sf
+    // documents committed as 1 base + 99 delta segments under one
+    // group pointer, vs the SAME content compacted back to one
+    // whole-table version. The deltaread@amp row reads both through
+    // the keyed latest-wins path; its `factor` IS the read
+    // amplification a 24/7 stream pays at K=100 uncompacted commits —
+    // the number the auto-cadence default (maintainGroupSegments,
+    // maxSegments=64) exists to bound.
+    val ampRoot = s"$bigDir-deltaamp"
+    locally {
+      val m = new java.io.File(ampRoot, "_SCALE_OK")
+      if (!m.exists) {
+        import graft.sources.StormSinks
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .withColumn("__b", pmod(xxhash64(col("doc_id")), lit(100L)))
+          .localCheckpoint()
+        for (dst <- Seq("uncompacted", "compacted")) {
+          val dir = s"$ampRoot/$dst"
+          StormSinks.writeVersionedGroup(spark, dir,
+            Seq("labels" -> docs.where(col("__b") === 0).drop("__b")))
+          (1 until 100).foreach { i =>
+            StormSinks.appendDeltaGroup(spark, dir,
+              appends = Seq("labels" -> docs.where(col("__b") === i).drop("__b")))
+          }
+        }
+        StormSinks.compactGroupSegments(spark, s"$ampRoot/compacted",
+          keyed = Map("labels" -> Seq("doc_id")))
+        StormSinks.vacuumVersions(spark, s"$ampRoot/compacted", keep = 0)
+        StormSinks.vacuumSegments(spark, s"$ampRoot/compacted")
+        docs.unpersist()
+        m.createNewFile()
+      }
+    }
+
     val defaultNames = Seq("dedup_jaccard", "dedup_cluster", "graph_triangles",
       "graph_pagerank", "corpus_clean", "corpus_chunks", "dedup_recall",
       "dedup_semantic", "dedup_embed", "embed_kmeans", "text_tfidf",
@@ -265,6 +300,10 @@ object ScaleCheck {
       // no standalone row can see
       "text_badwords", "html_extract", "corpus_pretrain",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
+      // round-16: the segmented-group read-amplification row (base =
+      // compacted one-segment lake, "10x" = the same content under
+      // 100 uncompacted delta commits; factor = read amplification)
+      "deltaread@amp",
       // round-15: topFraction's documented WORST case — a degenerate
       // all-ties corpus (every score on one grid value) pushes the
       // ENTIRE selection into the level-2/3 lattice: the whole corpus
@@ -293,6 +332,13 @@ object ScaleCheck {
           .select(col("doc_id"), lit(0.25).as("score"))
         graft.operators.Sampling.topFraction(d, col("score"), col("doc_id"),
           num = 3L, den = 10L, salt = "ties")
+      }),
+      // keyed latest-wins read of a segmented group (dir IS the group
+      // root here, not an sf dir)
+      "deltaread" -> ((s2, dir) => {
+        import graft.sources.StormSinks
+        StormSinks.readGroupTableKeyedAt(s2, dir,
+          StormSinks.currentVersionName(s2, dir), "labels", Seq("doc_id"))
       }))
     def minOf2(name: String, dir: String): (Double, Long) = {
       var rows = 0L
@@ -311,6 +357,8 @@ object ScaleCheck {
         if (n.endsWith("@boiler")) (n.stripSuffix("@boiler"), boilBase, boilBig)
         else if (n.endsWith("@media")) (n.stripSuffix("@media"), sfDir, mediaBig)
         else if (n.endsWith("@ties")) (n.stripSuffix("@ties"), sfDir, bigDir)
+        else if (n.endsWith("@amp"))
+          (n.stripSuffix("@amp"), s"$ampRoot/compacted", s"$ampRoot/uncompacted")
         else (n, sfDir, bigDir)
       val (t1, rows1) = minOf2(qname, d1)
       val (tN, rowsN) = minOf2(qname, dN)

@@ -421,9 +421,56 @@ object StormSinks {
     }
     val carried = cur.filterNot { case (t, _) => replaceNames.contains(t) }
     val fresh = (appends ++ replaces).map { case (t, _) => t -> s"seg-$next/$t" }
+    // symmetric with writeVersionedGroup's orphan clearing: a crashed
+    // whole-table publish may have left table subdirs in the
+    // unpublished v-$next; the manifest written below out-ranks them
+    // for readers, but clearing keeps dead data from lingering until
+    // version vacuum
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v-$next"), true)
     writeManifestFile(fs, dir, s"v-$next", carried ++ fresh)
     publish(fs, dir, next)
     next
+  }
+
+  /** AUTO-CADENCE segment maintenance — the policy bound on a 24/7
+    * stream's read amplification: when any table's segment count at
+    * the current version exceeds `maxSegments`, fold the group back to
+    * one whole-table version ([[compactGroupSegments]], `keyed` tables
+    * collapsing latest-wins) and reclaim superseded versions +
+    * unreferenced segment dirs. Below the threshold it reads ONE
+    * manifest and does nothing — cheap enough to run after every
+    * commit, which is exactly where the streaming faces call it.
+    * Returns whether it compacted.
+    *
+    * Sizing `maxSegments`: between compactions every reader unions up
+    * to `maxSegments` segment dirs (one listing + footer round per
+    * segment, plus the latest-wins collapse over keyed tables), so the
+    * threshold IS the worst-case read amplification; the compaction
+    * itself costs one O(state) rewrite every ~`maxSegments` commits,
+    * i.e. amortized O(state/maxSegments) per commit on top of the
+    * O(batch) delta. The default 64 keeps both terms small for
+    * micro-batch cadences. The trigger that runs the compaction pays
+    * the O(state) spike in-line; a deployment that cannot absorb that
+    * in-stream sets the stream's threshold high (or 0 = never) and
+    * runs [[compactGroupSegments]] out-of-band in its maintenance
+    * window instead — same crash-safety either way, every step is
+    * pointer-atomic and the stream is the single writer. */
+  def maintainGroupSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxSegments: Int,
+      keyed: Map[String, Seq[String]] = Map.empty,
+      keepVersions: Int = 1): Boolean = {
+    require(maxSegments > 0, s"maxSegments must be positive, got $maxSegments")
+    val worst = groupStats(spark, dir).view
+      .filterKeys(k => k.startsWith("graft.lake.segments.") &&
+        k != "graft.lake.segments.total")
+      .values.maxOption.getOrElse(0L)
+    if (worst <= maxSegments) false
+    else {
+      compactGroupSegments(spark, dir, keyed)
+      vacuumVersions(spark, dir, keepVersions)
+      vacuumSegments(spark, dir)
+      true
+    }
   }
 
   /** Maintenance-cadence compaction of a segmented group: fold every

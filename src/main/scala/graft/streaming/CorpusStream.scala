@@ -358,7 +358,8 @@ object CorpusStream {
   def startIncrementalClusters(spark: SparkSession, inDir: String,
       lakeDir: String, checkpointDir: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxFilesPerTrigger: Int = 16): StreamingQuery =
+      maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): StreamingQuery =
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -405,6 +406,12 @@ object CorpusStream {
                 corpus, labels, bNew, k, threshold))
             StormSinks.appendDeltaGroup(s2, lakeDir,
               appends = Seq("docs" -> bNew, "labels" -> delta))
+            // auto-cadence: bound segment growth (labels MUST compact
+            // keyed — compactClusterLake's invariant); 0 = operator-
+            // scheduled compaction only
+            if (autoCompactSegments > 0)
+              StormSinks.maintainGroupSegments(s2, lakeDir,
+                autoCompactSegments, keyed = Map("labels" -> Seq("doc_id")))
             ()
           }
         }
@@ -479,7 +486,8 @@ object CorpusStream {
   def startIncrementalClustersIndexed(spark: SparkSession, inDir: String,
       stateDir: String, indexDir: String, checkpointDir: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxFilesPerTrigger: Int = 16): StreamingQuery =
+      maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): StreamingQuery =
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -516,6 +524,13 @@ object CorpusStream {
                 iVer, labels0, fresh0, bNew, k, threshold))
             StormSinks.appendDeltaGroup(s2, stateDir,
               appends = Seq("docs" -> bNew, "labels" -> delta, "fresh" -> bNew))
+            // auto-cadence on the STATE group only (segments fold,
+            // fresh's content is untouched); the corpus-sized index
+            // rebuild + fresh reset stays operator-scheduled
+            // (republishClusterIndex) — it's a different cost class
+            if (autoCompactSegments > 0)
+              StormSinks.maintainGroupSegments(s2, stateDir,
+                autoCompactSegments, keyed = Map("labels" -> Seq("doc_id")))
             ()
           }
         }
@@ -1185,7 +1200,8 @@ object CorpusStream {
   def startLineClean(spark: SparkSession, inDir: String, stateDir: String,
       outDir: String, checkpointDir: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = false,
-      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
     validateRegistryParams(spark, stateDir,
@@ -1242,6 +1258,9 @@ object CorpusStream {
               replaces = Seq("meta" ->
                 Seq((batchId, minWords.toLong, requireTerminalPunct))
                   .toDF("last_batch", "min_words", "require_punct")))
+            // auto-cadence: bound the registry's segment growth
+            if (autoCompactSegments > 0)
+              StormSinks.maintainGroupSegments(s2, stateDir, autoCompactSegments)
           }
           ()
         }
@@ -1292,7 +1311,8 @@ object CorpusStream {
     * ([[compactParagraphIndex]]); everything else is batch-sized. */
   def startParagraphDedup(spark: SparkSession, inDir: String,
       stateDir: String, outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
     val ckptOffsets = new org.apache.hadoop.fs.Path(
@@ -1336,6 +1356,9 @@ object CorpusStream {
             StormSinks.appendDeltaGroup(s2, stateDir,
               appends = Seq("fps" -> fresh.select(col("fp")).distinct()),
               replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")))
+            // auto-cadence: bound the registry's segment growth
+            if (autoCompactSegments > 0)
+              StormSinks.maintainGroupSegments(s2, stateDir, autoCompactSegments)
           }
           ()
         }
@@ -1413,7 +1436,8 @@ object CorpusStream {
     * CC note), which is exactly the lake/stream split 95d/120 use. */
   def startPretrainPrep(spark: SparkSession, inDir: String,
       stateDir: String, outDir: String, checkpointDir: String,
-      minWords: Int = 3, maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      minWords: Int = 3, maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
     validateRegistryParams(spark, stateDir,
@@ -1470,6 +1494,9 @@ object CorpusStream {
                 "par_fps" -> freshP.select(col("fp")).distinct()),
               replaces = Seq("meta" -> Seq((batchId, minWords.toLong))
                 .toDF("last_batch", "min_words")))
+            // auto-cadence: bound both registries' segment growth
+            if (autoCompactSegments > 0)
+              StormSinks.maintainGroupSegments(s2, stateDir, autoCompactSegments)
           }
           ()
         }

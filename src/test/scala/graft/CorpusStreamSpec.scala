@@ -839,6 +839,68 @@ class CorpusStreamSpec extends SparkSpec {
       s"post-compaction batch wrong: ${w2.toSeq}")
   }
 
+  test("auto-cadence bounds segment growth across many commits; dedup and labels stay correct") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-autocadence").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // --- registry face (startLineClean), threshold 2, six micro-batches
+    val empty = Seq.empty[(Long, String, String, String, Int)].toDF(cols: _*)
+    CorpusStream.publishLineIndex(empty, s"$base/state")
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, "shared across every wave line\n" +
+        s"unique wave line number $i here", "en", "s", 60)).toDF(cols: _*)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    CorpusStream.startLineClean(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1,
+      autoCompactSegments = 2).awaitTermination()
+    val stats = graft.sources.StormSinks.groupStats(spark, s"$base/state")
+    // each commit adds one segment; the cadence folds whenever a table
+    // exceeds 2 — the count can never exceed threshold + 1
+    assert(stats("graft.lake.segments.fps") <= 3L, stats.toString)
+    // vacuum ran: superseded versions are reclaimed, not accumulated
+    assert(stats("graft.lake.versions.on_disk") <= 3L, stats.toString)
+    // content survived every fold: the shared line was kept exactly
+    // once (first wave), every unique line once
+    val fps = graft.sources.StormSinks
+      .readVersionedGroupTable(spark, s"$base/state", "fps")
+    assert(fps.count() == 7, s"registry must hold 7 fps, got ${fps.count()}")
+    assert(fps.count() == fps.distinct().count(), "compaction duplicated fps")
+    val outs = CorpusStream.latestCleanLines(spark, s"$base/out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(outs(1L) == "shared across every wave line\nunique wave line number 1 here")
+    (2 to 6).foreach { i =>
+      assert(outs(i.toLong) == s"unique wave line number $i here",
+        s"doc $i: ${outs(i.toLong)}")
+    }
+    // --- cluster face: compaction EVERY commit (threshold 1) must
+    // collapse labels keyed — a plain-union fold would bake stale
+    // label rows into the single segment, which the keyed reader's
+    // fast path serves raw
+    val docs = Tables.documents(spark, sfDir)
+    CorpusStream.publishClusterLake(docs.where(col("doc_id") < 300), s"$base/lake")
+    docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/cin")
+    docs.where(col("doc_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(s"$base/cin")
+    CorpusStream.startIncrementalClusters(spark, s"$base/cin", s"$base/lake",
+      s"$base/ccp", maxFilesPerTrigger = 1,
+      autoCompactSegments = 1).awaitTermination()
+    val got = CorpusStream.readClusterLake(spark, s"$base/lake", "labels")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.jaccardPairs(docs, k = 3, threshold = 0.5))
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(got.getOrElse(id, id) == full.getOrElse(id, id),
+        s"doc $id: stream=${got.getOrElse(id, id)} full=${full.getOrElse(id, id)}")
+    }
+    val cstats = graft.sources.StormSinks.groupStats(spark, s"$base/lake")
+    assert(cstats("graft.lake.segments.labels") <= 2L, cstats.toString)
+  }
+
   test("batch-sized sinks scale output files with the trigger, small batches stay single-file") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sized-output").toString
