@@ -299,6 +299,13 @@ object ScaleCheck {
       // a super-linear reading here names a cross-stage interaction
       // no standalone row can see
       "text_badwords", "html_extract", "corpus_pretrain",
+      // round-16: the examples pack at FIXED nShards=4 — the per-shard
+      // window is ~n/nShards rows on nShards tasks, so with nShards
+      // held constant the row must scale ~linearly in data (the sort
+      // term is the linear term, not a super-linear global); the BPE
+      // variant adds the vocabulary-sized trainer + the chunk-token
+      // re-encode join
+      "pretrain_examples", "pretrain_examples_bpe",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

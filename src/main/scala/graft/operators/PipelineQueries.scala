@@ -757,6 +757,33 @@ object PipelineQueries {
       graft.operators.Pretrain.examples(src, bench)
         .orderBy(col("shard_id"), col("pack_id"))
     }),
+    // 141b: the same examples packed in TRAINER-REAL tokens — the
+    // 8-round BPE tokenizer trains on the raw corpus (tokenizers
+    // precede curation) and each chunk costs the sum of its words'
+    // trained segment sizes (character fallback for OOV — what a real
+    // BPE does with unseen words, and the planted French rows ARE
+    // unseen). The oracle splices the renamed BPE cascade into the
+    // pretrain CTE chain, so the hash proves merge training, the
+    // 9-stage pipeline, chunking, AND the BPE-budget pack together.
+    "pretrain_examples_bpe" -> ((s, d) => {
+      val doc = docs(s, d)
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
+          org.apache.spark.sql.Row(id, t, lg) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val src = doc.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(planted)
+      val bench = doc.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Pretrain.examplesBpe(src, bench, doc)
+        .orderBy(col("shard_id"), col("pack_id"))
+    }),
     // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
     // blank-line split, normalized-paragraph fingerprint, keep-first
     // across the corpus, reassemble. The dedup_exact shifted-union
@@ -956,6 +983,24 @@ object PipelineQueries {
       val e = embs(s, d)
       Pq.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5,
         corpusSize = embCount(s, d))
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cos"), col("adc"))
+    }),
+    // 119b: the SAME ranking over the index PUBLISHED once through the
+    // versioned lake — coarse centroids, PQ codebooks, int8 codes and
+    // the cell-partitioned vectors train at publish time and commit as
+    // ONE atomic group; the probe reads the published tables (query
+    // vectors too — a serving tier reads only its index) and pays
+    // query-side work only. Shares knn_ivfpq's oracle verbatim: the
+    // lake round-trip is invisible to the ranking, which is the
+    // "train once, probe many" claim made checkable.
+    "knn_ivfpq_indexed" -> ((s, d) => {
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-lake").toString
+      Pq.publishIvfPqLake(embs(s, d), lake, corpusSize = embCount(s, d))
+      val queries = s.read.format("graftlake")
+        .option("table", "vectors").load(lake)
+        .where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      Pq.ivfPqTopKIndexed(s, lake, queries, k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"), col("adc"))
     }),
     // 36: embedding-cosine near-dup pairs, IVF flavor (same-cell
@@ -2120,6 +2165,17 @@ object PipelineQueries {
         acc.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED (")
       }
 
+  /** [[pretrainMat]] plus the spliced BPE cascade's stage boundaries:
+    * each bpsymN has TWO consumers (the next round's pair count and
+    * rewrite), so inlining would double the evaluation per level —
+    * 2^rounds scans of the token aggregate without materialization. */
+  private def pretrainMatBpe(q: String): String =
+    (Seq("bpfreq") ++ (0 to BPE_ROUNDS).map(i => s"bpsym$i") ++
+      Seq("bsegs", "pbpe"))
+      .foldLeft(pretrainMat(q)) { (acc, n) =>
+        acc.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED (")
+      }
+
   /** corpus_pretrain planted near-dup pair (negative doc_ids, both
     * engines share the constants): -12 is NFC/clean, -11 is the SAME
     * text in NFD form with a mojibake token and CRLF line endings —
@@ -2173,41 +2229,46 @@ object PipelineQueries {
     Text.mojibake.foldLeft("text") { case (acc, (bad, good)) =>
       s"replace($acc, ${sqlStr(bad)}, ${sqlStr(good)})" }
 
-  private val BPE_ROUNDS = 8
+  private[graft] val BPE_ROUNDS = 8
   /** The 8-round BPE merge cascade shared by text_bpe_train (reads
     * the bestN rows) and text_bpe_apply (reads the final symN vocab).
     * Token carried through every round; the sym step LEFT-joins its
     * best row so a merge-exhausted corpus passes the vocabulary
     * through unchanged — mirroring the Spark trainer exactly. */
-  private lazy val BPE_CASCADE: String = {
+  private lazy val BPE_CASCADE: String = bpeCascadeSql("")
+
+  /** The cascade with every CTE name prefixed by `p` — the embeddable
+    * form: pretrain_examples_bpe splices it into the PRETRAIN chain,
+    * whose classifier replay already owns the unprefixed `t`. */
+  private def bpeCascadeSql(p: String): String = {
     val init =
-      s"""WITH t AS (
+      s"""WITH ${p}t AS (
          |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
-         |), freq AS (
-         |  SELECT token, count(*) AS f FROM t WHERE token <> '' GROUP BY 1
-         |), sym0 AS (
+         |), ${p}freq AS (
+         |  SELECT token, count(*) AS f FROM ${p}t WHERE token <> '' GROUP BY 1
+         |), ${p}sym0 AS (
          |  SELECT token, f, list_aggregate(list_transform(range(1, length(token) + 1),
          |      i -> ' ' || substring(token, CAST(i AS INT), 1) || ' '),
          |    'string_agg', '') AS w
-         |  FROM freq
+         |  FROM ${p}freq
          |)""".stripMargin
     val roundCtes = (1 to BPE_ROUNDS).map { i =>
-      s""", pairs$i AS (
+      s""", ${p}pairs$i AS (
          |  SELECT sy[CAST(i AS INT)] AS l, sy[CAST(i + 1 AS INT)] AS r, sum(f) AS wt
          |  FROM (
          |    SELECT f, sy, unnest(range(1, len(sy))) AS i FROM (
-         |      SELECT f, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy FROM sym${i - 1}
+         |      SELECT f, list_filter(str_split(trim(w), '  '), x -> x <> '') AS sy FROM ${p}sym${i - 1}
          |    ) WHERE len(sy) >= 2
          |  ) GROUP BY 1, 2
-         |), best$i AS (
-         |  SELECT CAST($i AS INT) AS step, l, r, wt FROM pairs$i
+         |), ${p}best$i AS (
+         |  SELECT CAST($i AS INT) AS step, l, r, wt FROM ${p}pairs$i
          |  ORDER BY wt DESC, l, r LIMIT 1
-         |), sym$i AS (
+         |), ${p}sym$i AS (
          |  SELECT s.token, s.f,
          |    CASE WHEN b.l IS NULL THEN s.w
          |         ELSE replace(s.w, ' ' || b.l || '  ' || b.r || ' ',
          |           ' ' || b.l || b.r || ' ') END AS w
-         |  FROM sym${i - 1} s LEFT JOIN best$i b ON true
+         |  FROM ${p}sym${i - 1} s LEFT JOIN ${p}best$i b ON true
          |)""".stripMargin
     }.mkString
     init + roundCtes
@@ -2282,6 +2343,17 @@ object PipelineQueries {
     * and exact re-rank. dist² mirrors the Spark fold exactly: the
     * difference list's sequential self-dot, rounded to 6. Ends with
     * `rer` = (query_id, vec_id, cos, adc). */
+  /** One definition for knn_ivfpq AND knn_ivfpq_indexed: the published
+    * index must rank exactly like the in-session train-and-probe. */
+  private lazy val IVFPQ_SQL: String =
+    s"""WITH ${ivfPqSql(8, 16, 2, 4, 5, 4)}
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos, adc FROM (
+       |  SELECT query_id, vec_id, cos, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rer
+       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   private def ivfPqSql(m: Int, kCodes: Int, iters: Int, nProbe: Int,
       k: Int, rerank: Int): String = {
     def d2(a: String, b: String): String = {
@@ -3608,7 +3680,51 @@ object PipelineQueries {
         |SELECT shard_id, pack_id, count(*) AS n_chunks,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM ppack GROUP BY shard_id, pack_id
-        |ORDER BY shard_id, pack_id""".stripMargin),    // 131: paragraph split + normalized fingerprint + keep-first; the
+        |ORDER BY shard_id, pack_id""".stripMargin),
+    // 141b: the BPE-budget pack — the renamed 8-round merge cascade
+    // (trained FROM documents, exactly text_bpe_apply's trainer)
+    // splices into the pretrain chain; each chunk's cost is the sum of
+    // its lowered words' segment sizes with the character fallback for
+    // OOV (the planted French rows are OOV by construction).
+    "pretrain_examples_bpe" -> pretrainMatBpe(PRETRAIN_RAW + ", " +
+      bpeCascadeSql("bp").stripPrefix("WITH ") +
+      s""", bsegs AS (
+        |  SELECT token,
+        |    CAST(len(list_filter(str_split(trim(w), '  '), x -> x <> '')) AS BIGINT) AS n_sub
+        |  FROM bpsym$BPE_ROUNDS
+        |), pchunks AS (
+        |  SELECT shard_id, pos,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tokens
+        |  FROM man
+        |), pstarts AS (
+        |  SELECT shard_id, pos, tokens,
+        |    unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+        |  FROM pchunks WHERE len(tokens) > 0
+        |), pch AS (
+        |  SELECT shard_id, pos, CAST(start AS BIGINT) AS chunk_start,
+        |    list_transform(
+        |      list_slice(tokens, CAST(start AS INT) + 1, CAST(start AS INT) + 64),
+        |      x -> lower(x)) AS ctk
+        |  FROM pstarts
+        |), pct AS (
+        |  SELECT shard_id, pos, chunk_start, unnest(ctk) AS token FROM pch
+        |), pbpe AS (
+        |  SELECT p.shard_id, p.pos, p.chunk_start,
+        |    CAST(sum(coalesce(s.n_sub, length(p.token))) AS BIGINT) AS n_bpe
+        |  FROM pct p LEFT JOIN bsegs s USING (token)
+        |  GROUP BY 1, 2, 3
+        |), ppack AS (
+        |  SELECT shard_id, n_bpe,
+        |    CAST(floor((sum(n_bpe) OVER w - n_bpe) / 256.0) AS BIGINT) AS pack_id
+        |  FROM pbpe
+        |  WINDOW w AS (PARTITION BY shard_id ORDER BY pos, chunk_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT shard_id, pack_id, count(*) AS n_chunks,
+        |  CAST(sum(n_bpe) AS BIGINT) AS pack_tokens
+        |FROM ppack GROUP BY shard_id, pack_id
+        |ORDER BY shard_id, pack_id""".stripMargin),
+    // 131: paragraph split + normalized fingerprint + keep-first; the
     // shifted union guarantees every paragraph repeats (grouping is by
     // the normalized TEXT on both engines — the sha fingerprint is a
     // shuffle-key compaction, not a semantic).
@@ -3838,14 +3954,11 @@ object PipelineQueries {
          |FROM mmr_all ORDER BY query_id, rk""".stripMargin,
     // 119: full IVF-PQ replay — codebook training, codes, coarse
     // probes, integer-grid ADC shortlist, exact re-rank
-    "knn_ivfpq" ->
-      s"""WITH ${ivfPqSql(8, 16, 2, 4, 5, 4)}
-         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos, adc FROM (
-         |  SELECT query_id, vec_id, cos, adc,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, vec_id) AS rk
-         |  FROM rer
-         |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "knn_ivfpq" -> IVFPQ_SQL,
+    // 119b: the published-index probe is oracle-IDENTICAL — the lake
+    // round-trip (train once at publish, probe from the snapshot) must
+    // be invisible to the ranking
+    "knn_ivfpq_indexed" -> IVFPQ_SQL,
     // 35: the PNG is built from (doc_id, text) by formula, so the
     // oracle predicts the DECODED output independently: dimensions
     // from the integer dims formula, n_pixels = w·h, feature mass

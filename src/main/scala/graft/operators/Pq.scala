@@ -148,6 +148,16 @@ object Pq {
     val books = graft.Materialize.once(trainCodebooks(corpus, m, kCodes, iters))
     val codes = assignCodes(graft.Materialize.once(blocks(corpus, m)), books)
       .select(col("vec_id"), col("block"), col("code"))
+    probe(coarse, assigned, books, codes, queries, k, m, nProbe, rerank)
+  }
+
+  /** Query-side IVF-PQ serving over ALREADY-BUILT index tables —
+    * shared verbatim by the in-session [[ivfPqTopK]] and the
+    * published-lake [[ivfPqTopKIndexed]], so "train once, probe many"
+    * is oracle-provably the same ranking as train-per-query. */
+  private def probe(coarse: DataFrame, vectors: DataFrame, books: DataFrame,
+      codes: DataFrame, queries: DataFrame, k: Int, m: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
     // query-side: coarse probes (the knn_ivf pattern) ...
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cell_id"))
@@ -168,7 +178,7 @@ object Pq {
       .select(col("query_id"), col("block"), col("cell_id").as("code"),
         round(round(dotSeq(col("sub"), col("c")), 6) * lit(1000000.0))
           .cast("long").as("pdot_i"))
-    val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+    val cand = vectors.join(broadcast(probes), Seq("cell_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val scored = cand.join(codes, "vec_id")
@@ -180,7 +190,7 @@ object Pq {
     val short = scored.withColumn("srk", row_number().over(wShort))
       .where(col("srk") <= k * rerank)
       .select(col("query_id"), col("vec_id"), col("adc_i"))
-    val emb = assigned.select(col("vec_id"), col("embedding"))
+    val emb = vectors.select(col("vec_id"), col("embedding"))
     val qemb = broadcast(probes.select(col("query_id"), col("q_emb")).distinct())
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -191,5 +201,79 @@ object Pq {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  // -------------------------------------------------- published index
+  /** Publish the trained IVF-PQ index through the versioned lake —
+    * the production split [[ivfPqTopK]] folds into one call: coarse
+    * centroids, per-block PQ codebooks, the int8 code table and the
+    * cell-partitioned vector table train/assign ONCE here and commit
+    * as ONE atomic group version; probes ([[ivfPqTopKIndexed]]) then
+    * read the published tables and pay only query-side work. Tables:
+    *   coarse  (cell_id, centroid)         — broadcast at probe time
+    *   books   (block, cell_id, c)         — the PQ codebooks
+    *   codes   (vec_id, block, code)       — n·m rows, the index body
+    *   vectors (vec_id, embedding, cell_id) — partitioned BY cell_id,
+    *     so a probe's candidate join prunes to its nProbe cells
+    *     (dynamic partition pruning against the broadcast probe list)
+    *   meta    (m, k_codes, iters, n_cells) — probe-parameter guard
+    * One pointer = one consistent snapshot: codes can never pair with
+    * another version's codebooks (ADC against foreign codebooks is
+    * silent garbage). Returns the published version. */
+  def publishIvfPqLake(corpus: DataFrame, dir: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+      nCells: Int = 0, corpusSize: Long = -1L): Int = graft.Materialize.scoped {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val nc = if (nCells > 0) nCells
+      else Knn.autoCells(if (corpusSize > 0) corpusSize else corpus.count())
+    val coarse = graft.Materialize.once(Knn.ivfCentroids(corpus, nc))
+    val assigned = graft.Materialize.once(Knn.ivfAssign(corpus, coarse))
+    val books = graft.Materialize.once(trainCodebooks(corpus, m, kCodes, iters))
+    val codes = assignCodes(graft.Materialize.once(blocks(corpus, m)), books)
+      .select(col("vec_id"), col("block"), col("code"))
+    graft.sources.StormSinks.writeVersionedGroup(sp, dir, Seq(
+      "coarse" -> coarse,
+      "books" -> books,
+      "codes" -> codes,
+      "vectors" -> assigned.select(col("vec_id"), col("embedding"), col("cell_id")),
+      "meta" -> Seq((m, kCodes, iters, nc))
+        .toDF("m", "k_codes", "iters", "n_cells")),
+      partitionCols = Map("vectors" -> Seq("cell_id")))
+  }
+
+  /** Serving probe over a [[publishIvfPqLake]] index: resolves the
+    * pointer ONCE (all five tables from the same immutable snapshot),
+    * validates the caller's probe parameters against the published
+    * meta where they must match the training (m — the ADC lookup
+    * splits queries into the TRAINED block count; a mismatch scores
+    * garbage silently), and runs the identical query-side plan as
+    * [[ivfPqTopK]] — oracle-provably the same ranking. Per-probe cost:
+    * query-sized broadcasts + one scan of codes and the probed
+    * vector partitions; the corpus-sized training never re-runs. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame =
+    ivfPqTopKIndexedAt(spark, dir,
+      graft.sources.StormSinks.currentVersionName(spark, dir),
+      queries, k, nProbe, rerank)
+
+  /** [[ivfPqTopKIndexed]] pinned to an explicit version — the form a
+    * streaming serving face uses so queries and index tables resolve
+    * from ONE snapshot (a republish between two resolutions would
+    * otherwise pair one version's queries with another's codebooks). */
+  def ivfPqTopKIndexedAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ver: String, queries: DataFrame, k: Int,
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    import graft.sources.StormSinks
+    val meta = StormSinks.readGroupTableAt(spark, dir, ver, "meta").head()
+    val m = meta.getAs[Int]("m")
+    val coarse = StormSinks.readGroupTableAt(spark, dir, ver, "coarse")
+    val books = StormSinks.readGroupTableAt(spark, dir, ver, "books")
+    val codes = StormSinks.readGroupTableAt(spark, dir, ver, "codes")
+    // partition-column type inference reads cell_id back as INT;
+    // restore the trained LONG so ranking structs compare identically
+    val vectors = StormSinks.readGroupTableAt(spark, dir, ver, "vectors")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    probe(coarse, vectors, books, codes, queries, k, m, nProbe, rerank)
   }
 }

@@ -53,7 +53,23 @@ object Pretrain {
 
   /** The full pipeline. `src` = (doc_id, text, lang); `benchmark` =
     * raw eval docs (doc_id, text). Returns the shard manifest
-    * (shard_id, pos, doc_id, lang, score). */
+    * (shard_id, pos, doc_id, lang, score).
+    *
+    * SIZING CONTRACT for `nShards` (also [[examples]]/[[examplesBpe]]):
+    * the manifest `pos` window and the pack window both partition by
+    * `shard_id`, so the most expensive stage runs as `nShards` tasks of
+    * ~n/nShards rows each — nShards IS the stage's parallelism AND its
+    * per-task memory bound. Size it to
+    * `max(clusterCores, ceil(nDocs / 5e6))` (≈5M manifest rows per
+    * sort task keeps the per-task sort in memory at typical row
+    * widths); the default 4 is a TEST-SCALE value chosen so the tiny
+    * corpora still exercise multi-doc shards and multi-chunk packs —
+    * at 10⁹ docs it would serialize the pipeline's dominant stage into
+    * 4 tasks. Any value is semantically valid (shard assignment is a
+    * deterministic hash; more shards = more, smaller training shards),
+    * so callers scale it freely without changing correctness — the
+    * ScaleCheck pretrain_examples row measures the fixed-nShards
+    * per-shard window as the linear term. */
   def run(src: DataFrame, benchmark: DataFrame, nShards: Int = 4,
       keepNum: Long = 3L, keepDen: Long = 10L): DataFrame =
     manifestWithText(src, benchmark, nShards, keepNum, keepDen)
@@ -134,5 +150,56 @@ object Pretrain {
       .groupBy(col("shard_id"), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
+  }
+
+  /** [[examples]] with the budget measured in TRAINER-REAL tokens: the
+    * 8-round BPE tokenizer trains once on `tokCorpus` (tokenizers
+    * precede curation — they are trained on the raw corpus, not the
+    * pipeline's output) and each context chunk's cost is the sum of
+    * its words' trained segment sizes, with the CHARACTER-level
+    * fallback for out-of-vocabulary words (exactly what a real BPE
+    * tokenizer does: an unseen word decomposes to base symbols). Packs
+    * then fill `budget` BPE tokens instead of whitespace counts — the
+    * number the trainer's context window actually consumes.
+    *
+    * Scale shape on top of [[examples]]: one vocabulary-sized trainer
+    * (corpus touched once for frequencies — [[PipelineQueries
+    * .bpeSegmentsOf]]), a chunk-token explode (~n_tokens·4/3 rows for
+    * the 64/16 overlap), one keyed join onto the vocab segment table
+    * (AQE broadcasts it at small vocabs; a 10M-entry vocab falls back
+    * to a keyed shuffle — the text_bpe_apply re-encode shape), and one
+    * chunk-key re-aggregation. The pack window stays shard-local. */
+  def examplesBpe(src: DataFrame, benchmark: DataFrame, tokCorpus: DataFrame,
+      budget: Int = 256, nShards: Int = 4, keepNum: Long = 3L,
+      keepDen: Long = 10L, bpeRounds: Int = 8): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val man = manifestWithText(src, benchmark, nShards, keepNum, keepDen)
+    val seg = graft.Materialize.once(
+      PipelineQueries.bpeSegmentsOf(
+        tokCorpus.select(col("doc_id"), col("text")), bpeRounds)
+        .select(col("token"), size(col("sy")).cast("long").as("n_sub")))
+    val chunks = Text.chunk(
+      man.select(col("shard_id"), col("pos"), col("doc_id"), col("text")),
+      col("text"), chunkSize = 64, overlap = 16)
+    // chunk_text is a single-space join of raw tokens, so its
+    // normalized tokens are exactly the lowered raw tokens — the same
+    // normalization the vocab was trained under
+    val tok = chunks.select(col("shard_id"), col("pos"), col("chunk_start"),
+      explode(Text.tokens(col("chunk_text"))).as("token"))
+    val counted = tok.join(seg, Seq("token"), "left")
+      .groupBy(col("shard_id"), col("pos"), col("chunk_start"))
+      .agg(sum(coalesce(col("n_sub"), length(col("token")).cast("long")))
+        .as("n_bpe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("pos"), col("chunk_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counted
+      .withColumn("pack_id",
+        floor((sum(col("n_bpe")).over(w) - col("n_bpe"))
+          / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("shard_id"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_bpe")).cast("long").as("pack_tokens"))
   }
 }

@@ -125,6 +125,37 @@ object LakeDeletion {
       ()
     }
 
+  /** Delete from a [[graft.operators.Pq.publishIvfPqLake]] index:
+    * PER-DOC class — a vector's rows (its cell-partitioned embedding
+    * row and its m PQ code rows) cite exactly one vec_id, so deletion
+    * is the pure anti-join filter, committed with the untouched
+    * coarse centroids + codebooks + meta as ONE atomic group version
+    * (codes never pair with foreign codebooks). The trained artifacts
+    * stay by design: deleting data does not untrain the model — FAISS
+    * remove_ids semantics — and the deleted vector contributed only
+    * an infinitesimal pull on centroids; a deployment that must purge
+    * even that influence republishes via publishIvfPqLake over the
+    * remaining vectors. DeletionSpec pins: deleted ids lose their
+    * codes AND stop being retrievable, surviving rankings match the
+    * filtered index exactly. */
+  def deleteFromIvfPqLake(spark: SparkSession, dir: String,
+      deleteIds: DataFrame): Unit = graft.Materialize.scoped {
+    val del = graft.Materialize.once(
+      ids(deleteIds).select(col("doc_id").as("vec_id")))
+    val ver = StormSinks.currentVersionDir(spark, dir)
+    StormSinks.writeVersionedGroup(spark, dir, Seq(
+      "coarse" -> spark.read.parquet(s"$ver/coarse"),
+      "books" -> spark.read.parquet(s"$ver/books"),
+      "codes" -> spark.read.parquet(s"$ver/codes")
+        .join(broadcast(del), Seq("vec_id"), "left_anti"),
+      "vectors" -> spark.read.parquet(s"$ver/vectors")
+        .withColumn("cell_id", col("cell_id").cast("long"))
+        .join(broadcast(del), Seq("vec_id"), "left_anti"),
+      "meta" -> spark.read.parquet(s"$ver/meta")),
+      partitionCols = Map("vectors" -> Seq("cell_id")))
+    ()
+  }
+
   /** Delete from a [[graft.streaming.CorpusStream.publishClusterLake]]
     * group: docs anti-join, labels repaired by TARGETED connected
     * components, both committed as ONE new group version (readers and

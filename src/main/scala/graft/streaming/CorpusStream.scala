@@ -632,6 +632,43 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming dense-ANN serving over a published
+    * [[graft.operators.Pq.publishIvfPqLake]] index — the vector
+    * counterpart of [[startRetrievalServing]]: each micro-batch of
+    * query documents probes the published IVF-PQ tables
+    * (query-by-example — the query embeddings are looked up IN the
+    * published vector table by id, a serving tier reads only its
+    * index) and appends batch_seq-stamped top-k rankings. The group
+    * pointer resolves ONCE per batch ([[graft.operators.Pq
+    * .ivfPqTopKIndexedAt]]), so queries, codebooks, codes and vectors
+    * always come from one snapshot and an index republish takes
+    * effect on the next micro-batch; restarts are
+    * checkpoint-idempotent. Per-batch cost is query-side only — the
+    * corpus-sized training ran at publish time. */
+  def startAnnServing(spark: SparkSession, inDir: String,
+      lakeDir: String, outDir: String, checkpointDir: String, k: Int = 5,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val ver = StormSinks.currentVersionName(s2, lakeDir)
+          val queries = StormSinks.readGroupTableAt(s2, lakeDir, ver, "vectors")
+            .join(broadcast(batch.select(col("doc_id").as("vec_id"))
+              .dropDuplicates("vec_id")), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"))
+          graft.operators.Pq.ivfPqTopKIndexedAt(s2, lakeDir, ver, queries, k)
+            .withColumn("batch_seq", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/annserving")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Running heavy-hitter token trends over the document stream — the
     * streaming face of the native Misra–Gries aggregate
     * ([[graft.expressions.SpaceSavingAgg]]): each micro-batch reduces

