@@ -997,9 +997,12 @@ object PipelineQueries {
       val lake = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-lake").toString
       Pq.publishIvfPqLake(embs(s, d), lake, corpusSize = embCount(s, d))
-      val queries = s.read.format("graftlake")
+      // the 10-row query list feeds the coarse probes AND the ADC
+      // lookup table: materialize once so the published vectors table
+      // is not scanned twice for it (PlanSpec's ≤6-scan budget)
+      val queries = graft.Materialize.once(s.read.format("graftlake")
         .option("table", "vectors").load(lake)
-        .where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") < 10).select(col("vec_id"), col("embedding")))
       Pq.ivfPqTopKIndexed(s, lake, queries, k = 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"), col("adc"))
     }),
@@ -1984,7 +1987,21 @@ object PipelineQueries {
     * composes to é only if the scrub runs before NFC). Row -5 pins
     * the à-mojibake boundary: "Ã"+NBSP repairs to à while
     * "Ã "+ASCII-space (legitimate word-final Ã) is left intact. */
+  // Row -6 is the Unicode-VERSION tripwire (Kernels.nfc's coupling
+  // note): Hangul jamo composition (L+V+T and LV+T -> 각), Cyrillic
+  // и+breve -> й and Greek ι+diaeresis+acute -> ΐ (the composition
+  // paths beyond Latin), canonical REORDERING under composition
+  // (c + acute(ccc 230) + cedilla(ccc 202) must reorder before ç can
+  // compose), a composition EXCLUSION (क + nukta must STAY decomposed
+  // — U+0958 is excluded), and U+1DFA (combining dot below left,
+  // ccc 218, added in Unicode 12.0): an engine whose Unicode data
+  // predates it treats the ccc as 0 and skips the reorder after
+  // acute — a JDK/utf8proc data-table divergence on any of these
+  // classes trips the oracle hash instead of passing silently.
   private val normPlanted: Seq[(Long, String)] = Seq(
+    -6L -> ("jamo \u1100\u1161\u11A8 lvt \uAC00\u11A8 cyr \u0438\u0306 " +
+      "greek \u03B9\u0308\u0301 reorder c\u0301\u0327 excl \u0915\u093C " +
+      "ccc218 e\u0301\u1DFA"),
     -5L -> "IRMÃ DELE voilÃ\u00A0tout",
     -4L -> "ctrlchars\r\nnext\rline e‌́",
     -3L -> "itâ€™s â€œquotedâ€¦ Ã©lan â€” Ã¼ber naÃ¯ve",

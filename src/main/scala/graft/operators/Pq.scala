@@ -161,14 +161,19 @@ object Pq {
     // query-side: coarse probes (the knn_ivf pattern) ...
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cell_id"))
-    val probes = queries
+    // queries·nProbe rows, consumed THREE times (candidate join, ADC
+    // re-rank's qemb, and the shortlist's query embeddings): without
+    // the materialization each consumer re-executes the crossJoin and
+    // re-scans the coarse table (3 scans of a published index table
+    // per probe — the PlanSpec ≤6-scan budget caught it)
+    val probes = graft.Materialize.once(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(coarse))
       .select(col("query_id"), col("q_emb"), col("cell_id"),
         round(Knn.cosine(col("q_emb"), col("centroid")), 6).as("pcos"))
       .withColumn("prk", row_number().over(wProbe))
       .where(col("prk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+      .select(col("query_id"), col("q_emb"), col("cell_id")))
     // ... and the per-query ADC lookup table: dot(query block, code
     // centroid) on the 1e-6 BIGINT grid so candidate sums are
     // order-free (queries · m · kCodes rows — broadcast)

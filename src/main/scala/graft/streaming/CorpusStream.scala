@@ -770,23 +770,30 @@ object CorpusStream {
   }
 
   // ---------------------------------------------- streaming dataset card
-  /** Streaming dataset card — corpus_stats' serving face for the
-    * MERGEABLE statistics: a continuously-maintained per
-    * (source, lang) profile (doc count, whitespace-token count, char
-    * mass) of everything ingested so far, the data card a 24/7
-    * pipeline publishes next to its corpus. Exact medians and
-    * cross-doc dup counts are NOT mergeable single-pass stats — they
-    * stay on the batch corpus_stats report (or compose with the
-    * dedup registries); this face carries the additive counters.
+  /** Streaming dataset card — corpus_stats' serving face: a
+    * continuously-maintained per (source, lang) profile of everything
+    * ingested so far — doc count, whitespace-token count, char mass,
+    * MEAN QUALITY (the [[Text.qualityScore]] blend, summed on the
+    * 1e-6 integer grid so the merge is order-free), and the DEDUP
+    * RATE (ingests whose normalized-text fingerprint had been seen
+    * before — by an earlier batch, or earlier in the same batch under
+    * the keep-first lowest-doc_id convention) — the card a release
+    * actually ships next to its corpus. Exact medians stay on the
+    * batch corpus_stats report (not single-pass mergeable).
     *
-    * State = the cumulative (source, lang) counter table — BOUNDED by
-    * the source×lang cardinality, the drift-gate/trends k-slot class,
-    * so the per-batch replace-mode rewrite is O(state-bound), never
-    * O(ingest). Replay gate + crash interleavings are exactly
-    * [[startDriftGate]]'s: counts are additive, a pre-commit replay
-    * re-adds from the OLD snapshot (never double-counts), a
-    * post-commit replay skips on last_batch. CorpusStreamSpec pins
-    * cumulative card == one batch aggregation over all input. */
+    * State = the bounded (source, lang) counter table PLUS the
+    * seen-fps registry the dup verdicts need. The registry is
+    * corpus-sized, so it rides the delta-segment protocol: counters
+    * and meta REPLACE (bounded), fps APPENDS its batch-sized fresh
+    * delta, one atomic commit — per-trigger state I/O stays O(batch),
+    * and the standard auto-cadence bounds segment growth. Counters
+    * and registry commit under ONE pointer, so a crash can never
+    * count a doc without remembering its fingerprint (or vice versa).
+    * Replay gate + crash interleavings are [[startDriftGate]]'s:
+    * counts are additive, a pre-commit replay re-adds from the OLD
+    * snapshot (never double-counts), a post-commit replay skips on
+    * last_batch. CorpusStreamSpec pins cumulative card == one batch
+    * aggregation over all input, quality and dup columns included. */
   def startCorpusCard(spark: SparkSession, inDir: String,
       stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
@@ -816,24 +823,67 @@ object CorpusStream {
           import graft.sources.StormSinks
           val (prev, lastBatch) = readCardState(s2, stateDir)
           if (batchId > lastBatch) {
-            val b = batch.groupBy(col("source"), col("lang"))
+            // quality rides as a 1e-6-grid LONG sum (order-free,
+            // mergeable); dedup as the count of ingests whose
+            // normalized-text fingerprint was already seen — by an
+            // earlier batch (the fps registry) or earlier IN this
+            // batch (first = lowest doc_id, the keep-first
+            // convention). Both are additive per (source, lang), so
+            // the card stays a pure counter merge.
+            val wFp = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp")).orderBy(col("doc_id"))
+            val seen =
+              try StormSinks.readVersionedGroupTable(s2, stateDir, "fps")
+              catch { case _: java.io.FileNotFoundException =>
+                // cold start, or a legacy counters-only card state:
+                // nothing seen yet; the commit below starts the registry
+                import s2.implicits._
+                Seq.empty[String].toDF("fp")
+              }
+            val flagged = graft.Materialize.once(batch
+              .select(col("source"), col("lang"), col("doc_id"),
+                col("n_chars").cast("long").as("n_chars"),
+                Text.tokenCount(col("text")).cast("long").as("n_toks"),
+                floor(Text.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+                  .cast("long").as("q6"),
+                sha2(Text.normalize(col("text")), 256).as("fp"))
+              .withColumn("rn", row_number().over(wFp))
+              .join(seen.select(col("fp"), lit(true).as("__seen")),
+                Seq("fp"), "left")
+              .withColumn("is_dup", col("__seen").isNotNull || col("rn") > 1))
+            val b = flagged.groupBy(col("source"), col("lang"))
               .agg(count(lit(1)).as("n_docs"),
-                sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
-                sum(col("n_chars").cast("long")).as("n_chars"))
+                sum(col("n_toks")).as("n_tokens"),
+                sum(col("n_chars")).as("n_chars"),
+                sum(col("q6")).as("sum_q6"),
+                sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"))
             val counts = prev.unionByName(b)
               .groupBy(col("source"), col("lang"))
               .agg(sum(col("n_docs")).as("n_docs"),
                 sum(col("n_tokens")).as("n_tokens"),
-                sum(col("n_chars")).as("n_chars"))
+                sum(col("n_chars")).as("n_chars"),
+                sum(col("sum_q6")).as("sum_q6"),
+                sum(col("dup_docs")).as("dup_docs"))
+            val freshFps = flagged
+              .where(col("rn") === 1 && col("__seen").isNull)
+              .select(col("fp")).distinct()
             import s2.implicits._
-            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-              "counts" -> counts,
-              "meta" -> Seq(batchId).toDF("last_batch")))
-            // the state is BOUNDED but the version count is not:
-            // vacuum inline (keep=2 covers any in-flight reader of
-            // the previous pointer) so a 24/7 stream never accumulates
-            // one version dir per trigger
+            val meta = Seq(batchId).toDF("last_batch")
+            // first commit publishes the base; later commits are
+            // O(batch) deltas: fps appends its fresh fingerprints,
+            // the bounded counts/meta replace
+            if (lastBatch < 0)
+              StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+                "counts" -> counts, "fps" -> freshFps, "meta" -> meta))
+            else
+              StormSinks.appendDeltaGroup(s2, stateDir,
+                appends = Seq("fps" -> freshFps),
+                replaces = Seq("counts" -> counts, "meta" -> meta))
+            // the counters are BOUNDED but versions/segments are not:
+            // vacuum inline (keep=2 covers in-flight readers of the
+            // previous pointer) + the standard segment auto-cadence
             StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+            StormSinks.maintainGroupSegments(s2, stateDir, maxSegments = 64)
             ()
           }
           ()
@@ -847,8 +897,9 @@ object CorpusStream {
   private def readCardState(spark: SparkSession,
       stateDir: String): (DataFrame, Long) = {
     import spark.implicits._
-    val empty = Seq.empty[(String, String, Long, Long, Long)]
-      .toDF("source", "lang", "n_docs", "n_tokens", "n_chars")
+    val empty = Seq.empty[(String, String, Long, Long, Long, Long, Long)]
+      .toDF("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "sum_q6", "dup_docs")
     import graft.sources.StormSinks
     // ONLY a missing pointer is a cold start; a pointer whose version
     // is missing a table is CORRUPT state and must propagate —
@@ -857,9 +908,15 @@ object CorpusStream {
     val ver =
       try StormSinks.currentVersionName(spark, stateDir)
       catch { case _: java.io.FileNotFoundException => return (empty, -1L) }
-    (StormSinks.readGroupTableAt(spark, stateDir, ver, "counts"),
-      StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
-        .head().getLong(0))
+    val c0 = StormSinks.readGroupTableAt(spark, stateDir, ver, "counts")
+    // a counters-only card published before the quality/dedup columns
+    // existed reads them as zero (its docs pre-date the fps registry,
+    // so their dup verdicts are unknowable — zero is the honest floor)
+    val c = Seq("sum_q6", "dup_docs").foldLeft(c0) { (d, n) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(0L))
+    }
+    (c, StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
+      .head().getLong(0))
   }
 
   /** The current dataset card: per (source, lang) counters plus the
@@ -869,7 +926,15 @@ object CorpusStream {
     counts.select(col("source"), col("lang"), col("n_docs"),
       col("n_tokens"), col("n_chars"),
       round(col("n_chars").cast("double") / col("n_docs").cast("double"), 6)
-        .as("mean_chars"))
+        .as("mean_chars"),
+      // mean per-doc quality off the 1e-6 integer grid, and the
+      // fraction of ingests whose content had been seen before — the
+      // two columns a release's data card actually quotes
+      round(col("sum_q6").cast("double") /
+        (col("n_docs").cast("double") * 1000000.0), 6).as("mean_quality"),
+      col("dup_docs"),
+      round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+        .as("dup_rate"))
   }
 
   // ------------------------------------------------ streaming drift gate

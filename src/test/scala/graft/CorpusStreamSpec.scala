@@ -473,18 +473,46 @@ class CorpusStreamSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(s"$base/in")
     docs.where(col("doc_id") >= 350)
       .coalesce(1).write.mode("append").parquet(s"$base/in")
+    // wave 4: the first 50 docs RE-INGESTED under fresh ids — every
+    // one a known duplicate (the corpus is all-distinct otherwise),
+    // exercising the fps registry's dup verdicts
+    val rewave = docs.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    rewave.coalesce(1).write.mode("append").parquet(s"$base/in")
     CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/state",
       s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
     def m(df: org.apache.spark.sql.DataFrame) = df
-      .select("source", "lang", "n_docs", "n_tokens", "n_chars")
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("mean_quality"), col("dup_docs"))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+      .toMap
     val got = m(CorpusStream.readCorpusCard(spark, s"$base/state"))
-    val want = m(docs.groupBy(col("source"), col("lang"))
+    // truth: one batch aggregation over all input — the re-ingested
+    // docs count in every counter AND as dups (their fingerprints'
+    // first occurrences are the original corpus rows)
+    val all = docs.unionByName(rewave)
+    val want = m(all
+      .withColumn("__dup", (col("doc_id") >= 1000000L).cast("boolean"))
+      .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.functions.Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
-        sum(col("n_chars").cast("long")).as("n_chars")))
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(floor(graft.functions.Text.qualityScore(col("text")) * 1000000.0 + 0.5)
+          .cast("long")).as("sum_q6"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("sum_q6").cast("double") /
+          (col("n_docs").cast("double") * 1000000.0), 6).as("mean_quality"),
+        col("dup_docs")))
     assert(got == want, s"cumulative card diverged from batch aggregation")
+    assert(got.values.map(_._5).sum == 50L, "re-ingest wave must count 50 dups")
+    // the derived dup_rate and mean_quality read off the same counters
+    val card = CorpusStream.readCorpusCard(spark, s"$base/state")
+    assert(card.agg(sum(col("dup_docs"))).head().getLong(0) == 50L)
+    assert(card.where(col("mean_quality") < 0.0 || col("mean_quality") > 1.0)
+      .count() == 0, "mean_quality outside [0,1]")
     // derived mean is consistent
     val row = CorpusStream.readCorpusCard(spark, s"$base/state")
       .orderBy(col("source"), col("lang")).head()
@@ -497,25 +525,28 @@ class CorpusStreamSpec extends SparkSpec {
       "replay changed the card")
     // cold start
     assert(CorpusStream.readCorpusCard(spark, s"$base/never").count() == 0)
-    // bounded version history: the inline vacuum keeps at most
-    // keep+1 = 3 version dirs across the 3-batch run
+    // bounded version history: the inline vacuum keeps the keep+1 = 3
+    // newest version dirs PLUS the base whose fps segment the delta
+    // manifests still reference (reference-aware retention)
     val vdirs = new java.io.File(s"$base/state").listFiles
       .count(_.getName.startsWith("v-"))
-    assert(vdirs <= 3, s"card versions grew unboundedly: $vdirs dirs")
+    assert(vdirs <= 4, s"card versions grew unboundedly: $vdirs dirs")
     // freshness guard: used state + lineage-less checkpoint rejected
     val e = intercept[IllegalStateException] {
       CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/state",
         s"$base/cp-lost", maxFilesPerTrigger = 1)
     }
     assert(e.getMessage.contains("no committed offsets"), e.getMessage)
-    // corrupt state (pointer present, counts table gone) must
+    // corrupt state (pointer present, counts segment gone) must
     // PROPAGATE, never silently reset the cumulative card
-    val ver = graft.sources.StormSinks.currentVersionDir(spark, s"$base/state")
+    val verName = graft.sources.StormSinks.currentVersionName(spark, s"$base/state")
+    val cseg = graft.sources.StormSinks
+      .segmentsAt(spark, s"$base/state", verName, "counts").head
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete(); ()
     }
-    rmrf(new java.io.File(s"$ver/counts"))
-    intercept[java.io.FileNotFoundException] {
+    rmrf(new java.io.File(cseg))
+    intercept[Exception] {
       CorpusStream.readCorpusCard(spark, s"$base/state").count()
     }
   }

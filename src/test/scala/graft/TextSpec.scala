@@ -121,13 +121,34 @@ class TextSpec extends SparkSpec {
     val nfd = Text.fingerprint64(Text.fixText(lit("Café")))
     val nfc = Text.fingerprint64(Text.fixText(lit("Café")))
     assert(one(nfd) == one(nfc))
+    // Unicode-version tripwire classes (the normPlanted -6 row, pinned
+    // here codepoint-by-codepoint on the Spark side):
+    // Hangul L+V+T and LV+T both compose to the syllable
+    assert(fx("\u1100\u1161\u11A8") == "\uAC01", "jamo L+V+T")
+    assert(fx("\uAC00\u11A8") == "\uAC01", "jamo LV+T")
+    // non-Latin composition paths
+    assert(fx("\u0438\u0306") == "\u0439", "Cyrillic breve")
+    assert(fx("\u03B9\u0308\u0301") == "\u0390", "Greek dialytika tonos")
+    // canonical reorder THEN compose: acute(230) written before
+    // cedilla(202) must reorder, then the pair composes all the way
+    // to U+1E09 (c-cedilla-acute has a precomposed form)
+    assert(fx("c\u0301\u0327") == "\u1E09", "reorder before compose")
+    // composition exclusion: U+0958 is excluded, must stay decomposed
+    assert(fx("\u0915\u093C") == "\u0915\u093C", "exclusion stays decomposed")
+    // U+1DFA (ccc 218, Unicode 12) written after acute(230): the
+    // canonical order swaps them, and the acute still composes with
+    // e across the lower-ccc mark (218 < 230 does not block) —
+    // é + U+1DFA. A table predating Unicode 12 gives U+1DFA ccc 0,
+    // making it a BLOCKER: no reorder, no composition, bytes stay
+    // e+0301+1DFA — so engine disagreement here trips the hash
+    assert(fx("e\u0301\u1DFA") == "\u00E9\u1DFA", "ccc-218 reorder")
   }
 
   test("text_normalize query: corpus rows identity, planted rows repaired, flags consistent") {
     val out = graft.operators.PipelineQueries.queries("text_normalize")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
-    // 500 corpus + 5 planted
-    assert(out.length == 505)
+    // 500 corpus + 6 planted
+    assert(out.length == 506)
     val (planted, corpus) = out.partition(_._1 < 0)
     // the synthetic corpus is ASCII: identity, nothing flagged
     assert(corpus.forall(r => !r._3 && !r._4))
@@ -136,6 +157,8 @@ class TextSpec extends SparkSpec {
     assert(planted.filter(_._4).map(_._1).toSeq.sorted == Seq(-5L, -3L))
     val byId = planted.map(r => r._1 -> r._2).toMap
     assert(byId(-1L) == "Café au thé")
+    // -6: every tripwire class landed on its pinned NFC form
+    assert(byId(-6L) == "jamo \uAC01 lvt \uAC01 cyr \u0439 greek \u0390 reorder \u1E09 excl \u0915\u093C ccc218 \u00E9\u1DFA")
     assert(byId(-2L) == "zerowidthandjoinershere")
     assert(byId(-4L).contains("é") && !byId(-4L).contains("\r"))
     // -5: NBSP form repaired, ASCII-space form untouched
