@@ -610,6 +610,84 @@ object Knn {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------- 142: retrieval quality evaluation
+  /** floor(1e6 / log2(rank+1)) for rank 1..10 — the nDCG discount
+    * table on the 1e-6 integer grid. INTERPOLATED into the
+    * retrieval_eval oracle SQL, so both engines share the literals
+    * and no cross-engine log() is ever evaluated. */
+  private[graft] val DCG_GAINS_MI: Seq[Long] = Seq(1000000L, 630929L,
+    500000L, 430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** Prefix sums of [[DCG_GAINS_MI]] — ideal-DCG for 1..10 relevant
+    * candidates in the top-10. */
+  private[graft] val IDCG_PREFIX_MI: Seq[Long] =
+    DCG_GAINS_MI.scanLeft(0L)(_ + _).tail
+
+  /** Labeled retrieval-quality evaluation — the metrics loop a
+    * retrieval/RAG stack runs after every index or embedding change:
+    * each query's cosine top-k is scored against binary relevance
+    * (a candidate is relevant iff it shares the query's `label` —
+    * the qrels a labeled corpus gives for free), yielding per-query
+    * recall@k, MRR and nDCG@k.
+    *
+    * PRECONDITION: queries are drawn from the corpus (resubstitution
+    * eval, the `vec_id < 10` probe convention) — n_rel is derived as
+    * per-label corpus count minus the query itself.
+    *
+    * Engine-replayable by construction: hits / first-relevant-rank /
+    * n_rel are exact integers; the DCG discounts enter as the LITERAL
+    * [[DCG_GAINS_MI]] gain table so DCG and ideal-DCG accumulate as
+    * order-free BIGINT sums; the three ratio metrics are single
+    * rounded divisions of those exact integers.
+    *
+    * Scale: the ranking is [[cosineTopK]]'s broadcast-probe shape
+    * (swap in [[ivfTopK]] at corpus scale — same output contract);
+    * relevance needs one extra |labels|-row broadcast aggregate, and
+    * everything after the top-k window is (queries × k)-sized.
+    * Output: one row per query. */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k <= DCG_GAINS_MI.length,
+      s"k=$k exceeds the literal gain table (${DCG_GAINS_MI.length})")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").cast("long").as("q_label")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("q_label"), col("rk"),
+        (col("label") === col("q_label")).cast("long").as("rel"),
+        element_at(typedLit(DCG_GAINS_MI), col("rk")).as("g"))
+    val perQ = top.groupBy(col("query_id"), col("q_label"))
+      .agg(sum(col("rel")).as("hits"),
+        sum(col("rel") * col("g")).as("dcg_i"),
+        coalesce(min(when(col("rel") === 1L, col("rk"))), lit(0))
+          .cast("long").as("first_rel"))
+    // |labels|-row corpus aggregate (map-side partial, broadcast out)
+    val labCnt = corpus.groupBy(col("label").cast("long").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    perQ.join(broadcast(labCnt), "q_label")
+      .withColumn("n_rel", col("n_label") - lit(1L))
+      .withColumn("idcg_i", when(col("n_rel") <= 0L, lit(0L))
+        .otherwise(element_at(typedLit(IDCG_PREFIX_MI),
+          least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .select(col("query_id"), col("q_label"), col("n_rel"), col("hits"),
+        col("first_rel"), col("dcg_i"), col("idcg_i"),
+        when(col("n_rel") <= 0L, lit(0.0)).otherwise(
+          round(col("hits").cast("double") /
+            least(col("n_rel"), lit(k.toLong)).cast("double"), 6)).as("recall"),
+        when(col("first_rel") === 0L, lit(0.0)).otherwise(
+          round(lit(1.0) / col("first_rel").cast("double"), 6)).as("mrr"),
+        when(col("idcg_i") <= 0L, lit(0.0)).otherwise(
+          round(col("dcg_i").cast("double") /
+            col("idcg_i").cast("double"), 6)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------- 104: nearest-centroid classification
   /** Rocchio / nearest-class-centroid auto-labeling: per-label
     * centroids from the labeled corpus, every vector re-assigned to

@@ -1396,6 +1396,18 @@ object PipelineQueries {
         .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
         .orderBy(col("query_id"), col("rk"))
     }),
+    // 142: retrieval quality evaluation — per-query recall@10 / MRR /
+    // nDCG@10 of the dense ranking against label-derived binary qrels
+    // (the regression metrics a retrieval stack re-runs after every
+    // index or embedding change). The nDCG log-discounts enter as the
+    // LITERAL 1e-6-grid gain table interpolated into the oracle, so
+    // DCG/IDCG are order-free BIGINT sums and every ratio is one
+    // rounded division of exact integers. Post-top-k work is
+    // (queries × k)-sized at any corpus scale.
+    "retrieval_eval" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.retrievalEval(e, e.where(col("vec_id") < 10), k = 10)
+    }),
     // 88: deterministic training-order shard manifest — the export
     // step every training run needs: a reproducible global shuffle
     // (training-order randomization) plus shard assignment, keyed on
@@ -4197,6 +4209,54 @@ object PipelineQueries {
         |)
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 142: knn_cosine's replay at k=10 joined against label qrels;
+    // the gain/ideal-DCG tables are interpolated from Knn.DCG_GAINS_MI
+    // so the two engines share the literals
+    "retrieval_eval" -> {
+      val gainCase = Knn.DCG_GAINS_MI.zipWithIndex
+        .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+      val idcgCase = Knn.IDCG_PREFIX_MI.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS q_label,
+         |             CAST(embedding AS DOUBLE[]) AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, q.q_label, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         |), top AS (
+         |  SELECT query_id, q_label,
+         |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+         |    rk, CASE rk $gainCase END AS g
+         |  FROM (SELECT query_id, q_label, label,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |        FROM scored) WHERE rk <= 10
+         |), agg AS (
+         |  SELECT query_id, q_label, CAST(sum(rel) AS BIGINT) AS hits,
+         |    CAST(sum(rel * g) AS BIGINT) AS dcg_i,
+         |    CAST(coalesce(min(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT) AS first_rel
+         |  FROM top GROUP BY query_id, q_label
+         |), lc AS (
+         |  SELECT CAST(label AS BIGINT) AS q_label,
+         |    CAST(count(*) - 1 AS BIGINT) AS n_rel
+         |  FROM embeddings GROUP BY 1
+         |), j AS (
+         |  SELECT a.query_id, a.q_label, lc.n_rel, a.hits, a.first_rel, a.dcg_i,
+         |    CAST(CASE WHEN lc.n_rel <= 0 THEN 0
+         |         ELSE (CASE least(lc.n_rel, 10) $idcgCase END) END AS BIGINT) AS idcg_i
+         |  FROM agg a JOIN lc USING (q_label)
+         |)
+         |SELECT query_id, q_label, n_rel, hits, first_rel, dcg_i, idcg_i,
+         |  CASE WHEN n_rel <= 0 THEN 0.0
+         |       ELSE round(CAST(hits AS DOUBLE) / CAST(least(n_rel, 10) AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN first_rel = 0 THEN 0.0
+         |       ELSE round(1.0 / CAST(first_rel AS DOUBLE), 6) END AS mrr,
+         |  CASE WHEN idcg_i <= 0 THEN 0.0
+         |       ELSE round(CAST(dcg_i AS DOUBLE) / CAST(idcg_i AS DOUBLE), 6) END AS ndcg
+         |FROM j ORDER BY query_id""".stripMargin
+    },
     // 126: same cosine replay, max per corpus vector vs the benchmark set
     "decon_embed" ->
       """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS b_emb

@@ -336,4 +336,45 @@ class KnnSpec extends SparkSpec {
     }
     assert(kept.nonEmpty && kept.length < assigned.length)
   }
+
+  test("retrievalEval: hand-computed fixture (hits, MRR, nDCG via the gain table)") {
+    // query 0 (label 1, (1,0)); candidates ranked 1:id1(rel) 2:id2
+    // 3:id3(rel) 4:id4 — hits=2, first_rel=1, dcg=g1+g3=1.5e6,
+    // idcg=prefix(2)=1630929
+    val e = Seq(
+      (0L, Seq(1f, 0f), 1),
+      (1L, Seq(1f, 0f), 1),
+      (2L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(0.6f, 0.8f), 1),
+      (4L, Seq(0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Knn.retrievalEval(e, e.where($"vec_id" === 0), k = 10).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_rel") == 2L)
+    assert(row.getAs[Long]("hits") == 2L)
+    assert(row.getAs[Long]("first_rel") == 1L)
+    assert(row.getAs[Long]("dcg_i") == 1500000L)
+    assert(row.getAs[Long]("idcg_i") == 1630929L)
+    assert(row.getAs[Double]("recall") == 1.0)
+    assert(row.getAs[Double]("mrr") == 1.0)
+    assert(math.abs(row.getAs[Double]("ndcg") - 0.9197212141055803) < 1e-6)
+  }
+
+  test("retrievalEval invariants on testdata: one row per query, metrics bounded") {
+    val e = Tables.embeddings(spark, sfDir)
+    val rows = Knn.retrievalEval(e, e.where($"vec_id" < 10), k = 10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (hits, nRel) = (r.getAs[Long]("hits"), r.getAs[Long]("n_rel"))
+      assert(hits >= 0 && hits <= math.min(10L, nRel))
+      assert(r.getAs[Long]("dcg_i") <= r.getAs[Long]("idcg_i"))
+      Seq("recall", "mrr", "ndcg").foreach { m =>
+        val v = r.getAs[Double](m)
+        assert(v >= 0.0 && v <= 1.0, s"$m=$v out of range")
+      }
+      // a query with a first-rank relevant hit has mrr 1.0
+      if (r.getAs[Long]("first_rel") == 1L) assert(r.getAs[Double]("mrr") == 1.0)
+    }
+  }
 }
