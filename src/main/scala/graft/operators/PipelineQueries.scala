@@ -1396,6 +1396,14 @@ object PipelineQueries {
         .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
         .orderBy(col("query_id"), col("rk"))
     }),
+    // 143: quality-phased curriculum manifest — deterministic
+    // easy→hard training order (fixed quality bands, salted-md5
+    // shuffle within each band, per-(phase, shard) positions; the
+    // training loop reads phase-major, round-robin across shards).
+    // One narrow quality map + one (phase, shard) hash shuffle +
+    // shard-local sorts at any corpus size.
+    "corpus_curriculum" -> ((s, d) =>
+      Pretrain.curriculum(docs(s, d), nShards = 8)),
     // 142: retrieval quality evaluation — per-query recall@10 / MRR /
     // nDCG@10 of the dense ranking against label-derived binary qrels
     // (the regression metrics a retrieval stack re-runs after every
@@ -1805,6 +1813,24 @@ object PipelineQueries {
           col("n_chars"), shares = Map.empty, defaultShare = 0.2)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
+    // 144: DoReMi-style domain reweighting — per-source excess loss
+    // (corpus-mean bigram-LM fluency minus the domain's) drives 3
+    // linearized multiplicative-weight rounds on the exact integer
+    // grid; learned weights become per-domain lattice keep rates at a
+    // 50%-doc budget. Docs too short to carry a bigram have no LM
+    // score and sit outside the mixture (both engines drop them in
+    // the same inner join). |domains|-row update frame + broadcast
+    // thresholds + zero-shuffle hash filter at any corpus size.
+    "sample_doremi" -> ((s, d) => {
+      val doc = docs(s, d)
+      val scored = lmScores(doc).select(col("doc_id"),
+        round(col("avg_logprob") * 1e6).cast("long").as("s_mi"))
+      val src = doc.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      Sampling.doremiSample(src, col("doc_id"), col("source"), col("s_mi"))
+        .select(col("doc_id"), col("source"), col("excess_mi"), col("w_mi"),
+          col("thr"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // 101: temperature-flattened mixture (mT5/UniMax family) — τ=2
     // square-root flattening of the language distribution at a 50%
     // char budget: head languages downsample toward the flattened
@@ -2805,7 +2831,55 @@ object PipelineQueries {
        |FROM q LEFT JOIN clu ON q.doc_id = clu.doc_id
        |WHERE q.quality >= 0.5 AND (clu.cluster_id IS NULL OR clu.cluster_id = q.doc_id)""".stripMargin
 
+  /** The text_quality score chain (qc0 → qc1 → qcq yielding
+    * (doc_id, quality)) WITHOUT the WITH keyword or a trailing ORDER
+    * BY, for interpolation into composed oracles (corpus_curriculum).
+    * Same formula as the text_quality oracle body. */
+  private lazy val QUALITY_CTES =
+    s"""qc0 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+       |  FROM documents
+       |), qc1 AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(${hitsSql(Text.stopwords.head._2).replace(s"str_split($NORM, ' ')", "tk")} AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE) END AS mean_token_len
+       |  FROM qc0
+       |), qcq AS (
+       |  SELECT doc_id, round(
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+       |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+       |  FROM qc1
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // 143: the quality chain + fixed bands + the same salted-md5
+    // shard/position arithmetic as the corpus_shard oracle
+    "corpus_curriculum" ->
+      s"""WITH $QUALITY_CTES, staged AS (
+         |  SELECT doc_id, quality,
+         |    CASE WHEN quality >= 0.75 THEN 0 WHEN quality >= 0.5 THEN 1
+         |         WHEN quality >= 0.25 THEN 2 ELSE 3 END AS phase,
+         |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS k,
+         |    CAST(('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 8 AS BIGINT) AS shard_id
+         |  FROM qcq
+         |)
+         |SELECT CAST(phase AS BIGINT) AS phase, shard_id,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard_id
+         |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+         |  doc_id, quality
+         |FROM staged ORDER BY phase, shard_id, pos""".stripMargin,
     // 41: same salted-md5 bucket arithmetic as Sampling.hashBucket
     "sample_stratified" ->
       """SELECT doc_id, lang, source, bucket FROM (
@@ -2900,6 +2974,59 @@ object PipelineQueries {
         |      % 1000000 AS BIGINT) AS bucket
         |  FROM documents d JOIN r ON d.lang = r.lang
         |) WHERE bucket < thr ORDER BY doc_id""".stripMargin,
+    // 144: the lmscore replay joined to sources, then the 3-round
+    // linearized multiplicative-weights update in exact BIGINT (all
+    // positive operands, so DuckDB // == Spark div), the same
+    // quota/threshold arithmetic, and the drm-salted lattice
+    "sample_doremi" -> {
+      val roundCtes = (1 to 3).map { t =>
+        val prev = if (t == 1) "f1" else s"w${t - 1}n"
+        s"""w$t AS (
+           |  SELECT source, n_g, nn, excess, factor,
+           |    (w * factor) // 1000000 AS wr
+           |  FROM $prev
+           |), w${t}n AS (
+           |  SELECT source, n_g, nn, excess, factor,
+           |    CAST((wr * 1000000) // (sum(wr) OVER ()) AS BIGINT) AS w
+           |  FROM w$t
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $LM_CTES, si AS (
+         |  SELECT l.doc_id, d.source,
+         |    CAST(round(l.avg_logprob * 1000000) AS BIGINT) AS s_mi
+         |  FROM lmsc l JOIN documents d USING (doc_id)
+         |), dom AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         |    CAST(sum(s_mi) AS BIGINT) AS sum_s
+         |  FROM si GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(sum_s) AS BIGINT) AS ss
+         |  FROM dom
+         |), f0 AS (
+         |  SELECT source, n_g, nn,
+         |    CAST(floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) AS BIGINT)
+         |      - CAST(floor(CAST(sum_s AS DOUBLE) / CAST(n_g AS DOUBLE)) AS BIGINT) AS excess
+         |  FROM dom CROSS JOIN tot
+         |), f1 AS (
+         |  SELECT source, n_g, nn, excess,
+         |    1000000 + greatest(-250000, least(250000,
+         |      CAST(floor(CAST(excess AS DOUBLE) / 2.0) AS BIGINT))) AS factor,
+         |    CAST(1000000 AS BIGINT) AS w
+         |  FROM f0
+         |), $roundCtes, fin AS (
+         |  SELECT source, excess, w,
+         |    CAST(least(1000000,
+         |      (((((nn * 500000) // 1000000) * w) // 1000000) * 1000000) // n_g) AS BIGINT) AS thr
+         |  FROM w3n
+         |)
+         |SELECT doc_id, source, excess_mi, w_mi, thr, bucket FROM (
+         |  SELECT si.doc_id, si.source, fin.excess AS excess_mi, fin.w AS w_mi,
+         |    fin.thr,
+         |    CAST(('0x' || substr(md5('drm:' || CAST(si.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000000 AS BIGINT) AS bucket
+         |  FROM si JOIN fin USING (source)
+         |) WHERE bucket < thr ORDER BY doc_id""".stripMargin
+    },
     // 101: same sqrt-flattened weights on the 1e-6 grid, order-free
     // BIGINT normalizer, and the same fixed-order rate expression as
     // Sampling.temperatureSample (tau=2, budgetFrac=0.5)

@@ -202,4 +202,41 @@ object Pretrain {
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_bpe")).cast("long").as("pack_tokens"))
   }
+
+  // --------------------------------------- 143: curriculum ordering
+  /** Quality-phased curriculum manifest — deterministic easy→hard
+    * training order: docs are banded into fixed quality phases
+    * (>= 0.75 → 0, >= 0.5 → 1, >= 0.25 → 2, else 3; thresholds on
+    * [[Text.qualityScore]]'s 1e-6 grid so the banding is
+    * engine-replayable), then salted-md5-shuffled WITHIN each phase —
+    * curriculum learning's standard recipe (ordered stages, random
+    * within a stage).
+    *
+    * Position is per (phase, shard): a single global order would
+    * serialize the sort onto |phases| tasks, so each phase is split
+    * into `nShards` salted shards and the training loop reads
+    * phase-major, round-robin across shards — the [[run]] manifest's
+    * sizing contract applies to `nShards` here too. Scale: one narrow
+    * quality map + one hash shuffle on (phase, shard) + shard-local
+    * sorts (WindowExec spills rather than buffering).
+    *
+    * Output: (phase, shard_id, pos, doc_id, quality). */
+  def curriculum(src: DataFrame, nShards: Int = 8): DataFrame = {
+    val key = md5(concat_ws(":", lit("cur"), col("doc_id").cast("string")))
+    val staged = src
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
+        key.as("k"))
+      .select(col("doc_id"), col("quality"), col("k"),
+        when(col("quality") >= 0.75, 0L).when(col("quality") >= 0.5, 1L)
+          .when(col("quality") >= 0.25, 2L).otherwise(3L).as("phase"),
+        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phase"), col("shard_id"))
+      .orderBy(col("k"), col("doc_id"))
+    staged.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("phase"), col("shard_id"), col("pos"), col("doc_id"),
+        col("quality"))
+      .orderBy(col("phase"), col("shard_id"), col("pos"))
+  }
 }

@@ -387,4 +387,74 @@ object Sampling {
       .unionByName(keepBucket.select(outCols: _*))
       .unionByName(keepPartial.select(outCols: _*))
   }
+
+  // --------------------------------- 144: DoReMi-style domain reweighting
+  /** Domain-mixture reweighting via multiplicative-weights updates on
+    * per-domain excess loss (the DoReMi recipe, deterministic
+    * fixed-reference form): domains whose mean score falls below the
+    * corpus mean (harder domains, by the convention that `scoreMiCol`
+    * is a fluency/quality score in 1e-6 integer units, higher =
+    * easier) are upweighted, then the learned weights drive a
+    * hash-lattice sample toward the reweighted mixture.
+    *
+    * The exponentiated-gradient step is LINEARIZED onto the integer
+    * grid — w ← (w · (10⁶ + clamp(⌊excess/etaDen⌋, ±25·10⁴))) div 10⁶,
+    * renormalized to Σw = 10⁶ (floor) each round — so every update is
+    * exact BIGINT arithmetic both engines replay bit-identically
+    * (exp() never crosses an engine boundary). Division semantics:
+    * all operands are positive, where Spark's `div` (truncate) and
+    * DuckDB's `//` (floor) agree; the two floor() calls on possibly-
+    * negative means are explicit doubles-floor, identical in both.
+    *
+    * Per-domain keep rate = min(1, quota/n_g) with quota = budget ·
+    * w/10⁶ and budget = ⌊N·budgetFrac⌋ docs; membership is the salted
+    * [[hashBucket]] lattice (nested, composable, layout-independent).
+    *
+    * Scale shape: one partial-agg shuffle to |domains| rows, the
+    * 3-round update entirely on that tiny frame (global-window sums
+    * over |domains| rows), thresholds broadcast back, zero-shuffle
+    * hash filter — the [[mixtureSample]] shape plus a constant number
+    * of tiny passes.
+    *
+    * Output: input rows kept, plus (excess_mi, w_mi, thr, bucket). */
+  def doremiSample(df: DataFrame, idCol: Column, groupCol: Column,
+      scoreMiCol: Column, rounds: Int = 3, etaDen: Long = 2L,
+      budgetFrac: Double = 0.5, salt: String = "drm"): DataFrame = {
+    require(rounds >= 1 && etaDen >= 1, s"bad rounds=$rounds/etaDen=$etaDen")
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    val fracI = math.round(budgetFrac * Buckets)
+    val dom = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(scoreMiCol.cast("long")).as("__s"))
+    val tot = dom.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // |domains| rows — one tiny partition
+    var cur = dom.crossJoin(broadcast(tot))
+      .select(col("__g"), col("__n"), col("__nn"),
+        (floor(col("__ss").cast("double") / col("__nn").cast("double")).cast("long")
+          - floor(col("__s").cast("double") / col("__n").cast("double")).cast("long"))
+          .as("__excess"))
+      .withColumn("__factor", lit(Buckets) +
+        greatest(lit(-250000L), least(lit(250000L),
+          floor(col("__excess").cast("double") / etaDen.toDouble).cast("long"))))
+      .withColumn("__w", lit(Buckets))
+    for (_ <- 1 to rounds) {
+      cur = cur
+        .withColumn("__w", expr("(__w * __factor) div 1000000"))
+        .withColumn("__wsum", sum(col("__w")).over(wAll))
+        .withColumn("__w", expr("(__w * 1000000) div __wsum"))
+        .drop("__wsum")
+    }
+    val thr = cur
+      .withColumn("__quota", expr(s"(((__nn * $fracI) div 1000000) * __w) div 1000000"))
+      .select(col("__g"), col("__excess"), col("__w"),
+        least(lit(Buckets), expr("(__quota * 1000000) div __n")).as("__thr"))
+    df.join(broadcast(thr), groupCol <=> col("__g"))
+      .withColumn("bucket", hashBucket(idCol, salt))
+      .where(col("bucket") < col("__thr"))
+      .withColumnRenamed("__excess", "excess_mi")
+      .withColumnRenamed("__w", "w_mi")
+      .withColumnRenamed("__thr", "thr")
+      .drop("__g")
+  }
 }

@@ -147,4 +147,32 @@ class PretrainSpec extends SparkSpec {
     assert(counted == want, s"unit count $counted != $want " +
       s"(the=${segMap.get("the")}, zzqqxx OOV -> 6 chars)")
   }
+
+  test("curriculum: every doc placed once, phases band quality, positions dense") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val cur = Pretrain.curriculum(doc, nShards = 4).collect()
+    assert(cur.length == doc.count())
+    assert(cur.map(_.getAs[Long]("doc_id")).distinct.length == cur.length)
+    cur.foreach { r =>
+      val (p, q) = (r.getAs[Long]("phase"), r.getAs[Double]("quality"))
+      val want = if (q >= 0.75) 0L else if (q >= 0.5) 1L
+                 else if (q >= 0.25) 2L else 3L
+      assert(p == want, s"doc ${r.getAs[Long]("doc_id")}: quality $q in phase $p")
+      assert(r.getAs[Long]("shard_id") >= 0 && r.getAs[Long]("shard_id") < 4)
+    }
+    // positions are 1..n dense within each (phase, shard)
+    cur.groupBy(r => (r.getAs[Long]("phase"), r.getAs[Long]("shard_id")))
+      .foreach { case (_, rows) =>
+        val pos = rows.map(_.getAs[Long]("pos")).sorted
+        assert(pos.head == 1L && pos.last == pos.length.toLong)
+      }
+    // the salted shuffle actually mixes: within some shard, doc ids
+    // are not in ascending id order
+    val anyShard = cur.filter(r => r.getAs[Long]("phase") == cur.head.getAs[Long]("phase")
+      && r.getAs[Long]("shard_id") == cur.head.getAs[Long]("shard_id"))
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    if (anyShard.length > 3)
+      assert(anyShard.zip(anyShard.tail).exists { case (a, b) => a > b },
+        "within-shard order looks like raw id order — salt not applied")
+  }
 }

@@ -5,6 +5,7 @@ import graft.operators.Sampling
 import graft.sources.Tables
 
 class SamplingSpec extends SparkSpec {
+  import spark.implicits._
 
   private def docs = Tables.documents(spark, sfDir)
 
@@ -342,5 +343,67 @@ class SamplingSpec extends SparkSpec {
         1L, 2L, "s").collect()
     }
     assert(chain(e2).exists(_.contains("magnitude bound")), e2.toString)
+  }
+
+  test("doremiSample == plain-Scala integer replay; hard domains upweighted") {
+    // 3 domains x 10 docs with fixed per-domain scores: a easy, b
+    // average, c hard (scores in 1e-6 units, higher = easier)
+    val rows = for {
+      (g, s) <- Seq(("a", -1000000L), ("b", -2000000L), ("c", -3000000L))
+      i <- 0 until 10
+    } yield (Seq("a", "b", "c").indexOf(g) * 10L + i, g, s)
+    val df = rows.toDF("doc_id", "grp", "s_mi")
+    val got = Sampling.doremiSample(df, col("doc_id"), col("grp"), col("s_mi"))
+      .collect()
+
+    // plain-Scala replay of the documented integer arithmetic
+    val doms = Seq(("a", -1000000L), ("b", -2000000L), ("c", -3000000L))
+    val (nn, ss) = (30L, doms.map(_._2 * 10).sum)
+    def flr(x: Double): Long = math.floor(x).toLong
+    val excess = doms.map { case (g, s) =>
+      g -> (flr(ss.toDouble / nn) - flr(s * 10.0 / 10.0)) }.toMap
+    val factor = excess.view.mapValues(e =>
+      1000000L + math.max(-250000L, math.min(250000L, flr(e / 2.0)))).toMap
+    var w = doms.map { case (g, _) => g -> 1000000L }.toMap
+    for (_ <- 1 to 3) {
+      val wr = w.map { case (g, v) => g -> v * factor(g) / 1000000L }
+      val sum = wr.values.sum
+      w = wr.map { case (g, v) => g -> v * 1000000L / sum }
+    }
+    val thr = w.map { case (g, v) =>
+      val quota = nn * 500000L / 1000000L * v / 1000000L
+      g -> math.min(1000000L, quota * 1000000L / 10L)
+    }
+    // hard > average > easy in both weights and thresholds
+    assert(w("c") > w("b") && w("b") > w("a"), w.toString)
+    assert(thr("c") >= thr("b") && thr("b") >= thr("a"), thr.toString)
+    got.foreach { r =>
+      val g = r.getAs[String]("grp")
+      assert(r.getAs[Long]("w_mi") == w(g), s"$g: w ${r.getAs[Long]("w_mi")} != ${w(g)}")
+      assert(r.getAs[Long]("thr") == thr(g))
+      assert(r.getAs[Long]("excess_mi") == excess(g))
+      assert(r.getAs[Long]("bucket") < thr(g))
+    }
+    // membership is exactly the lattice: replay md5 per doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kept = rows.filter { case (id, g, _) =>
+      val hex = md.digest(s"drm:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L < thr(g)
+    }.map(_._1).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == kept)
+  }
+
+  test("doremiSample: uniform scores give uniform weights (no spurious drift)") {
+    val rows = for (g <- Seq("x", "y"); i <- 0 until 20)
+      yield (Seq("x", "y").indexOf(g) * 20L + i, g, -5000000L)
+    val got = Sampling.doremiSample(rows.toDF("doc_id", "grp", "s_mi"),
+      col("doc_id"), col("grp"), col("s_mi")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("excess_mi") == 0L)
+      assert(r.getAs[Long]("w_mi") == 500000L)
+      assert(r.getAs[Long]("thr") == 500000L)
+    }
   }
 }
