@@ -688,6 +688,54 @@ object Knn {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------- 146: contrastive triplet mining
+  /** Contrastive training-triplet export — the data product an
+    * embedding-model fine-tune consumes: per anchor, its most-similar
+    * SAME-label vector as the positive and its `nNeg` most-similar
+    * DIFFERENT-label vectors as hard negatives (the
+    * [[hardNegatives]] pick), with the per-pair margin
+    * (pos_cos − neg_cos) the training loss will see. Anchors whose
+    * label has no other member yield no triplet (no positive exists).
+    *
+    * One corpus scan: both rankings come from a single window pass
+    * partitioned by (anchor, same-label side); the rank-filtered
+    * frame is anchor-bounded and is materialized once, so the
+    * pos × neg join never re-executes the scan. Same broadcast-probe
+    * scale shape as [[cosineTopK]] ([[ivfTopK]] is the corpus-scale
+    * swap-in for the scorer).
+    *
+    * Output: (anchor_id, pos_id, pos_cos, neg_rk, neg_id, neg_cos,
+    * margin), `nNeg` rows per anchor. */
+  def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
+      nNeg: Int): DataFrame = {
+    val q = broadcast(anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("q_emb"), col("label").cast("long").as("a_label")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        (col("label") === col("a_label")).as("is_pos"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ranked = graft.Materialize.once(
+      scored.withColumn("rk", row_number().over(w))
+        .where((col("is_pos") && col("rk") === 1) ||
+          (!col("is_pos") && col("rk") <= nNeg)))
+    val pos = ranked.where(col("is_pos"))
+      .select(col("anchor_id"), col("vec_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = ranked.where(!col("is_pos"))
+      .select(col("anchor_id"), col("rk").cast("long").as("neg_rk"),
+        col("vec_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_rk"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy(col("anchor_id"), col("neg_rk"))
+  }
+
   // ------------------------------- 104: nearest-centroid classification
   /** Rocchio / nearest-class-centroid auto-labeling: per-label
     * centroids from the labeled corpus, every vector re-assigned to

@@ -1416,6 +1416,15 @@ object PipelineQueries {
       val e = embs(s, d)
       Knn.retrievalEval(e, e.where(col("vec_id") < 10), k = 10)
     }),
+    // 146: contrastive training triplets — per anchor its nearest
+    // same-label positive and 3 hardest different-label negatives
+    // with the pos−neg margin, the export an embedding fine-tune
+    // consumes. One corpus scan (single window pass over both sides,
+    // anchor-bounded frame materialized once); broadcast-probe shape.
+    "contrastive_triplets" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.contrastiveTriplets(e, e.where(col("vec_id") < 10), nNeg = 3)
+    }),
     // 88: deterministic training-order shard manifest — the export
     // step every training run needs: a reproducible global shuffle
     // (training-order randomization) plus shard assignment, keyed on
@@ -1777,6 +1786,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_tokens")).cast("long").as("pack_tokens"))
         .orderBy(col("shard"), col("pack_id"))
+    }),
+    // 145: packing-efficiency report — the dataset-card number a
+    // trainer checks before burning compute: per shard, how full the
+    // fixed-budget packs actually are (fill ppm), how many packs
+    // overran the budget by their one allowed chunk, and the worst
+    // pack. Pure integer rollup of the #51 pack assignment — two
+    // keyed aggregations, |shards| rows out, exact BIGINT throughout.
+    "pack_stats" -> ((s, d) => {
+      val chunks = Text.chunk(docs(s, d).select(col("doc_id"), col("text")),
+        col("text"), chunkSize = 64, overlap = 16)
+      Text.packChunks(chunks, budget = 256, nShards = 16)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("n_chunks")).cast("long").as("n_chunks"),
+          sum(col("pack_tokens")).cast("long").as("total_tokens"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(when(col("pack_tokens") > 256, 1L).otherwise(0L))
+            .as("n_overrun"))
+        .withColumn("fill_ppm",
+          expr("(total_tokens * 1000000) div (n_packs * 256)"))
+        .orderBy(col("shard"))
     }),
     // 50: benchmark decontamination — corpus docs sharing any 8-token
     // shingle with the held-out eval slice (doc_id % 20 == 7), with
@@ -3230,6 +3263,30 @@ object PipelineQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
          |FROM packed GROUP BY shard, pack_id
          |ORDER BY shard, pack_id""".stripMargin,
+    // 145: the chunk_pack replay rolled up once more per shard
+    "pack_stats" ->
+      s"""WITH chunks AS (
+         |  $DOC_CHUNK_BODY
+         |), sharded AS (
+         |  SELECT doc_id, chunk_start, n_tokens, doc_id % 16 AS shard FROM chunks
+         |), packed AS (
+         |  SELECT shard, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
+         |  FROM sharded
+         |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), packs AS (
+         |  SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |  FROM packed GROUP BY shard, pack_id
+         |)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+         |  CAST(sum(CASE WHEN pack_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overrun,
+         |  CAST((sum(pack_tokens) * 1000000) // (count(*) * 256) AS BIGINT) AS fill_ppm
+         |FROM packs GROUP BY shard ORDER BY shard""".stripMargin,
     // 30: full sign-LSH replay. Plane weight (p,i) =
     // unsigned(sha64("hyperplane|p|i")) % 1e6 / 1e6 - 0.5; projection is
     // the same sequential fold the kernel runs (list_reduce), bands are
@@ -4384,6 +4441,34 @@ object PipelineQueries {
          |       ELSE round(CAST(dcg_i AS DOUBLE) / CAST(idcg_i AS DOUBLE), 6) END AS ndcg
          |FROM j ORDER BY query_id""".stripMargin
     },
+    // 146: one cosine replay ranked on both label sides, then the
+    // pos × neg join and the same rounded margin
+    "contrastive_triplets" ->
+      s"""WITH q AS (SELECT vec_id AS anchor_id, CAST(label AS BIGINT) AS a_label,
+         |             CAST(embedding AS DOUBLE[]) AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.anchor_id, e.vec_id,
+         |    CAST(e.label AS BIGINT) = q.a_label AS is_pos,
+         |    round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.q_emb")}, 6) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.anchor_id
+         |), ranked AS (
+         |  SELECT anchor_id, vec_id, is_pos, cos,
+         |    row_number() OVER (PARTITION BY anchor_id, is_pos
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored
+         |), pos AS (
+         |  SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos
+         |  FROM ranked WHERE is_pos AND rk = 1
+         |), neg AS (
+         |  SELECT anchor_id, CAST(rk AS BIGINT) AS neg_rk, vec_id AS neg_id,
+         |    cos AS neg_cos
+         |  FROM ranked WHERE NOT is_pos AND rk <= 3
+         |)
+         |SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_rk, n.neg_id, n.neg_cos,
+         |  round(p.pos_cos - n.neg_cos, 6) AS margin
+         |FROM pos p JOIN neg n USING (anchor_id)
+         |ORDER BY anchor_id, neg_rk""".stripMargin,
     // 126: same cosine replay, max per corpus vector vs the benchmark set
     "decon_embed" ->
       """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS b_emb

@@ -361,6 +361,50 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("ndcg") - 0.9197212141055803) < 1e-6)
   }
 
+  test("contrastiveTriplets: fixture — nearest same-label positive, hard negatives, margins") {
+    // anchor 0 (label 1): positive must be id1 (closest same-label;
+    // id4 is same-label but farther), negatives id2 (cos 1.0) then
+    // id5 (cos ~0.39, beats id3's 0.0) by hardness.
+    // anchor 5 (label 9, no other member): no positive -> no rows.
+    val e = Seq(
+      (0L, Seq(1f, 0f), 1),
+      (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(0.5f, 0.5f), 1),
+      (5L, Seq(0.3f, 0.7f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.contrastiveTriplets(e,
+      e.where($"vec_id" === 0 || $"vec_id" === 5), nNeg = 2).collect()
+    assert(got.length == 2, got.mkString("; "))
+    assert(got.forall(_.getAs[Long]("anchor_id") == 0L))
+    assert(got.forall(_.getAs[Long]("pos_id") == 1L))
+    val byRk = got.sortBy(_.getAs[Long]("neg_rk"))
+    assert(byRk.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 5L))
+    byRk.foreach { r =>
+      val m = BigDecimal(r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("margin") == m)
+    }
+    // negatives ordered hardest-first: margin grows with rank
+    assert(byRk.head.getAs[Double]("margin") <= byRk.last.getAs[Double]("margin"))
+  }
+
+  test("contrastiveTriplets on testdata: nNeg rows per anchor, one scan, bounded") {
+    val e = Tables.embeddings(spark, sfDir)
+    val df = Knn.contrastiveTriplets(e, e.where($"vec_id" < 10), nNeg = 3)
+    val got = df.collect()
+    assert(got.length == 30)
+    got.groupBy(_.getAs[Long]("anchor_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("neg_rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.map(_.getAs[Long]("pos_id")).distinct.length == 1)
+    }
+    // the materialized rank frame means ONE parquet scan in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "(FileScan|Scan) parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"expected the corpus scanned once, saw $scans")
+  }
+
   test("retrievalEval invariants on testdata: one row per query, metrics bounded") {
     val e = Tables.embeddings(spark, sfDir)
     val rows = Knn.retrievalEval(e, e.where($"vec_id" < 10), k = 10).collect()

@@ -190,4 +190,26 @@ class TextSpec extends SparkSpec {
       assert(cum <= 120, s"q=$q over budget: $cum")
     }
   }
+
+  test("pack_stats: shard rollup consistent with the underlying chunk stream") {
+    val rows = graft.SparkEntry.queries("pack_stats")(spark, sfDir).collect()
+    assert(rows.length == 16)
+    val chunks = graft.functions.Text.chunk(
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")),
+      col("text"), chunkSize = 64, overlap = 16)
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum == chunks.count())
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum ==
+      chunks.agg(sum(col("n_tokens")).cast("long")).head().getLong(0))
+    rows.foreach { r =>
+      // overrun bounded by one max-size chunk; fill is the exact ratio
+      assert(r.getAs[Long]("max_pack_tokens") < 256 + 64)
+      assert(r.getAs[Long]("n_overrun") <= r.getAs[Long]("n_packs"))
+      assert(r.getAs[Long]("fill_ppm") ==
+        r.getAs[Long]("total_tokens") * 1000000L /
+          (r.getAs[Long]("n_packs") * 256L))
+      assert(r.getAs[Long]("fill_ppm") > 0 &&
+        r.getAs[Long]("fill_ppm") < 1250000L)
+    }
+  }
 }
