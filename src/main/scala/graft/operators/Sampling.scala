@@ -417,15 +417,15 @@ object Sampling {
     * of tiny passes.
     *
     * Output: input rows kept, plus (excess_mi, w_mi, thr, bucket). */
-  def doremiSample(df: DataFrame, idCol: Column, groupCol: Column,
-      scoreMiCol: Column, rounds: Int = 3, etaDen: Long = 2L,
-      budgetFrac: Double = 0.5, salt: String = "drm"): DataFrame = {
+  /** The multiplicative-weights core of [[doremiSample]], exposed for
+    * the streaming mixer face: takes the per-domain counter table
+    * (__g, __n, __s) — n docs and the exact-BIGINT 1e-6-grid score
+    * sum — and returns (__g, __n, __nn, __excess, __w) after `rounds`
+    * linearized updates (see [[doremiSample]] for the arithmetic
+    * contract). Everything runs on the |domains|-row frame. */
+  private[graft] def doremiWeights(dom: DataFrame, rounds: Int,
+      etaDen: Long): DataFrame = {
     require(rounds >= 1 && etaDen >= 1, s"bad rounds=$rounds/etaDen=$etaDen")
-    require(budgetFrac > 0 && budgetFrac <= 1,
-      s"budgetFrac must be in (0,1], got $budgetFrac")
-    val fracI = math.round(budgetFrac * Buckets)
-    val dom = df.groupBy(groupCol.as("__g"))
-      .agg(count(lit(1)).as("__n"), sum(scoreMiCol.cast("long")).as("__s"))
     val tot = dom.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)) // |domains| rows — one tiny partition
@@ -445,7 +445,18 @@ object Sampling {
         .withColumn("__w", expr("(__w * 1000000) div __wsum"))
         .drop("__wsum")
     }
-    val thr = cur
+    cur.drop("__factor")
+  }
+
+  def doremiSample(df: DataFrame, idCol: Column, groupCol: Column,
+      scoreMiCol: Column, rounds: Int = 3, etaDen: Long = 2L,
+      budgetFrac: Double = 0.5, salt: String = "drm"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    val fracI = math.round(budgetFrac * Buckets)
+    val dom = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(scoreMiCol.cast("long")).as("__s"))
+    val thr = doremiWeights(dom, rounds, etaDen)
       .withColumn("__quota", expr(s"(((__nn * $fracI) div 1000000) * __w) div 1000000"))
       .select(col("__g"), col("__excess"), col("__w"),
         least(lit(Buckets), expr("(__quota * 1000000) div __n")).as("__thr"))

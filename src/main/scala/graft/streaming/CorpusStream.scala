@@ -937,6 +937,105 @@ object CorpusStream {
         .as("dup_rate"))
   }
 
+  // ---------------------------------------------- streaming domain mixer
+  /** Streaming DoReMi mixer — sample_doremi's serving face: a
+    * continuously-maintained per-domain (source) counter table — doc
+    * count plus the exact 1e-6-grid score sum — updated each
+    * micro-batch, with mixture weights recomputed from the committed
+    * counters by the SAME linearized multiplicative-weights core the
+    * batch operator runs ([[Sampling.doremiWeights]]), so
+    * [[readDomainWeights]] always equals a batch DoReMi run over
+    * everything ingested so far (CorpusStreamSpec pins the parity).
+    * The score is the self-contained per-doc [[Text.qualityScore]] on
+    * the 1e-6 grid (the streaming stand-in for the batch key's
+    * corpus-trained lmscore — the protocol and update are
+    * score-agnostic; any per-doc 1e-6-grid score works).
+    *
+    * State = the BOUNDED |domains|-row counter table + meta under one
+    * pointer: whole-table REPLACE commits (nothing here is
+    * corpus-sized, so the delta-segment path isn't needed), inline
+    * vacuum bounds version count. Replay/crash contract is the card's:
+    * counters are additive, a pre-commit replay re-adds from the OLD
+    * snapshot (never double-counts), a post-commit replay skips on
+    * last_batch, and a used state dir with a fresh checkpoint is
+    * rejected (restarted batch ids would skip or double-count). */
+  def startDomainMixer(spark: SparkSession, inDir: String,
+      stateDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val (_, committed) = readMixerState(spark, stateDir)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/mixer/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startDomainMixer: the mixer state at $stateDir " +
+          s"has committed batches up to $committed but the checkpoint at " +
+          s"$checkpointDir/mixer has no committed offsets: restarted batch " +
+          "ids would silently skip or double-count files. Restore the " +
+          "original checkpoint, or republish empty state to start over.")
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          import graft.sources.StormSinks
+          val (prev, lastBatch) = readMixerState(s2, stateDir)
+          if (batchId > lastBatch) {
+            val b = batch
+              .select(col("source"),
+                floor(Text.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+                  .cast("long").as("q6"))
+              .groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"), sum(col("q6")).as("sum_q6"))
+            val counts = prev.unionByName(b).groupBy(col("source"))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("sum_q6")).as("sum_q6"))
+            import s2.implicits._
+            val meta = Seq(batchId).toDF("last_batch")
+            StormSinks.writeVersionedGroup(s2, stateDir,
+              Seq("counts" -> counts, "meta" -> meta))
+            StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+            ()
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/mixer")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def readMixerState(spark: SparkSession,
+      stateDir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long)]
+      .toDF("source", "n_docs", "sum_q6")
+    import graft.sources.StormSinks
+    val ver =
+      try StormSinks.currentVersionName(spark, stateDir)
+      catch { case _: java.io.FileNotFoundException => return (empty, -1L) }
+    (StormSinks.readGroupTableAt(spark, stateDir, ver, "counts"),
+      StormSinks.readGroupTableAt(spark, stateDir, ver, "meta")
+        .head().getLong(0))
+  }
+
+  /** Current mixture weights off the committed counters: per source,
+    * docs seen, excess (µ) and weight (µ) — equal by construction to
+    * a batch [[Sampling.doremiWeights]] run over everything ingested
+    * so far. Empty on cold start. */
+  def readDomainWeights(spark: SparkSession, stateDir: String): DataFrame = {
+    val (counts, _) = readMixerState(spark, stateDir)
+    Sampling.doremiWeights(
+        counts.select(col("source").as("__g"), col("n_docs").as("__n"),
+          col("sum_q6").as("__s")),
+        rounds = 3, etaDen = 2L)
+      .select(col("__g").as("source"), col("__n").as("n_docs"),
+        col("__excess").as("excess_mi"), col("__w").as("w_mi"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------ streaming drift gate
   /** Publish the drift REFERENCE profile: the (feature, bucket, ref_n)
     * counts of the training corpus the gate compares every ingest

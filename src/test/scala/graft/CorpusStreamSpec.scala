@@ -551,6 +551,57 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("domain mixer: streamed weights == batch doremiWeights over all input; replay no-op") {
+    val base = Files.createTempDirectory("graft-domain-mixer").toString
+    val docs = Tables.documents(spark, sfDir)
+    // 3 waves streamed file-by-file so the counters merge across batches
+    docs.where(col("doc_id") < 200).coalesce(1).write.parquet(s"$base/in")
+    docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    docs.where(col("doc_id") >= 350)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startDomainMixer(spark, s"$base/in", s"$base/state",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("excess_mi"),
+          r.getAs[Long]("w_mi"))).toMap
+    val got = m(CorpusStream.readDomainWeights(spark, s"$base/state"))
+    // truth: the batch multiplicative-weights core over ALL input with
+    // the same per-doc 1e-6-grid quality score
+    val dom = docs.select(col("source").as("__g"),
+        floor(graft.functions.Text.qualityScore(col("text")) * 1000000.0 + 0.5)
+          .cast("long").as("q6"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("q6")).as("__s"))
+    val want = m(graft.operators.Sampling.doremiWeights(dom, rounds = 3, etaDen = 2L)
+      .select(col("__g").as("source"), col("__n").as("n_docs"),
+        col("__excess").as("excess_mi"), col("__w").as("w_mi")))
+    assert(got == want, "streamed mixer weights diverged from batch core")
+    assert(got.nonEmpty)
+    // floor-renormalized weights sum to 1e6 minus at most |domains|
+    val wsum = got.values.map(_._3).sum
+    assert(wsum <= 1000000L && wsum >= 1000000L - got.size,
+      s"weight mass $wsum off the renormalized grid")
+    // replay: same checkpoint, no new input -> weights unchanged
+    CorpusStream.startDomainMixer(spark, s"$base/in", s"$base/state",
+      s"$base/cp", maxFilesPerTrigger = 1).awaitTermination()
+    assert(m(CorpusStream.readDomainWeights(spark, s"$base/state")) == want,
+      "replay changed the mixer state")
+    // cold start
+    assert(CorpusStream.readDomainWeights(spark, s"$base/never").count() == 0)
+    // bounded version history under the inline vacuum
+    val vdirs = new java.io.File(s"$base/state").listFiles
+      .count(_.getName.startsWith("v-"))
+    assert(vdirs <= 4, s"mixer versions grew unboundedly: $vdirs dirs")
+    // freshness guard: used state + lineage-less checkpoint rejected
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startDomainMixer(spark, s"$base/in", s"$base/state",
+        s"$base/cp-lost", maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("no committed offsets"), e.getMessage)
+  }
+
   test("classify gate: stream scores == batch Classify.scores; republish re-resolves; replay adds nothing") {
     val base = Files.createTempDirectory("graft-classify-gate").toString
     val doc = Tables.documents(spark, sfDir)
