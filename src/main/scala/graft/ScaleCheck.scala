@@ -307,9 +307,9 @@ object ScaleCheck {
       // re-encode join
       "pretrain_examples", "pretrain_examples_bpe",
       // round-16 second-half keys: retrieval_eval is the broadcast
-      // dense probe + (queries × k) metric math (bench set grows with
-      // the corpus here — every 10th vector — so judge against
-      // rows_10x like decon_embed); curriculum is a narrow quality
+      // dense probe + (queries × k) metric math (the 10 query anchors
+      // stay FIXED across scales, so rows are constant and wall
+      // tracks the corpus scan); curriculum is a narrow quality
       // map + per-(phase, shard) windows; doremi replays the lmscore
       // aggregates plus a |domains|-row update
       "retrieval_eval", "corpus_curriculum", "sample_doremi",
@@ -317,6 +317,10 @@ object ScaleCheck {
       // contrastive mining is the broadcast probe + anchor-bounded
       // join (anchors fixed at 10, so rows stay constant)
       "pack_stats", "contrastive_triplets",
+      // the stage-yield funnel re-executes the flagship's stage
+      // frames (all materialized once) + 8 one-row aggregates, so its
+      // factor should track corpus_pretrain's
+      "pretrain_yield",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

@@ -732,6 +732,30 @@ object PipelineQueries {
       graft.operators.Pretrain.run(src, bench)
         .orderBy(col("shard_id"), col("pos"))
     }),
+    // 147: the flagship pipeline's stage-yield funnel — survivor
+    // counts at EVERY stage boundary (the report a curation operator
+    // watches: a bad blocklist push or classifier drift eats the
+    // corpus HERE first). Counts come from the same stage frames the
+    // manifest executes (Pretrain.stages is shared), so the funnel
+    // cannot drift from the pipeline it audits.
+    "pretrain_yield" -> ((s, d) => {
+      val doc = docs(s, d)
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
+          org.apache.spark.sql.Row(id, t, lg) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val src = doc.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(planted)
+      val bench = doc.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Pretrain.yieldReport(src, bench)
+    }),
     // 141: the step after the manifest — TRAINER-READY examples:
     // 64/16 context chunks of each manifest doc's cleaned text packed
     // into 256-token examples IN TRAINING ORDER (the pack window
@@ -3865,6 +3889,21 @@ object PipelineQueries {
       """
         |SELECT shard_id, pos, doc_id, lang, score
         |FROM man ORDER BY shard_id, pos""".stripMargin),
+    // 147: the same CTE chain counted at each stage boundary (psrc →
+    // pbw → lout → pout → canon → gt → pk2 → samp — the exact frames
+    // the Spark stages() shares with the manifest)
+    "pretrain_yield" -> pretrainMat(PRETRAIN_RAW +
+      """
+        |SELECT stage, n_docs FROM (
+        |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM psrc
+        |  UNION ALL SELECT '1_blocklist', CAST(count(*) AS BIGINT) FROM pbw
+        |  UNION ALL SELECT '2_line_clean', CAST(count(*) AS BIGINT) FROM lout
+        |  UNION ALL SELECT '3_paragraph_dedup', CAST(count(*) AS BIGINT) FROM pout
+        |  UNION ALL SELECT '4_cluster_dedup', CAST(count(*) AS BIGINT) FROM canon
+        |  UNION ALL SELECT '5_classifier_gate', CAST(count(*) AS BIGINT) FROM gt
+        |  UNION ALL SELECT '6_decontaminate', CAST(count(*) AS BIGINT) FROM pk2
+        |  UNION ALL SELECT '7_temperature_sample', CAST(count(*) AS BIGINT) FROM samp
+        |) ORDER BY stage""".stripMargin),
     // 141: manifest -> trainer-ready examples: 64/16 context chunks of
     // each manifest doc's cleaned text, packed into 256-token examples
     // IN TRAINING ORDER (the pack window partitions by the manifest

@@ -78,12 +78,30 @@ object Pretrain {
 
   /** [[run]]'s manifest WITH the cleaned text riding along — the
     * input [[examples]] chunks and packs. */
-  private def manifestWithText(src: DataFrame, benchmark: DataFrame,
-      nShards: Int, keepNum: Long, keepDen: Long): DataFrame = {
-    // 1–4 — cleaned text feeds the pair join, the canon join-back, the
-    // classifier, decon, and the sampler: materialize once
-    val pared = graft.Materialize.once(
-      prepText(src.select(col("doc_id"), col("text"))))
+  /** The doc-level stage outputs of [[run]]'s pipeline, for consumers
+    * that need the intermediate frames (the manifest itself and the
+    * [[yieldReport]] funnel). `auditAll` additionally materializes the
+    * single-consumer stages the funnel counts AND chains (each then
+    * has two consumers); the manifest path leaves them unmaterialized
+    * — same frames, same values, one fewer checkpoint each. */
+  private[graft] case class PipelineStages(pageOk: DataFrame,
+    lined: DataFrame, pared: DataFrame, canon: DataFrame,
+    gated: DataFrame, kept: DataFrame, sampled: DataFrame)
+
+  private def stages(src: DataFrame, benchmark: DataFrame,
+      keepNum: Long, keepDen: Long, auditAll: Boolean): PipelineStages = {
+    def mat(df: DataFrame): DataFrame =
+      if (auditAll) graft.Materialize.once(df) else df
+    // 1–4 — normalize, blocklist, line clean, paragraph dedup (the
+    // prepText chain, staged so the funnel can count each boundary);
+    // the paragraph output feeds the pair join, the canon join-back,
+    // the classifier, decon, and the sampler: materialize once always
+    val fixed = src.select(col("doc_id"), Text.fixText(col("text")).as("text"))
+    val pageOk = mat(Lines.dropBadwordPages(fixed))
+    val lined = mat(Lines.cleanLines(pageOk)
+      .select(col("doc_id"), col("clean_text").as("text")))
+    val pared = graft.Materialize.once(Lines.dedupParagraphs(lined)
+      .select(col("doc_id"), col("clean_text").as("text")))
     // 5 — keep-canonical near-dup closure
     val clu = Dedup.clusters(Dedup.jaccardPairs(pared, k = 3, threshold = 0.5))
     val canon = graft.Materialize.once(
@@ -94,12 +112,12 @@ object Pretrain {
     // serving data, the corpus_clean_ml discipline), rank gate
     val scored = graft.Materialize.once(
       Classify.scores(canon).select(col("doc_id"), col("score")))
-    val gated = Sampling.topFraction(scored, col("score"), col("doc_id"),
+    val gated = mat(Sampling.topFraction(scored, col("score"), col("doc_id"),
         num = keepNum, den = keepDen, salt = "pretrain")
-      .join(canon, Seq("doc_id"))
+      .join(canon, Seq("doc_id")))
     // 7 — decontaminate the gated docs' CLEANED text against the raw
     // eval suite (8-gram broadcast probe)
-    val kept = Decontaminate.clean(gated, benchmark, k = 8)
+    val kept = mat(Decontaminate.clean(gated, benchmark, k = 8))
     // 8 — temperature sampling over cleaned char mass; lang rides in
     // from the source
     val langd = graft.Materialize.once(
@@ -107,6 +125,13 @@ object Pretrain {
         .withColumn("n_chars", length(col("text")).cast("long")))
     val sampled = Sampling.temperatureSample(langd, col("doc_id"),
       col("lang"), col("n_chars"), tau = 2.0, budgetFrac = 0.5)
+    PipelineStages(pageOk, lined, pared, canon, gated, kept, sampled)
+  }
+
+  private def manifestWithText(src: DataFrame, benchmark: DataFrame,
+      nShards: Int, keepNum: Long, keepDen: Long): DataFrame = {
+    val sampled = stages(src, benchmark, keepNum, keepDen,
+      auditAll = false).sampled
     // 9 — shard manifest (deterministic shard + in-shard order)
     val key = md5(concat_ws(":", lit("shard"), col("doc_id").cast("string")))
     val keyed = sampled.select(col("doc_id"), col("lang"), col("score"),
@@ -238,5 +263,37 @@ object Pretrain {
       .select(col("phase"), col("shard_id"), col("pos"), col("doc_id"),
         col("quality"))
       .orderBy(col("phase"), col("shard_id"), col("pos"))
+  }
+
+  // --------------------------------------- 147: pipeline yield funnel
+  /** Stage-yield funnel of [[run]]'s pipeline — the report a 100 TB
+    * curation operator actually watches: how many documents survive
+    * EACH stage boundary (raw → blocklist → line clean → paragraph
+    * dedup → cluster dedup → classifier gate → decontaminate →
+    * temperature sample). A stage suddenly eating the corpus (a bad
+    * blocklist push, a classifier drift) shows up here first; the
+    * per-operator oracles can't see it because each sees only its own
+    * input. Counts come from the SAME stage frames [[run]] executes
+    * ([[stages]] is shared), so the funnel can never drift from the
+    * pipeline it audits.
+    *
+    * Scale: each count is one map-side-combined aggregate over a
+    * stage frame the pipeline materializes anyway; the union is 8
+    * one-row frames. Output: (stage, n_docs), stage-ordered. */
+  def yieldReport(src: DataFrame, benchmark: DataFrame,
+      keepNum: Long = 3L, keepDen: Long = 10L): DataFrame = {
+    val st = stages(src, benchmark, keepNum, keepDen, auditAll = true)
+    def c(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    c("0_raw", src)
+      .unionByName(c("1_blocklist", st.pageOk))
+      .unionByName(c("2_line_clean", st.lined))
+      .unionByName(c("3_paragraph_dedup", st.pared))
+      .unionByName(c("4_cluster_dedup", st.canon))
+      .unionByName(c("5_classifier_gate", st.gated))
+      .unionByName(c("6_decontaminate", st.kept))
+      .unionByName(c("7_temperature_sample", st.sampled))
+      .orderBy(col("stage"))
   }
 }

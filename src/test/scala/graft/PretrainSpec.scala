@@ -148,6 +148,28 @@ class PretrainSpec extends SparkSpec {
       s"(the=${segMap.get("the")}, zzqqxx OOV -> 6 chars)")
   }
 
+  test("yieldReport: monotone funnel, endpoints pinned to raw input and manifest") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val src = doc.select(col("doc_id"), col("text"), col("lang"))
+    val bench = doc.where(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val rep = Pretrain.yieldReport(src, bench).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("0_raw", "1_blocklist",
+      "2_line_clean", "3_paragraph_dedup", "4_cluster_dedup",
+      "5_classifier_gate", "6_decontaminate", "7_temperature_sample"))
+    val counts = rep.map(_.getAs[Long]("n_docs"))
+    assert(counts.head == doc.count())
+    // every stage only removes documents
+    counts.zip(counts.tail).foreach { case (a, b) =>
+      assert(b <= a, s"stage grew the corpus: $a -> $b")
+    }
+    // the classifier gate keeps exactly floor(3n/10) of its input
+    assert(counts(5) == counts(4) * 3L / 10L,
+      s"gate kept ${counts(5)} of ${counts(4)}")
+    // the funnel's tail is the manifest the trainer reads
+    assert(counts.last == Pretrain.run(src, bench).count())
+  }
+
   test("curriculum: every doc placed once, phases band quality, positions dense") {
     val doc = graft.sources.Tables.documents(spark, sfDir)
     val cur = Pretrain.curriculum(doc, nShards = 4).collect()
