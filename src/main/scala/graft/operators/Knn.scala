@@ -660,7 +660,11 @@ object Knn {
       .orderBy(col("cos").desc, col("vec_id"))
     val top = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("query_id"), col("q_label"), col("rk"),
-        (col("label") === col("q_label")).cast("long").as("rel"),
+        // NULL-label candidates score as irrelevant (the oracle's CASE
+        // 0-codes them); without the coalesce a NULL would propagate
+        // through the sums and null the query's whole metric row
+        coalesce((col("label") === col("q_label")).cast("long"), lit(0L))
+          .as("rel"),
         element_at(typedLit(DCG_GAINS_MI), col("rk")).as("g"))
     val perQ = top.groupBy(col("query_id"), col("q_label"))
       .agg(sum(col("rel")).as("hits"),

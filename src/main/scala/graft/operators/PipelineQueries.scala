@@ -369,6 +369,41 @@ object PipelineQueries {
           .as("avg_logprob"))
   }
 
+  /** The #51 offset-quota pack table over the corpus chunk stream —
+    * (shard, pack_id, n_chunks, pack_tokens) at budget 256 / 16
+    * shards: ONE definition of the pack-assignment rule, shared by
+    * chunk_pack and the pack_stats rollup (its fill formula divides
+    * by the same 256 budget). */
+  private def packTable(s: SparkSession, d: String): DataFrame = {
+    val chunks = Text.chunk(docs(s, d).select(col("doc_id"), col("text")),
+      col("text"), chunkSize = 64, overlap = 16)
+    Text.packChunks(chunks, budget = 256, nShards = 16)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+  }
+
+  /** The pretrain flagship's shared input — documents UNION the
+    * planted fixture rows, plus the raw %20==7 benchmark slice: ONE
+    * construction for the four pretrain keys, mirroring PRETRAIN_RAW's
+    * psrc/bench verbatim (a fixture or convention change edits exactly
+    * one Spark site and one oracle site). */
+  private def pretrainSrcBench(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val doc = docs(s, d)
+    val planted = s.createDataFrame(
+      java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
+        org.apache.spark.sql.Row(id, t, lg) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    (doc.select(col("doc_id"), col("text"), col("lang")).unionByName(planted),
+      doc.where(col("doc_id") % 20 === 7).select(col("doc_id"), col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 25: exact dedup over a replayed (doubled) corpus
     "dedup_exact" -> ((s, d) => {
@@ -714,21 +749,7 @@ object PipelineQueries {
     // (the decontaminate convention); the corpus keeps them and the
     // decon stage removes them (sharing 8-grams with themselves).
     "corpus_pretrain" -> ((s, d) => {
-      val doc = docs(s, d)
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
-          org.apache.spark.sql.Row(id, t, lg) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      val src = doc.select(col("doc_id"), col("text"), col("lang"))
-        .unionByName(planted)
-      val bench = doc.where(col("doc_id") % 20 === 7)
-        .select(col("doc_id"), col("text"))
+      val (src, bench) = pretrainSrcBench(s, d)
       graft.operators.Pretrain.run(src, bench)
         .orderBy(col("shard_id"), col("pos"))
     }),
@@ -739,21 +760,7 @@ object PipelineQueries {
     // manifest executes (Pretrain.stages is shared), so the funnel
     // cannot drift from the pipeline it audits.
     "pretrain_yield" -> ((s, d) => {
-      val doc = docs(s, d)
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
-          org.apache.spark.sql.Row(id, t, lg) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      val src = doc.select(col("doc_id"), col("text"), col("lang"))
-        .unionByName(planted)
-      val bench = doc.where(col("doc_id") % 20 === 7)
-        .select(col("doc_id"), col("text"))
+      val (src, bench) = pretrainSrcBench(s, d)
       graft.operators.Pretrain.yieldReport(src, bench)
     }),
     // 141: the step after the manifest — TRAINER-READY examples:
@@ -763,21 +770,7 @@ object PipelineQueries {
     // (pos, chunk_start)); shard-local windows keep the sort
     // ~n/nShards rows. Same source + benchmark as corpus_pretrain.
     "pretrain_examples" -> ((s, d) => {
-      val doc = docs(s, d)
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
-          org.apache.spark.sql.Row(id, t, lg) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      val src = doc.select(col("doc_id"), col("text"), col("lang"))
-        .unionByName(planted)
-      val bench = doc.where(col("doc_id") % 20 === 7)
-        .select(col("doc_id"), col("text"))
+      val (src, bench) = pretrainSrcBench(s, d)
       graft.operators.Pretrain.examples(src, bench)
         .orderBy(col("shard_id"), col("pack_id"))
     }),
@@ -790,22 +783,8 @@ object PipelineQueries {
     // pretrain CTE chain, so the hash proves merge training, the
     // 9-stage pipeline, chunking, AND the BPE-budget pack together.
     "pretrain_examples_bpe" -> ((s, d) => {
-      val doc = docs(s, d)
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(pretrainPlanted.map { case (id, t, lg) =>
-          org.apache.spark.sql.Row(id, t, lg) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      val src = doc.select(col("doc_id"), col("text"), col("lang"))
-        .unionByName(planted)
-      val bench = doc.where(col("doc_id") % 20 === 7)
-        .select(col("doc_id"), col("text"))
-      graft.operators.Pretrain.examplesBpe(src, bench, doc)
+      val (src, bench) = pretrainSrcBench(s, d)
+      graft.operators.Pretrain.examplesBpe(src, bench, docs(s, d))
         .orderBy(col("shard_id"), col("pack_id"))
     }),
     // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
@@ -1802,15 +1781,8 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
     // 51: offset-quota packing of the #42 chunk stream — 256-token
     // packs, 16 shards; per-pack chunk/token rollup
-    "chunk_pack" -> ((s, d) => {
-      val chunks = Text.chunk(docs(s, d).select(col("doc_id"), col("text")),
-        col("text"), chunkSize = 64, overlap = 16)
-      Text.packChunks(chunks, budget = 256, nShards = 16)
-        .groupBy(col("shard"), col("pack_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_tokens")).cast("long").as("pack_tokens"))
-        .orderBy(col("shard"), col("pack_id"))
-    }),
+    "chunk_pack" -> ((s, d) =>
+      packTable(s, d).orderBy(col("shard"), col("pack_id"))),
     // 145: packing-efficiency report — the dataset-card number a
     // trainer checks before burning compute: per shard, how full the
     // fixed-budget packs actually are (fill ppm), how many packs
@@ -1818,12 +1790,7 @@ object PipelineQueries {
     // pack. Pure integer rollup of the #51 pack assignment — two
     // keyed aggregations, |shards| rows out, exact BIGINT throughout.
     "pack_stats" -> ((s, d) => {
-      val chunks = Text.chunk(docs(s, d).select(col("doc_id"), col("text")),
-        col("text"), chunkSize = 64, overlap = 16)
-      Text.packChunks(chunks, budget = 256, nShards = 16)
-        .groupBy(col("shard"), col("pack_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+      packTable(s, d)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_packs"),
           sum(col("n_chunks")).cast("long").as("n_chunks"),
@@ -1882,7 +1849,12 @@ object PipelineQueries {
       val doc = docs(s, d)
       val scored = lmScores(doc).select(col("doc_id"),
         round(col("avg_logprob") * 1e6).cast("long").as("s_mi"))
-      val src = doc.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      // doremiSample consumes its input twice (the domain aggregate
+      // and the final lattice-filter join); without this the whole
+      // lmscore scoring join would execute twice (the text_ccnet
+      // materialization rule)
+      val src = graft.Materialize.once(
+        doc.select(col("doc_id"), col("source")).join(scored, "doc_id"))
       Sampling.doremiSample(src, col("doc_id"), col("source"), col("s_mi"))
         .select(col("doc_id"), col("source"), col("excess_mi"), col("w_mi"),
           col("thr"), col("bucket"))
@@ -2900,6 +2872,7 @@ object PipelineQueries {
        |), qc1 AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
        |    CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
        |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
@@ -2917,6 +2890,26 @@ object PipelineQueries {
        |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
        |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
        |  FROM qc1
+       |)""".stripMargin
+
+  /** chunks → sharded → packed → packs: the #51 pack-assignment
+    * replay (budget 256, 16 shards), shared by the chunk_pack and
+    * pack_stats oracles so the rule lives once per engine. */
+  private lazy val PACK_CTES =
+    s"""chunks AS (
+       |  $DOC_CHUNK_BODY
+       |), sharded AS (
+       |  SELECT doc_id, chunk_start, n_tokens, doc_id % 16 AS shard FROM chunks
+       |), packed AS (
+       |  SELECT shard, n_tokens,
+       |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
+       |  FROM sharded
+       |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), packs AS (
+       |  SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       |  FROM packed GROUP BY shard, pack_id
        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -3272,38 +3265,12 @@ object PipelineQueries {
     // 51: same shard assignment + offset-quota window arithmetic as
     // Text.packChunks over the #42 chunk stream
     "chunk_pack" ->
-      s"""WITH chunks AS (
-         |  $DOC_CHUNK_BODY
-         |), sharded AS (
-         |  SELECT doc_id, chunk_start, n_tokens, doc_id % 16 AS shard FROM chunks
-         |), packed AS (
-         |  SELECT shard, n_tokens,
-         |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
-         |  FROM sharded
-         |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_start
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |)
-         |SELECT shard, pack_id, count(*) AS n_chunks,
-         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-         |FROM packed GROUP BY shard, pack_id
-         |ORDER BY shard, pack_id""".stripMargin,
+      s"""WITH $PACK_CTES
+         |SELECT shard, pack_id, n_chunks, pack_tokens
+         |FROM packs ORDER BY shard, pack_id""".stripMargin,
     // 145: the chunk_pack replay rolled up once more per shard
     "pack_stats" ->
-      s"""WITH chunks AS (
-         |  $DOC_CHUNK_BODY
-         |), sharded AS (
-         |  SELECT doc_id, chunk_start, n_tokens, doc_id % 16 AS shard FROM chunks
-         |), packed AS (
-         |  SELECT shard, n_tokens,
-         |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_id
-         |  FROM sharded
-         |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_start
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |), packs AS (
-         |  SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
-         |    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-         |  FROM packed GROUP BY shard, pack_id
-         |)
+      s"""WITH $PACK_CTES
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
          |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
@@ -4704,36 +4671,16 @@ object PipelineQueries {
          |  m <> text AS mojibake_fixed
          |FROM fx ORDER BY doc_id""".stripMargin
     },
+    // 32: the SAME quality chain the corpus_curriculum oracle
+    // interpolates (QUALITY_CTES — one copy of the formula per engine)
     "text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $NORM AS norm,
-         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS toks
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id, text, toks,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(${hitsSql(Text.stopwords.head._2).replace(s"str_split($NORM, ' ')", "toks")} AS DOUBLE)
-         |           / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-         |           / CAST(len(toks) AS DOUBLE) END AS mean_token_len
-         |  FROM t
-         |)
-         |SELECT doc_id, n_chars, n_tokens,
-         |  round(mean_token_len, 6) AS mean_token_len,
-         |  round(punct_ratio, 6) AS punct_ratio,
-         |  round(stopword_ratio, 6) AS stopword_ratio,
-         |  round(
-         |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
-         |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 WHEN punct_ratio <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $QUALITY_CTES
+         |SELECT qc1.doc_id, qc1.n_chars, qc1.n_tokens,
+         |  round(qc1.mean_token_len, 6) AS mean_token_len,
+         |  round(qc1.punct_ratio, 6) AS punct_ratio,
+         |  round(qc1.stopword_ratio, 6) AS stopword_ratio,
+         |  qcq.quality
+         |FROM qc1 JOIN qcq USING (doc_id) ORDER BY qc1.doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(CASE WHEN $NORM = '' THEN 0 ELSE len(str_split($NORM, ' ')) END AS BIGINT) AS n_ws_tokens,

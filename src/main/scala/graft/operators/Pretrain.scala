@@ -40,16 +40,26 @@ import graft.functions.Text
 object Pretrain {
 
   /** Stages 1–4 over (doc_id, text): normalize → blocklist → line
-    * clean → paragraph dedup. Returns (doc_id, text) cleaned. */
-  def prepText(src: DataFrame): DataFrame = {
+    * clean → paragraph dedup. Returns (doc_id, text) cleaned.
+    * ONE definition of the chain — [[prepText]], the manifest and the
+    * [[yieldReport]] funnel all read these frames, so none can drift
+    * from the others. */
+  private def prepChain(src: DataFrame,
+      mat: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val fixed = src.select(col("doc_id"), Text.fixText(col("text")).as("text"))
     // narrow blocklist predicate — no join back onto the corpus
-    val pageOk = Lines.dropBadwordPages(fixed)
-    val lined = Lines.cleanLines(pageOk)
+    val pageOk = mat(Lines.dropBadwordPages(fixed))
+    val lined = mat(Lines.cleanLines(pageOk)
+      .select(col("doc_id"), col("clean_text").as("text")))
+    val pared = Lines.dedupParagraphs(lined)
       .select(col("doc_id"), col("clean_text").as("text"))
-    Lines.dedupParagraphs(lined)
-      .select(col("doc_id"), col("clean_text").as("text"))
+    (pageOk, lined, pared)
   }
+
+  /** Stages 1–4 over (doc_id, text): normalize → blocklist → line
+    * clean → paragraph dedup. Returns (doc_id, text) cleaned. */
+  def prepText(src: DataFrame): DataFrame =
+    prepChain(src, identity)._3
 
   /** The full pipeline. `src` = (doc_id, text, lang); `benchmark` =
     * raw eval docs (doc_id, text). Returns the shard manifest
@@ -92,16 +102,11 @@ object Pretrain {
       keepNum: Long, keepDen: Long, auditAll: Boolean): PipelineStages = {
     def mat(df: DataFrame): DataFrame =
       if (auditAll) graft.Materialize.once(df) else df
-    // 1–4 — normalize, blocklist, line clean, paragraph dedup (the
-    // prepText chain, staged so the funnel can count each boundary);
-    // the paragraph output feeds the pair join, the canon join-back,
-    // the classifier, decon, and the sampler: materialize once always
-    val fixed = src.select(col("doc_id"), Text.fixText(col("text")).as("text"))
-    val pageOk = mat(Lines.dropBadwordPages(fixed))
-    val lined = mat(Lines.cleanLines(pageOk)
-      .select(col("doc_id"), col("clean_text").as("text")))
-    val pared = graft.Materialize.once(Lines.dedupParagraphs(lined)
-      .select(col("doc_id"), col("clean_text").as("text")))
+    // 1–4 — THE prepText chain (one definition, prepChain); the
+    // paragraph output feeds the pair join, the canon join-back, the
+    // classifier, decon, and the sampler: materialize once always
+    val (pageOk, lined, pared0) = prepChain(src, mat)
+    val pared = graft.Materialize.once(pared0)
     // 5 — keep-canonical near-dup closure
     val clu = Dedup.clusters(Dedup.jaccardPairs(pared, k = 3, threshold = 0.5))
     val canon = graft.Materialize.once(
