@@ -321,6 +321,9 @@ object ScaleCheck {
       // frames (all materialized once) + 8 one-row aggregates, so its
       // factor should track corpus_pretrain's
       "pretrain_yield",
+      // the ANN recall audit runs BOTH rankings (brute force + IVF)
+      // over fixed 10-query anchors — rows constant, wall = two scans
+      "knn_recall",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

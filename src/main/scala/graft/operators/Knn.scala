@@ -692,6 +692,45 @@ object Knn {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------- 148: ANN recall audit
+  /** ANN index-quality audit — recall@k of the IVF ranking against
+    * the exact brute-force ranking, per query and cutoff: the number
+    * an operator tunes nProbe/nCells with before trusting an
+    * approximate index at corpus scale (the FAISS recall-curve
+    * methodology). hits are exact integers (|approx@k ∩ exact@k|),
+    * recall one rounded division — engine-replayable because BOTH
+    * rankings already replay exactly (knn_ivf / knn_cosine oracles).
+    *
+    * Scale: two broadcast-probe rankings (each one corpus scan — the
+    * audit runs both sides by construction, the dedup_recall
+    * convention) and everything after the top-k windows is
+    * (queries × kmax)-sized. Output: (query_id, k, hits, recall) per
+    * query × cutoff. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, ks: Seq[Int],
+      nProbe: Int, corpusSize: Long): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"bad cutoffs $ks")
+    val kmax = ks.max
+    val exact = cosineTopK(corpus, queries, kmax)
+      .select(col("query_id"), col("rk").as("erk"), col("vec_id"))
+    val approx = ivfTopK(corpus, queries, kmax, nProbe = nProbe,
+        corpusSize = corpusSize)
+      .select(col("query_id"), col("rk").as("ark"), col("vec_id"))
+    import corpus.sparkSession.implicits._
+    val ksDf = broadcast(ks.map(_.toLong).toDF("k"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .crossJoin(ksDf)
+      .where(col("ark") <= col("k") && col("erk") <= col("k"))
+      .groupBy(col("query_id"), col("k"))
+      .agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").as("query_id")).crossJoin(ksDf)
+      .join(hits, Seq("query_id", "k"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double"), 6).as("recall"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
   // ------------------------------- 146: contrastive triplet mining
   /** Contrastive training-triplet export — the data product an
     * embedding-model fine-tune consumes: per anchor, its most-similar

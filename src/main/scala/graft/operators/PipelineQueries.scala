@@ -966,6 +966,16 @@ object PipelineQueries {
         corpusSize = embCount(s, d))
         .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
     }),
+    // 148: ANN recall audit — recall@{1,5,10} of the IVF ranking vs
+    // the exact ranking per query: the index-quality number an
+    // operator tunes nProbe/nCells with (the FAISS recall-curve
+    // methodology). Both rankings run by construction (the
+    // dedup_recall convention); post-top-k work is (queries × k)-sized.
+    "knn_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.annRecall(e, e.where(col("vec_id") < 10), ks = Seq(1, 5, 10),
+        nProbe = 4, corpusSize = embCount(s, d))
+    }),
     // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
     // relevance over the per-query top-10 ANN pool, exact scaled-
     // BIGINT objective (7·rel − 3·maxSim on the 1e-6 grid), fixed
@@ -2912,6 +2922,27 @@ object PipelineQueries {
        |  FROM packed GROUP BY shard, pack_id
        |)""".stripMargin
 
+  /** probes → cand → ranked over [[ivfSql]]'s e/cent/assigned — the
+    * knn_ivf probe ranking (nProbe = 4, queries = vec_id < 10), shared
+    * by knn_ivf and the knn_recall audit so the ranking lives once. */
+  private lazy val IVF_RANKED_SQL =
+    s"""probes AS (
+       |  SELECT query_id, q, cell_id FROM (
+       |    SELECT qe.vec_id AS query_id, qe.v AS q, cent.cell_id,
+       |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+       |        round(${cosSql("qe.v", "cent.c")}, 6) DESC, cent.cell_id) AS rn
+       |    FROM e qe CROSS JOIN cent WHERE qe.vec_id < 10
+       |  ) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id, round(${cosSql("a.v", "p.q")}, 6) AS cos
+       |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+       |  WHERE a.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM cand
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // 143: the quality chain + fixed bands + the same salted-md5
     // shard/position arithmetic as the corpus_shard oracle
@@ -4147,25 +4178,36 @@ object PipelineQueries {
     // 37: IVF ANN replay — probe 4 nearest cells of each query vector,
     // exact re-rank, top-5.
     "knn_ivf" ->
-      s"""WITH ${ivfSql()},
-         |probes AS (
-         |  SELECT query_id, q, cell_id FROM (
-         |    SELECT qe.vec_id AS query_id, qe.v AS q, cent.cell_id,
-         |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
-         |        round(${cosSql("qe.v", "cent.c")}, 6) DESC, cent.cell_id) AS rn
-         |    FROM e qe CROSS JOIN cent WHERE qe.vec_id < 10
-         |  ) WHERE rn <= 4
-         |), cand AS (
-         |  SELECT p.query_id, a.vec_id, round(${cosSql("a.v", "p.q")}, 6) AS cos
-         |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
-         |  WHERE a.vec_id <> p.query_id
-         |), ranked AS (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-         |  FROM cand
-         |)
+      s"""WITH ${ivfSql()}, $IVF_RANKED_SQL
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 148: the IVF ranking joined against the exact ranking at each
+    // k — hits are exact integers, recall one rounded division
+    "knn_recall" ->
+      s"""WITH ${ivfSql()}, $IVF_RANKED_SQL,
+         |exr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS erk
+         |  FROM (
+         |    SELECT qe.vec_id AS query_id, ce.vec_id,
+         |      round(${cosSql("ce.v", "qe.v")}, 6) AS cos
+         |    FROM e ce CROSS JOIN e qe
+         |    WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+         |  )
+         |), ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+         |hits AS (
+         |  SELECT r.query_id, ks.k, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ranked r JOIN exr x ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+         |  CROSS JOIN ks
+         |  WHERE r.rk <= ks.k AND x.erk <= ks.k
+         |  GROUP BY r.query_id, ks.k
+         |)
+         |SELECT b.query_id, b.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(b.k AS DOUBLE), 6) AS recall
+         |FROM (SELECT qe.vec_id AS query_id, ks.k
+         |      FROM e qe CROSS JOIN ks WHERE qe.vec_id < 10) b
+         |LEFT JOIN hits h ON b.query_id = h.query_id AND b.k = h.k
+         |ORDER BY b.query_id, b.k""".stripMargin,
     // 122: full greedy-MMR replay — unrolled selection steps
     "knn_mmr" ->
       s"""WITH ${mmrSql(5, 10)}

@@ -405,6 +405,37 @@ class KnnSpec extends SparkSpec {
     assert(scans <= 1, s"expected the corpus scanned once, saw $scans")
   }
 
+  test("annRecall == plain recomputation from the two rankings; bounds hold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+    val n = e.count()
+    val got = Knn.annRecall(e, q, ks = Seq(1, 5, 10), nProbe = 4,
+      corpusSize = n).collect()
+    assert(got.length == 30)
+    // independent recomputation from the two rankings' collected rows
+    val exact = Knn.cosineTopK(e, q, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk"))).toSeq
+    val approx = Knn.ivfTopK(e, q, 10, nProbe = 4, corpusSize = n).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk"))).toSeq
+    got.foreach { r =>
+      val (qid, k) = (r.getAs[Long]("query_id"), r.getAs[Long]("k"))
+      val ex = exact.filter(t => t._1 == qid && t._3 <= k).map(_._2).toSet
+      val ap = approx.filter(t => t._1 == qid && t._3 <= k).map(_._2).toSet
+      val hits = (ex & ap).size.toLong
+      assert(r.getAs[Long]("hits") == hits, s"q=$qid k=$k")
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(hits.toDouble / k).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // hits monotone non-decreasing in k per query
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val h = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("hits"))
+      assert(h.zip(h.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("retrievalEval invariants on testdata: one row per query, metrics bounded") {
     val e = Tables.embeddings(spark, sfDir)
     val rows = Knn.retrievalEval(e, e.where($"vec_id" < 10), k = 10).collect()
