@@ -323,7 +323,7 @@ object ScaleCheck {
       "pretrain_yield",
       // the ANN recall audit runs BOTH rankings (brute force + IVF)
       // over fixed 10-query anchors — rows constant, wall = two scans
-      "knn_recall",
+      "knn_recall", "knn_recall_pq",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

@@ -707,13 +707,23 @@ object Knn {
     * (queries × kmax)-sized. Output: (query_id, k, hits, recall) per
     * query × cutoff. */
   def annRecall(corpus: DataFrame, queries: DataFrame, ks: Seq[Int],
-      nProbe: Int, corpusSize: Long): DataFrame = {
+      nProbe: Int, corpusSize: Long): DataFrame =
+    rankingRecall(corpus, queries, ks,
+      ivfTopK(corpus, queries, ks.max, nProbe = nProbe,
+        corpusSize = corpusSize))
+
+  /** [[annRecall]]'s core over ANY approximate ranking with
+    * (query_id, rk, vec_id) columns — the IVF-PQ audit passes
+    * [[Pq.ivfPqTopK]]'s output here (quantization loss shows up as
+    * the recall gap between the two audits). `approxRanking`'s rk
+    * must go at least to ks.max. */
+  def rankingRecall(corpus: DataFrame, queries: DataFrame, ks: Seq[Int],
+      approxRanking: DataFrame): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"bad cutoffs $ks")
     val kmax = ks.max
     val exact = cosineTopK(corpus, queries, kmax)
       .select(col("query_id"), col("rk").as("erk"), col("vec_id"))
-    val approx = ivfTopK(corpus, queries, kmax, nProbe = nProbe,
-        corpusSize = corpusSize)
+    val approx = approxRanking
       .select(col("query_id"), col("rk").as("ark"), col("vec_id"))
     import corpus.sparkSession.implicits._
     val ksDf = broadcast(ks.map(_.toLong).toDF("k"))

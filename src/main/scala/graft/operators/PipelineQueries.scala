@@ -976,6 +976,16 @@ object PipelineQueries {
       Knn.annRecall(e, e.where(col("vec_id") < 10), ks = Seq(1, 5, 10),
         nProbe = 4, corpusSize = embCount(s, d))
     }),
+    // 148b: the same audit for the QUANTIZED index — recall@{1,5} of
+    // the IVF-PQ ranking vs exact: the recall gap against knn_recall
+    // IS the quantization loss (the number PQ block/codebook tuning
+    // watches). Shares rankingRecall's core and the exact side.
+    "knn_recall_pq" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.where(col("vec_id") < 10)
+      Knn.rankingRecall(e, q, ks = Seq(1, 5),
+        Pq.ivfPqTopK(e, q, k = 5, corpusSize = embCount(s, d)))
+    }),
     // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
     // relevance over the per-query top-10 ANN pool, exact scaled-
     // BIGINT objective (7·rel − 3·maxSim on the 1e-6 grid), fixed
@@ -4216,6 +4226,40 @@ object PipelineQueries {
     // 119: full IVF-PQ replay — codebook training, codes, coarse
     // probes, integer-grid ADC shortlist, exact re-rank
     "knn_ivfpq" -> IVFPQ_SQL,
+    // 148b: the IVF-PQ replay's final ranking joined against the exact
+    // ranking at each cutoff (the knn_recall shape over rer; CTE names
+    // krq_-prefixed to stay clear of the PQ cascade's)
+    "knn_recall_pq" ->
+      s"""WITH ${ivfPqSql(8, 16, 2, 4, 5, 4)},
+         |krq_apx AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM rer
+         |), krq_exr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS erk
+         |  FROM (
+         |    SELECT qe.vec_id AS query_id, ce.vec_id,
+         |      round(${cosSql("ce.v", "qe.v")}, 6) AS cos
+         |    FROM e ce CROSS JOIN e qe
+         |    WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+         |  )
+         |), krq_ks AS (SELECT CAST(unnest([1, 5]) AS BIGINT) AS k),
+         |krq_hits AS (
+         |  SELECT a.query_id, krq_ks.k, CAST(count(*) AS BIGINT) AS hits
+         |  FROM krq_apx a JOIN krq_exr x
+         |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |  CROSS JOIN krq_ks
+         |  WHERE a.rk <= krq_ks.k AND x.erk <= krq_ks.k
+         |  GROUP BY a.query_id, krq_ks.k
+         |)
+         |SELECT b.query_id, b.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(b.k AS DOUBLE), 6) AS recall
+         |FROM (SELECT qe.vec_id AS query_id, krq_ks.k
+         |      FROM e qe CROSS JOIN krq_ks WHERE qe.vec_id < 10) b
+         |LEFT JOIN krq_hits h ON b.query_id = h.query_id AND b.k = h.k
+         |ORDER BY b.query_id, b.k""".stripMargin,
     // 119b: the published-index probe is oracle-IDENTICAL — the lake
     // round-trip (train once at publish, probe from the snapshot) must
     // be invisible to the ranking

@@ -436,6 +436,27 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("rankingRecall over IVF-PQ == plain recomputation (quantization audit)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+    val n = e.count()
+    val pq = graft.operators.Pq.ivfPqTopK(e, q, k = 5, corpusSize = n)
+    val got = Knn.rankingRecall(e, q, ks = Seq(1, 5), pq).collect()
+    assert(got.length == 20)
+    val exact = Knn.cosineTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk"))).toSeq
+    val approx = pq.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk"))).toSeq
+    got.foreach { r =>
+      val (qid, k) = (r.getAs[Long]("query_id"), r.getAs[Long]("k"))
+      val ex = exact.filter(t => t._1 == qid && t._3 <= k).map(_._2).toSet
+      val ap = approx.filter(t => t._1 == qid && t._3 <= k).map(_._2).toSet
+      assert(r.getAs[Long]("hits") == (ex & ap).size.toLong, s"q=$qid k=$k")
+    }
+  }
+
   test("retrievalEval invariants on testdata: one row per query, metrics bounded") {
     val e = Tables.embeddings(spark, sfDir)
     val rows = Knn.retrievalEval(e, e.where($"vec_id" < 10), k = 10).collect()
