@@ -721,10 +721,14 @@ object Knn {
       approxRanking: DataFrame): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"bad cutoffs $ks")
     val kmax = ks.max
-    val exact = cosineTopK(corpus, queries, kmax)
-      .select(col("query_id"), col("rk").as("erk"), col("vec_id"))
-    val approx = approxRanking
-      .select(col("query_id"), col("rk").as("ark"), col("vec_id"))
+    // both rankings are (queries × kmax)-sized: materialize them so
+    // the audit's final plan reads two tiny ExistingRDDs instead of
+    // fanning the exact + IVF scan pipelines out under the join (the
+    // PlanSpec ≤6-scan budget)
+    val exact = graft.Materialize.once(cosineTopK(corpus, queries, kmax)
+      .select(col("query_id"), col("rk").as("erk"), col("vec_id")))
+    val approx = graft.Materialize.once(approxRanking
+      .select(col("query_id"), col("rk").as("ark"), col("vec_id")))
     import corpus.sparkSession.implicits._
     val ksDf = broadcast(ks.map(_.toLong).toDF("k"))
     val hits = approx.join(exact, Seq("query_id", "vec_id"))
