@@ -457,6 +457,23 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEval: NULL-label candidates score as irrelevant, never null the row") {
+    // candidate 3 has a NULL label: it must count as rel=0 (the
+    // oracle's CASE 0-codes it), not null hits/dcg/recall for the query
+    val e = Seq(
+      (0L, Seq(1f, 0f), Some(1)),
+      (1L, Seq(1f, 0f), Some(1)),
+      (2L, Seq(0.8f, 0.6f), Some(0)),
+      (3L, Seq(0.9f, 0.4f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Knn.retrievalEval(e, e.where($"vec_id" === 0), k = 10).collect()
+    assert(r.length == 1)
+    assert(!r.head.isNullAt(r.head.fieldIndex("hits")))
+    assert(r.head.getAs[Long]("hits") == 1L)   // only id1 is relevant
+    assert(r.head.getAs[Double]("recall") == 1.0) // n_rel = 1, hit at rank 1
+    assert(r.head.getAs[Double]("ndcg") == 1.0)
+  }
+
   test("retrievalEval invariants on testdata: one row per query, metrics bounded") {
     val e = Tables.embeddings(spark, sfDir)
     val rows = Knn.retrievalEval(e, e.where($"vec_id" < 10), k = 10).collect()
