@@ -634,6 +634,20 @@ object Knn {
     * eval, the `vec_id < 10` probe convention) — n_rel is derived as
     * per-label corpus count minus the query itself.
     *
+    * Metric definitions (deliberate, oracle-matched choices):
+    *   - `recall` is hits / min(n_rel, k) — R-CAPPED recall@k (a.k.a.
+    *     capped recall / R-precision-style denominator), NOT the
+    *     textbook hits / n_rel: a query with n_rel > k can still
+    *     score 1.0 when its whole top-k is relevant. Consumers
+    *     comparing against un-capped recall@k must divide hits by
+    *     n_rel themselves (both integers are in the output).
+    *   - queries whose `label` is NULL are DROPPED from the output
+    *     (no qrels exist for them, so no metric is defined — the
+    *     inner join on q_label is the drop): the result can have
+    *     fewer rows than queries. Callers asserting one row per
+    *     query must pre-filter NULL-label probes. NULL-label
+    *     CANDIDATES, by contrast, stay and score as irrelevant.
+    *
     * Engine-replayable by construction: hits / first-relevant-rank /
     * n_rel are exact integers; the DCG discounts enter as the LITERAL
     * [[DCG_GAINS_MI]] gain table so DCG and ideal-DCG accumulate as

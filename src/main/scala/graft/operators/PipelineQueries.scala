@@ -1425,8 +1425,11 @@ object PipelineQueries {
     // training loop reads phase-major, round-robin across shards).
     // One narrow quality map + one (phase, shard) hash shuffle +
     // shard-local sorts at any corpus size.
+    // (presentation orderBy lives HERE, not in the operator — the
+    // manifest itself never sorts globally; see Pretrain.curriculum)
     "corpus_curriculum" -> ((s, d) =>
-      Pretrain.curriculum(docs(s, d), nShards = 8)),
+      Pretrain.curriculum(docs(s, d), nShards = 8)
+        .orderBy(col("phase"), col("shard_id"), col("pos"))),
     // 142: retrieval quality evaluation — per-query recall@10 / MRR /
     // nDCG@10 of the dense ranking against label-derived binary qrels
     // (the regression metrics a retrieval stack re-runs after every

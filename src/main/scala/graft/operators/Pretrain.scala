@@ -264,10 +264,13 @@ object Pretrain {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("phase"), col("shard_id"))
       .orderBy(col("k"), col("doc_id"))
+    // NO trailing global orderBy: a presentation sort here would be a
+    // full range-shuffle of the whole manifest at corpus scale, and
+    // the training loop reads phase-major by key anyway (PlanSpec pins
+    // that the only exchange is the (phase, shard) window hash)
     staged.withColumn("pos", row_number().over(w).cast("long"))
       .select(col("phase"), col("shard_id"), col("pos"), col("doc_id"),
         col("quality"))
-      .orderBy(col("phase"), col("shard_id"), col("pos"))
   }
 
   // --------------------------------------- 147: pipeline yield funnel

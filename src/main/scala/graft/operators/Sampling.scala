@@ -416,7 +416,12 @@ object Sampling {
     * hash filter — the [[mixtureSample]] shape plus a constant number
     * of tiny passes.
     *
-    * Output: input rows kept, plus (excess_mi, w_mi, thr, bucket). */
+    * Output: input rows kept, plus (excess_mi, w_mi, thr, bucket).
+    * NULL-domain rows are DROPPED (plain equality membership join —
+    * the same rows a SQL `JOIN ... USING (domain)` replay drops): a
+    * NULL domain is an upstream labeling bug, and silently weighting
+    * it as its own domain would skew every other domain's quota.
+    * SamplingSpec pins the drop. */
   /** The multiplicative-weights core of [[doremiSample]], exposed for
     * the streaming mixer face: takes the per-domain counter table
     * (__g, __n, __s) — n docs and the exact-BIGINT 1e-6-grid score
@@ -460,7 +465,10 @@ object Sampling {
       .withColumn("__quota", expr(s"(((__nn * $fracI) div 1000000) * __w) div 1000000"))
       .select(col("__g"), col("__excess"), col("__w"),
         least(lit(Buckets), expr("(__quota * 1000000) div __n")).as("__thr"))
-    df.join(broadcast(thr), groupCol <=> col("__g"))
+    // plain equality (NOT null-safe): NULL-domain rows drop, matching
+    // the oracle's inner `JOIN ... USING (source)` — a null-safe join
+    // here would weight the NULL pseudo-domain and diverge cross-engine
+    df.join(broadcast(thr), groupCol === col("__g"))
       .withColumn("bucket", hashBucket(idCol, salt))
       .where(col("bucket") < col("__thr"))
       .withColumnRenamed("__excess", "excess_mi")

@@ -975,6 +975,20 @@ object CorpusStream {
           s"$checkpointDir/mixer has no committed offsets: restarted batch " +
           "ids would silently skip or double-count files. Restore the " +
           "original checkpoint, or republish empty state to start over.")
+    // the INVERSE corruption — state dir lost/wiped but checkpoint
+    // kept — must also be rejected: the file source would never
+    // replay already-committed files, so the counters would stay
+    // empty while readDomainWeights served them downstream as the
+    // FULL mixture (a permanent silent undercount, worse than the
+    // skip/double-count case because nothing ever looks wrong)
+    if (committed < 0 && !ckptFresh)
+      throw new IllegalStateException(
+        s"graft.CorpusStream.startDomainMixer: the checkpoint at " +
+          s"$checkpointDir/mixer has committed offsets but the mixer state " +
+          s"at $stateDir is empty: the state dir was lost or wiped, and " +
+          "already-processed files would never be replayed — the mixture " +
+          "weights would permanently undercount every domain. Restore the " +
+          "state dir, or start over with a fresh checkpoint.")
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -600,6 +600,15 @@ class CorpusStreamSpec extends SparkSpec {
         s"$base/cp-lost", maxFilesPerTrigger = 1)
     }
     assert(e.getMessage.contains("no committed offsets"), e.getMessage)
+    // the INVERSE guard: state dir lost/wiped but checkpoint kept —
+    // already-processed files would never replay, so the counters
+    // would permanently undercount while the reader serves them as
+    // the full mixture. Must be rejected, not silently resumed.
+    val e2 = intercept[IllegalStateException] {
+      CorpusStream.startDomainMixer(spark, s"$base/in", s"$base/state-lost",
+        s"$base/cp", maxFilesPerTrigger = 1)
+    }
+    assert(e2.getMessage.contains("lost or wiped"), e2.getMessage)
   }
 
   test("classify gate: stream scores == batch Classify.scores; republish re-resolves; replay adds nothing") {

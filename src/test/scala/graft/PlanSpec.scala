@@ -199,6 +199,22 @@ class PlanSpec extends SparkSpec {
     assert(over.isEmpty, s"queries over the scan budget (recompute?): $over")
   }
 
+  test("curriculum manifest never sorts globally: one (phase, shard) hash exchange") {
+    // the OPERATOR (not the presentation-sorted query wiring) must
+    // plan exactly the window's hash shuffle — a trailing global
+    // orderBy would add a rangepartitioning exchange that range-
+    // shuffles the whole manifest at corpus scale
+    val p = graft.operators.Pretrain
+      .curriculum(graft.sources.Tables.documents(spark, sfDir), nShards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"curriculum plans $exchanges exchanges, want 1:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"curriculum range-shuffles (global sort crept back):\n$p")
+    assert(p.contains("hashpartitioning(phase"),
+      s"curriculum's one exchange is not the (phase, shard) window hash:\n$p")
+  }
+
   test("k-means assignment keeps the map-side argmax; semantic dedup anti-joins") {
     assert(plan("embed_kmeans").contains("partial_max"),
       "k-means argmax lost its map-side combine")

@@ -394,6 +394,35 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSet == kept)
   }
 
+  test("doremiSample: NULL-domain rows drop (oracle inner-join parity)") {
+    // two real domains plus docs with a NULL domain: the NULL rows
+    // must never appear in the output (the oracle's membership join
+    // is `JOIN ... USING (source)`, which drops NULL keys) — but they
+    // DO count toward the corpus totals, like SQL's GROUP BY NULL
+    // group, so the surviving domains' weights match the oracle's.
+    val rows: Seq[(Long, Option[String], Long)] =
+      (0 until 10).map(i => (i.toLong, Some("x"), -1000000L)) ++
+      (10 until 20).map(i => (i.toLong, Some("y"), -3000000L)) ++
+      (20 until 25).map(i => (i.toLong, None: Option[String], -2000000L))
+    val df = rows.toDF("doc_id", "grp", "s_mi")
+    val got = Sampling.doremiSample(df, col("doc_id"), col("grp"), col("s_mi"))
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("grp") != null),
+      "NULL-domain rows must be dropped by the membership join")
+    // weights reflect a 25-doc corpus (NULL group counted in totals):
+    // identical to running doremiWeights over the 3-group counters
+    val want = Sampling.doremiWeights(
+        df.groupBy(col("grp").as("__g"))
+          .agg(count(lit(1)).as("__n"), sum(col("s_mi")).as("__s")),
+        rounds = 3, etaDen = 2L)
+      .collect().filter(_.getAs[String]("__g") != null)
+      .map(r => r.getAs[String]("__g") -> r.getAs[Long]("__w")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("w_mi") == want(r.getAs[String]("grp")))
+    }
+  }
+
   test("doremiSample: uniform scores give uniform weights (no spurious drift)") {
     val rows = for (g <- Seq("x", "y"); i <- 0 until 20)
       yield (Seq("x", "y").indexOf(g) * 20L + i, g, -5000000L)
