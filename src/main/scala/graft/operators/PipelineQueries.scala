@@ -153,6 +153,20 @@ object PipelineQueries {
       expr("filter(split(trim(w), '  '), x -> x <> '')").as("sy"))
   }
 
+  /** BOTH trainer artifacts from one training run — the merge table
+    * ([[bpeTrainOf]]'s shape) and the per-token segmentation
+    * ([[bpeSegmentsOf]]'s shape) — for the publish-once tokenizer
+    * lake ([[Pretrain.publishTokenizerLake]]): a tokenizer ships as
+    * merges (the replayable training log) plus the materialized
+    * vocabulary segmentation (the serving table), and publishing them
+    * from ONE run keeps them mutually consistent by construction. */
+  private[graft] def bpeArtifacts(doc: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val (merges, vocab) = bpeTrainCore(doc, rounds)
+    (merges, vocab.select(col("token"),
+      expr("filter(split(trim(w), '  '), x -> x <> '')").as("sy")))
+  }
+
   private def bpeTrainCore(doc: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val toks = doc.select(explode(Text.tokens(col("text"))).as("token"))
@@ -785,6 +799,20 @@ object PipelineQueries {
     "pretrain_examples_bpe" -> ((s, d) => {
       val (src, bench) = pretrainSrcBench(s, d)
       graft.operators.Pretrain.examplesBpe(src, bench, docs(s, d))
+        .orderBy(col("shard_id"), col("pack_id"))
+    }),
+    // 141c: the SAME BPE-budget packs, but the tokenizer trains ONCE
+    // and publishes through the versioned lake (merges + segments +
+    // meta as one atomic group) — the train-once/probe-many split the
+    // IVF-PQ and BM25 indexes already have, applied to the suite's
+    // heaviest trainer. Shares pretrain_examples_bpe's oracle SQL
+    // verbatim: the lake round trip must be invisible to the packs.
+    "pretrain_examples_bpe_indexed" -> ((s, d) => {
+      val (src, bench) = pretrainSrcBench(s, d)
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-bpe-lake").toString
+      graft.operators.Pretrain.publishTokenizerLake(docs(s, d), lake)
+      graft.operators.Pretrain.examplesBpeIndexed(s, lake, src, bench)
         .orderBy(col("shard_id"), col("pack_id"))
     }),
     // 131: paragraph-granularity exact dedup (Falcon/RefinedWeb):
@@ -5303,4 +5331,12 @@ object PipelineQueries {
          |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$dg', '<NUM>', 'g')) AS fp_redacted
          |FROM documents ORDER BY doc_id""".stripMargin
     })
+    // 141c: the published-tokenizer pack must be byte-identical to
+    // training in-session — it SHARES pretrain_examples_bpe's oracle
+    // verbatim (the retrieval_indexed convention: the lake round trip
+    // is invisible to the result, and the shared SQL proves it)
+    match {
+      case m => m.updated("pretrain_examples_bpe_indexed",
+        m("pretrain_examples_bpe"))
+    }
 }

@@ -202,12 +202,23 @@ object Pretrain {
   def examplesBpe(src: DataFrame, benchmark: DataFrame, tokCorpus: DataFrame,
       budget: Int = 256, nShards: Int = 4, keepNum: Long = 3L,
       keepDen: Long = 10L, bpeRounds: Int = 8): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val man = manifestWithText(src, benchmark, nShards, keepNum, keepDen)
     val seg = graft.Materialize.once(
       PipelineQueries.bpeSegmentsOf(
         tokCorpus.select(col("doc_id"), col("text")), bpeRounds)
         .select(col("token"), size(col("sy")).cast("long").as("n_sub")))
+    examplesBpeWith(src, benchmark, seg, budget, nShards, keepNum, keepDen)
+  }
+
+  /** The serving half of [[examplesBpe]] over an ALREADY-TRAINED
+    * (token, n_sub) segment-cost table — shared verbatim by the
+    * train-in-session form and the published-lake
+    * [[examplesBpeIndexed]], so "train the tokenizer once, pack many
+    * corpora" is oracle-provably the same packs as train-per-run. */
+  private def examplesBpeWith(src: DataFrame, benchmark: DataFrame,
+      seg: DataFrame, budget: Int, nShards: Int, keepNum: Long,
+      keepDen: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val man = manifestWithText(src, benchmark, nShards, keepNum, keepDen)
     val chunks = Text.chunk(
       man.select(col("shard_id"), col("pos"), col("doc_id"), col("text")),
       col("text"), chunkSize = 64, overlap = 16)
@@ -231,6 +242,55 @@ object Pretrain {
       .groupBy(col("shard_id"), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_bpe")).cast("long").as("pack_tokens"))
+  }
+
+  // ----------------------------- 141c: published tokenizer lake
+  /** Publish the trained BPE tokenizer through the versioned lake —
+    * the train-once split [[examplesBpe]] folds into one call (the
+    * IVF-PQ / BM25 index discipline applied to the tokenizer): the
+    * `bpeRounds`-round trainer runs ONCE here, and its two artifacts
+    * commit as ONE atomic group version:
+    *   merges   (step, l, r, wt)  — the ordered merge table, the
+    *     replayable training log a tokenizer release ships
+    *   segments (token, sy)       — the trained vocabulary's final
+    *     per-token symbol segmentation, the serving table
+    *   meta     (rounds)          — probe-parameter guard
+    * One pointer = one consistent snapshot: a pack run can never pair
+    * one training run's merges with another's segmentation (segment
+    * costs under foreign merges mis-budget every pack silently).
+    * Training touches the corpus once (the token-frequency aggregate);
+    * everything published is vocabulary-sized — the cheapest of the
+    * lake's index families. Returns the published version. */
+  def publishTokenizerLake(tokCorpus: DataFrame, dir: String,
+      bpeRounds: Int = 8): Int = graft.Materialize.scoped {
+    val sp = tokCorpus.sparkSession
+    import sp.implicits._
+    val (merges, segments) = PipelineQueries.bpeArtifacts(
+      tokCorpus.select(col("doc_id"), col("text")), bpeRounds)
+    graft.sources.StormSinks.writeVersionedGroup(sp, dir, Seq(
+      "merges" -> merges,
+      "segments" -> segments,
+      "meta" -> Seq(bpeRounds).toDF("rounds")))
+  }
+
+  /** [[examplesBpe]] over a [[publishTokenizerLake]] tokenizer: reads
+    * the published segmentation (one pointer resolution = one
+    * consistent snapshot) and runs the identical pack plan — the
+    * packs are oracle-provably byte-identical to training in-session,
+    * so the round trip is invisible to the result (the
+    * retrieval_indexed precedent). Per-run cost drops from
+    * corpus-scan + `rounds` vocabulary passes to ONE vocabulary-table
+    * read; a real pipeline trains its tokenizer once per release, not
+    * once per pack job. */
+  def examplesBpeIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: DataFrame, benchmark: DataFrame,
+      budget: Int = 256, nShards: Int = 4, keepNum: Long = 3L,
+      keepDen: Long = 10L): DataFrame = {
+    import graft.sources.StormSinks
+    val ver = StormSinks.currentVersionName(spark, dir)
+    val seg = StormSinks.readGroupTableAt(spark, dir, ver, "segments")
+      .select(col("token"), size(col("sy")).cast("long").as("n_sub"))
+    examplesBpeWith(src, benchmark, seg, budget, nShards, keepNum, keepDen)
   }
 
   // --------------------------------------- 143: curriculum ordering

@@ -148,6 +148,45 @@ class PretrainSpec extends SparkSpec {
       s"(the=${segMap.get("the")}, zzqqxx OOV -> 6 chars)")
   }
 
+  test("tokenizer lake: indexed packs == in-session; republish re-resolves") {
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+    val src = doc.select(col("doc_id"), col("text"), col("lang"))
+    val bench = doc.where(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-tok-lake").toString
+    val v0 = Pretrain.publishTokenizerLake(doc, lake)
+    assert(v0 == 0)
+    // the round trip is invisible: published-tokenizer packs must be
+    // byte-identical to training in-session (same corpus, same rounds)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("shard_id"), col("pack_id"))
+        .collect().map(_.toSeq).toSeq
+    val got = rows(Pretrain.examplesBpeIndexed(spark, lake, src, bench))
+    val want = rows(Pretrain.examplesBpe(src, bench, doc))
+    assert(got == want, "published-tokenizer packs diverged from in-session")
+    // the published group carries both artifacts from ONE training
+    // run: merges has 8 ordered steps, segments re-derives n_sub
+    val ver = graft.sources.StormSinks.currentVersionName(spark, lake)
+    val merges = graft.sources.StormSinks
+      .readGroupTableAt(spark, lake, ver, "merges")
+    assert(merges.select(col("step")).as[Int].collect().sorted.toSeq
+      == (1 to 8), "merge table steps not 1..8")
+    assert(graft.sources.StormSinks
+      .readGroupTableAt(spark, lake, ver, "meta").head().getInt(0) == 8)
+    // republish on a DIFFERENT tokenizer corpus: the probe resolves
+    // the new pointer, and the packs change (different vocabulary →
+    // different segment costs) — a stale-pointer probe would not
+    val v1 = Pretrain.publishTokenizerLake(
+      doc.where(col("doc_id") % 3 === 0), lake, bpeRounds = 2)
+    assert(v1 == 1)
+    val got2 = rows(Pretrain.examplesBpeIndexed(spark, lake, src, bench))
+    val want2 = rows(Pretrain.examplesBpe(src, bench,
+      doc.where(col("doc_id") % 3 === 0), bpeRounds = 2))
+    assert(got2 == want2, "republished tokenizer not re-resolved")
+    assert(got2 != got, "v1 tokenizer produced v0's packs — stale pointer?")
+  }
+
   test("yieldReport: monotone funnel, endpoints pinned to raw input and manifest") {
     val doc = graft.sources.Tables.documents(spark, sfDir)
     val src = doc.select(col("doc_id"), col("text"), col("lang"))
