@@ -706,6 +706,63 @@ object Knn {
       .orderBy(col("query_id"))
   }
 
+  /** [[retrievalEval]]'s metric battery over ANY ranking with
+    * (query_id, rk, vec_id) columns, graded against PSEUDO-QRELS =
+    * the exact dense top-k ([[cosineTopK]]): per-query R-capped
+    * recall@k, MRR and nDCG@k of the given ranking, where a candidate
+    * is relevant iff it appears in the query's exact top-k. This is
+    * the audit the SPARSE and HYBRID serving paths need — their
+    * rankings have no label qrels (documents are unlabeled), and the
+    * question a hybrid deployment actually asks is "how much of the
+    * dense-exact ranking does the fused ranking recover, and how
+    * early" ([[rankingRecall]] answers the first half only; this adds
+    * the order-sensitive MRR/nDCG half over the same pseudo-qrels).
+    *
+    * Same exact-integer discipline as [[retrievalEval]]: hits /
+    * first_rel / n_rel are integers, DCG/IDCG accumulate the literal
+    * [[DCG_GAINS_MI]] gains, each metric is one rounded division.
+    * Queries with an empty exact top-k yield no row (no qrels — the
+    * retrievalEval NULL-label drop convention); queries the RANKING
+    * misses entirely still get a zeroed row (n_rel from the exact
+    * side, metrics 0). Scale: one broadcast-probe exact ranking +
+    * (queries × k)-sized math. Output: one row per query. */
+  def rankingEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      ranking: DataFrame): DataFrame = {
+    require(k <= DCG_GAINS_MI.length,
+      s"k=$k exceeds the literal gain table (${DCG_GAINS_MI.length})")
+    val exact = graft.Materialize.once(cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("rk").as("erk"), col("vec_id")))
+    val top = ranking.where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("int").as("rk"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rk"),
+        when(col("erk").isNotNull, 1L).otherwise(0L).as("rel"),
+        element_at(typedLit(DCG_GAINS_MI), col("rk")).as("g"))
+    val perQ = top.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("hits"),
+        sum(col("rel") * col("g")).as("dcg_i"),
+        coalesce(min(when(col("rel") === 1L, col("rk"))), lit(0))
+          .cast("long").as("first_rel"))
+    val nRel = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rel"), lit(0L)).as("first_rel"),
+        coalesce(col("dcg_i"), lit(0L)).as("dcg_i"),
+        element_at(typedLit(IDCG_PREFIX_MI),
+          least(col("n_rel"), lit(k.toLong)).cast("int")).as("idcg_i"))
+      .select(col("query_id"), col("n_rel"), col("hits"), col("first_rel"),
+        col("dcg_i"), col("idcg_i"),
+        round(col("hits").cast("double") /
+          least(col("n_rel"), lit(k.toLong)).cast("double"), 6).as("recall"),
+        when(col("first_rel") === 0L, lit(0.0)).otherwise(
+          round(lit(1.0) / col("first_rel").cast("double"), 6)).as("mrr"),
+        when(col("idcg_i") <= 0L, lit(0.0)).otherwise(
+          round(col("dcg_i").cast("double") /
+            col("idcg_i").cast("double"), 6)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------- 148: ANN recall audit
   /** ANN index-quality audit — recall@k of the IVF ranking against
     * the exact brute-force ranking, per query and cutoff: the number

@@ -418,6 +418,91 @@ object PipelineQueries {
       doc.where(col("doc_id") % 20 === 7).select(col("doc_id"), col("text")))
   }
 
+  /** The fused RRF ranking hybrid_rerank serves — dense cosine top-20
+    * + sparse BM25 top-20, reciprocal-rank-fused on the exact integer
+    * grid, top-5 per query: (query_id, rk, doc_id, rrf_i). ONE
+    * definition shared by the serving key and the
+    * retrieval_eval_hybrid audit, so the audited ranking can never
+    * drift from the served one. */
+  private def hybridRrfOf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val dense = Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").as("rk_d"))
+    val doc = docs(s, d)
+    val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val tf = graft.Materialize.once(
+      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = doc.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+    val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+    val weights = graft.Materialize.once(
+      tf.join(dl, "doc_id").join(dfreq, "token")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
+    val qterms = weights.where(col("doc_id") < 10)
+      .withColumn("qrk", row_number().over(wq)).where(col("qrk") <= 3)
+      .select(col("doc_id").as("query_id"), col("token"), col("w_i").as("qw_i"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score_i").desc, col("doc_id"))
+    val sparse = weights.join(broadcast(qterms), "token")
+      .where(col("doc_id") =!= col("query_id")) // match the dense self-exclusion
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qw_i") * col("w_i")).as("score_i"))
+      .withColumn("rk_s", row_number().over(wr)).where(col("rk_s") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rk_s"))
+    val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_d)"), lit(0L)) +
+         coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_s)"), lit(0L))).as("rrf_i"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_i").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
+  }
+
+  /** The one-row recall report every index audit emits — (n_true,
+    * n_found, n_missed, recall basis points), all exact integers —
+    * over (doc_a, doc_b) pair frames. ONE definition for the MinHash
+    * (dedup_recall), SimHash (simhash_recall) and perceptual aHash
+    * (mm_recall) audits; [[recallReportSql]] is its oracle twin. */
+  private def recallReport(exact: DataFrame, found: DataFrame): DataFrame = {
+    val t = exact.agg(count(lit(1)).as("n_true"))
+    val f = found.agg(count(lit(1)).as("n_found"))
+    val m = exact.join(found, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    t.crossJoin(f).crossJoin(m)
+      .select(col("n_true"), col("n_found"), col("n_missed"),
+        expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE (10000 * (n_true - n_missed)) div n_true END").as("recall_bp"))
+  }
+
+  /** [[recallReport]]'s DuckDB twin: the report tail over two named
+    * pair CTEs with (doc_a, doc_b) columns. */
+  private def recallReportSql(t: String, f: String): String =
+    s"""tr AS (SELECT count(*) AS n_true FROM $t),
+       |fo AS (SELECT count(*) AS n_found FROM $f),
+       |mi AS (
+       |  SELECT count(*) AS n_missed FROM $t
+       |  WHERE NOT EXISTS (SELECT 1 FROM $f
+       |    WHERE $f.doc_a = $t.doc_a AND $f.doc_b = $t.doc_b)
+       |)
+       |SELECT n_true, n_found, n_missed,
+       |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+       |    ELSE CAST((10000 * (n_true - n_missed)) // n_true AS BIGINT) END AS recall_bp
+       |FROM tr, fo, mi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 25: exact dedup over a replayed (doubled) corpus
     "dedup_exact" -> ((s, d) => {
@@ -498,14 +583,30 @@ object PipelineQueries {
       val found = graft.Materialize.once(
         Dedup.minhashPairs(doc, k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
           .select(col("doc_a"), col("doc_b")))
-      val t = exact.agg(count(lit(1)).as("n_true"))
-      val f = found.agg(count(lit(1)).as("n_found"))
-      val m = exact.join(found, Seq("doc_a", "doc_b"), "left_anti")
-        .agg(count(lit(1)).as("n_missed"))
-      t.crossJoin(f).crossJoin(m)
-        .select(col("n_true"), col("n_found"), col("n_missed"),
-          expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
-            "ELSE (10000 * (n_true - n_missed)) div n_true END").as("recall_bp"))
+      recallReport(exact, found)
+    }),
+    // 27b: recall audit for the CAPPED SimHash index — truth is the
+    // brute-force hamming join over the same sha-derived signatures
+    // (test-scale only, by construction: the audit is the measurement
+    // tool that justifies trusting the banded path at corpus scale).
+    // The pigeonhole is lossless below the occupancy cap, so any
+    // missed pair is a cap drop — this key turns the caps' "a pair
+    // survives if ANY chunk is below-cap" recall contract from a
+    // spec-level argument into a driver-measured number.
+    "simhash_recall" -> ((s, d) => {
+      val doc = docs(s, d)
+      val sims = graft.Materialize.once(doc.select(col("doc_id"),
+        Dedup.simhash64Sha(col("text")).as("sim")))
+      val exact = graft.Materialize.once(
+        sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+          .crossJoin(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")))
+          .where(col("doc_a") < col("doc_b") &&
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+          .select(col("doc_a"), col("doc_b")))
+      val found = graft.Materialize.once(
+        Dedup.simhashPairs(doc, maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")))
+      recallReport(exact, found)
     }),
     // 93: asymmetric containment pairs (quote/inclusion detection) —
     // directed "A mostly inside B" at C >= 0.6; the case Jaccard
@@ -1399,53 +1500,20 @@ object PipelineQueries {
     // corpus scale — same output contract); the sparse side never
     // reshuffles the index (broadcast probe); the fusion joins two
     // top-20-per-query lists — thousands of rows at ANY corpus size.
-    "hybrid_rerank" -> ((s, d) => {
+    "hybrid_rerank" -> ((s, d) =>
+      hybridRrfOf(s, d).orderBy(col("query_id"), col("rk"))),
+    // 142b: ranking-quality audit of the HYBRID serving path —
+    // recall@5 / MRR / nDCG@5 of the fused RRF ranking against
+    // pseudo-qrels = the dense EXACT top-5 (documents carry no label
+    // qrels, and "how much of the exact ranking does the fusion
+    // recover, and how early" is the number a hybrid deployment
+    // tunes its RRF constant with). Same literal gain table and
+    // exact-integer metric arithmetic as retrieval_eval.
+    "retrieval_eval_hybrid" -> ((s, d) => {
       val e = embs(s, d)
-      val dense = Knn.cosineTopK(e, e.where(col("vec_id") < 10), k = 20)
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          col("rk").as("rk_d"))
-      val doc = docs(s, d)
-      val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        .where(col("token") =!= "")
-      val tf = graft.Materialize.once(
-        toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val stats = doc.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
-        .select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-      val tfD = col("tf").cast("double")
-      val dfD = col("df").cast("double")
-      val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
-      val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
-      val weights = graft.Materialize.once(
-        tf.join(dl, "doc_id").join(dfreq, "token")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("token"),
-            round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i")))
-      val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
-      val qterms = weights.where(col("doc_id") < 10)
-        .withColumn("qrk", row_number().over(wq)).where(col("qrk") <= 3)
-        .select(col("doc_id").as("query_id"), col("token"), col("w_i").as("qw_i"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("score_i").desc, col("doc_id"))
-      val sparse = weights.join(broadcast(qterms), "token")
-        .where(col("doc_id") =!= col("query_id")) // match the dense self-exclusion
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("qw_i") * col("w_i")).as("score_i"))
-        .withColumn("rk_s", row_number().over(wr)).where(col("rk_s") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rk_s"))
-      val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_d)"), lit(0L)) +
-           coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rk_s)"), lit(0L))).as("rrf_i"))
-      val wf = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rrf_i").desc, col("doc_id"))
-      fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 5)
-        .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_i"))
-        .orderBy(col("query_id"), col("rk"))
+      graft.operators.Knn.rankingEval(e, e.where(col("vec_id") < 10), k = 5,
+        hybridRrfOf(s, d).select(col("query_id"), col("rk"),
+          col("doc_id").as("vec_id")))
     }),
     // 143: quality-phased curriculum manifest — deterministic
     // easy→hard training order (fixed quality bands, salted-md5
@@ -1810,6 +1878,34 @@ object PipelineQueries {
     "mm_dedup" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy(col("media_a"), col("media_b"))),
+    // 127b: recall audit for the perceptual aHash index — truth is
+    // the brute-force hamming join over the decoded images' aHashes
+    // WITH the operator's own degenerate-pair brightness verify (the
+    // verify is pair semantics, not candidate generation, so it
+    // belongs to the truth set too); any missed pair is therefore an
+    // occupancy-cap drop, exactly the term the audit measures. The
+    // flat-image crowd (degenerate chunk values) makes this the cap's
+    // hottest customer among the banded indexes.
+    "mm_recall" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+      val hashed = graft.Materialize.once(Multimodal.avgHash(media))
+      def degen(h: org.apache.spark.sql.Column) =
+        least(bit_count(h), lit(64) - bit_count(h)) <=
+          Multimodal.phashDegenerateBits
+      val exact = graft.Materialize.once(
+        hashed.select(col("media_id").as("doc_a"), col("phash").as("h_a"),
+            col("ptot").as("t_a"))
+          .crossJoin(hashed.select(col("media_id").as("doc_b"),
+            col("phash").as("h_b"), col("ptot").as("t_b")))
+          .where(col("doc_a") < col("doc_b") &&
+            bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 3)
+          .where(!(degen(col("h_a")) && degen(col("h_b"))) ||
+            abs(col("t_a") - col("t_b")) <= Multimodal.phashBrightnessTol)
+          .select(col("doc_a"), col("doc_b")))
+      val found = graft.Materialize.once(Multimodal.phashPairs(media)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      recallReport(exact, found)
+    }),
     // 114: video modality — multi-frame GVID container (real PNG
     // frames, 64 text bytes each) walked with keyframe-stride
     // sampling: only every stride-th frame is inflated, the rest are
@@ -2984,6 +3080,149 @@ object PipelineQueries {
        |  FROM cand
        |)""".stripMargin
 
+  /** DuckDB replay of the fused hybrid cascade - dense cosine +
+    * BM25 sparse + integer RRF; `ranked` is the fused ranking, and
+    * `dscored` (per-candidate dense cosines) stays visible for the
+    * retrieval_eval_hybrid audit's exact side. Shared by the serving
+    * oracle and the audit oracle so the two replays cannot drift. */
+  private lazy val HYBRID_CTES: String =
+    s"""q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |dscored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) /
+       |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), dense AS (
+       |  SELECT query_id, vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk_d
+       |  FROM dscored QUALIFY rk_d <= 20
+       |), t AS (
+       |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+       |), dfq AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+       |), wts AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    CAST(round(round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) * 1000000) AS BIGINT) AS w_i
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+       |), qterms AS (
+       |  SELECT doc_id AS query_id, token, w_i AS qw_i,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY w_i DESC, token) AS qrk
+       |  FROM wts WHERE doc_id < 10
+       |), shits AS (
+       |  SELECT q.query_id, w.doc_id, CAST(sum(q.qw_i * w.w_i) AS BIGINT) AS score_i
+       |  FROM wts w JOIN (SELECT * FROM qterms WHERE qrk <= 3) q USING (token)
+       |  WHERE w.doc_id <> q.query_id
+       |  GROUP BY 1, 2
+       |), sparse AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk_s
+       |  FROM shits QUALIFY rk_s <= 20
+       |), fused AS (
+       |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+       |    coalesce(d.doc_id, s.doc_id) AS doc_id,
+       |    coalesce(1000000000 // (60 + d.rk_d), 0)
+       |      + coalesce(1000000000 // (60 + s.rk_s), 0) AS rrf_i
+       |  FROM dense d FULL JOIN sparse s
+       |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+       |), ranked AS (
+       |  SELECT query_id, doc_id, CAST(rrf_i AS BIGINT) AS rrf_i,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_i DESC, doc_id) AS rk
+       |  FROM fused
+       |)""".stripMargin
+
+  /** The sha-derived 64-bit SimHash signatures + capped 16-bit chunk
+    * banding, as shared CTEs: `sims` = (doc_id, sim), `chk` = the
+    * below-cap banded view. Shared by the dedup_simhash serving oracle
+    * and the simhash_recall audit so the two replays cannot drift. */
+  private lazy val SIMHASH_CTES: String =
+    s"""t AS (
+       |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS tk FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST('0x' || substr(sha256(tk), 1, 16) AS UBIGINT) AS hv FROM t
+       |), v AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM h CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j
+       |), sims AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+       |    THEN CAST(1 AS UBIGINT) << CAST(j AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
+       |  FROM v GROUP BY doc_id
+       |), chq AS (
+       |  SELECT doc_id, sim, c,
+       |    CAST((sim >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
+       |  FROM sims, unnest([0, 1, 2, 3]) AS u(c)
+       |), chk AS (
+       |  SELECT chq.* FROM chq JOIN (
+       |    SELECT c, val FROM chq GROUP BY c, val
+       |    HAVING count(*) <= ${Dedup.bandBucketCap}
+       |  ) ok USING (c, val)
+       |)""".stripMargin
+
+  /** The predicted-pixel aHash replay + capped chunk banding, as
+    * shared CTEs: `hv` = (doc_id, ph, ptot), `kept` = the below-cap
+    * banded view. Shared by the mm_dedup serving oracle and the
+    * mm_recall audit so the two replays cannot drift. */
+  private lazy val PHASH_CTES: String =
+    s"""b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents
+       |), dims AS (
+       |  SELECT doc_id, hx, n,
+       |    least(64, greatest(1, n)) AS w,
+       |    greatest(1, (n + least(64, greatest(1, n)) - 1)
+       |      // least(64, greatest(1, n))) AS h
+       |  FROM b
+       |), bytes AS (
+       |  SELECT doc_id, n, w, h,
+       |    list_transform(range(0, n), i ->
+       |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
+       |  FROM dims
+       |), tvals AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN (((t // 8) * h // 8) * w + ((t % 8) * w // 8)) < n
+       |      THEN bs[CAST((((t // 8) * h // 8) * w + ((t % 8) * w // 8)) AS INT) + 1]
+       |      ELSE 0 END AS v
+       |  FROM bytes, unnest(range(0, 64)) AS u(t)
+       |), tot AS (
+       |  SELECT doc_id, sum(v) AS tot FROM tvals GROUP BY doc_id
+       |), hv AS (
+       |  SELECT tvals.doc_id,
+       |    CAST(sum(CASE WHEN 64 * v > tot
+       |      THEN CAST(1 AS UBIGINT) << CAST(t AS INT)
+       |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph,
+       |    CAST(max(tot) AS BIGINT) AS ptot
+       |  FROM tvals JOIN tot USING (doc_id) GROUP BY tvals.doc_id
+       |), ch AS (
+       |  SELECT doc_id, ph, ptot, c,
+       |    CAST((ph >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
+       |  FROM hv, unnest([0, 1, 2, 3]) AS u(c)
+       |), kept AS (
+       |  SELECT ch.* FROM ch JOIN (
+       |    SELECT c, val FROM ch GROUP BY c, val
+       |    HAVING count(*) <= ${Multimodal.phashBucketCap}
+       |  ) ok USING (c, val)
+       |)""".stripMargin
+
+  /** The operator-contract pair verify (degenerate-pair brightness
+    * gate), shared by both mm oracles. */
+  private def phashVerifySql(x: String, y: String): String =
+    s"""(least(bit_count($x.ph), 64 - bit_count($x.ph)) > ${Multimodal.phashDegenerateBits}
+       |    OR least(bit_count($y.ph), 64 - bit_count($y.ph)) > ${Multimodal.phashDegenerateBits}
+       |    OR abs($x.ptot - $y.ptot) <= ${Multimodal.phashBrightnessTol})""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // 143: the quality chain + fixed bands + the same salted-md5
     // shard/position arithmetic as the corpus_shard oracle
@@ -3533,17 +3772,7 @@ object PipelineQueries {
          |    GROUP BY 1, 2, 3, 4
          |  ) c
          |  WHERE round(CAST(c.inter AS DOUBLE) / CAST(c.n_a + c.n_b - c.inter AS DOUBLE), 6) >= 0.5
-         |), tr AS (SELECT count(*) AS n_true FROM jp),
-         |fo AS (SELECT count(*) AS n_found FROM mh),
-         |mi AS (
-         |  SELECT count(*) AS n_missed FROM jp
-         |  WHERE NOT EXISTS (SELECT 1 FROM mh
-         |    WHERE mh.doc_a = jp.doc_a AND mh.doc_b = jp.doc_b)
-         |)
-         |SELECT n_true, n_found, n_missed,
-         |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
-         |    ELSE CAST((10000 * (n_true - n_missed)) // n_true AS BIGINT) END AS recall_bp
-         |FROM tr, fo, mi""".stripMargin,
+         |), ${recallReportSql("jp", "mh")}""".stripMargin,
     // 93: shared-shingle join (any pair with C >= t shares shingles),
     // directed containment on the probe side's set size
     "text_containment" ->
@@ -4142,33 +4371,27 @@ object PipelineQueries {
     // this equals the old all-pairs form, and above it both engines
     // drop the duplicate crowd identically.
     "dedup_simhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS tk FROM documents
-         |), h AS (
-         |  SELECT doc_id, CAST('0x' || substr(sha256(tk), 1, 16) AS UBIGINT) AS hv FROM t
-         |), v AS (
-         |  SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |  FROM h CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j
-         |), sims AS (
-         |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0
-         |    THEN CAST(1 AS UBIGINT) << CAST(j AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
-         |  FROM v GROUP BY doc_id
-         |), chq AS (
-         |  SELECT doc_id, sim, c,
-         |    CAST((sim >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
-         |  FROM sims, unnest([0, 1, 2, 3]) AS u(c)
-         |), chk AS (
-         |  SELECT chq.* FROM chq JOIN (
-         |    SELECT c, val FROM chq GROUP BY c, val
-         |    HAVING count(*) <= ${Dedup.bandBucketCap}
-         |  ) ok USING (c, val)
-         |)
+      s"""WITH $SIMHASH_CTES
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
          |FROM chk a JOIN chk b
          |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // 27b: brute-force hamming truth over the SAME signatures vs the
+    // capped banded replay; the dedup_recall report shape
+    "simhash_recall" ->
+      s"""WITH $SIMHASH_CTES,
+         |sr_true AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |), sr_found AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chk a JOIN chk b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |), ${recallReportSql("sr_true", "sr_found")}""".stripMargin,
     // 36: IVF near-dup replay — same-cell pairs, exact cosine verify.
     "dedup_embed" ->
       s"""WITH ${ivfSql()}
@@ -4421,54 +4644,31 @@ object PipelineQueries {
     // of a real image stay caught; see Multimodal.phashBrightnessTol
     // / phashDegenerateBits).
     "mm_dedup" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-         |  FROM documents
-         |), dims AS (
-         |  SELECT doc_id, hx, n,
-         |    least(64, greatest(1, n)) AS w,
-         |    greatest(1, (n + least(64, greatest(1, n)) - 1)
-         |      // least(64, greatest(1, n))) AS h
-         |  FROM b
-         |), bytes AS (
-         |  SELECT doc_id, n, w, h,
-         |    list_transform(range(0, n), i ->
-         |      CAST('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2) AS INT)) AS bs
-         |  FROM dims
-         |), tvals AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN (((t // 8) * h // 8) * w + ((t % 8) * w // 8)) < n
-         |      THEN bs[CAST((((t // 8) * h // 8) * w + ((t % 8) * w // 8)) AS INT) + 1]
-         |      ELSE 0 END AS v
-         |  FROM bytes, unnest(range(0, 64)) AS u(t)
-         |), tot AS (
-         |  SELECT doc_id, sum(v) AS tot FROM tvals GROUP BY doc_id
-         |), hv AS (
-         |  SELECT tvals.doc_id,
-         |    CAST(sum(CASE WHEN 64 * v > tot
-         |      THEN CAST(1 AS UBIGINT) << CAST(t AS INT)
-         |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph,
-         |    CAST(max(tot) AS BIGINT) AS ptot
-         |  FROM tvals JOIN tot USING (doc_id) GROUP BY tvals.doc_id
-         |), ch AS (
-         |  SELECT doc_id, ph, ptot, c,
-         |    CAST((ph >> CAST(16 * c AS INT)) & CAST(65535 AS UBIGINT) AS BIGINT) AS val
-         |  FROM hv, unnest([0, 1, 2, 3]) AS u(c)
-         |), kept AS (
-         |  SELECT ch.* FROM ch JOIN (
-         |    SELECT c, val FROM ch GROUP BY c, val
-         |    HAVING count(*) <= ${Multimodal.phashBucketCap}
-         |  ) ok USING (c, val)
-         |)
+      s"""WITH $PHASH_CTES
          |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
          |FROM kept a JOIN kept b
          |  ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
-         |WHERE (least(bit_count(a.ph), 64 - bit_count(a.ph)) > ${Multimodal.phashDegenerateBits}
-         |    OR least(bit_count(b.ph), 64 - bit_count(b.ph)) > ${Multimodal.phashDegenerateBits}
-         |    OR abs(a.ptot - b.ptot) <= ${Multimodal.phashBrightnessTol})
+         |WHERE ${phashVerifySql("a", "b")}
          |  AND bit_count(xor(a.ph, b.ph)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
+    // 127b: brute-force hamming truth over the decoded aHashes (with
+    // the operator-contract brightness verify) vs the capped banded
+    // replay; the dedup_recall report shape
+    "mm_recall" ->
+      s"""WITH $PHASH_CTES,
+         |mr_true AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |    AND ${phashVerifySql("a", "b")}
+         |), mr_found AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |  WHERE ${phashVerifySql("a", "b")}
+         |    AND bit_count(xor(a.ph, b.ph)) <= 3
+         |), ${recallReportSql("mr_true", "mr_found")}""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
@@ -5172,65 +5372,53 @@ object PipelineQueries {
     // in-session one, so it shares the oracle verbatim
     "retrieval_indexed" -> RETRIEVAL_SQL,
     "hybrid_rerank" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
-         |           FROM embeddings WHERE vec_id < 10),
-         |dscored AS (
-         |  SELECT q.query_id, e.vec_id,
-         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) /
-         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-         |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
-         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
-         |), dense AS (
-         |  SELECT query_id, vec_id AS doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk_d
-         |  FROM dscored QUALIFY rk_d <= 20
-         |), t AS (
-         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
-         |), tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
-         |), dl AS (
-         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
-         |), dfq AS (
-         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
-         |), stats AS (
-         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
-         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
-         |), wts AS (
-         |  SELECT tf.doc_id, tf.token,
-         |    CAST(round(round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-         |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
-         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-         |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) * 1000000) AS BIGINT) AS w_i
-         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
-         |), qterms AS (
-         |  SELECT doc_id AS query_id, token, w_i AS qw_i,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_i DESC, token) AS qrk
-         |  FROM wts WHERE doc_id < 10
-         |), shits AS (
-         |  SELECT q.query_id, w.doc_id, CAST(sum(q.qw_i * w.w_i) AS BIGINT) AS score_i
-         |  FROM wts w JOIN (SELECT * FROM qterms WHERE qrk <= 3) q USING (token)
-         |  WHERE w.doc_id <> q.query_id
-         |  GROUP BY 1, 2
-         |), sparse AS (
-         |  SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk_s
-         |  FROM shits QUALIFY rk_s <= 20
-         |), fused AS (
-         |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
-         |    coalesce(d.doc_id, s.doc_id) AS doc_id,
-         |    coalesce(1000000000 // (60 + d.rk_d), 0)
-         |      + coalesce(1000000000 // (60 + s.rk_s), 0) AS rrf_i
-         |  FROM dense d FULL JOIN sparse s
-         |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
-         |), ranked AS (
-         |  SELECT query_id, doc_id, CAST(rrf_i AS BIGINT) AS rrf_i,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_i DESC, doc_id) AS rk
-         |  FROM fused
-         |)
+      s"""WITH $HYBRID_CTES
          |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_i FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 142b: the fused cascade's top-5 graded against pseudo-qrels =
+    // the dense exact top-5 (dscored re-ranked); gain/ideal-DCG
+    // literals interpolated from Knn.DCG_GAINS_MI like retrieval_eval
+    "retrieval_eval_hybrid" -> {
+      val gainCase = Knn.DCG_GAINS_MI.zipWithIndex
+        .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+      val idcgCase = Knn.IDCG_PREFIX_MI.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH $HYBRID_CTES,
+         |exr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS erk
+         |  FROM dscored
+         |), hev AS (
+         |  SELECT r.query_id, r.rk,
+         |    CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+         |    CASE r.rk $gainCase END AS g
+         |  FROM (SELECT query_id, doc_id, rk FROM ranked WHERE rk <= 5) r
+         |  LEFT JOIN (SELECT query_id, vec_id FROM exr WHERE erk <= 5) x
+         |    ON x.query_id = r.query_id AND x.vec_id = r.doc_id
+         |), perq AS (
+         |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |    CAST(sum(rel * g) AS BIGINT) AS dcg_i,
+         |    CAST(coalesce(min(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT) AS first_rel
+         |  FROM hev GROUP BY query_id
+         |), nrel AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM exr WHERE erk <= 5 GROUP BY query_id
+         |)
+         |SELECT n.query_id, n.n_rel,
+         |  coalesce(p.hits, CAST(0 AS BIGINT)) AS hits,
+         |  coalesce(p.first_rel, CAST(0 AS BIGINT)) AS first_rel,
+         |  coalesce(p.dcg_i, CAST(0 AS BIGINT)) AS dcg_i,
+         |  CAST(CASE least(n.n_rel, 5) $idcgCase END AS BIGINT) AS idcg_i,
+         |  round(CAST(coalesce(p.hits, 0) AS DOUBLE)
+         |    / CAST(least(n.n_rel, 5) AS DOUBLE), 6) AS recall,
+         |  CASE WHEN coalesce(p.first_rel, 0) = 0 THEN 0.0
+         |       ELSE round(1.0 / CAST(p.first_rel AS DOUBLE), 6) END AS mrr,
+         |  CASE WHEN (CASE least(n.n_rel, 5) $idcgCase END) <= 0 THEN 0.0
+         |       ELSE round(CAST(coalesce(p.dcg_i, 0) AS DOUBLE)
+         |         / CAST((CASE least(n.n_rel, 5) $idcgCase END) AS DOUBLE), 6) END AS ndcg
+         |FROM nrel n LEFT JOIN perq p USING (query_id)
+         |ORDER BY n.query_id""".stripMargin
+    },
     "doc_mask" ->
       s"""WITH t AS (
          |  SELECT doc_id,

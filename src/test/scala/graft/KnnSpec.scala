@@ -490,4 +490,37 @@ class KnnSpec extends SparkSpec {
       if (r.getAs[Long]("first_rel") == 1L) assert(r.getAs[Double]("mrr") == 1.0)
     }
   }
+
+  test("rankingEval: exact ranking scores perfect; disjoint ranking scores zero") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 5)
+    // identity audit: the exact top-5 graded against itself is a
+    // perfect ranking — recall 1, MRR 1, nDCG 1, hits == n_rel
+    val self = Knn.cosineTopK(e, q, k = 5)
+      .select($"query_id", $"rk", $"vec_id")
+    val perfect = Knn.rankingEval(e, q, k = 5, self).collect()
+    assert(perfect.length == 5)
+    perfect.foreach { r =>
+      assert(r.getAs[Long]("hits") == r.getAs[Long]("n_rel"))
+      assert(r.getAs[Double]("recall") == 1.0)
+      assert(r.getAs[Double]("mrr") == 1.0)
+      assert(r.getAs[Double]("ndcg") == 1.0)
+    }
+    // a ranking of vectors that can never be in the exact top-5
+    // (fabricated ids) scores zeroed metrics, but every query still
+    // gets its row (n_rel comes from the exact side)
+    import spark.implicits._
+    val bogus = (0L until 5L).flatMap(qid =>
+      (1 to 5).map(rk => (qid, rk, -1000L - rk)))
+      .toDF("query_id", "rk", "vec_id")
+    val zero = Knn.rankingEval(e, q, k = 5, bogus).collect()
+    assert(zero.length == 5)
+    zero.foreach { r =>
+      assert(r.getAs[Long]("hits") == 0L)
+      assert(r.getAs[Long]("first_rel") == 0L)
+      assert(r.getAs[Double]("recall") == 0.0)
+      assert(r.getAs[Double]("mrr") == 0.0)
+      assert(r.getAs[Double]("ndcg") == 0.0)
+    }
+  }
 }
