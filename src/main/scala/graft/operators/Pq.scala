@@ -155,8 +155,8 @@ object Pq {
     * shared verbatim by the in-session [[ivfPqTopK]] and the
     * published-lake [[ivfPqTopKIndexed]], so "train once, probe many"
     * is oracle-provably the same ranking as train-per-query. */
-  private def probe(coarse: DataFrame, vectors: DataFrame, books: DataFrame,
-      codes: DataFrame, queries: DataFrame, k: Int, m: Int,
+  private[graft] def probe(coarse: DataFrame, vectors: DataFrame,
+      books: DataFrame, codes: DataFrame, queries: DataFrame, k: Int, m: Int,
       nProbe: Int, rerank: Int): DataFrame = {
     // query-side: coarse probes (the knn_ivf pattern) ...
     val wProbe = Window.partitionBy(col("query_id"))
@@ -245,6 +245,48 @@ object Pq {
       "meta" -> Seq((m, kCodes, iters, nc))
         .toDF("m", "k_codes", "iters", "n_cells")),
       partitionCols = Map("vectors" -> Seq("cell_id")))
+  }
+
+  /** Incremental ADD for a [[publishIvfPqLake]] index — what FAISS
+    * `add()` does to a trained IVFADC index: encode `newVectors`
+    * under the FROZEN published coarse centroids and PQ codebooks
+    * (one pointer resolution = one consistent snapshot), and commit
+    * the new codes + cell-assigned vectors as O(batch) delta segments
+    * under the same pointer ([[graft.sources.StormSinks
+    * .appendDeltaGroup]]) — new vectors no longer force a full
+    * retrain/republish. Readers union the segments at one pointer
+    * resolution, so probe-after-append is IDENTICAL to a full
+    * re-encode of the grown corpus under the same frozen codebooks
+    * (PqSpec pins the equality). The codebooks themselves retrain
+    * only on the maintenance/republish cadence — the standard FAISS
+    * add() drift contract: ADC recall decays as the data distribution
+    * drifts from the trained codebooks, and the knn_recall_pq audit
+    * is the number that says when to retrain (the #123d discipline:
+    * O(batch) deltas between cadenced O(state) folds).
+    *
+    * `maxSegments` bounds the segment-count read amplification via
+    * the auto compaction cadence ([[graft.sources.StormSinks
+    * .maintainGroupSegments]]); 0 disables. Appended segments are
+    * disjoint new vec_ids by writer contract, so the fold is a plain
+    * union. Returns the committed version. */
+  def appendToIvfPqLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVectors: DataFrame,
+      maxSegments: Int = 64): Int = graft.Materialize.scoped {
+    import graft.sources.StormSinks
+    val ver = StormSinks.currentVersionName(spark, dir)
+    val m = StormSinks.readGroupTableAt(spark, dir, ver, "meta")
+      .head().getAs[Int]("m")
+    val coarse = StormSinks.readGroupTableAt(spark, dir, ver, "coarse")
+    val books = StormSinks.readGroupTableAt(spark, dir, ver, "books")
+    val assigned = Knn.ivfAssign(newVectors, coarse)
+    val codes = assignCodes(graft.Materialize.once(blocks(newVectors, m)),
+      books).select(col("vec_id"), col("block"), col("code"))
+    val v = StormSinks.appendDeltaGroup(spark, dir,
+      appends = Seq("codes" -> codes,
+        "vectors" -> assigned
+          .select(col("vec_id"), col("embedding"), col("cell_id"))))
+    if (maxSegments > 0) StormSinks.maintainGroupSegments(spark, dir, maxSegments)
+    v
   }
 
   /** Serving probe over a [[publishIvfPqLake]] index: resolves the

@@ -1652,7 +1652,7 @@ object CorpusStream {
   def startPretrainPrep(spark: SparkSession, inDir: String,
       stateDir: String, outDir: String, checkpointDir: String,
       minWords: Int = 3, maxFilesPerTrigger: Int = 16,
-      autoCompactSegments: Int = 64): StreamingQuery = {
+      autoCompactSegments: Int = 64, funnelDir: String = null): StreamingQuery = {
     val committed = graft.sources.StormSinks
       .readVersionedGroupTable(spark, stateDir, "meta").head().getLong(0)
     validateRegistryParams(spark, stateDir,
@@ -1685,22 +1685,47 @@ object CorpusStream {
           if (batchId > lastBatch) {
             val seenL = StormSinks.readGroupTableAt(s2, stateDir, verName, "line_fps")
             val seenP = StormSinks.readGroupTableAt(s2, stateDir, verName, "par_fps")
-            val pages = normalizePages(batch)
+            // with the funnel on, the intermediate stage frames gain a
+            // second consumer (their count) — materialize them so the
+            // counts ride the SAME frames the output flows through
+            // (the batch yieldReport discipline: a funnel that
+            // recomputes its stages can drift from what it audits)
+            def mat(df: org.apache.spark.sql.DataFrame) =
+              if (funnelDir != null) graft.Materialize.once(df) else df
+            val pages = mat(normalizePages(batch))
             val lines = graft.Materialize.once(graft.operators.Lines
               .ruleLines(pages, minWords, requireTerminalPunct = false)
               .withColumn("fp", sha2(col("lnorm"), 256)))
             val freshL = graft.Materialize.once(
               lines.join(seenL, Seq("fp"), "left_anti"))
-            val cleaned = graft.operators.Lines.assembleKeepFirst(freshL)
-              .select(col("doc_id"), col("clean_text").as("text"))
+            val cleaned = mat(graft.operators.Lines.assembleKeepFirst(freshL)
+              .select(col("doc_id"), col("clean_text").as("text")))
             val pars = graft.Materialize.once(
               graft.operators.Lines.paragraphs(cleaned))
             val freshP = graft.Materialize.once(
               pars.join(seenP, Seq("fp"), "left_anti"))
-            sizedBatchOutput(graft.operators.Lines
+            val assembled = mat(graft.operators.Lines
               .assembleParagraphsKeepFirst(freshP, pars)
               .withColumn("batch_seq", lit(batchId)))
+            sizedBatchOutput(assembled)
               .write.mode("append").parquet(outDir)
+            // per-batch stage-yield funnel (the batch yieldReport's
+            // streaming face): (batch_seq, stage, n_docs) rows land
+            // NEXT TO the output with the same at-least-once / replay
+            // contract — a bad blocklist push or registry corruption
+            // shows up in the next trigger's funnel, not in tomorrow's
+            // nightly batch audit. Counts are O(batch) aggregates over
+            // frames the trigger materializes anyway.
+            if (funnelDir != null) {
+              import s2.implicits._
+              Seq(("0_raw", batch.count()),
+                ("1_blocklist", pages.count()),
+                ("2_line_clean", cleaned.count()),
+                ("3_paragraph_dedup", assembled.count()))
+                .toDF("stage", "n_docs")
+                .withColumn("batch_seq", lit(batchId))
+                .coalesce(1).write.mode("append").parquet(funnelDir)
+            }
             import s2.implicits._
             // ONE atomic commit for both registries: O(batch) deltas
             StormSinks.appendDeltaGroup(s2, stateDir,
@@ -1729,6 +1754,28 @@ object CorpusStream {
     * wins (the latestCleanLines collapse). Empty on cold start. */
   def latestPretrainPrep(spark: SparkSession, outDir: String): DataFrame =
     latestParagraphDedup(spark, outDir)
+
+  /** The pretrain-prep stream's stage-yield funnel, collapsed to one
+    * row per (batch_seq, stage): a crash between the funnel write and
+    * the state commit replays the batch and re-emits byte-identical
+    * funnel rows (the counts are deterministic given the committed
+    * registry snapshot), so the collapse is a plain distinct — the
+    * at-least-once output / exactly-once state split every lake-backed
+    * stream here uses. Empty on cold start. The monitor's number:
+    * cumulative per-stage sums over all batches equal the batch
+    * composition's stage counts over the total ingest
+    * (CorpusStreamSpec pins the parity). */
+  def readPretrainFunnel(spark: SparkSession, funnelDir: String): DataFrame = {
+    val t = try spark.read.parquet(funnelDir) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("batch_seq", LongType),
+            StructField("stage", StringType),
+            StructField("n_docs", LongType))))
+    }
+    t.select(col("batch_seq"), col("stage"), col("n_docs")).distinct()
+  }
 
   /** The paragraph-dedup stream's output, one row per doc: a doc
     * re-emitted in a later batch resolves to the NEWEST row

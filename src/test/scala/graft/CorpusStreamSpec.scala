@@ -912,6 +912,70 @@ class CorpusStreamSpec extends SparkSpec {
     assert(pe.getMessage.contains("min_words"), pe.getMessage)
   }
 
+  test("pretrain-prep funnel: per-batch stage yields, cumulative == batch composition, replay no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pretrain-funnel").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val empty = Seq.empty[(Long, String, String, String, Int)].toDF(cols: _*)
+    CorpusStream.publishPretrainIndex(empty, s"$base/state")
+    // three waves, increasing doc ids (keep-first order == ingest
+    // order): a cross-batch duplicate line (w2 repeats w1's), a
+    // cross-batch duplicate paragraph (w3 repeats w1's), and a
+    // blocklisted page (w2's doc 21) that dies at stage 1
+    val w1 = Seq(doc(10L,
+      "wave one fresh line alpha\n\nshared paragraph body text here"))
+      .toDF(cols: _*)
+    val w2 = Seq(
+      doc(20L, "wave one fresh line alpha\n\nsecond wave novel paragraph here"),
+      doc(21L, "this page mentions dup and is dropped wholesale"))
+      .toDF(cols: _*)
+    val w3 = Seq(doc(30L,
+      "shared paragraph body text here\n\nthird wave unique paragraph line"))
+      .toDF(cols: _*)
+    w1.coalesce(1).write.parquet(s"$base/in")
+    w2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    w3.coalesce(1).write.mode("append").parquet(s"$base/in")
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1,
+      funnelDir = s"$base/funnel").awaitTermination()
+    val funnel = CorpusStream.readPretrainFunnel(spark, s"$base/funnel")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_seq"), r.getAs[String]("stage")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // one row per (batch, stage): 3 batches x 4 stages
+    assert(funnel.size == 12, s"funnel rows: ${funnel.size}")
+    // cumulative per-stage sums == the BATCH composition's stage
+    // counts over the total ingest (prepChain order, html strip first)
+    val all = w1.unionByName(w2).unionByName(w3)
+    val fixed = all.select(col("doc_id"), graft.functions.Text.fixText(
+      graft.functions.Html.extractText(col("text"))).as("text"))
+    val pageOk = graft.operators.Lines.dropBadwordPages(fixed)
+    val lined = graft.operators.Lines.cleanLines(pageOk)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val pared = graft.operators.Lines.dedupParagraphs(lined)
+    def cum(stage: String): Long =
+      funnel.collect { case ((_, s), n) if s == stage => n }.sum
+    assert(cum("0_raw") == all.count(), s"raw ${cum("0_raw")}")
+    assert(cum("1_blocklist") == pageOk.count(), s"blocklist ${cum("1_blocklist")}")
+    assert(cum("2_line_clean") == lined.count(), s"line ${cum("2_line_clean")}")
+    assert(cum("3_paragraph_dedup") == pared.count(), s"par ${cum("3_paragraph_dedup")}")
+    // the funnel SEES the drops: the blocklisted page died at stage 1
+    // in batch 1, and w3's duplicated paragraph died at stage 3
+    assert(funnel((1L, "0_raw")) == 2L && funnel((1L, "1_blocklist")) == 1L,
+      "batch-1 blocklist drop invisible in the funnel")
+    assert(funnel((2L, "2_line_clean")) == 1L,
+      "w3's doc must survive line clean (owns a fresh line)")
+    // replay: same checkpoint, no new input -> no new funnel rows
+    CorpusStream.startPretrainPrep(spark, s"$base/in", s"$base/state",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = 1,
+      funnelDir = s"$base/funnel").awaitTermination()
+    assert(CorpusStream.readPretrainFunnel(spark, s"$base/funnel").count() == 12,
+      "replay re-emitted funnel rows")
+    // cold start
+    assert(CorpusStream.readPretrainFunnel(spark, s"$base/never").count() == 0)
+  }
+
   test("registry commits are O(batch): base segments untouched, deltas batch-sized, compaction folds") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-obatch-registry").toString

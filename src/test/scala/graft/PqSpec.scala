@@ -94,6 +94,61 @@ class PqSpec extends SparkSpec {
     assert(dump() == dump())
   }
 
+  test("append under frozen codebooks == full re-encode; compaction invisible; recall audit runs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.where($"vec_id" % 5 =!= 4)
+    val delta = e.where($"vec_id" % 5 === 4)
+    val q = e.where($"vec_id" < 10)
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-append").toString
+    assert(Pq.publishIvfPqLake(base, lake, m = M, kCodes = KC, iters = 2) == 0)
+    // FAISS add(): encode the delta under the FROZEN published
+    // codebooks, O(batch) delta commit under the same pointer
+    assert(Pq.appendToIvfPqLake(spark, lake, delta, maxSegments = 0) == 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val got = rows(Pq.ivfPqTopKIndexed(spark, lake, q, k = 5))
+    // truth: a full re-encode of the GROWN corpus under the same
+    // frozen (base-trained) coarse centroids and codebooks
+    val nc = Knn.autoCells(base.count())
+    val coarse = graft.Materialize.once(Knn.ivfCentroids(base, nc))
+    val books = graft.Materialize.once(
+      Pq.trainCodebooks(base, M, KC, iters = 2))
+    val vectors = Knn.ivfAssign(e, coarse)
+    val codes = graft.Materialize.once(
+      Pq.blocks(e, M).transform(b =>
+        b.join(broadcast(books), "block")
+          .select(col("vec_id"), col("block"), col("sub"),
+            struct(round(graft.expressions.native.dist2D(col("sub"), col("c")), 6)
+              .as("d"), col("cell_id")).as("sc"))
+          .groupBy(col("vec_id"), col("block"))
+          .agg(min(col("sc")).as("best"))
+          .select(col("vec_id"), col("block"),
+            col("best.cell_id").as("code"))))
+    val want = rows(Pq.probe(coarse, vectors, books, codes, q,
+      k = 5, m = M, nProbe = 4, rerank = 4))
+    assert(got == want,
+      "append-then-probe diverged from full re-encode under frozen codebooks")
+    // compaction folds the segments and must not change the ranking
+    assert(graft.sources.StormSinks.maintainGroupSegments(spark, lake, 1))
+    assert(rows(Pq.ivfPqTopKIndexed(spark, lake, q, k = 5)) == want,
+      "compaction changed the probe result")
+    // the quantization recall audit re-runs over the APPENDED index:
+    // bounded, non-degenerate recall (the retrain-cadence signal)
+    val rec = Knn.rankingRecall(e, q, ks = Seq(1, 5),
+      Pq.ivfPqTopKIndexed(spark, lake, q, k = 5)
+        .select($"query_id", $"rk", $"vec_id")).collect()
+    assert(rec.length == 20) // 10 queries x 2 cutoffs
+    rec.foreach { r =>
+      val (k, hits) = (r.getAs[Long]("k"), r.getAs[Long]("hits"))
+      assert(hits >= 0 && hits <= k)
+      val v = r.getAs[Double]("recall")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    assert(rec.map(_.getAs[Long]("hits")).sum > 0,
+      "appended-index recall audit found zero overlap with exact - broken index")
+  }
+
   test("blocks rejects m that does not divide d instead of silently truncating") {
     val e = Tables.embeddings(spark, sfDir)
     val dim = e.select(size($"embedding")).head.getInt(0)
