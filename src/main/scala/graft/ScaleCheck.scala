@@ -324,6 +324,18 @@ object ScaleCheck {
       // the ANN recall audit runs BOTH rankings (brute force + IVF)
       // over fixed 10-query anchors — rows constant, wall = two scans
       "knn_recall", "knn_recall_pq",
+      // round-17: the published-tokenizer pack (train-once split —
+      // publish + probe both run in the key, so its factor should
+      // track pretrain_examples_bpe's trainer+pipeline shape) and the
+      // hybrid ranking audit (BM25 index aggregates + dense probe
+      // over FIXED 10-query anchors — rows constant, wall tracks the
+      // two corpus-linear index builds). simhash_recall / mm_recall
+      // are deliberately ABSENT: their truth side is a brute-force
+      // all-pairs hamming join — quadratic BY CONSTRUCTION, the
+      // test-scale measurement tool that certifies the banded paths
+      // (which ARE measured: dedup_simhash via HotKeyStressSpec,
+      // mm_dedup / mm_dedup@media rows here).
+      "pretrain_examples_bpe_indexed", "retrieval_eval_hybrid",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under
