@@ -1115,6 +1115,18 @@ object PipelineQueries {
       Knn.rankingRecall(e, q, ks = Seq(1, 5),
         Pq.ivfPqTopK(e, q, k = 5, corpusSize = embCount(s, d)))
     }),
+    // 148c: the same audit for the sign-LSH index — recall@{1,5} of
+    // the banded-LSH ranking vs exact, completing the driver-measured
+    // recall family (IVF #148, PQ #148b, LSH here): every approximate
+    // ANN path now ships with its index-quality number. Shares
+    // rankingRecall's core and the exact side.
+    "knn_recall_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.where(col("vec_id") < 10)
+      Knn.rankingRecall(e, q, ks = Seq(1, 5),
+        Knn.lshTopK(e, q, k = 5, bandBits = 4)
+          .select(col("query_id"), col("rk"), col("vec_id")))
+    }),
     // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
     // relevance over the per-query top-10 ANN pool, exact scaled-
     // BIGINT objective (7·rel − 3·maxSim on the 1e-6 grid), fixed
@@ -3223,6 +3235,42 @@ object PipelineQueries {
        |    OR least(bit_count($y.ph), 64 - bit_count($y.ph)) > ${Multimodal.phashDegenerateBits}
        |    OR abs($x.ptot - $y.ptot) <= ${Multimodal.phashBrightnessTol})""".stripMargin
 
+  /** The sign-LSH replay (16 sha-derived hyperplanes, 4-bit bands,
+    * candidate join, exact-cosine re-rank) as shared CTEs: `e` = the
+    * vector table, `ranked` = the LSH ranking. Shared by the knn_lsh
+    * serving oracle and the knn_recall_lsh audit so the audited
+    * ranking cannot drift from the served one. */
+  private lazy val LSH_CTES: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(range(0, len(v)), i ->
+       |      v[CAST(i AS INT) + 1] *
+       |      ((CAST('0x' || substr(sha256('hyperplane|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 16) AS UBIGINT)
+       |        % 1000000) / 1000000.0 - 0.5)
+       |    ), (a, x) -> a + x) AS proj
+       |  FROM e CROSS JOIN range(0, 16) r(p)
+       |), sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0
+       |    THEN CAST(1 AS UBIGINT) << CAST(p AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+       |  FROM proj GROUP BY vec_id
+       |), bands AS (
+       |  SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS bucket
+       |  FROM sigs CROSS JOIN range(0, 4) rb(b)
+       |), cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+       |  FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+       |), ranked AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(${cosSql("ce.v", "qe.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |      round(${cosSql("ce.v", "qe.v")}, 6) DESC, c.vec_id) AS rk
+       |  FROM cand c
+       |  JOIN e ce ON ce.vec_id = c.vec_id
+       |  JOIN e qe ON qe.vec_id = c.query_id
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // 143: the quality chain + fixed bands + the same salted-md5
     // shard/position arithmetic as the corpus_shard oracle
@@ -3595,37 +3643,38 @@ object PipelineQueries {
     // 4 × 4 bits (Knn.autoBandBits at this corpus size), exact cosine
     // re-ranks candidates.
     "knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |proj AS (
-         |  SELECT vec_id, p,
-         |    list_reduce(list_transform(range(0, len(v)), i ->
-         |      v[CAST(i AS INT) + 1] *
-         |      ((CAST('0x' || substr(sha256('hyperplane|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 16) AS UBIGINT)
-         |        % 1000000) / 1000000.0 - 0.5)
-         |    ), (a, x) -> a + x) AS proj
-         |  FROM e CROSS JOIN range(0, 16) r(p)
-         |), sigs AS (
-         |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0
-         |    THEN CAST(1 AS UBIGINT) << CAST(p AS INT) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
-         |  FROM proj GROUP BY vec_id
-         |), bands AS (
-         |  SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS bucket
-         |  FROM sigs CROSS JOIN range(0, 4) rb(b)
-         |), cand AS (
-         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
-         |  FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bucket = cb.bucket
-         |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
-         |), ranked AS (
-         |  SELECT c.query_id, c.vec_id,
-         |    round(${cosSql("ce.v", "qe.v")}, 6) AS cos,
-         |    row_number() OVER (PARTITION BY c.query_id ORDER BY
-         |      round(${cosSql("ce.v", "qe.v")}, 6) DESC, c.vec_id) AS rk
-         |  FROM cand c
-         |  JOIN e ce ON ce.vec_id = c.vec_id
-         |  JOIN e qe ON qe.vec_id = c.query_id
-         |)
+      s"""WITH $LSH_CTES
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM ranked
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // 148c: the LSH ranking joined against the exact ranking at each
+    // cutoff (the knn_recall shape; krl_-prefixed CTEs stay clear of
+    // the LSH cascade's)
+    "knn_recall_lsh" ->
+      s"""WITH $LSH_CTES,
+         |krl_exr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS erk
+         |  FROM (
+         |    SELECT qe.vec_id AS query_id, ce.vec_id,
+         |      round(${cosSql("ce.v", "qe.v")}, 6) AS cos
+         |    FROM e ce CROSS JOIN e qe
+         |    WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+         |  )
+         |), krl_ks AS (SELECT CAST(unnest([1, 5]) AS BIGINT) AS k),
+         |krl_hits AS (
+         |  SELECT r.query_id, krl_ks.k, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ranked r JOIN krl_exr x
+         |    ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+         |  CROSS JOIN krl_ks
+         |  WHERE r.rk <= krl_ks.k AND x.erk <= krl_ks.k
+         |  GROUP BY r.query_id, krl_ks.k
+         |)
+         |SELECT b.query_id, b.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(b.k AS DOUBLE), 6) AS recall
+         |FROM (SELECT qe.vec_id AS query_id, krl_ks.k
+         |      FROM e qe CROSS JOIN krl_ks WHERE qe.vec_id < 10) b
+         |LEFT JOIN krl_hits h ON b.query_id = h.query_id AND b.k = h.k
+         |ORDER BY b.query_id, b.k""".stripMargin,
     // 26: full LSH replay — sha-256-prefix minhash signature, banded
     // keys, candidate join, exact-Jaccard verify (threshold 0.2).
     "dedup_minhash" ->
