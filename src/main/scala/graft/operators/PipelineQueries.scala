@@ -85,16 +85,35 @@ object PipelineQueries {
     * This is the table [[graft.sources.StormSinks.writeVersionedTable]]
     * persists for the serving tier (retrieval_indexed). */
   private[graft] def bm25WeightsOf(doc: DataFrame): DataFrame = {
-    val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-      .where(col("token") =!= "")
-    val tf = graft.Materialize.once(
-      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val (tf, dl) = bm25TfDl(doc)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = doc.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    bm25WeightsFrom(tf, dl, dfreq, stats)
+  }
+
+  /** (tf, dl) of a corpus: the per-document term statistics — the
+    * only parts of the BM25 index that are PER-DOC (and therefore
+    * appendable); df/n_docs/avgdl are corpus-global. */
+  private[graft] def bm25TfDl(doc: DataFrame): (DataFrame, DataFrame) = {
+    val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val tf = graft.Materialize.once(
+      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+    (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+  }
+
+  /** The BM25 scoring formula over EXPLICIT statistics frames — ONE
+    * definition shared by the train-in-session [[bm25WeightsOf]] and
+    * the frozen-stats append ([[Retrieval.appendToBm25Lake]]), so
+    * "score new docs under the published statistics" is provably the
+    * same arithmetic as publish-time scoring. The df join is INNER:
+    * tokens absent from `dfreq` (out-of-vocabulary under a frozen
+    * index) contribute no weight — the frozen-vocabulary contract. */
+  private[graft] def bm25WeightsFrom(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, stats: DataFrame): DataFrame = {
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
@@ -1473,6 +1492,24 @@ object PipelineQueries {
         .createTempDirectory("graft-bm25-lake").toString
       graft.sources.StormSinks.writeVersionedTable(bm25WeightsOf(docs(s, d)), lake)
       sparseTopK(s.read.format("graftlake").load(lake))
+    }),
+    // 95g: the BM25 index's continuous-ingest face — publish on 90%
+    // of the corpus, append the held-out 10% under the FROZEN
+    // published statistics (new docs' known-vocabulary tokens score
+    // under publish-time df/n_docs/avgdl; OOV tokens contribute
+    // nothing — the Lucene-segment / FAISS-add frozen-snapshot
+    // contract), then serve over the unioned segments. The oracle
+    // replays publish + frozen-stats append + probe in ONE hash, so
+    // the append arithmetic is correctness-gated.
+    "retrieval_indexed_append" -> ((s, d) => {
+      val doc = docs(s, d)
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-bm25-append").toString
+      graft.operators.Retrieval.publishBm25Lake(
+        doc.where(col("doc_id") % 10 =!= 9), lake)
+      graft.operators.Retrieval.appendToBm25Lake(s, lake,
+        doc.where(col("doc_id") % 10 === 9), maxSegments = 0)
+      sparseTopK(graft.operators.Retrieval.readBm25Weights(s, lake))
     }),
     // 121: RAG context packing — the step between retrieval and the
     // prompt: per query take the sparse ranking DEEP (top-10), then
@@ -5420,6 +5457,47 @@ object PipelineQueries {
     // the persisted-index probe must answer exactly like the
     // in-session one, so it shares the oracle verbatim
     "retrieval_indexed" -> RETRIEVAL_SQL,
+    // 95g: publish-on-90% + frozen-stats append of the held-out 10% —
+    // df/n_docs/avgdl come from the BASE slice only (the published
+    // snapshot), tf/dl from every doc, the inner df join drops the
+    // appended docs' OOV tokens (frozen-vocabulary contract), and the
+    // probe runs the standard sparse top-k over the union
+    "retrieval_indexed_append" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf WHERE doc_id % 10 <> 9 GROUP BY 1
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 <> 9) AS n_docs,
+         |    CAST((SELECT sum(dl.dl) FROM dl WHERE dl.doc_id % 10 <> 9) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents WHERE doc_id % 10 <> 9) AS DOUBLE) AS avgdl
+         |), wts AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(round(round(ln((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |          / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |          + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)), 6) * 1000000) AS BIGINT) AS w_i
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+         |), qterms AS (
+         |  SELECT doc_id AS query_id, token, w_i AS qw_i,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_i DESC, token) AS qrk
+         |  FROM wts WHERE doc_id <= 10
+         |), hits AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(q.qw_i * w.w_i) AS BIGINT) AS score_i
+         |  FROM wts w JOIN (SELECT * FROM qterms WHERE qrk <= 3) q USING (token)
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, doc_id, score_i,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_i DESC, doc_id) AS rk
+         |  FROM hits
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_i FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "hybrid_rerank" ->
       s"""WITH $HYBRID_CTES
          |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_i FROM ranked
