@@ -34,9 +34,13 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Train-once publish: build the full integer-grid BM25 index and
-    * commit all four tables as one version. Returns the version. */
+    * commit all five tables as one version (meta carries the
+    * streaming face's last_batch replay gate, -1 = none committed).
+    * Returns the version. */
   def publishBm25Lake(doc: DataFrame, dir: String): Int =
     graft.Materialize.scoped {
+      val sp = doc.sparkSession
+      import sp.implicits._
       val (tf, dl0) = PipelineQueries.bm25TfDl(doc)
       val dl = graft.Materialize.once(dl0)
       val dfreq = graft.Materialize.once(
@@ -47,9 +51,10 @@ object Retrieval {
           .select(col("n_docs"),
             (col("sum_dl").cast("double") / col("n_docs").cast("double"))
               .as("avgdl")))
-      graft.sources.StormSinks.writeVersionedGroup(doc.sparkSession, dir, Seq(
+      graft.sources.StormSinks.writeVersionedGroup(sp, dir, Seq(
         "weights" -> PipelineQueries.bm25WeightsFrom(tf, dl, dfreq, stats),
-        "dl" -> dl, "df" -> dfreq, "stats" -> stats))
+        "dl" -> dl, "df" -> dfreq, "stats" -> stats,
+        "meta" -> Seq(-1L).toDF("last_batch")))
     }
 
   /** Frozen-stats append: score `newDocs` under the PUBLISHED
@@ -67,6 +72,17 @@ object Retrieval {
     * contract, same as every delta table here). Returns the version. */
   def appendToBm25Lake(spark: SparkSession, dir: String,
       newDocs: DataFrame, maxSegments: Int = 64): Int =
+    appendBm25Delta(spark, dir, newDocs, replaces = Nil, maxSegments)
+
+  /** The commit core shared by the batch append and the streaming
+    * ingest: the stream passes its last_batch meta as a `replaces`
+    * table so weights delta + replay gate land in ONE pointer swap —
+    * a two-commit design would have a crash state from which a
+    * replayed batch double-appends its weights (duplicate doc rows
+    * inflate every score silently). */
+  private def appendBm25Delta(spark: SparkSession, dir: String,
+      newDocs: DataFrame, replaces: Seq[(String, DataFrame)],
+      maxSegments: Int): Int =
     graft.Materialize.scoped {
       import graft.sources.StormSinks
       val ver = StormSinks.currentVersionName(spark, dir)
@@ -76,11 +92,80 @@ object Retrieval {
       val dl = graft.Materialize.once(dl0)
       val v = StormSinks.appendDeltaGroup(spark, dir, appends = Seq(
         "weights" -> PipelineQueries.bm25WeightsFrom(tf, dl, dfreq, stats),
-        "dl" -> dl))
+        "dl" -> dl), replaces = replaces)
       if (maxSegments > 0)
         StormSinks.maintainGroupSegments(spark, dir, maxSegments)
       v
     }
+
+  /** Streaming ingest for a [[publishBm25Lake]] index — the 24/7 face
+    * of the frozen-stats append (the 95d lake/stream discipline
+    * applied to the sparse index): each micro-batch of documents
+    * encodes under the published statistics and commits weights + dl
+    * deltas AND the batch_seq replay gate in one pointer swap, so the
+    * served index always equals a batch [[appendToBm25Lake]] over
+    * everything ingested so far (RetrievalLakeSpec pins it). Crash
+    * contract: replay at-or-below the committed last_batch skips
+    * entirely (the delta already landed — the one-commit atomicity
+    * above); a crash BEFORE the commit replays byte-identically
+    * against the old snapshot. The standard freshness guards reject
+    * both corruption directions (used gate + fresh checkpoint, and a
+    * lost/wiped index dir under a kept checkpoint). Statistics drift
+    * is the operator's republish-cadence signal, as in the batch
+    * face. */
+  def startBm25Ingest(spark: SparkSession, inDir: String, dir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 16,
+      autoCompactSegments: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.StormSinks
+    val committed = StormSinks.readGroupTableAt(spark, dir,
+      StormSinks.currentVersionName(spark, dir), "meta").head().getLong(0)
+    val ckptOffsets = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/bm25/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"graft.Retrieval.startBm25Ingest: the index at $dir has committed " +
+          s"batches up to $committed but the checkpoint at $checkpointDir/bm25 " +
+          "has no committed offsets: batch ids would restart at 0 and the " +
+          "replay gate would silently skip every replayed batch. Restore " +
+          "the original checkpoint, or republish the index to start over.")
+    if (committed < 0 && !ckptFresh)
+      throw new IllegalStateException(
+        s"graft.Retrieval.startBm25Ingest: the checkpoint at " +
+          s"$checkpointDir/bm25 has committed offsets but the index at $dir " +
+          "has no committed batches: the index dir was lost or republished " +
+          "underneath a live checkpoint — already-processed documents would " +
+          "never be replayed and the index would permanently under-serve. " +
+          "Restore the index dir, or start over with a fresh checkpoint.")
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s2 = batch.sparkSession
+        import s2.implicits._
+        import graft.sources.StormSinks
+        val lastBatch = StormSinks.readGroupTableAt(s2, dir,
+          StormSinks.currentVersionName(s2, dir), "meta").head().getLong(0)
+        if (batchId > lastBatch) {
+          appendBm25Delta(s2, dir, batch.select(col("doc_id"), col("text")),
+            replaces = Seq("meta" -> Seq(batchId).toDF("last_batch")),
+            maxSegments = autoCompactSegments)
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointDir/bm25")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 
   /** The serving table at the current version (all segments, one
     * pointer resolution) — feed it to [[PipelineQueries.sparseTopK]]
