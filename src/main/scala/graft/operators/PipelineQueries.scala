@@ -449,25 +449,11 @@ object PipelineQueries {
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rk").as("rk_d"))
     val doc = docs(s, d)
-    val toks = doc.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-      .where(col("token") =!= "")
-    val tf = graft.Materialize.once(
-      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = doc.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    val tfD = col("tf").cast("double")
-    val dfD = col("df").cast("double")
-    val idf = log((col("n_docs").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
-    val denom = tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))
-    val weights = graft.Materialize.once(
-      tf.join(dl, "doc_id").join(dfreq, "token")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("token"),
-          round(round(idf * (tfD * 2.2) / denom, 6) * 1e6).cast("long").as("w_i")))
+    // The sparse side IS the published BM25 grid: one definition
+    // (bm25TfDl + bm25WeightsFrom via bm25WeightsOf) shared with
+    // text_retrieval / publishBm25Lake, materialized here because the
+    // hybrid reads it twice (query-term top-3 AND the posting scan).
+    val weights = graft.Materialize.once(bm25WeightsOf(doc))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("w_i").desc, col("token"))
     val qterms = weights.where(col("doc_id") < 10)

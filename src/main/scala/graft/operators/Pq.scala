@@ -268,7 +268,11 @@ object Pq {
     * the auto compaction cadence ([[graft.sources.StormSinks
     * .maintainGroupSegments]]); 0 disables. Appended segments are
     * disjoint new vec_ids by writer contract, so the fold is a plain
-    * union. Returns the committed version. */
+    * union. Delta segments inherit the published layout (the sink
+    * reproduces the base segment's cell_id partitioning), so indexed
+    * probes keep directory pruning over deltas too, and compaction
+    * carries the layout through the fold. Returns the committed
+    * version. */
   def appendToIvfPqLake(spark: org.apache.spark.sql.SparkSession,
       dir: String, newVectors: DataFrame,
       maxSegments: Int = 64): Int = graft.Materialize.scoped {

@@ -336,6 +336,41 @@ object StormSinks {
     manifestOrLegacy(fsFor(spark, dir), dir, verName)
       .collect { case (t, rp) if t == name => s"$dir/$rp" }
 
+  /** On-disk partition layout of a written table path: the chain of
+    * `col=value` directory levels Spark's writer produced (empty for
+    * an unpartitioned table). Lets the delta/compaction writers
+    * PRESERVE a base segment's layout without threading partition
+    * specs through every call site — an un-partitioned delta segment
+    * loses directory pruning over the delta until compaction, and a
+    * compaction that drops the layout loses it permanently
+    * (ADVICE r17 on [[graft.operators.Pq.appendToIvfPqLake]]). */
+  private def partitionLayoutOf(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = table
+    var scanning = fs.exists(cur)
+    while (scanning) {
+      val parts = fs.listStatus(cur).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      parts.map(_.getPath.getName.split("=", 2)(0)).distinct match {
+        case scala.collection.Seq(one) =>
+          out += one; cur = parts.head.getPath
+        case _ => scanning = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[partitionLayoutOf]] for the FIRST segment of `name` at the
+    * current version of `dir` — the base layout a delta append or a
+    * compaction rewrite should reproduce. */
+  private def baseLayoutOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, verName: String, name: String): Seq[String] =
+    segmentsAt(spark, dir, verName, name).headOption
+      .map(p => partitionLayoutOf(fsFor(spark, dir),
+        new org.apache.hadoop.fs.Path(p)))
+      .getOrElse(Nil)
+
   /** One table at version `verName`: the UNION of its segments (raw —
     * a keyed table's stale rows are NOT collapsed; use
     * [[readGroupTableKeyedAt]] for latest-wins semantics). */
@@ -417,7 +452,13 @@ object StormSinks {
     (appends ++ replaces).foreach { case (name, df) =>
       require(name.nonEmpty && !name.contains("/") && name != ManifestName,
         s"bad group table name '$name'")
-      df.write.mode("overwrite").parquet(s"$dir/seg-$next/$name")
+      // reproduce the base segment's partition layout so delta
+      // segments keep directory pruning (ADVICE r17): a probe that
+      // prunes the base's cell_id=K dirs must prune the delta's too
+      val layout = baseLayoutOf(spark, dir, curName, name)
+      val w = df.write.mode("overwrite")
+      (if (layout.nonEmpty) w.partitionBy(layout: _*) else w)
+        .parquet(s"$dir/seg-$next/$name")
     }
     val carried = cur.filterNot { case (t, _) => replaceNames.contains(t) }
     val fresh = (appends ++ replaces).map { case (t, _) => t -> s"seg-$next/$t" }
@@ -483,13 +524,19 @@ object StormSinks {
   def compactGroupSegments(spark: org.apache.spark.sql.SparkSession,
       dir: String, keyed: Map[String, Seq[String]] = Map.empty): Int = {
     val verName = currentVersionName(spark, dir)
-    val tables = groupTablesAt(spark, dir, verName).map { t =>
+    val names = groupTablesAt(spark, dir, verName)
+    val tables = names.map { t =>
       t -> (keyed.get(t) match {
         case Some(ks) => readGroupTableKeyedAt(spark, dir, verName, t, ks)
         case None => readGroupTableAt(spark, dir, verName, t)
       })
     }
-    writeVersionedGroup(spark, dir, tables)
+    // carry each table's partition layout through the fold — a
+    // compaction that silently flattens the layout would permanently
+    // cost the probes their directory pruning (ADVICE r17)
+    val layouts = names.map(t => t -> baseLayoutOf(spark, dir, verName, t))
+      .filter(_._2.nonEmpty).toMap
+    writeVersionedGroup(spark, dir, tables, partitionCols = layouts)
   }
 
   /** Delete `seg-K` dirs referenced by NO surviving version's manifest

@@ -16,7 +16,10 @@ class SurveyIndexSpec extends AnyFunSuite {
     val marker = "### §2b Generated key index"
     assert(survey.contains(marker), "SURVEY.md lost its §2b generated index")
     val section = survey.substring(survey.indexOf(marker))
-    val body = section.substring(0, section.indexOf("\n## "))
+    // end-of-file fallback mirrors gen_survey_index.py: §2b may be the
+    // last section of the file (ADVICE r17)
+    val nextHeading = section.indexOf("\n## ")
+    val body = if (nextHeading < 0) section else section.substring(0, nextHeading)
     "\\| `([a-z0-9_]+)` \\|".r.findAllMatchIn(body).map(_.group(1)).toSet
   }
 

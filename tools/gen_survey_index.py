@@ -28,8 +28,23 @@ def main(out_dir: str) -> None:
     # (the oracleSql map sits after the queries map in every source)
     loc = {}
     for src in SOURCES:
+        # anchor the scan to the queries-map region: start at the
+        # `val queries` declaration and stop at `val oracleSql`, so a
+        # key name mentioned in an earlier comment/string can't
+        # mis-attribute the entry line (ADVICE r17)
+        in_queries = False
         for i, line in enumerate(open(src), start=1):
-            m = re.search(r'"([a-z0-9_]+)" ->', line)
+            if re.search(r"\bval queries\b", line):
+                in_queries = True
+            elif re.search(r"\bval oracleSql\b", line):
+                in_queries = False
+            if not in_queries:
+                continue
+            # \s+ not a single space: Analytics.scala pads the arrows
+            # into a column, and the padded entries previously fell
+            # through to the oracleSql map's single-space arrows —
+            # the exact mis-attribution ADVICE r17 flagged
+            m = re.search(r'"([a-z0-9_]+)"\s+->', line)
             if m and m.group(1) in keys and m.group(1) not in loc:
                 loc[m.group(1)] = f"{src}:{i}"
     missing = [k for k in keys if k not in loc]
@@ -46,9 +61,12 @@ def main(out_dir: str) -> None:
     )
     survey = open("SURVEY.md").read()
     if MARKER in survey:
-        # replace the existing section (ends at the next '## ' heading)
+        # replace the existing section (ends at the next '## ' heading,
+        # or end-of-file if §2b is ever the last section — ADVICE r17)
         start = survey.index(MARKER)
-        end = survey.index("\n## ", start)
+        end = survey.find("\n## ", start)
+        if end < 0:
+            end = len(survey)
         survey = survey[:start] + section + survey[end:]
     else:
         anchor = "\n## §3 Data model"
