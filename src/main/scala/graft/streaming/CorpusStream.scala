@@ -93,6 +93,17 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[start]]'s transform as a foreachBatch body for the composed
+    * [[startCorpusIngest]] face (same `prepare`, same append-parquet
+    * rows; only the file layout differs from the streaming sink).
+    * Returns the written frame. */
+  private def prepBatchBody(batch: DataFrame, outDir: String,
+      mat: DataFrame => DataFrame = identity): DataFrame = {
+    val out = mat(prepare(batch))
+    out.write.mode("append").parquet(outDir)
+    out
+  }
+
   /** Decontaminating variant: drop documents overlapping the STATIC
     * benchmark before prep. The doc-level anti-join needs a per-doc
     * aggregation over exploded shingles — stateful (unbounded) as a
@@ -109,13 +120,28 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.Materialize.scoped {
-          prepare(graft.operators.Decontaminate.clean(batch, benchmark, k = 8))
-            .write.mode("append").parquet(outDir)
+          cleanBatchBody(batch.toDF(), benchmark, outDir)
+          ()
         }
       }
       .option("checkpointLocation", s"$checkpointDir/clean")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[startClean]]'s per-batch body — ONE definition shared with the
+    * composed [[startCorpusIngest]] face, so composition is
+    * parity-by-construction. `mat` is the funnel hook (the
+    * startPretrainPrep discipline: when a funnel counts the output,
+    * the count must ride the SAME frame the write flowed through).
+    * Returns the written frame. */
+  private def cleanBatchBody(batch: DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, outDir: String,
+      mat: DataFrame => DataFrame = identity): DataFrame = {
+    val out = mat(prepare(
+      graft.operators.Decontaminate.clean(batch, benchmark, k = 8)))
+    out.write.mode("append").parquet(outDir)
+    out
+  }
 
   /** Incremental-ingest dedup variant: drop documents that exactly or
     * nearly duplicate the EXISTING corpus before prep — the streaming
@@ -200,24 +226,38 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.Materialize.scoped {
-          val ver = graft.sources.StormSinks.currentVersionDir(spark, lakeDir)
-          val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
-          val near = Dedup
-            .minhashPairsLakeVsIndexAt(ver, batchIdx, threshold = 0.2)
-            .select(col("doc_new").as("doc_id")).distinct()
-          val fps = spark.read.parquet(s"$ver/fps")
-          val kept = batch
-            .withColumn("fp", Text.fingerprint(col("text")))
-            .join(fps, Seq("fp"), "left_anti")
-            .join(near, Seq("doc_id"), "left_anti")
-            .drop("fp")
-          prepare(kept).write.mode("append").parquet(outDir)
+          dedupLakeBatchBody(batch.toDF(), lakeDir, outDir)
+          ()
         }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/incdedup-lake")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** [[startIncrementalDedupFromLake]]'s per-batch body — shared with
+    * [[startCorpusIngest]] (parity-by-construction). The `_current`
+    * pointer resolves once per call, so a corpus-index republish takes
+    * effect on the next batch. Returns the written frame. */
+  private def dedupLakeBatchBody(batch: DataFrame, lakeDir: String,
+      outDir: String, mat: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.operators.Dedup
+    val s2 = batch.sparkSession
+    val ver = graft.sources.StormSinks.currentVersionDir(s2, lakeDir)
+    val batchIdx = Dedup.minhashIndex(batch.select(col("doc_id"), col("text")))
+    val near = Dedup
+      .minhashPairsLakeVsIndexAt(ver, batchIdx, threshold = 0.2)
+      .select(col("doc_new").as("doc_id")).distinct()
+    val fps = s2.read.parquet(s"$ver/fps")
+    val kept = batch
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .join(fps, Seq("fp"), "left_anti")
+      .join(near, Seq("doc_id"), "left_anti")
+      .drop("fp")
+    val out = mat(prepare(kept))
+    out.write.mode("append").parquet(outDir)
+    out
   }
 
   /** Publish the cluster-maintenance lake: the corpus documents and
@@ -803,95 +843,116 @@ object CorpusStream {
     // double-counts already-counted ones. Fail fast like every other
     // state-committing stream.
     val (_, committed) = readCardState(spark, stateDir)
-    val ckptOffsets = new org.apache.hadoop.fs.Path(
-      s"$checkpointDir/card/offsets")
-    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
-      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
-    if (committed >= 0 && ckptFresh)
-      throw new IllegalStateException(
-        s"graft.CorpusStream.startCorpusCard: the card state at $stateDir " +
-          s"has committed batches up to $committed but the checkpoint at " +
-          s"$checkpointDir/card has no committed offsets: restarted batch " +
-          "ids would silently skip or double-count files. Restore the " +
-          "original checkpoint, or republish empty state to start over.")
+    requireCheckpointMatchesState(spark, s"$checkpointDir/card", committed,
+      "graft.CorpusStream.startCorpusCard", stateDir)
     readDocuments(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.Materialize.scoped {
-          val s2 = batch.sparkSession
-          import graft.sources.StormSinks
-          val (prev, lastBatch) = readCardState(s2, stateDir)
-          if (batchId > lastBatch) {
-            // quality rides as a 1e-6-grid LONG sum (order-free,
-            // mergeable); dedup as the count of ingests whose
-            // normalized-text fingerprint was already seen — by an
-            // earlier batch (the fps registry) or earlier IN this
-            // batch (first = lowest doc_id, the keep-first
-            // convention). Both are additive per (source, lang), so
-            // the card stays a pure counter merge.
-            val wFp = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("fp")).orderBy(col("doc_id"))
-            val seen =
-              try StormSinks.readVersionedGroupTable(s2, stateDir, "fps")
-              catch { case _: java.io.FileNotFoundException =>
-                // cold start, or a legacy counters-only card state:
-                // nothing seen yet; the commit below starts the registry
-                import s2.implicits._
-                Seq.empty[String].toDF("fp")
-              }
-            val flagged = graft.Materialize.once(batch
-              .select(col("source"), col("lang"), col("doc_id"),
-                col("n_chars").cast("long").as("n_chars"),
-                Text.tokenCount(col("text")).cast("long").as("n_toks"),
-                floor(Text.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
-                  .cast("long").as("q6"),
-                sha2(Text.normalize(col("text")), 256).as("fp"))
-              .withColumn("rn", row_number().over(wFp))
-              .join(seen.select(col("fp"), lit(true).as("__seen")),
-                Seq("fp"), "left")
-              .withColumn("is_dup", col("__seen").isNotNull || col("rn") > 1))
-            val b = flagged.groupBy(col("source"), col("lang"))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(col("n_toks")).as("n_tokens"),
-                sum(col("n_chars")).as("n_chars"),
-                sum(col("q6")).as("sum_q6"),
-                sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"))
-            val counts = prev.unionByName(b)
-              .groupBy(col("source"), col("lang"))
-              .agg(sum(col("n_docs")).as("n_docs"),
-                sum(col("n_tokens")).as("n_tokens"),
-                sum(col("n_chars")).as("n_chars"),
-                sum(col("sum_q6")).as("sum_q6"),
-                sum(col("dup_docs")).as("dup_docs"))
-            val freshFps = flagged
-              .where(col("rn") === 1 && col("__seen").isNull)
-              .select(col("fp")).distinct()
-            import s2.implicits._
-            val meta = Seq(batchId).toDF("last_batch")
-            // first commit publishes the base; later commits are
-            // O(batch) deltas: fps appends its fresh fingerprints,
-            // the bounded counts/meta replace
-            if (lastBatch < 0)
-              StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-                "counts" -> counts, "fps" -> freshFps, "meta" -> meta))
-            else
-              StormSinks.appendDeltaGroup(s2, stateDir,
-                appends = Seq("fps" -> freshFps),
-                replaces = Seq("counts" -> counts, "meta" -> meta))
-            // the counters are BOUNDED but versions/segments are not:
-            // vacuum inline (keep=2 covers in-flight readers of the
-            // previous pointer) + the standard segment auto-cadence
-            StormSinks.vacuumVersions(s2, stateDir, keep = 2)
-            StormSinks.maintainGroupSegments(s2, stateDir, maxSegments = 64)
-            ()
-          }
+          cardBatchBody(batch.toDF(), batchId, stateDir)
           ()
         }
       }
       .option("checkpointLocation", s"$checkpointDir/card")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** The used-state-with-fresh-checkpoint lineage guard shared by the
+    * state-committing streams: a state group with committed batches up
+    * to `committed` paired with a checkpoint that has no committed
+    * offsets means batch ids restart at 0 — depending on file grouping
+    * that either silently SKIPS never-processed files (replay gate
+    * `batchId <= last_batch`) or double-counts processed ones. */
+  private def requireCheckpointMatchesState(spark: SparkSession,
+      ckptSubdir: String, committed: Long, face: String,
+      stateDir: String): Unit = {
+    val ckptOffsets = new org.apache.hadoop.fs.Path(s"$ckptSubdir/offsets")
+    val ckptFs = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptFresh = !ckptFs.exists(ckptOffsets) ||
+      !ckptFs.listStatus(ckptOffsets).exists(st => !st.getPath.getName.startsWith("."))
+    if (committed >= 0 && ckptFresh)
+      throw new IllegalStateException(
+        s"$face: the state at $stateDir has committed batches up to " +
+          s"$committed but the checkpoint at $ckptSubdir has no committed " +
+          "offsets: restarted batch ids would silently skip or " +
+          "double-count files. Restore the original checkpoint, or " +
+          "republish empty state to start over.")
+  }
+
+  /** [[startCorpusCard]]'s per-batch body — shared with
+    * [[startCorpusIngest]] (parity-by-construction): fold the batch's
+    * per-(source, lang) counters and fresh fingerprints into the card
+    * state group, gated on `batchId > last_batch`. */
+  private def cardBatchBody(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val s2 = batch.sparkSession
+    import graft.sources.StormSinks
+    val (prev, lastBatch) = readCardState(s2, stateDir)
+    if (batchId > lastBatch) {
+      // quality rides as a 1e-6-grid LONG sum (order-free,
+      // mergeable); dedup as the count of ingests whose
+      // normalized-text fingerprint was already seen — by an
+      // earlier batch (the fps registry) or earlier IN this
+      // batch (first = lowest doc_id, the keep-first
+      // convention). Both are additive per (source, lang), so
+      // the card stays a pure counter merge.
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val seen =
+        try StormSinks.readVersionedGroupTable(s2, stateDir, "fps")
+        catch { case _: java.io.FileNotFoundException =>
+          // cold start, or a legacy counters-only card state:
+          // nothing seen yet; the commit below starts the registry
+          import s2.implicits._
+          Seq.empty[String].toDF("fp")
+        }
+      val flagged = graft.Materialize.once(batch
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"),
+          floor(Text.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("q6"),
+          sha2(Text.normalize(col("text")), 256).as("fp"))
+        .withColumn("rn", row_number().over(wFp))
+        .join(seen.select(col("fp"), lit(true).as("__seen")),
+          Seq("fp"), "left")
+        .withColumn("is_dup", col("__seen").isNotNull || col("rn") > 1))
+      val b = flagged.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("q6")).as("sum_q6"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"))
+      val counts = prev.unionByName(b)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("sum_q6")).as("sum_q6"),
+          sum(col("dup_docs")).as("dup_docs"))
+      val freshFps = flagged
+        .where(col("rn") === 1 && col("__seen").isNull)
+        .select(col("fp")).distinct()
+      import s2.implicits._
+      val meta = Seq(batchId).toDF("last_batch")
+      // first commit publishes the base; later commits are
+      // O(batch) deltas: fps appends its fresh fingerprints,
+      // the bounded counts/meta replace
+      if (lastBatch < 0)
+        StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+          "counts" -> counts, "fps" -> freshFps, "meta" -> meta))
+      else
+        StormSinks.appendDeltaGroup(s2, stateDir,
+          appends = Seq("fps" -> freshFps),
+          replaces = Seq("counts" -> counts, "meta" -> meta))
+      // the counters are BOUNDED but versions/segments are not:
+      // vacuum inline (keep=2 covers in-flight readers of the
+      // previous pointer) + the standard segment auto-cadence
+      StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+      StormSinks.maintainGroupSegments(s2, stateDir, maxSegments = 64)
+      ()
+    }
   }
 
   private def readCardState(spark: SparkSession,
@@ -1091,42 +1152,52 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.Materialize.scoped {
-          val s2 = batch.sparkSession
-          import graft.sources.StormSinks
-          val refC = s2.read.parquet(
-            s"${StormSinks.currentVersionDir(s2, refDir)}/ref")
-          val (prev, lastBatch) = readDriftState(s2, stateDir)
-          if (batchId > lastBatch) {
-            val counts = graft.Materialize.once(
-              prev.unionByName(graft.operators.Drift.bucketCounts(batch, "cur_n"))
-                .groupBy(col("feature"), col("bucket"))
-                .agg(sum(col("cur_n")).as("cur_n")))
-            // full outer: buckets seen only in the reference (cur_n=0)
-            // and only in the ingest (ref_n=0) both carry PSI terms,
-            // exactly like the batch computation's union of buckets
-            val joined = refC.join(counts, Seq("feature", "bucket"), "full_outer")
-              .select(col("feature"), col("bucket"),
-                coalesce(col("ref_n"), lit(0L)).as("ref_n"),
-                coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-            graft.operators.Drift.psiTerms(joined)
-              .withColumn("batch_seq", lit(batchId))
-              // feature×bucket grid: bounded by the histogram shape,
-              // not the trigger size — one file is the right shape
-              .coalesce(1).write.mode("append").parquet(outDir)
-            import s2.implicits._
-            StormSinks.writeVersionedGroup(s2, stateDir, Seq(
-              "counts" -> counts,
-              "meta" -> Seq(batchId).toDF("last_batch")))
-            // bounded state, unbounded version count: vacuum inline
-            StormSinks.vacuumVersions(s2, stateDir, keep = 2)
-            ()
-          }
+          driftBatchBody(batch.toDF(), batchId, refDir, stateDir, outDir)
         }
         ()
       }
       .option("checkpointLocation", s"$checkpointDir/driftgate")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[startDriftGate]]'s per-batch body — shared with
+    * [[startCorpusIngest]] (parity-by-construction). Folds the batch
+    * into the cumulative bucket counts, emits the PSI term table for
+    * this batch, and commits state, gated on `batchId > last_batch`
+    * (the at-least-once replay gate). */
+  private def driftBatchBody(batch: DataFrame, batchId: Long,
+      refDir: String, stateDir: String, outDir: String): Unit = {
+    val s2 = batch.sparkSession
+    import graft.sources.StormSinks
+    val refC = s2.read.parquet(
+      s"${StormSinks.currentVersionDir(s2, refDir)}/ref")
+    val (prev, lastBatch) = readDriftState(s2, stateDir)
+    if (batchId > lastBatch) {
+      val counts = graft.Materialize.once(
+        prev.unionByName(graft.operators.Drift.bucketCounts(batch, "cur_n"))
+          .groupBy(col("feature"), col("bucket"))
+          .agg(sum(col("cur_n")).as("cur_n")))
+      // full outer: buckets seen only in the reference (cur_n=0)
+      // and only in the ingest (ref_n=0) both carry PSI terms,
+      // exactly like the batch computation's union of buckets
+      val joined = refC.join(counts, Seq("feature", "bucket"), "full_outer")
+        .select(col("feature"), col("bucket"),
+          coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+          coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      graft.operators.Drift.psiTerms(joined)
+        .withColumn("batch_seq", lit(batchId))
+        // feature×bucket grid: bounded by the histogram shape,
+        // not the trigger size — one file is the right shape
+        .coalesce(1).write.mode("append").parquet(outDir)
+      import s2.implicits._
+      StormSinks.writeVersionedGroup(s2, stateDir, Seq(
+        "counts" -> counts,
+        "meta" -> Seq(batchId).toDF("last_batch")))
+      // bounded state, unbounded version count: vacuum inline
+      StormSinks.vacuumVersions(s2, stateDir, keep = 2)
+      ()
+    }
+  }
 
   /** Cumulative-count state at the current version; (-1, empty) on a
     * cold start (no state published yet). */
@@ -1823,5 +1894,121 @@ object CorpusStream {
         col("n_lines"))).as("m"))
       .select(col("doc_id"), col("m.clean_text").as("clean_text"),
         col("m.n_kept").as("n_kept"), col("m.n_lines").as("n_lines"))
+  }
+
+  // ------------------------------------------ composed one-scan ingest
+  /** Face selection for [[startCorpusIngest]]: a face is ON when its
+    * output dir(s) are set. Faces compose INDEPENDENTLY (each sees the
+    * raw batch, exactly like its standalone stream — this is fan-out,
+    * not a pipeline): `chunksDir` is [[start]]'s prep face,
+    * `cleanOutDir` is [[startClean]] (requires the `benchmark` frame),
+    * (`dedupLakeDir`, `dedupOutDir`) is [[startIncrementalDedupFromLake]],
+    * (`driftRefDir`, `driftStateDir`, `driftOutDir`) is
+    * [[startDriftGate]], `cardStateDir` is [[startCorpusCard]], and
+    * `funnelDir` adds a per-batch per-face row-count audit table
+    * (batch_seq, face, n_rows) — `raw` is the input doc count, each
+    * output face reports the rows it appended that batch. */
+  final case class IngestFaces(
+      chunksDir: Option[String] = None,
+      cleanOutDir: Option[String] = None,
+      dedupLakeDir: Option[String] = None,
+      dedupOutDir: Option[String] = None,
+      driftRefDir: Option[String] = None,
+      driftStateDir: Option[String] = None,
+      driftOutDir: Option[String] = None,
+      cardStateDir: Option[String] = None,
+      funnelDir: Option[String] = None)
+
+  /** The composed 24/7 ingest: every selected face fed from ONE input
+    * stream, ONE scan per micro-batch.
+    *
+    * Why this exists: each standalone `start*` face re-reads `inDir`
+    * through its own file source, so a deployment running clean +
+    * incremental dedup + drift gate + card + chunk prep pays five full
+    * input scans per trigger — at 100 TB/day of ingest, that factor is
+    * the bill. Here the micro-batch is materialized ONCE
+    * ([[graft.Materialize.once]]) and every face consumes the
+    * materialized blocks; the input files are read exactly once per
+    * trigger (CorpusStreamSpec pins this mechanically by counting
+    * executed plans that scan `inDir`).
+    *
+    * Parity is BY CONSTRUCTION: every face runs the same per-batch
+    * body its standalone stream runs ([[prepBatchBody]],
+    * [[cleanBatchBody]], [[dedupLakeBatchBody]], [[driftBatchBody]],
+    * [[cardBatchBody]]) — the spec additionally pins face-by-face
+    * output equality against the standalone streams across waves.
+    *
+    * Replay contract: the output faces (chunks/clean/dedup) are
+    * deterministic appends (at-least-once, collapsed by downstream
+    * idempotent readers — the standard split); the state faces
+    * (drift/card) gate on `batchId > last_batch`. All faces share ONE
+    * checkpoint, so one batch id sequence covers every face — a crash
+    * mid-fan-out replays the whole batch: appends re-emit identical
+    * rows, state faces skip or re-commit atomically exactly as their
+    * standalone contracts specify. The used-state/fresh-checkpoint
+    * lineage guard covers both state faces. */
+  def startCorpusIngest(spark: SparkSession, inDir: String,
+      faces: IngestFaces, checkpointDir: String,
+      benchmark: DataFrame = null,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    require(Seq(faces.chunksDir, faces.cleanOutDir, faces.dedupOutDir,
+      faces.driftOutDir, faces.cardStateDir).exists(_.isDefined),
+      "startCorpusIngest: no face selected")
+    require(faces.cleanOutDir.isEmpty || benchmark != null,
+      "startCorpusIngest: the clean face needs the benchmark frame")
+    require(faces.dedupLakeDir.isDefined == faces.dedupOutDir.isDefined,
+      "startCorpusIngest: the dedup face needs BOTH dedupLakeDir and dedupOutDir")
+    require(Seq(faces.driftRefDir, faces.driftStateDir, faces.driftOutDir)
+      .map(_.isDefined).distinct.size == 1,
+      "startCorpusIngest: the drift face needs driftRefDir, driftStateDir " +
+        "AND driftOutDir")
+    // one batch-id sequence serves every face: if ANY state face has
+    // committed batches, a fresh shared checkpoint restarts ids at 0
+    val committed = math.max(
+      faces.cardStateDir.map(d => readCardState(spark, d)._2).getOrElse(-1L),
+      faces.driftStateDir.map(d => readDriftState(spark, d)._2).getOrElse(-1L))
+    requireCheckpointMatchesState(spark, s"$checkpointDir/ingest", committed,
+      "graft.CorpusStream.startCorpusIngest",
+      faces.cardStateDir.orElse(faces.driftStateDir).getOrElse("<none>"))
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          val s2 = batch.sparkSession
+          // THE one-scan point: every face below consumes these
+          // materialized blocks, never the file source
+          val once = graft.Materialize.once(batch.toDF())
+          // with the funnel on, output frames gain a second consumer
+          // (their count) — materialize them so the counts ride the
+          // SAME frames the writes flowed through (the pretrain-prep
+          // funnel discipline)
+          def mat(df: DataFrame): DataFrame =
+            if (faces.funnelDir.isDefined) graft.Materialize.once(df) else df
+          val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          def audit(face: String, out: DataFrame): Unit =
+            if (faces.funnelDir.isDefined) emitted += ((face, out.count()))
+          faces.chunksDir.foreach(d => audit("chunks", prepBatchBody(once, d, mat)))
+          faces.cleanOutDir.foreach(d =>
+            audit("clean", cleanBatchBody(once, benchmark, d, mat)))
+          faces.dedupOutDir.foreach(d =>
+            audit("dedup", dedupLakeBatchBody(once, faces.dedupLakeDir.get, d, mat)))
+          faces.driftOutDir.foreach(d =>
+            driftBatchBody(once, batchId, faces.driftRefDir.get,
+              faces.driftStateDir.get, d))
+          faces.cardStateDir.foreach(d => cardBatchBody(once, batchId, d))
+          faces.funnelDir.foreach { fd =>
+            import s2.implicits._
+            (("raw", once.count()) +: emitted.toSeq)
+              .toDF("face", "n_rows")
+              .withColumn("batch_seq", lit(batchId))
+              // one row per face: bounded by the face count, one file
+              .coalesce(1).write.mode("append").parquet(fd)
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/ingest")
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 }

@@ -1116,4 +1116,148 @@ class CorpusStreamSpec extends SparkSpec {
         s"output parallelism must scale with batch size, got ${partFiles(s"$base/out2")} files")
     } finally spark.conf.unset("spark.graft.stream.rowsPerFile")
   }
+
+  test("composed ingest: face-by-face parity, ONE input scan per batch, funnel, replay no-op, guard") {
+    val base = Files.createTempDirectory("graft-composed-ingest").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") <= 60)
+    val benchmark = docs.where(col("doc_id") % 20 === 7)
+    val reingest = corpus.orderBy(col("doc_id")).limit(10)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    docs.where(col("doc_id") > 60).unionByName(reingest).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    CorpusStream.publishDedupLake(corpus, s"$base/lake")
+    CorpusStream.publishDriftRef(corpus, s"$base/ref")
+
+    // standalone faces — the parity references, each with its own
+    // checkpoint, same input order (same dir, same trigger sizing)
+    CorpusStream.start(spark, s"$base/in", s"$base/sChunks", s"$base/cpA")
+      .awaitTermination()
+    CorpusStream.startClean(spark, s"$base/in", benchmark, s"$base/sClean",
+      s"$base/cpB").awaitTermination()
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/lake", s"$base/sDedup", s"$base/cpC", maxFilesPerTrigger = 1)
+      .awaitTermination()
+    CorpusStream.startDriftGate(spark, s"$base/in", s"$base/ref",
+        s"$base/sDriftState", s"$base/sDrift", s"$base/cpD",
+        maxFilesPerTrigger = 1)
+      .awaitTermination()
+    CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/sCardState",
+      s"$base/cpE", maxFilesPerTrigger = 1).awaitTermination()
+
+    // composed run under a plan listener: the one-scan pin counts
+    // EXECUTED plans that scan the input dir — exactly one per
+    // micro-batch (the materialize action); every face plan reads the
+    // materialized blocks instead. The listener must be CONTEXT-level
+    // (SparkListenerSQLExecutionStart): foreachBatch bodies run on a
+    // cloned SparkSession, so a session-level QueryExecutionListener
+    // never sees their executions.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val qel = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            plans.add(e.physicalPlanDescription)
+          case _ => ()
+        }
+    }
+    val faces = CorpusStream.IngestFaces(
+      chunksDir = Some(s"$base/cChunks"),
+      cleanOutDir = Some(s"$base/cClean"),
+      dedupLakeDir = Some(s"$base/lake"), dedupOutDir = Some(s"$base/cDedup"),
+      driftRefDir = Some(s"$base/ref"),
+      driftStateDir = Some(s"$base/cDriftState"),
+      driftOutDir = Some(s"$base/cDrift"),
+      cardStateDir = Some(s"$base/cCardState"),
+      funnelDir = Some(s"$base/cFunnel"))
+    val b0 = spark.sparkContext.getPersistentRDDs.keySet
+    spark.sparkContext.addSparkListener(qel)
+    val inScans = try {
+      CorpusStream.startCorpusIngest(spark, s"$base/in", faces, s"$base/cpZ",
+        benchmark = benchmark, maxFilesPerTrigger = 1).awaitTermination()
+      // the listener bus is async: wait until the plan count is stable
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = plans.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      plans.asScala.count(_.contains(s"$base/in"))
+    } finally spark.sparkContext.removeSparkListener(qel)
+    assert(inScans == 3,
+      s"composed ingest must scan the input ONCE per batch (3 batches), got $inScans plans scanning the input")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- b0).isEmpty,
+      "composed ingest leaked materialized frames")
+
+    // face-by-face parity against the standalone streams
+    def sameRows(a: String, b: String): Unit = {
+      val l = spark.read.parquet(a)
+      val r0 = spark.read.parquet(b)
+      val r = r0.select(l.columns.map(col).toSeq: _*)
+      assert(l.exceptAll(r).isEmpty && r.exceptAll(l).isEmpty,
+        s"face output mismatch: $a vs $b")
+    }
+    sameRows(s"$base/sChunks", s"$base/cChunks")
+    sameRows(s"$base/sClean", s"$base/cClean")
+    sameRows(s"$base/sDedup", s"$base/cDedup")
+    sameRows(s"$base/sDrift", s"$base/cDrift")
+    def cardMap(stateDir: String) = CorpusStream.readCorpusCard(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(cardMap(s"$base/sCardState") == cardMap(s"$base/cCardState"),
+      "card face diverged from the standalone card stream")
+
+    // the funnel audits every output face: per-face sums == the rows
+    // the faces actually appended; raw == the whole input, per batch
+    val funnel = spark.read.parquet(s"$base/cFunnel")
+    assert(funnel.select(col("batch_seq")).distinct().count() == 3)
+    def fsum(face: String): Long = funnel.where(col("face") === face)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(fsum("raw") == spark.read.parquet(s"$base/in").count())
+    assert(fsum("chunks") == spark.read.parquet(s"$base/cChunks").count())
+    assert(fsum("clean") == spark.read.parquet(s"$base/cClean").count())
+    assert(fsum("dedup") == spark.read.parquet(s"$base/cDedup").count())
+
+    // replay: same checkpoint, no new input -> every face is a no-op
+    val before = Seq(s"$base/cChunks", s"$base/cClean", s"$base/cDedup",
+      s"$base/cDrift", s"$base/cFunnel")
+      .map(d => spark.read.parquet(d).count())
+    val cardBefore = cardMap(s"$base/cCardState")
+    CorpusStream.startCorpusIngest(spark, s"$base/in", faces, s"$base/cpZ",
+      benchmark = benchmark, maxFilesPerTrigger = 1).awaitTermination()
+    val after = Seq(s"$base/cChunks", s"$base/cClean", s"$base/cDedup",
+      s"$base/cDrift", s"$base/cFunnel")
+      .map(d => spark.read.parquet(d).count())
+    assert(before == after, s"replay re-emitted rows: $before -> $after")
+    assert(cardMap(s"$base/cCardState") == cardBefore, "replay changed the card")
+
+    // used state + lineage-less checkpoint rejected (either state face)
+    val e = intercept[IllegalStateException] {
+      CorpusStream.startCorpusIngest(spark, s"$base/in", faces,
+        s"$base/cpZ-lost", benchmark = benchmark, maxFilesPerTrigger = 1)
+    }
+    assert(e.getMessage.contains("no committed offsets"), e.getMessage)
+
+    // misconfigured faces fail fast
+    intercept[IllegalArgumentException] {
+      CorpusStream.startCorpusIngest(spark, s"$base/in",
+        CorpusStream.IngestFaces(), s"$base/cpQ")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStream.startCorpusIngest(spark, s"$base/in",
+        CorpusStream.IngestFaces(cleanOutDir = Some(s"$base/q1")), s"$base/cpQ")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStream.startCorpusIngest(spark, s"$base/in",
+        CorpusStream.IngestFaces(dedupOutDir = Some(s"$base/q2")), s"$base/cpQ")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStream.startCorpusIngest(spark, s"$base/in",
+        CorpusStream.IngestFaces(chunksDir = Some(s"$base/q3"),
+          driftOutDir = Some(s"$base/q4")), s"$base/cpQ")
+    }
+  }
 }
