@@ -272,4 +272,76 @@ class DeletionSpec extends SparkSpec {
     assert(got.keys.forall(!delSet(_)), "deleted docs keep label rows")
     assert(delSet.nonEmpty && truth.nonEmpty, "fixture vacuous")
   }
+
+  test("catalog sweep: ONE call deletes a doc from EVERY cataloged index; audit proves zero citations") {
+    import graft.sources.LakeCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft-del-sweep").toString
+    val cat = s"$base/catalog"
+    val doc = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = doc.where($"doc_id" <= 200)
+    val embs = Tables.embeddings(spark, sfDir).where($"vec_id" <= 200)
+    // the full published fleet: per-doc, structural, global-stat,
+    // registry and model classes all at once
+    CorpusStream.publishDedupLake(corpus, s"$base/minhash")
+    graft.operators.Dedup.publishJaccardLake(corpus, s"$base/jaccard",
+      k = 2, threshold = 0.5)
+    CorpusStream.publishClusterLake(corpus, s"$base/clusters")
+    graft.operators.Retrieval.publishBm25Lake(corpus, s"$base/bm25")
+    CorpusStream.publishRetrievalLake(corpus, embs, s"$base/retrieval")
+    graft.operators.Pq.publishIvfPqLake(embs, s"$base/ivfpq")
+    CorpusStream.publishLineIndex(corpus, s"$base/lines")
+    CorpusStream.publishClassifier(corpus, s"$base/model")
+    LakeCatalog.register(spark, cat, "minhash", s"$base/minhash", "minhash")
+    LakeCatalog.register(spark, cat, "jaccard", s"$base/jaccard", "jaccard",
+      params = Map("k" -> "2", "threshold" -> "0.5"))
+    LakeCatalog.register(spark, cat, "clusters", s"$base/clusters", "clusters")
+    LakeCatalog.register(spark, cat, "bm25", s"$base/bm25", "bm25")
+    LakeCatalog.register(spark, cat, "retrieval", s"$base/retrieval", "retrieval")
+    LakeCatalog.register(spark, cat, "ivfpq", s"$base/ivfpq", "ivfpq")
+    LakeCatalog.register(spark, cat, "lines", s"$base/lines", "registry")
+    LakeCatalog.register(spark, cat, "model", s"$base/model", "model")
+
+    val del = corpus.where($"doc_id" % 13 === 3).select($"doc_id")
+    val delSet = del.as[Long].collect().toSet
+    assert(delSet.nonEmpty, "fixture vacuous")
+    // pre-sweep: the fleet cites the victims (the audit is not vacuous)
+    val pre = LakeCatalog.auditCitations(spark, cat, del)
+    assert(pre.agg(sum($"n_citing")).head().getLong(0) > 0,
+      "audit found no citations BEFORE the sweep")
+
+    // a sweep against republish-class groups without the remaining
+    // corpus must fail fast BEFORE touching anything
+    val e = intercept[IllegalArgumentException](
+      LakeCatalog.sweepDelete(spark, cat, del))
+    assert(e.getMessage.contains("remainingDocs"), e.getMessage)
+    assert(LakeCatalog.auditCitations(spark, cat, del)
+      .agg(sum($"n_citing")).head().getLong(0) ==
+      pre.agg(sum($"n_citing")).head().getLong(0),
+      "failed sweep mutated a group")
+
+    val remaining = corpus.join(del, Seq("doc_id"), "left_anti")
+    val report = LakeCatalog.sweepDelete(spark, cat, del, remaining)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(report.keySet == Set("minhash", "jaccard", "clusters", "bm25",
+      "retrieval", "ivfpq", "lines", "model"))
+    assert(report("lines").startsWith("retained"),
+      "registry stance must be reported, not silently skipped")
+    assert(report("model").startsWith("retained"))
+
+    // THE proof: zero rows citing any deleted id in any cataloged
+    // group — every doc-citing table of every index, segment-aware
+    val audit = LakeCatalog.auditCitations(spark, cat, del)
+    val leftovers = audit.where($"n_citing" > 0).collect()
+      .map(r => s"${r.getString(0)}/${r.getString(1)}=${r.getLong(2)}")
+    assert(leftovers.isEmpty,
+      s"deleted ids survive the sweep in: ${leftovers.mkString(", ")}")
+    // and the swept indexes still serve: a minhash probe runs clean
+    // against the post-sweep lake and never returns a deleted id
+    val batch = corpus.limit(30)
+    val near = graft.operators.Dedup.minhashPairsLakeVsIndexAt(
+      StormSinks.currentVersionDir(spark, s"$base/minhash"),
+      graft.operators.Dedup.minhashIndex(batch), threshold = 0.2)
+    assert(near.where($"doc_old".isin(delSet.toSeq: _*)).count() == 0,
+      "post-sweep minhash probe cites a deleted doc")
+  }
 }

@@ -207,4 +207,46 @@ class GraftLakeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.read.format("graftlake").load().count())
   }
+
+  test("lake catalog: register/upsert/deregister round-trip, live status, fleet vacuum") {
+    import graft.sources.LakeCatalog
+    val base = Files.createTempDirectory("graft-catalog").toString
+    val cat = s"$base/catalog"
+    // two real groups + one not-yet-published path
+    StormSinks.writeVersionedGroup(spark, s"$base/g1", Seq(
+      "t" -> spark.range(5).toDF("doc_id")))
+    StormSinks.writeVersionedGroup(spark, s"$base/g2", Seq(
+      "fp" -> spark.range(3).toDF("fp")))
+    LakeCatalog.register(spark, cat, "idx1", s"$base/g1", "minhash")
+    LakeCatalog.register(spark, cat, "reg1", s"$base/g2", "registry")
+    LakeCatalog.register(spark, cat, "pending", s"$base/g3", "model")
+    assert(LakeCatalog.entries(spark, cat).count() == 3)
+    // upsert: latest wins by name, no duplicate rows
+    LakeCatalog.register(spark, cat, "idx1", s"$base/g1", "minhash",
+      params = Map("bands" -> "8"))
+    val e = LakeCatalog.entries(spark, cat)
+    assert(e.count() == 3)
+    assert(e.where(col("name") === "idx1").head().getAs[String]("params")
+      == "bands=8")
+    // live status: published groups resolve a version + table count;
+    // the unpublished path reads as such instead of raising
+    val st = LakeCatalog.status(spark, cat).collect()
+      .map(r => r.getString(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(st("idx1")._1.startsWith("v-") && st("idx1")._2 == 1)
+    assert(st("pending")._1 == "<unpublished>")
+    // fleet vacuum covers every entry AND the catalog itself; the
+    // repeated registrations above left catalog versions to reclaim
+    val vac = LakeCatalog.vacuumAll(spark, cat, keep = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vac.keySet == Set("idx1", "reg1", "pending", "catalog"))
+    assert(vac("catalog") >= 1, "catalog version history not vacuumed")
+    // deregister drops the row
+    LakeCatalog.deregister(spark, cat, "pending")
+    assert(LakeCatalog.entries(spark, cat).count() == 2)
+    // guards: unknown kind; clusters_indexed without its index dir
+    intercept[IllegalArgumentException](
+      LakeCatalog.register(spark, cat, "x", s"$base/g1", "nope"))
+    intercept[IllegalArgumentException](
+      LakeCatalog.register(spark, cat, "x", s"$base/g1", "clusters_indexed"))
+  }
 }
