@@ -62,6 +62,48 @@ object ScaleCheck {
     "\n\nthis site uses cookies to improve your browsing experience" +
     "\n\nprivacy settings can be adjusted in your account preferences"
 
+  /** Replica `r` of the documents table — the v3 bijective synthesis
+    * (suffix renaming + per-replica alphabet permutation); see the
+    * main's comment block for why each piece exists. Shared with
+    * [[Sf1Data]] so the sf1 evidence dir grows by the SAME recipe the
+    * ScaleCheck rows were validated under. */
+  private[graft] def synthDocsReplica(docs: org.apache.spark.sql.DataFrame,
+      r: Int): org.apache.spark.sql.DataFrame =
+    docs.select(
+      (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+      translate(regexp_replace(col("text"), "(\\S+)", "$1z" + r),
+        SCALE_ALPHABET, permutedAlphabet(r)).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
+  /** Replica `r` of embeddings: dimension-order rotation (preserves
+    * within-replica cosines, scrambles cross-replica ones). */
+  private[graft] def synthEmbReplica(emb: org.apache.spark.sql.DataFrame,
+      r: Int): org.apache.spark.sql.DataFrame =
+    emb.select(
+      (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+      expr(s"transform(sequence(0, size(embedding) - 1), " +
+        s"i -> embedding[(i + $r) % size(embedding)])").as("embedding"),
+      col("label"))
+
+  /** Replica `r` of events: every key space shifted so per-replica
+    * local structure survives (moduli documented in the main). */
+  private[graft] def synthEventsReplica(ev: org.apache.spark.sql.DataFrame,
+      r: Int): org.apache.spark.sql.DataFrame =
+    ev.select(
+      (col("event_id") + lit(r * 40562340L)).as("event_id"),
+      (col("ts") + expr(s"INTERVAL ${r * 31} DAYS")).as("ts"),
+      (col("user_id") + lit(r * 26000000L)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  private[graft] def synthCustomerReplica(cust: org.apache.spark.sql.DataFrame,
+      r: Int): org.apache.spark.sql.DataFrame =
+    cust.withColumn("c_custkey", col("c_custkey") + lit(r * 10000700L))
+
+  private[graft] def synthOrdersReplica(ord: org.apache.spark.sql.DataFrame,
+      r: Int): org.apache.spark.sql.DataFrame =
+    ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(r * 10000700L))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
@@ -89,13 +131,8 @@ object ScaleCheck {
       // token disjointness is ASSERTED after synthesis (a char
       // bijection alone can't guarantee it), so a collision fails
       // loudly instead of silently confounding df-sensitive rows.
-      (0 until mult).map { r =>
-        docs.select(
-          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-          translate(regexp_replace(col("text"), "(\\S+)", "$1z" + r),
-            SCALE_ALPHABET, permutedAlphabet(r)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionAll _)
+      (0 until mult).map(synthDocsReplica(docs, _))
+        .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
       val baseTok = docs
@@ -108,13 +145,8 @@ object ScaleCheck {
         s"cross-replica token collision: $baseTok base tokens -> $bigTok " +
           s"(expected ${mult.toLong * baseTok}); pick different permutation seeds")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      (0 until mult).map { r =>
-        emb.select(
-          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-          expr(s"transform(sequence(0, size(embedding) - 1), " +
-            s"i -> embedding[(i + $r) % size(embedding)])").as("embedding"),
-          col("label"))
-      }.reduce(_ unionAll _)
+      (0 until mult).map(synthEmbReplica(emb, _))
+        .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
       // events (r8 VERDICT #6): replicas shifted in EVERY key space so
@@ -134,13 +166,8 @@ object ScaleCheck {
       //    windows are disjoint: as-of / nearest / trailing windows
       //    can never match across replicas).
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until mult).map { r =>
-        ev.select(
-          (col("event_id") + lit(r * 40562340L)).as("event_id"),
-          (col("ts") + expr(s"INTERVAL ${r * 31} DAYS")).as("ts"),
-          (col("user_id") + lit(r * 26000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionAll _)
+      (0 until mult).map(synthEventsReplica(ev, _))
+        .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
       // customer/orders (q_temporal, q_scd2): key-space shifts only.
@@ -149,15 +176,12 @@ object ScaleCheck {
       // NEWKEY aliasing; orders follow with matching o_custkey so
       // as-of matches stay within replica (keys disjoint across).
       val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-      (0 until mult).map(r => cust
-          .withColumn("c_custkey", col("c_custkey") + lit(r * 10000700L)))
+      (0 until mult).map(synthCustomerReplica(cust, _))
         .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
       val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-      (0 until mult).map(r => ord
-          .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
-          .withColumn("o_custkey", col("o_custkey") + lit(r * 10000700L)))
+      (0 until mult).map(synthOrdersReplica(ord, _))
         .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")

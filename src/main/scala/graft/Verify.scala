@@ -21,11 +21,16 @@ object Verify {
     // outputs and exit non-zero so nothing downstream can call the run
     // clean.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -48,6 +53,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // per-key dump wall-clock (construction + write, cold, in suite
+    // order) — the timing side of an off-SF evidence run (sf1); NOT
+    // comparable to Bench's warm count-series numbers
+    Files.writeString(Paths.get(s"$outDir/_verify_times.json"),
+      times.map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+        .mkString("{", ",", "}"))
     val expected = SparkEntry.queries.keys
       .filter(n => only.isEmpty || only(n)).size
     println(s"[verify] ${expected - errors.size}/$expected queries dumped, " +
