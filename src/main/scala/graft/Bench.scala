@@ -320,6 +320,11 @@ object Bench {
       s""""calib_iters_per_ms_start":${calibStart.round},"calib_iters_per_ms_end":${calibEnd.round},""" +
       s""""calib_mt_iters_per_ms_start":${calibMtStart.round},"calib_mt_iters_per_ms_end":${calibMtEnd.round},""" +
       s""""hygiene":${jstr(hygiene)},""" +
+      // free-text measurement-context note (SPARK_GRAFT_BENCH_NOTE):
+      // e.g. the apples-to-apples host-band statement the r17 verdict
+      // asked to carry IN the artifact when the ≥850k calib bar is
+      // unreachable in the session's windows
+      s""""note":${jstr(sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTE", ""))},""" +
       s""""query_calib":$qCalib,"query_calib_mt":$qCalibMt,""" +
       s""""query_calib_forced":$qCalibF,"query_calib_mt_forced":$qCalibMtF,""" +
       s""""query_gc_ms":$qGc,"query_gc_ms_forced":$qGcF,""" +
