@@ -105,6 +105,16 @@ class PqSpec extends SparkSpec {
     // FAISS add(): encode the delta under the FROZEN published
     // codebooks, O(batch) delta commit under the same pointer
     assert(Pq.appendToIvfPqLake(spark, lake, delta, maxSegments = 0) == 1)
+    // ADVICE r17: the delta segment must inherit the published
+    // cell_id layout so indexed probes keep directory pruning over
+    // deltas — a flat delta write would silently lose it until
+    // compaction (and a layout-dropping compaction forever)
+    def layoutPartitioned(dir: String): Boolean = {
+      val f = new java.io.File(dir)
+      f.isDirectory && f.listFiles.exists(_.getName.startsWith("cell_id="))
+    }
+    assert(layoutPartitioned(s"$lake/seg-1/vectors"),
+      "appended vectors segment lost the cell_id partition layout")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val got = rows(Pq.ivfPqTopKIndexed(spark, lake, q, k = 5))
@@ -133,6 +143,12 @@ class PqSpec extends SparkSpec {
     assert(graft.sources.StormSinks.maintainGroupSegments(spark, lake, 1))
     assert(rows(Pq.ivfPqTopKIndexed(spark, lake, q, k = 5)) == want,
       "compaction changed the probe result")
+    // ... and the fold must CARRY the layout, not flatten it
+    val foldedVer = graft.sources.StormSinks.currentVersionName(spark, lake)
+    val foldedVectors = graft.sources.StormSinks
+      .segmentsAt(spark, lake, foldedVer, "vectors").head
+    assert(layoutPartitioned(foldedVectors),
+      "compaction flattened the cell_id partition layout")
     // the quantization recall audit re-runs over the APPENDED index:
     // bounded, non-degenerate recall (the retrain-cadence signal)
     val rec = Knn.rankingRecall(e, q, ks = Seq(1, 5),
