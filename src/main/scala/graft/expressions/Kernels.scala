@@ -388,4 +388,19 @@ object Kernels {
     }
     sig
   }
+
+  /** Bloom membership: true iff every position's bit is set in the
+    * bitmap (bit b at byte b>>>3, mask 1<<(b&7) — BloomAgg's layout).
+    * Positions reduce floorMod(pos, bits), matching the aggregate. */
+  def bloomContains(bitmap: Array[Byte], positions: ArrayData): Boolean = {
+    val bits = bitmap.length.toLong * 8L
+    val n = positions.numElements()
+    var i = 0
+    while (i < n) {
+      val b = java.lang.Math.floorMod(positions.getLong(i), bits).toInt
+      if ((bitmap(b >>> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

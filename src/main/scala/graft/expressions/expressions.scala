@@ -160,6 +160,24 @@ case class LshSignShaExpr(child: Expression, nPlanes: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a [[BloomAgg]] bitmap: true iff
+  * EVERY bit position in `right` is set in the `left` bitmap — the
+  * all-k-hashes test, evaluated as one codegen'd kernel call against
+  * the broadcast bitmap bytes (no per-position join rows, no lambda
+  * interpretation). Positions are reduced `floorMod(pos, bits)` with
+  * `bits = bitmap.length * 8`, matching the aggregate's guard. */
+case class BloomContainsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.bloomContains(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.bloomContains($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): BloomContainsExpr =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -193,6 +211,14 @@ object native {
   def topK(value: Column, id: Column, k: Int): Column =
     GraftColumnBridge.column(
       TopKAgg(expr(value), expr(id), k).toAggregateExpression())
+  /** Fixed-size Bloom bitmap over pre-computed bit positions — see
+    * [[BloomAgg]]. */
+  def bloomAgg(pos: Column, mBits: Int): Column =
+    GraftColumnBridge.column(
+      BloomAgg(expr(pos), mBits).toAggregateExpression())
+  /** All-positions-set membership probe — see [[BloomContainsExpr]]. */
+  def bloomContains(bitmap: Column, positions: Column): Column =
+    GraftColumnBridge.column(BloomContainsExpr(expr(bitmap), expr(positions)))
 }
 
 /** Injected optimizer rule: rewrite `size(array_intersect(a, b))`
@@ -248,6 +274,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"), info("graft_topk"),
       (args: Seq[Expression]) => TopKAgg(args(0), args(1),
         constInt(args, 2, "graft_topk")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"), info("graft_bloom_agg"),
+      (args: Seq[Expression]) => BloomAgg(args(0),
+        constInt(args, 1, "graft_bloom_agg")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), info("graft_bloom_contains"),
+      (args: Seq[Expression]) => BloomContainsExpr(args(0), args(1))))
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 

@@ -370,6 +370,79 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // -------------------------------- 25b: Bloom membership prefilter
+  /** Bloom-prefilter parameters: k=4 sha-derived positions over an
+    * m=2^20-bit bitmap (128 KiB). At the index's design load of ~10⁵
+    * distinct fingerprints the false-positive rate is
+    * (k·n/m)^k ≈ 2%; at the test corpus (450 docs, ≤1800 set bits)
+    * it is ~10⁻¹². Scale past 10⁵ fingerprints by raising
+    * [[bloomHexChars]] — each +1 hex char quarters nothing and
+    * 16×es m (6 chars = 2 MiB for ~10⁶ fingerprints at the same FP
+    * rate); positions stay engine-replayable at any size. */
+  val bloomHashes = 4
+  val bloomHexChars = 5
+  /** 4 bits per hex char — positions are uniform in [0, bloomBits). */
+  val bloomBits: Int = 1 << (bloomHexChars * 4)
+
+  /** The k Bloom bit positions of one document's content fingerprint:
+    * position_i = first [[bloomHexChars]] hex chars of
+    * sha256(i || "|" || fingerprint), parsed as an integer. sha-derived
+    * (not xxhash) so ANY engine replays membership — including which
+    * false positives fire — exactly; the dedup_bloom DuckDB oracle
+    * compares the same hex prefixes as strings. */
+  def bloomPositions(text: Column): Column = {
+    val fp = Text.fingerprint(text)
+    array((0 until bloomHashes).map { i =>
+      conv(substring(sha2(concat(lit(s"$i|"), fp), 256), 1, bloomHexChars),
+        16, 10).cast("long")
+    }: _*)
+  }
+
+  /** One-row (bitmap BINARY) Bloom membership index over a corpus's
+    * content fingerprints — the O(1)-size ingest prefilter. Built in
+    * one corpus scan with the native [[graft.expressions.BloomAgg]]:
+    * constant 128 KiB aggregation state per map partition, OR-merged,
+    * independent of corpus size. Where [[exactGroups]] answers "which
+    * docs are copies", this answers the incremental-ingest question —
+    * "is this NEW doc's content already in the corpus?" — without
+    * shuffling the batch against a corpus-sized fingerprint table:
+    * the bitmap broadcasts and each batch row probes it map-side
+    * ([[bloomProbe]]). Probe semantics are maybe-in (false positives
+    * possible at design load, never false negatives); a downstream
+    * exact path confirms positives, while the ~98%+ of genuinely-fresh
+    * docs skip it entirely. */
+  def bloomIndex(corpus: DataFrame): DataFrame =
+    corpus.select(explode(bloomPositions(col("text"))).as("pos"))
+      .agg(graft.expressions.native.bloomAgg(col("pos"), bloomBits).as("bitmap"))
+
+  /** Map-side membership classification of a batch against a built
+    * [[bloomIndex]]: (doc_id, maybe_dup). Zero shuffle — the one-row
+    * bitmap broadcasts and the probe is a codegen'd scalar over the
+    * batch scan. */
+  def bloomProbe(index: DataFrame, batch: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(index))
+      .select(col("doc_id"),
+        graft.expressions.native.bloomContains(col("bitmap"),
+          bloomPositions(col("text"))).as("maybe_dup"))
+
+  /** Publish the corpus Bloom bitmap as a versioned-lake table —
+    * build once at corpus-publish time, probe per ingest batch
+    * ([[bloomProbeLake]]). Deletion note: a Bloom bitmap cannot unset
+    * a member's bits (bits are shared), so content deletion leaves the
+    * index OVER-inclusive — deleted content reads as maybe_dup until
+    * the next republish. That is the safe direction for a prefilter
+    * (extra maybes go to the exact path; nothing fresh is dropped),
+    * so LakeDeletion's contract here is republish-on-takedown, not
+    * in-place repair. */
+  def publishBloomLake(corpus: DataFrame, dir: String): Int =
+    graft.sources.StormSinks.writeVersionedTable(bloomIndex(corpus), dir)
+
+  /** [[bloomProbe]] against the published lake bitmap: reads the
+    * current version's one-row table fresh from columnar storage. */
+  def bloomProbeLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): DataFrame =
+    bloomProbe(spark.read.format("graftlake").load(dir), batch)
+
   // --------------------------------------------------------- 27: SimHash
   /** 64-bit SimHash over word unigrams: per bit, sum +1/-1 votes of
     * each token's xxhash64; sign becomes the bit. Native codegen'd

@@ -551,6 +551,40 @@ object PipelineQueries {
         .withColumn("kept", !col("dup_exact") && !col("dup_near"))
         .orderBy(col("doc_id"))
     }),
+    // 25b: Bloom membership prefilter — the zero-shuffle fast path in
+    // front of #90's exact-fingerprint join: the corpus folds to ONE
+    // 128 KiB bitmap (native BloomAgg — constant-size mergeable
+    // state) that broadcasts to the batch probe, so classifying an
+    // ingest batch costs one batch scan and NO corpus-side work at
+    // probe time. Same fixture as dedup_incremental: the 50 exact
+    // re-ingests must read maybe_dup=true (no false negatives,
+    // by construction); positions are sha-derived so the oracle
+    // replays membership — including any false positive — exactly.
+    "dedup_bloom" -> ((s, d) => {
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = doc.where(col("doc_id") <= 450)
+      val batch = doc.where(col("doc_id") > 450)
+        .unionAll(doc.where(col("doc_id") <= 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.bloomProbe(Dedup.bloomIndex(corpus), batch)
+        .orderBy(col("doc_id"))
+    }),
+    // 25c: the published form — the bitmap written once to a
+    // versioned graftlake table at corpus-publish time and probed
+    // from a fresh columnar read (the #95/#95b/#119b build-once/
+    // serve-many shape, now for the membership prefilter). Shares
+    // dedup_bloom's oracle verbatim: the lake round-trip must be
+    // invisible to the classification.
+    "dedup_bloom_indexed" -> ((s, d) => {
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-bloom-lake").toString
+      Dedup.publishBloomLake(doc.where(col("doc_id") <= 450), lake)
+      val batch = doc.where(col("doc_id") > 450)
+        .unionAll(doc.where(col("doc_id") <= 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.bloomProbeLake(s, lake, batch).orderBy(col("doc_id"))
+    }),
     // 95: persisted-dedup-index probe — #90's corpus index PUBLISHED
     // to a versioned graftlake table and read back through the DSv2
     // source before probing (a fresh columnar scan, not the
@@ -2227,6 +2261,29 @@ object PipelineQueries {
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Shared dedup_bloom / dedup_bloom_indexed oracle: Bloom membership
+    * replayed over hex-prefix position STRINGS (injective to the
+    * engine's parsed bit indices — identical membership outcomes,
+    * false positives included). Fixture = dedup_incremental's
+    * (corpus ≤ 450; batch = fresh > 450 ∪ 50 exact re-ingests). */
+  private lazy val BLOOM_SQL: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id <= 450
+       |), batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id > 450
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id <= 50
+       |), cbits AS (
+       |  SELECT DISTINCT substr(sha256(CAST(i AS VARCHAR) || '|' || sha256($NORM)),
+       |    1, ${Dedup.bloomHexChars}) AS b
+       |  FROM corpus CROSS JOIN range(0, ${Dedup.bloomHashes}) r(i)
+       |), bbits AS (
+       |  SELECT doc_id, substr(sha256(CAST(i AS VARCHAR) || '|' || sha256($NORM)),
+       |    1, ${Dedup.bloomHexChars}) AS b
+       |  FROM batch CROSS JOIN range(0, ${Dedup.bloomHashes}) r(i)
+       |)
+       |SELECT doc_id, bool_and(b IN (SELECT b FROM cbits)) AS maybe_dup
+       |FROM bbits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** text_normalize planted fixtures (negative doc_ids), shared by the
     * Spark union and the oracle VALUES so the two sides cannot drift:
     * NFD combining marks, the zero-width family, mojibake (incl. a
@@ -3774,6 +3831,13 @@ object PipelineQueries {
          |  NOT ((n.fp IN (SELECT fp FROM fpo))
          |    OR (n.doc_id IN (SELECT doc_id FROM nearids))) AS kept
          |FROM fpn n ORDER BY n.doc_id""".stripMargin,
+    // 25b/25c: Bloom membership — replay the k sha-derived positions
+    // as hex-prefix STRINGS (the engine parses the same prefixes to
+    // bit indices; hex→int is injective, so string-set membership ==
+    // bitmap membership, false positives included). Constants
+    // interpolated from Dedup so engine and oracle cannot drift.
+    "dedup_bloom" -> BLOOM_SQL,
+    "dedup_bloom_indexed" -> BLOOM_SQL,
     // 95: the persisted-index probe must equal the in-session
     // asymmetric LSH — replay it (corpus <= 450 vs batch > 450) and
     // emit the verified pairs; the lake round-trip is invisible

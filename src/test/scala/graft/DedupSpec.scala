@@ -408,4 +408,30 @@ class DedupSpec extends SparkSpec {
         s"no capBuckets engagement metric observed; got ${hits.toSeq}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("bloom lake: published probe == in-session probe; republish swaps atomically") {
+    import spark.implicits._
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val corpus = doc.where($"doc_id" <= 30)
+    val batch = doc.where($"doc_id" > 30 && $"doc_id" <= 45)
+      .unionAll(corpus.limit(5).select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+    val lake = java.nio.file.Files.createTempDirectory("graft-bloom-lake").toString
+    Dedup.publishBloomLake(corpus, lake)
+    val fromLake = Dedup.bloomProbeLake(spark, lake, batch)
+      .orderBy($"doc_id").collect().toSeq
+    val inSession = Dedup.bloomProbe(Dedup.bloomIndex(corpus), batch)
+      .orderBy($"doc_id").collect().toSeq
+    assert(fromLake == inSession)
+    assert(fromLake.count(_.getBoolean(1)) >= 5, "re-ingested members must read true")
+    // republish over a GROWN corpus: new members become visible, old
+    // members stay (bits only accumulate within a version; the swap
+    // is the versioned-pointer publish, so readers never see a blend)
+    val grown = doc.where($"doc_id" <= 45)
+    Dedup.publishBloomLake(grown, lake)
+    val after = Dedup.bloomProbeLake(spark, lake,
+      grown.select(($"doc_id" + 9000L).as("doc_id"), $"text"))
+    assert(after.where(!$"maybe_dup").count() == 0,
+      "every grown-corpus member must read true after republish")
+  }
 }

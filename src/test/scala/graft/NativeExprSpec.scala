@@ -163,4 +163,64 @@ class NativeExprSpec extends SparkSpec {
       .select(Dedup.simhash64($"t")).head.getLong(0)
     assert(r == c)
   }
+
+  test("bloom probe == position-set composition; no false negatives on members") {
+    val corpus = docs.where($"doc_id" <= 300)
+    val idx = Dedup.bloomIndex(corpus)
+    val got = Dedup.bloomProbe(idx, docs)
+    // reference: all k positions ∈ the corpus's DISTINCT position set
+    // (the definition the bitmap compresses — built-ins only)
+    val cset = corpus
+      .select(explode(Dedup.bloomPositions($"text")).as("p"))
+      .agg(collect_set($"p").as("ps"))
+    val ref = docs.crossJoin(broadcast(cset))
+      .select($"doc_id",
+        forall(Dedup.bloomPositions($"text"),
+          p => array_contains($"ps", p)).as("want"))
+    val diff = got.join(ref, "doc_id").where($"maybe_dup" =!= $"want").count()
+    assert(diff == 0)
+    // Bloom contract: a member can NEVER read false
+    val fn = Dedup.bloomProbe(idx,
+      corpus.select(($"doc_id" + 5000000L).as("doc_id"), $"text"))
+      .where(!$"maybe_dup").count()
+    assert(fn == 0)
+  }
+
+  test("bloom bitmap is row-order/partitioning/merge-shape invariant") {
+    val corpus = docs.where($"doc_id" <= 300)
+    def bits(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      Dedup.bloomIndex(df).head.getAs[Array[Byte]]("bitmap")
+    val b1 = bits(corpus.repartition(1))
+    val b32 = bits(corpus.repartition(32))
+    val brev = bits(corpus.orderBy($"doc_id".desc).repartition(7))
+    assert(java.util.Arrays.equals(b1, b32))
+    assert(java.util.Arrays.equals(b1, brev))
+    assert(b1.length == Dedup.bloomBits / 8)
+  }
+
+  test("bloom positions floorMod-wrap: -1 and mBits-1 set the same bit") {
+    val m = Dedup.bloomBits
+    val r = spark.sql(
+      s"""SELECT graft_bloom_contains(b, array(CAST(${m - 1} AS BIGINT))) AS hi,
+         |  graft_bloom_contains(b, array(CAST(${2L * m + 7} AS BIGINT))) AS wrap,
+         |  graft_bloom_contains(b, array(CAST(7 AS BIGINT))) AS base,
+         |  graft_bloom_contains(b, array(CAST(8 AS BIGINT))) AS miss,
+         |  graft_bloom_contains(b, array()) AS empty
+         |FROM (SELECT graft_bloom_agg(p, $m) AS b
+         |      FROM (VALUES (CAST(-1 AS BIGINT)), (CAST(7 AS BIGINT))) v(p))
+         |""".stripMargin).head()
+    assert(r.getBoolean(0), "-1 wraps to bit mBits-1")
+    assert(r.getBoolean(1), "2m+7 wraps to bit 7")
+    assert(r.getBoolean(2))
+    assert(!r.getBoolean(3), "unset bit reads false")
+    assert(r.getBoolean(4), "empty position set is vacuously a member")
+  }
+
+  test("graft_bloom_agg validates its argument types cleanly") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_bloom_agg(t, ${Dedup.bloomBits}) FROM (SELECT 'x' AS t)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_bloom_agg"))
+  }
 }
