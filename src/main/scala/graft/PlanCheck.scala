@@ -44,6 +44,8 @@ object PlanCheck {
     "corpus_pretrain" -> StatRow,
     "decon_embed" -> BoundedSide,
     "decon_embed_ivf" -> BoundedSide,
+    "dedup_bloom" -> StatRow,
+    "dedup_bloom_indexed" -> StatRow,
     "dedup_embed" -> BoundedSide,
     "dedup_recall" -> RecallRow,
     "embed_classify" -> StatRow,
@@ -57,6 +59,7 @@ object PlanCheck {
     "knn_recall" -> RecallRow,
     "knn_recall_lsh" -> RecallRow,
     "knn_recall_pq" -> RecallRow,
+    "knn_recall_trunc" -> BoundedSide,
     "mm_recall" -> RecallRow,
     "pretrain_examples" -> StatRow,
     "pretrain_examples_bpe" -> StatRow,

@@ -277,6 +277,35 @@ object Text {
     when(size(arr) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
 
+  // ------------------------------------------- code-vs-prose detection
+  /** Structural-symbol class for code detection: braces, brackets,
+    * parens, semicolons, assignment/comparison. Identical literal in
+    * Java regex and RE2, so the oracle interpolates the same string.
+    * Computed on the RAW text — code is case/layout-sensitive, so no
+    * [[normalize]] here. */
+  val codeSymbolRe: String = """[{}()\[\];=<>]"""
+
+  /** Programming-keyword alternation (word-bounded; \b agrees between
+    * Java regex and RE2 on ASCII). "returns" does NOT match
+    * \breturn\b — prose about returns stays prose. */
+  val codeKeywordRe: String =
+    """\b(def|return|import|for|while|if|else|int|var|let|function|class|void|public)\b"""
+
+  /** Count of structural symbols (delete-and-diff: one regexp pass). */
+  def codeSymbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, codeSymbolRe, ""))).cast("long")
+
+  /** Count of word-bounded programming-keyword hits. */
+  def codeKeywordHits(text: Column): Column =
+    regexp_count(text, lit(codeKeywordRe)).cast("long")
+
+  /** Code-vs-prose gate in pure integer arithmetic (no double drift):
+    * symbol mass ≥ 4% of chars, or ≥ 3 keyword hits. The mixing
+    * signal a pretrain pipeline uses to route code to its own domain
+    * budget. */
+  def isCode(nChars: Column, nSymbols: Column, kwHits: Column): Column =
+    (nSymbols * 25 >= nChars && nChars > 0) || kwHits >= 3
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

@@ -370,6 +370,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // --------------------- 38b: cluster representative selection
+  /** Keep-BEST cluster representative — [[clusters]] (and the oracle
+    * convention throughout) canonicalizes on min doc_id, which is
+    * arrival order, not merit; production dedup keeps the member with
+    * the most content. Per cluster: the member with the longest
+    * normalized text (ties → min doc_id — a TOTAL order, so the
+    * choice is deterministic and engine-replayable).
+    *
+    * Shuffle-bounded by construction: the election is a map-side
+    * partial `max(struct(len, -doc_id))` aggregate keyed on
+    * cluster_id — one candidate row per (map partition, cluster)
+    * rides the shuffle, a hot cluster costs O(1) memory — not a
+    * window sort over whole groups. Output: (cluster_id, kept_id,
+    * kept_len, n_members). */
+  def keepBest(labels: DataFrame, docs: DataFrame): DataFrame =
+    labels.join(
+        docs.select(col("doc_id"),
+          length(Text.normalize(col("text"))).cast("long").as("len")),
+        "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("best.len").as("kept_len"), col("n_members"))
+
   // -------------------------------- 25b: Bloom membership prefilter
   /** Bloom-prefilter parameters: k=4 sha-derived positions over an
     * m=2^20-bit bitmap (128 KiB). At the index's design load of ~10⁵

@@ -816,6 +816,27 @@ object Knn {
       .orderBy(col("query_id"), col("k"))
   }
 
+  // --------------------- 148d: truncated-dimension (MRL) recall audit
+  /** Recall of TRUNCATED-dimension search vs full-dimension exact —
+    * the audit a Matryoshka-representation (MRL) deployment runs
+    * before serving prefix-dim vectors: rank by cosine over the first
+    * `dims` components only, measure overlap with the full-dim
+    * ranking at each cutoff. Unlike the IVF/PQ/LSH audits this one
+    * prices a REPRESENTATION choice, not an index structure: at scale
+    * a 4× dim cut is 4× less scan/shuffle/cache bytes for EVERY dense
+    * operator upstream of re-rank, and this number says what ranking
+    * quality that buys. Same [[rankingRecall]] core and output shape
+    * as the other audits (truth side is test-scale brute force by
+    * construction — the audit is the measurement tool). */
+  def truncRecall(corpus: DataFrame, queries: DataFrame, ks: Seq[Int],
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+    rankingRecall(corpus, queries, ks,
+      cosineTopK(trunc(corpus), trunc(queries), ks.max))
+  }
+
   // ------------------------------- 146: contrastive triplet mining
   /** Contrastive training-triplet export — the data product an
     * embedding-model fine-tune consumes: per anchor, its most-similar

@@ -668,6 +668,17 @@ object PipelineQueries {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.jaccardPairs(docs(s, d), k = 3, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    // 38b: keep-BEST cluster representative — min-id canonicalization
+    // is arrival order, not merit; this elects the longest-content
+    // member per cluster (tie → min doc_id: a total order). Map-side
+    // max(struct) partial agg, one candidate per (partition, cluster)
+    // on the shuffle — never a whole-group window sort.
+    "dedup_keep_best" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.keepBest(
+          Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5)), doc)
+        .orderBy(col("cluster_id"))
+    }),
     // 79: triangle enumeration over the near-dup graph (graph motif
     // counting): triples of mutually-similar documents — the signal
     // that separates pairwise noise from genuinely replicated content.
@@ -928,6 +939,16 @@ object PipelineQueries {
       graft.operators.Pretrain.examples(src, bench)
         .orderBy(col("shard_id"), col("pack_id"))
     }),
+    // 149: SFT prompt-masked example prep — the loss-mask boundary an
+    // instruction-tuning trainer consumes: chat-template rendering,
+    // maxLen truncation, and per-example shas of the FULL rendered
+    // token stream and 0/1 mask stream (every token and mask bit
+    // oracle-proven, not just the counts). Narrow codegen'd map,
+    // zero shuffle.
+    "sft_examples" -> ((s, d) =>
+      graft.operators.Pretrain.sftExamples(docs(s, d),
+        promptTokens = SFT_PROMPT, maxLen = SFT_MAXLEN)
+        .orderBy(col("doc_id"))),
     // 141b: the same examples packed in TRAINER-REAL tokens — the
     // 8-round BPE tokenizer trains on the raw corpus (tokenizers
     // precede curation) and each chunk costs the sum of its words'
@@ -1166,6 +1187,16 @@ object PipelineQueries {
         Knn.lshTopK(e, q, k = 5, bandBits = 4)
           .select(col("query_id"), col("rk"), col("vec_id")))
     }),
+    // 148d: truncated-dimension (Matryoshka) recall audit — recall of
+    // prefix-16-dim cosine ranking vs the full 64-dim exact ranking:
+    // where #148/#148b/#148c price an INDEX structure, this prices a
+    // REPRESENTATION cut (4× fewer vector bytes through every dense
+    // stage). Shares rankingRecall's core and output shape.
+    "knn_recall_trunc" -> ((s, d) => {
+      val e = embs(s, d)
+      Knn.truncRecall(e, e.where(col("vec_id") < 10),
+        ks = Seq(1, 5, 10), dims = 16)
+    }),
     // 122: MMR diversity re-rank — greedy λ=0.7 maximal-marginal-
     // relevance over the per-query top-10 ANN pool, exact scaled-
     // BIGINT objective (7·rel − 3·maxSim on the 1e-6 grid), fixed
@@ -1348,6 +1379,32 @@ object PipelineQueries {
       round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
       Text.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))),
+    // 150: code-vs-prose detection — the domain-routing signal a
+    // pretrain mixer needs (code gets its own budget/tokenizer
+    // treatment): structural-symbol mass + word-bounded keyword hits
+    // over the RAW text (code is case/layout-sensitive), gated in
+    // pure integer arithmetic. The corpus is prose, so the planted
+    // fixtures (python / C / JSON / two prose traps) carry the
+    // behavior, UNIONed in both engines from the same constants.
+    // Narrow two-regexp map — zero shuffle at any corpus size.
+    "text_code" -> ((s, d) => {
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(codePlanted.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          Text.codeSymbolCount(col("text")).as("n_symbols"),
+          Text.codeKeywordHits(col("text")).as("kw_hits"))
+        .withColumn("is_code",
+          Text.isCode(col("n_chars"), col("n_symbols"), col("kw_hits")))
+        .orderBy(col("doc_id"))
+    }),
     // 33: token counting, three ways
     "text_tokens" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -2261,6 +2318,12 @@ object PipelineQueries {
   /** DuckDB oracles. Shared normalization: lower+trim+collapse-ws. */
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** sft_examples parameters, interpolated into BOTH the Spark call
+    * and the oracle SQL so the two sides cannot drift. nPrompt =
+    * SFT_PROMPT + 2 role markers. */
+  private val SFT_PROMPT = 8
+  private val SFT_MAXLEN = 96
+
   /** Shared dedup_bloom / dedup_bloom_indexed oracle: Bloom membership
     * replayed over hex-prefix position STRINGS (injective to the
     * engine's parsed bit indices — identical membership outcomes,
@@ -2536,6 +2599,23 @@ object PipelineQueries {
     * (<0x20) emitted as chr(n) concatenation so the SQL stays printable
     * (raw newlines inside a literal would also collide with the
     * surrounding stripMargin). */
+  /** text_code planted fixtures (negative doc_ids), UNIONed in both
+    * engines from these constants: python (keywords + symbols), C
+    * (both signals), JSON config (symbols only), prose with light
+    * punctuation (under both gates), and prose that mentions
+    * keyword-lookalikes ("returns" ≠ \breturn\b; for/if = 2 hits < 3). */
+  private val codePlanted: Seq[(Long, String)] = Seq(
+    -21L -> ("def main(args):\n    import sys\n    for i in range(10):\n" +
+      "        x = i * 2\n    if x > 5:\n        return x\n" +
+      "    while x < 100:\n        x = x + 1"),
+    -22L -> ("int main() { int x = 0; for (int i = 0; i < 10; i++) " +
+      "{ x += i; } return x; }"),
+    -23L -> """{ "config": [1, 2, 3], "flag": true, "name": "value" }""",
+    -24L -> ("the quick brown fox jumps over the lazy dog and then " +
+      "(briefly) pauses to consider the meaning of life; it finds " +
+      "none worth keeping."),
+    -25L -> "sales rose by 10 percent for the quarter if we exclude returns")
+
   private def sqlStr(s: String): String = {
     val sb = new StringBuilder("'")
     s.foreach {
@@ -3755,6 +3835,44 @@ object PipelineQueries {
          |      FROM e qe CROSS JOIN krl_ks WHERE qe.vec_id < 10) b
          |LEFT JOIN krl_hits h ON b.query_id = h.query_id AND b.k = h.k
          |ORDER BY b.query_id, b.k""".stripMargin,
+    // 148d: the truncated-dim audit — approximate side ranks by cosine
+    // over the first 16 components (list slice), exact side is the
+    // full-dim ranking; same hits/base shape as knn_recall.
+    "knn_recall_trunc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |krt_apx AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS ark
+         |  FROM (
+         |    SELECT qe.vec_id AS query_id, ce.vec_id,
+         |      round(${cosSql("ce.v[1:16]", "qe.v[1:16]")}, 6) AS cos
+         |    FROM e ce CROSS JOIN e qe
+         |    WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+         |  )
+         |), krt_exr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS erk
+         |  FROM (
+         |    SELECT qe.vec_id AS query_id, ce.vec_id,
+         |      round(${cosSql("ce.v", "qe.v")}, 6) AS cos
+         |    FROM e ce CROSS JOIN e qe
+         |    WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+         |  )
+         |), krt_ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+         |krt_hits AS (
+         |  SELECT a.query_id, krt_ks.k, CAST(count(*) AS BIGINT) AS hits
+         |  FROM krt_apx a JOIN krt_exr x
+         |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |  CROSS JOIN krt_ks
+         |  WHERE a.ark <= krt_ks.k AND x.erk <= krt_ks.k
+         |  GROUP BY a.query_id, krt_ks.k
+         |)
+         |SELECT b.query_id, b.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(b.k AS DOUBLE), 6) AS recall
+         |FROM (SELECT qe.vec_id AS query_id, krt_ks.k
+         |      FROM e qe CROSS JOIN krt_ks WHERE qe.vec_id < 10) b
+         |LEFT JOIN krt_hits h ON b.query_id = h.query_id AND b.k = h.k
+         |ORDER BY b.query_id, b.k""".stripMargin,
     // 26: full LSH replay — sha-256-prefix minhash signature, banded
     // keys, candidate join, exact-Jaccard verify (threshold 0.2).
     "dedup_minhash" ->
@@ -4024,6 +4142,37 @@ object PipelineQueries {
          |)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // 38b: the cluster closure joined back to documents; the election
+    // is a per-cluster window argmax on (len DESC, doc_id) — same
+    // total order the Spark max(struct) encodes
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $SH3, jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |), clu AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), mem AS (
+         |  SELECT cluster_id, doc_id, CAST(length($NORM) AS BIGINT) AS len
+         |  FROM clu JOIN documents USING (doc_id)
+         |), rk AS (
+         |  SELECT cluster_id, doc_id, len,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM mem
+         |)
+         |SELECT cluster_id, doc_id AS kept_id, len AS kept_len,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM rk WHERE r = 1 ORDER BY cluster_id""".stripMargin,
     // 123: the oracle is a FULL-union from-scratch recompute (same
     // closure as dedup_cluster, all docs self-labeled through the
     // left join) — hashing it against the Spark side's incremental
@@ -4308,6 +4457,35 @@ object PipelineQueries {
         |  UNION ALL SELECT '6_decontaminate', CAST(count(*) AS BIGINT) FROM pk2
         |  UNION ALL SELECT '7_temperature_sample', CAST(count(*) AS BIGINT) FROM samp
         |) ORDER BY stage""".stripMargin),
+    // 149: SFT prompt-masked examples — rebuild the rendered token
+    // stream (role markers + prompt/response split + maxLen
+    // truncation) and the 0/1 mask stream, hash both. Constants
+    // interpolated from SFT_PROMPT/SFT_MAXLEN.
+    "sft_examples" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS w
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, w FROM toks WHERE len(w) > $SFT_PROMPT
+         |), ren AS (
+         |  SELECT doc_id,
+         |    list_concat(list_concat(list_concat(
+         |      ['<|user|>'], w[1:$SFT_PROMPT]),
+         |      ['<|assistant|>']), w[${SFT_PROMPT + 1}:]) AS a
+         |  FROM st
+         |), kp AS (
+         |  SELECT doc_id, len(a) AS n_tokens, a[1:$SFT_MAXLEN] AS kept FROM ren
+         |)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(kept) - ${SFT_PROMPT + 2} AS BIGINT) AS n_target,
+         |  sha256(array_to_string(kept, ' ')) AS text_sha,
+         |  sha256(array_to_string(list_transform(range(1, len(kept) + 1),
+         |    i -> CASE WHEN i <= ${SFT_PROMPT + 2} THEN '0' ELSE '1' END),
+         |    ',')) AS mask_sha
+         |FROM kp WHERE len(kept) > ${SFT_PROMPT + 2}
+         |ORDER BY doc_id""".stripMargin,
     // 141: manifest -> trainer-ready examples: 64/16 context chunks of
     // each manifest doc's cleaned text, packed into 256-token examples
     // IN TRAINING ORDER (the pack window partitions by the manifest
@@ -5123,6 +5301,29 @@ object PipelineQueries {
          |SELECT doc_id, text_norm, text_norm <> text AS changed,
          |  m <> text AS mojibake_fixed
          |FROM fx ORDER BY doc_id""".stripMargin
+    },
+    // 150: the two regexp signals + integer gate replayed; planted
+    // rows interpolated from the same codePlanted constants
+    "text_code" -> {
+      val vals = codePlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $vals) pl(doc_id, text)
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      ${sqlStr(graft.functions.Text.codeSymbolRe)}, '', 'g')) AS BIGINT) AS n_symbols,
+         |    CAST(len(regexp_extract_all(text,
+         |      ${sqlStr(graft.functions.Text.codeKeywordRe)})) AS BIGINT) AS kw_hits
+         |  FROM src
+         |)
+         |SELECT doc_id, n_chars, n_symbols, kw_hits,
+         |  ((n_symbols * 25 >= n_chars AND n_chars > 0) OR kw_hits >= 3) AS is_code
+         |FROM m ORDER BY doc_id""".stripMargin
     },
     // 32: the SAME quality chain the corpus_curriculum oracle
     // interpolates (QUALITY_CTES — one copy of the formula per engine)

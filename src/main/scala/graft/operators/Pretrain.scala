@@ -364,4 +364,62 @@ object Pretrain {
       .unionByName(c("7_temperature_sample", st.sampled))
       .orderBy(col("stage"))
   }
+
+  // --------------------------- 149: SFT prompt-masked example prep
+  /** Supervised-fine-tuning example prep — where [[examples]] packs
+    * tokens for a next-token-everywhere pretraining loss, an SFT
+    * trainer additionally needs the LOSS-MASK boundary: prompt tokens
+    * (and role markers) are label-masked, only response tokens train.
+    * Renders each document as one chat-templated example
+    * (`<|user|>` prompt `<|assistant|>` response), truncates to
+    * `maxLen` rendered tokens, and emits per example the boundary
+    * counts plus sha-256 hashes of the FULL rendered token stream and
+    * the full 0/1 mask stream — so the oracle proves every token and
+    * every mask bit, not just the counts.
+    *
+    * The prompt/response split here is positional (first
+    * `promptTokens` tokens: the synthetic corpus has no dialogue
+    * structure); with real SFT data the split comes from the source
+    * schema and everything downstream — template, truncation,
+    * mask — is unchanged. Docs with no trainable response token
+    * (≤ promptTokens tokens, or nothing left after truncation) drop.
+    *
+    * Scale: a narrow codegen'd map over the doc scan — zero shuffle,
+    * no UDF, tokens staged as an attribute ref so HOF lambdas don't
+    * re-tokenize per element. Output: (doc_id, n_tokens, n_kept,
+    * n_target, text_sha, mask_sha). */
+  def sftExamples(src: DataFrame, promptTokens: Int = 8,
+      maxLen: Int = 96): DataFrame = {
+    require(promptTokens > 0 && maxLen > promptTokens + 2,
+      s"need maxLen > promptTokens + 2 markers, got ($promptTokens, $maxLen)")
+    val nPrompt = promptTokens + 2 // + <|user|> and <|assistant|> markers
+    val staged = src
+      .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("toks"))
+      .where(size(col("toks")) > promptTokens)
+    val rendered = staged.select(
+      col("doc_id"),
+      concat(
+        array(lit("<|user|>")),
+        slice(col("toks"), 1, promptTokens),
+        array(lit("<|assistant|>")),
+        slice(col("toks"), lit(promptTokens + 1),
+          size(col("toks")) - promptTokens)).as("all"))
+    val kept = rendered.select(
+      col("doc_id"),
+      size(col("all")).cast("long").as("n_tokens"),
+      slice(col("all"), 1, maxLen).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"), col("kept"))
+      .where(col("n_kept") > nPrompt)
+    kept.select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("n_kept"),
+      (col("n_kept") - nPrompt).as("n_target"),
+      sha2(array_join(col("kept"), " "), 256).as("text_sha"),
+      sha2(array_join(
+        transform(sequence(lit(1L), col("n_kept")),
+          i => when(i <= nPrompt, lit("0")).otherwise(lit("1"))),
+        ","), 256).as("mask_sha"))
+  }
 }

@@ -434,4 +434,25 @@ class DedupSpec extends SparkSpec {
     assert(after.where(!$"maybe_dup").count() == 0,
       "every grown-corpus member must read true after republish")
   }
+
+  test("keepBest: elects the longest member, min-id on ties, counts members") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "short text"),
+      (2L, "the much longer member of cluster one wins"),
+      (3L, "mid length text here"),
+      (10L, "same LENGTH a"),   // normalizes to 13 chars
+      (11L, "SAME length b"),   // same normalized length -> tie, min id
+      (99L, "an unclustered doc that must not appear")
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBest(labels, docs).orderBy($"cluster_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("cluster_id") == 1L)
+    assert(out(0).getAs[Long]("kept_id") == 2L)
+    assert(out(0).getAs[Long]("n_members") == 3L)
+    assert(out(1).getAs[Long]("kept_id") == 10L, "tie must break to min doc_id")
+    assert(out(1).getAs[Long]("n_members") == 2L)
+  }
 }

@@ -523,4 +523,24 @@ class KnnSpec extends SparkSpec {
       assert(r.getAs[Double]("ndcg") == 0.0)
     }
   }
+
+  test("truncRecall: full-dim truncation is recall 1.0; prefix dims stay in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+    // dims = the full width -> the "approximate" ranking IS the exact
+    // ranking, so recall must be exactly 1.0 at every cutoff
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    Knn.truncRecall(e, q, ks = Seq(1, 5), dims = dims).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"full-dim trunc must be exact: $r")
+    }
+    // a real prefix cut: well-formed recall, hits consistent with it
+    Knn.truncRecall(e, q, ks = Seq(1, 5), dims = 16).collect().foreach { r =>
+      val k = r.getAs[Long]("k")
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= k)
+      assert(math.abs(r.getAs[Double]("recall") - hits.toDouble / k) < 1e-9)
+    }
+  }
 }

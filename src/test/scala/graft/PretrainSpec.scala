@@ -236,4 +236,41 @@ class PretrainSpec extends SparkSpec {
       assert(anyShard.zip(anyShard.tail).exists { case (a, b) => a > b },
         "within-shard order looks like raw id order — salt not applied")
   }
+
+  test("sftExamples: mask boundary, truncation, and drop rules") {
+    import org.apache.spark.sql.functions._
+    val fix = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),   // 20 toks: kept whole
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),    // == promptTokens: drops
+      (3L, (1 to 9).map(i => s"w$i").mkString(" ")),    // 1 response token
+      (4L, (1 to 200).map(i => s"w$i").mkString(" ")),  // truncates to maxLen
+      (5L, ""),                                         // empty: drops
+      (6L, "   ")                                       // whitespace-only: drops
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pretrain.sftExamples(fix,
+      promptTokens = 8, maxLen = 96).orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // 20 toks -> 22 rendered, prompt span 10, target 12
+    assert(byId(1L).getAs[Long]("n_tokens") == 22L)
+    assert(byId(1L).getAs[Long]("n_kept") == 22L)
+    assert(byId(1L).getAs[Long]("n_target") == 12L)
+    // 9 toks -> exactly one trainable token
+    assert(byId(3L).getAs[Long]("n_target") == 1L)
+    // 200 toks -> 202 rendered, truncated to 96 kept, 86 target
+    assert(byId(4L).getAs[Long]("n_tokens") == 202L)
+    assert(byId(4L).getAs[Long]("n_kept") == 96L)
+    assert(byId(4L).getAs[Long]("n_target") == 86L)
+    // the rendered stream is the template verbatim (re-derive doc 1)
+    val expect1 = ("<|user|> " + (1 to 8).map(i => s"w$i").mkString(" ")
+      + " <|assistant|> " + (9 to 20).map(i => s"w$i").mkString(" "))
+    val sha1 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(expect1.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(byId(1L).getAs[String]("text_sha") == sha1)
+    // mask stream: 10 zeros then ones
+    val mask1 = ((1 to 22).map(i => if (i <= 10) "0" else "1")).mkString(",")
+    val msha1 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(mask1.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(byId(1L).getAs[String]("mask_sha") == msha1)
+  }
 }
