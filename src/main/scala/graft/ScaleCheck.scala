@@ -360,6 +360,16 @@ object ScaleCheck {
       // (which ARE measured: dedup_simhash via HotKeyStressSpec,
       // mm_dedup / mm_dedup@media rows here).
       "pretrain_examples_bpe_indexed", "retrieval_eval_hybrid",
+      // round-18: the Bloom prefilter pair (bitmap build = one
+      // corpus-linear agg with CONSTANT 128 KiB state; probe = a
+      // batch-linear broadcast map — both forms should be among the
+      // most linear rows here), keep-best (cluster closure + one
+      // map-side argmax agg), the SFT/code-detection narrow maps,
+      // and the truncated-dim audit (two brute-force rankings over
+      // FIXED 10-query anchors — rows constant, wall = two scans,
+      // the knn_recall precedent)
+      "dedup_bloom", "dedup_bloom_indexed", "dedup_keep_best",
+      "sft_examples", "text_code", "knn_recall_trunc",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under
