@@ -76,6 +76,7 @@ object PlanCheck {
     "simhash_recall" -> RecallRow,
     "text_bm25" -> StatRow,
     "text_ccnet" -> StatRow,
+    "text_cms" -> StatRow,
     "text_heavyhitters" -> StatRow,
     "text_langid2" -> BoundedSide,
     "text_lmscore" -> StatRow,

@@ -370,6 +370,10 @@ object ScaleCheck {
       // the knn_recall precedent)
       "dedup_bloom", "dedup_bloom_indexed", "dedup_keep_best",
       "sft_examples", "text_code", "knn_recall_trunc",
+      // the CM sketch (one token explode + the constant-state agg +
+      // a 10-row broadcast probe — should track the token-scan rows)
+      // and link extraction (pure narrow map; +3 planted rows const)
+      "text_cms", "html_links",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

@@ -105,3 +105,85 @@ case class BloomAgg(
   protected override def withNewChildInternal(newChild: Expression): BloomAgg =
     copy(child = newChild)
 }
+
+/** Native count-min-sketch aggregate: sums occurrences into a fixed
+  * `nCounters`-long counter array (one flat index per (seed, bucket),
+  * pre-computed by the caller the way [[BloomAgg]] takes positions,
+  * so a SQL oracle can replay every counter — bucket collisions
+  * included). Emitted as an 8·nCounters-byte BINARY (little-endian
+  * longs), probed with [[CmsEstimateExpr]] (min over the probe's own
+  * seed counters — the classic CM upper bound, never an
+  * underestimate).
+  *
+  * The frequency-sketch complement of [[BloomAgg]]'s membership
+  * bitmap, and the MERGEABLE fixed-size alternative to exact token
+  * counting: aggregation state is constant (128 KiB at 4×4096
+  * counters) regardless of vocabulary size, partial states ADD
+  * map-side, and the result broadcasts — the shape a streaming
+  * heavy-hitter gate or a cross-shard frequency merge wants at
+  * 100 TB, where the exact (token, count) table is itself a shuffle.
+  * Deterministic by algebra: counter addition is commutative/
+  * associative, so row order, partition count, and merge shape are
+  * irrelevant. */
+case class CmsAgg(
+    child: Expression,
+    nCounters: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(nCounters >= 1, s"nCounters must be positive, got $nCounters")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_agg requires a BIGINT counter-index argument, got " +
+        child.dataType.catalogString)
+
+  override def prettyName: String = "graft_cms_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nCounters)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      buf(java.lang.Math.floorMod(v.asInstanceOf[Long], nCounters.toLong).toInt) += 1L
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = toBytes(buf)
+
+  /** Counter i occupies bytes 8i..8i+7, little-endian — the layout
+    * [[Kernels.cmsEstimate]] reads. */
+  private def toBytes(counts: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(counts.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(counts)
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  protected override def withNewChildInternal(newChild: Expression): CmsAgg =
+    copy(child = newChild)
+}

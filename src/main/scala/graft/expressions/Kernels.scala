@@ -389,6 +389,27 @@ object Kernels {
     sig
   }
 
+  /** Count-min estimate: min of the little-endian 8-byte counters at
+    * the given flat indices (CmsAgg's layout). Indices reduce
+    * floorMod(idx, nCounters), matching the aggregate. Empty index
+    * arrays return 0 (no seeds = no evidence). */
+  def cmsEstimate(sketch: Array[Byte], indices: ArrayData): Long = {
+    val n = indices.numElements()
+    if (n == 0) return 0L
+    val nc = sketch.length / 8
+    var best = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Math.floorMod(indices.getLong(i), nc.toLong).toInt
+      var v = 0L
+      var b = 7
+      while (b >= 0) { v = (v << 8) | (sketch(c * 8 + b) & 0xffL); b -= 1 }
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+
   /** Bloom membership: true iff every position's bit is set in the
     * bitmap (bit b at byte b>>>3, mask 1<<(b&7) — BloomAgg's layout).
     * Positions reduce floorMod(pos, bits), matching the aggregate. */

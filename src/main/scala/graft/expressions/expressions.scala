@@ -178,6 +178,22 @@ case class BloomContainsExpr(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** Count-min estimate over a [[CmsAgg]] sketch: min of the counters
+  * at the probe's own per-seed indices — the CM upper bound (≥ the
+  * true count, never below). One codegen'd kernel call against the
+  * broadcast sketch bytes. */
+case class CmsEstimateExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cmsEstimate(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.cmsEstimate($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimateExpr =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -219,6 +235,14 @@ object native {
   /** All-positions-set membership probe — see [[BloomContainsExpr]]. */
   def bloomContains(bitmap: Column, positions: Column): Column =
     GraftColumnBridge.column(BloomContainsExpr(expr(bitmap), expr(positions)))
+  /** Fixed-size count-min-sketch counters over pre-computed flat
+    * (seed, bucket) indices — see [[CmsAgg]]. */
+  def cmsAgg(idx: Column, nCounters: Int): Column =
+    GraftColumnBridge.column(
+      CmsAgg(expr(idx), nCounters).toAggregateExpression())
+  /** Min-over-own-seeds count estimate — see [[CmsEstimateExpr]]. */
+  def cmsEstimate(sketch: Column, indices: Column): Column =
+    GraftColumnBridge.column(CmsEstimateExpr(expr(sketch), expr(indices)))
 }
 
 /** Injected optimizer rule: rewrite `size(array_intersect(a, b))`
@@ -279,6 +303,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         constInt(args, 1, "graft_bloom_agg")).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), info("graft_bloom_contains"),
       (args: Seq[Expression]) => BloomContainsExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_agg"), info("graft_cms_agg"),
+      (args: Seq[Expression]) => CmsAgg(args(0),
+        constInt(args, 1, "graft_cms_agg")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"), info("graft_cms_estimate"),
+      (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1))))
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 

@@ -1379,6 +1379,35 @@ object PipelineQueries {
       round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
       Text.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))),
+    // 151: HTML link extraction — the crawl-pipeline step BEFORE
+    // html_extract strips markup: (url, anchor, host) edges per page,
+    // the raw material of link graphs, anchor-text signals, and
+    // host-level dedup/spam scoring. Two regexp_extract_all passes
+    // (group 1 = href, group 2 = anchor) zipped positionally, host
+    // from one more extract; narrow map + posexplode, zero joins.
+    // The corpus is markup-free so the planted pages carry the
+    // behavior (incl. a relative URL -> empty host and a zero-link
+    // page that must yield no rows).
+    "html_links" -> ((s, d) => {
+      val planted = s.createDataFrame(
+        java.util.Arrays.asList(linksPlanted.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(LINK_RE), lit(1)).as("urls"),
+          regexp_extract_all(col("text"), lit(LINK_RE), lit(2)).as("anchors"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("urls"), col("anchors"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_pos"),
+          col("col.urls").as("url"), col("col.anchors").as("anchor"))
+        .withColumn("host", regexp_extract(col("url"), HOST_RE, 1))
+        .orderBy(col("doc_id"), col("link_pos"))
+    }),
     // 150: code-vs-prose detection — the domain-routing signal a
     // pretrain mixer needs (code gets its own budget/tokenizer
     // treatment): structural-symbol mass + word-bounded keyword hits
@@ -2248,6 +2277,35 @@ object PipelineQueries {
     // summary). At 100 TB the summary is k slots per partition merged
     // map-side — the exact groupBy beside it is the test-scale
     // verifier, not the production path.
+    // 113c: count-min-sketch frequency estimates — the MERGEABLE
+    // fixed-size complement of #113's Misra–Gries summary (MG keeps
+    // WHICH tokens are heavy; CM answers "how often is token t" for
+    // any t from constant state). The sketch is the native CmsAgg
+    // (4 seeds × 4096 sha-derived buckets = 128 KiB, map-side-added
+    // partials, broadcast to the probe); probes are the exact top-10
+    // tokens, emitting exact vs estimate vs overestimate — every
+    // counter (collisions included) is sha-replayed by the oracle,
+    // so the hash proves the sketch arithmetic itself, not just a
+    // guarantee boolean. The exact groupBy beside it is the
+    // test-scale verifier; at 100 TB the sketch is the production
+    // path (the exact table is itself a vocabulary-sized shuffle).
+    "text_cms" -> ((s, d) => {
+      val toks = graft.Materialize.once(
+        docs(s, d).select(explode(Text.tokens(col("text"))).as("token"))
+          .where(col("token") =!= ""))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      val top = exact.orderBy(col("exact").desc, col("token")).limit(10)
+      val sketch = toks
+        .select(explode(cmsIndices(col("token"))).as("idx"))
+        .agg(graft.expressions.native.cmsAgg(col("idx"),
+          CMS_DEPTH * CMS_WIDTH).as("sk"))
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact"),
+          graft.expressions.native.cmsEstimate(col("sk"),
+            cmsIndices(col("token"))).as("estimate"))
+        .withColumn("over", col("estimate") - col("exact"))
+        .orderBy(col("token"))
+    }),
     "text_heavyhitters" -> ((s, d) => {
       val toks = docs(s, d).select(explode(Text.tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
@@ -2323,6 +2381,25 @@ object PipelineQueries {
     * SFT_PROMPT + 2 role markers. */
   private val SFT_PROMPT = 8
   private val SFT_MAXLEN = 96
+
+  /** text_cms sketch geometry: 4 seeds × 16^3 sha-derived buckets
+    * (128 KiB of counters). Interpolated into the oracle, which
+    * replays buckets as hex-prefix STRINGS (injective to the engine's
+    * flat indices — identical counters, collisions included). */
+  private val CMS_DEPTH = 4
+  private val CMS_HEX = 3
+  private val CMS_WIDTH = 1 << (CMS_HEX * 4)
+
+  /** The flat (seed, bucket) counter indices of one token:
+    * idx_i = i·WIDTH + int(first CMS_HEX hex chars of
+    * sha256(i || "|" || token)). */
+  private def cmsIndices(token: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until CMS_DEPTH).map { i =>
+      (lit(i.toLong * CMS_WIDTH) +
+        conv(substring(sha2(concat(lit(s"$i|"), token), 256), 1, CMS_HEX),
+          16, 10).cast("long"))
+    }: _*)
 
   /** Shared dedup_bloom / dedup_bloom_indexed oracle: Bloom membership
     * replayed over hex-prefix position STRINGS (injective to the
@@ -2599,6 +2676,28 @@ object PipelineQueries {
     * (<0x20) emitted as chr(n) concatenation so the SQL stays printable
     * (raw newlines inside a literal would also collide with the
     * surrounding stripMargin). */
+  /** html_links anchor-extraction contract: double-quoted href,
+    * tag-free anchor text — one literal shared by Java regex and RE2
+    * (lazy/greedy semantics never diverge because both char classes
+    * are negated sets). Link graphs at crawl scale come from exactly
+    * this narrow extraction; unquoted/exotic hrefs are the HTML
+    * stripper's problem, not the graph builder's. */
+  private val LINK_RE = """<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>"""
+  private val HOST_RE = "^https?://([^/]+)"
+
+  /** html_links planted fixtures (negative doc_ids): multi-link page
+    * with absolute/relative targets, a repeated-host page, and a
+    * link-free page (must yield no rows). */
+  private val linksPlanted: Seq[(Long, String)] = Seq(
+    -31L -> ("<html><body><p>intro text</p>" +
+      """<a href="https://alpha.example/one" class="x">first link</a>""" +
+      """<p>mid</p><a id="r" href="/relative/path">relative link</a>""" +
+      """<a href="http://beta.example/two?q=1">second host</a>""" +
+      "</body></html>"),
+    -32L -> ("""<div><a href="https://alpha.example/a">again alpha</a>""" +
+      """ and <a href="https://alpha.example/b">alpha b</a></div>"""),
+    -33L -> "<html><body><p>no anchors here at all</p></body></html>")
+
   /** text_code planted fixtures (negative doc_ids), UNIONed in both
     * engines from these constants: python (keywords + symbols), C
     * (both signals), JSON config (symbols only), prose with light
@@ -5302,6 +5401,30 @@ object PipelineQueries {
          |  m <> text AS mojibake_fixed
          |FROM fx ORDER BY doc_id""".stripMargin
     },
+    // 151: both group extractions replayed; positional zip via a
+    // bounded range join (planted pages hold < 50 links); planted
+    // rows interpolated from the same linksPlanted constants
+    "html_links" -> {
+      val vals = linksPlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $vals) pl(doc_id, text)
+         |), ex AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, ${sqlStr(LINK_RE)}, 1) AS urls,
+         |    regexp_extract_all(text, ${sqlStr(LINK_RE)}, 2) AS anchors
+         |  FROM src
+         |)
+         |SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
+         |  urls[i] AS url, anchors[i] AS anchor,
+         |  regexp_extract(urls[i], ${sqlStr(HOST_RE)}, 1) AS host
+         |FROM ex CROSS JOIN range(1, 50) r(i)
+         |WHERE i <= len(urls)
+         |ORDER BY doc_id, link_pos""".stripMargin
+    },
     // 150: the two regexp signals + integer gate replayed; planted
     // rows interpolated from the same codePlanted constants
     "text_code" -> {
@@ -5484,6 +5607,35 @@ object PipelineQueries {
          |       ELSE 'tail' END AS ppl_bucket,
          |  bk.bk < 2 AS keep
          |FROM si JOIN bk USING (s_i) ORDER BY si.doc_id""".stripMargin,
+    // 113c: the full CM arithmetic replayed — per-seed hex-prefix
+    // buckets (strings: injective to the engine's flat indices),
+    // counters = per-(seed, bucket) sums over the WHOLE vocabulary
+    // (collisions included), estimate = min over the probe token's
+    // own seed counters
+    "text_cms" ->
+      s"""WITH t AS (
+         |  SELECT unnest(str_split($NORM, ' ')) AS token FROM documents
+         |), ex AS (
+         |  SELECT token, count(*) AS exact FROM t WHERE token <> '' GROUP BY token
+         |), topt AS (
+         |  SELECT token, exact FROM ex ORDER BY exact DESC, token LIMIT 10
+         |), pos AS (
+         |  SELECT token, i AS seed,
+         |    substr(sha256(CAST(i AS VARCHAR) || '|' || token), 1, $CMS_HEX) AS bucket
+         |  FROM ex CROSS JOIN range(0, $CMS_DEPTH) r(i)
+         |), counts AS (
+         |  SELECT p.seed, p.bucket, sum(e.exact) AS c
+         |  FROM pos p JOIN ex e USING (token) GROUP BY 1, 2
+         |), est AS (
+         |  SELECT tt.token, tt.exact, min(c.c) AS estimate
+         |  FROM topt tt JOIN pos p USING (token)
+         |  JOIN counts c ON c.seed = p.seed AND c.bucket = p.bucket
+         |  GROUP BY 1, 2
+         |)
+         |SELECT token, CAST(exact AS BIGINT) AS exact,
+         |  CAST(estimate AS BIGINT) AS estimate,
+         |  CAST(estimate - exact AS BIGINT) AS over
+         |FROM est ORDER BY token""".stripMargin,
     // 113: exact top-10 replay; the MG guarantees are literal TRUE in
     // the oracle (q_approx's convention), so a summary violating its
     // bound or presence contract flips a boolean and fails the hash

@@ -223,4 +223,44 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_bloom_agg"))
   }
+
+  test("cms: never underestimates, exact under no collisions, merge-shape invariant") {
+    // tokens with known counts; indices = identity (idx = value) into
+    // a 16-counter sketch — values 0..3 across 4 "seeds" of width 4
+    // would collide; use a single-seed identity layout first
+    val rows = (1 to 100).map(i => (i % 5).toLong) // counts: 0->20, 1..4->20 each
+    val df = rows.toDF("v")
+    // single index per row: no min, counter == count when no collision
+    val sk = df.agg(graft.expressions.native.cmsAgg($"v", 16).as("sk"))
+    val est = sk.select(
+      graft.expressions.native.cmsEstimate($"sk", array(lit(0L))).as("e0"),
+      graft.expressions.native.cmsEstimate($"sk", array(lit(3L))).as("e3"),
+      graft.expressions.native.cmsEstimate($"sk", array(lit(9L))).as("e9"),
+      graft.expressions.native.cmsEstimate($"sk",
+        expr("CAST(array() AS ARRAY<BIGINT>)")).as("emp"))
+      .head()
+    assert(est.getLong(0) == 20L && est.getLong(1) == 20L)
+    assert(est.getLong(2) == 0L, "untouched counter reads 0")
+    assert(est.getLong(3) == 0L, "empty index set reads 0")
+    // forced collisions: width 4 folds 0..4 -> {0,1,2,3} with 0 and 4
+    // sharing counter 0 (floorMod): estimate(0) = 20 + 20 = 40 >= 20
+    val skC = df.agg(graft.expressions.native.cmsAgg($"v", 4).as("sk"))
+    val over = skC.select(
+      graft.expressions.native.cmsEstimate($"sk", array(lit(0L))).as("e")).head().getLong(0)
+    assert(over == 40L, "collision sums, never drops")
+    // merge-shape invariance: sketch bytes identical across partitionings
+    def bytes(n: Int): Array[Byte] =
+      df.repartition(n).agg(graft.expressions.native.cmsAgg($"v", 16).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(bytes(1), bytes(32)))
+    // SQL registration + type validation
+    val viaSql = spark.sql(
+      "SELECT graft_cms_estimate(graft_cms_agg(CAST(v AS BIGINT), 16), array(CAST(1 AS BIGINT))) AS e " +
+        "FROM (SELECT explode(sequence(1, 10)) AS v)").head().getLong(0)
+    assert(viaSql == 1L)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cms_agg(t, 16) FROM (SELECT 'x' AS t)").collect()
+    }
+    assert(err.getMessage.contains("graft_cms_agg"))
+  }
 }
