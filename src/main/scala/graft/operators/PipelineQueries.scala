@@ -1379,7 +1379,7 @@ object PipelineQueries {
       round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
       Text.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))),
-    // 151: HTML link extraction — the crawl-pipeline step BEFORE
+    // 139b: HTML link extraction — the crawl-pipeline step BEFORE
     // html_extract strips markup: (url, anchor, host) edges per page,
     // the raw material of link graphs, anchor-text signals, and
     // host-level dedup/spam scoring. Two regexp_extract_all passes
@@ -1408,7 +1408,7 @@ object PipelineQueries {
         .withColumn("host", regexp_extract(col("url"), HOST_RE, 1))
         .orderBy(col("doc_id"), col("link_pos"))
     }),
-    // 150: code-vs-prose detection — the domain-routing signal a
+    // 149b: code-vs-prose detection — the domain-routing signal a
     // pretrain mixer needs (code gets its own budget/tokenizer
     // treatment): structural-symbol mass + word-bounded keyword hits
     // over the RAW text (code is case/layout-sensitive), gated in
@@ -5401,7 +5401,7 @@ object PipelineQueries {
          |  m <> text AS mojibake_fixed
          |FROM fx ORDER BY doc_id""".stripMargin
     },
-    // 151: both group extractions replayed; positional zip via a
+    // 139b: both group extractions replayed; positional zip via a
     // bounded range join (planted pages hold < 50 links); planted
     // rows interpolated from the same linksPlanted constants
     "html_links" -> {
@@ -5425,7 +5425,7 @@ object PipelineQueries {
          |WHERE i <= len(urls)
          |ORDER BY doc_id, link_pos""".stripMargin
     },
-    // 150: the two regexp signals + integer gate replayed; planted
+    // 149b: the two regexp signals + integer gate replayed; planted
     // rows interpolated from the same codePlanted constants
     "text_code" -> {
       val vals = codePlanted.map { case (id, t) =>

@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   *  - `bm25`      — global-stat: republished from `remainingDocs`
   *  - `jaccard`   — global-stat: republished from `remainingDocs`
   *                  (`params`: `k`, `threshold` — the publish-time knobs)
+  *  - `bloom`     — membership bitmap: republished from `remainingDocs`
+  *                  (shared bits cannot be unset in place; until the
+  *                  sweep the index is over-inclusive — the SAFE
+  *                  direction for a prefilter, but a takedown must
+  *                  still rebuild so the deleted content stops
+  *                  reading as a member)
   *  - `registry`  — content-hash registries: retained by documented
   *                  stance (no doc citations; see [[LakeDeletion]]'s
   *                  registry note)
@@ -42,7 +48,7 @@ import org.apache.spark.sql.functions._
 object LakeCatalog {
 
   val Kinds: Set[String] = Set("minhash", "retrieval", "ivfpq", "clusters",
-    "clusters_indexed", "bm25", "jaccard", "registry", "model")
+    "clusters_indexed", "bm25", "jaccard", "bloom", "registry", "model")
 
   /** Kinds whose groups cite documents and therefore MUST lose the
     * deleted ids in a sweep (the [[auditCitations]] zero set). */
@@ -51,7 +57,7 @@ object LakeCatalog {
 
   /** Kinds whose delete path is a republish over the remaining corpus
     * — [[sweepDelete]] requires `remainingDocs` when any is present. */
-  val RepublishKinds: Set[String] = Set("bm25", "jaccard")
+  val RepublishKinds: Set[String] = Set("bm25", "jaccard", "bloom")
 
   private def entriesSchema(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -170,6 +176,10 @@ object LakeCatalog {
             k = p.getOrElse("k", "2").toInt,
             threshold = p.getOrElse("threshold", "0.5").toDouble)
           "republished from remaining corpus (df order re-frozen)"
+        case "bloom" =>
+          graft.operators.Dedup.publishBloomLake(
+            remainingDocs.select(col("doc_id"), col("text")), path)
+          "republished from remaining corpus (bitmap rebuilt — shared bits cannot be unset in place)"
         case "registry" =>
           "retained: content-hash registry, no doc citations (documented stance)"
         case "model" =>

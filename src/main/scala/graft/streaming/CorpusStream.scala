@@ -200,11 +200,17 @@ object CorpusStream {
       bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     // fps joins the bands/sets group version — one atomic pointer for
     // all three tables (a probe must never classify a batch against
-    // band rows of one corpus snapshot and fingerprints of another)
+    // band rows of one corpus snapshot and fingerprints of another).
+    // The bloom bitmap (one 128 KiB row, Dedup.bloomIndex) rides the
+    // same version: the probe uses it to route definitely-fresh docs
+    // around the fingerprint anti-join entirely — no false negatives,
+    // so the split-and-union is provably the same classification.
     graft.operators.Dedup.publishMinhashLake(
       corpus.select(col("doc_id"), col("text")), dir, k, bands, rowsPerBand,
-      extraTables = Seq("fps" ->
-        corpus.select(Text.fingerprint(col("text")).as("fp")).distinct()))
+      extraTables = Seq(
+        "fps" -> corpus.select(Text.fingerprint(col("text")).as("fp")).distinct(),
+        "bloom" -> graft.operators.Dedup.bloomIndex(
+          corpus.select(col("doc_id"), col("text")))))
     ()
   }
 
@@ -250,9 +256,29 @@ object CorpusStream {
       .minhashPairsLakeVsIndexAt(ver, batchIdx, threshold = 0.2)
       .select(col("doc_new").as("doc_id")).distinct()
     val fps = s2.read.parquet(s"$ver/fps")
-    val kept = batch
-      .withColumn("fp", Text.fingerprint(col("text")))
-      .join(fps, Seq("fp"), "left_anti")
+    // Bloom fast path (lakes published since the bitmap rode the
+    // group): docs whose probe reads false are DEFINITELY not in fps
+    // (no false negatives), so only the maybe-set pays the anti-join —
+    // on a mostly-fresh ingest the corpus-sized fps table joins
+    // against ~0 rows. Legacy lakes without the bitmap take the plain
+    // anti-join; classification is identical either way.
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$ver/bloom")
+    val hasBloom = bloomPath
+      .getFileSystem(s2.sessionState.newHadoopConf()).exists(bloomPath)
+    val fpd = batch.withColumn("fp", Text.fingerprint(col("text")))
+    val exactFresh =
+      if (!hasBloom) fpd.join(fps, Seq("fp"), "left_anti")
+      else {
+        val probed = fpd
+          .crossJoin(broadcast(s2.read.parquet(s"$ver/bloom")))
+          .withColumn("maybe", graft.expressions.native.bloomContains(
+            col("bitmap"), graft.operators.Dedup.bloomPositions(col("text"))))
+          .drop("bitmap")
+        probed.where(col("maybe")).join(fps, Seq("fp"), "left_anti")
+          .unionByName(probed.where(!col("maybe")))
+          .drop("maybe")
+      }
+    val kept = exactFresh
       .join(near, Seq("doc_id"), "left_anti")
       .drop("fp")
     val out = mat(prepare(kept))

@@ -121,6 +121,34 @@ class CorpusStreamSpec extends SparkSpec {
       "lake-backed classification must equal the in-session one")
   }
 
+  test("bloom-prefiltered lake probe == legacy lake without the bitmap table") {
+    // a lake published BEFORE the bloom bitmap rode the group must
+    // classify identically through the plain anti-join fallback
+    val base = Files.createTempDirectory("graft-corpus-bloomlegacy").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") <= 60).select(col("doc_id"), col("text"))
+    val fresh = docs.where(col("doc_id") > 60).select(col("doc_id"), col("text"))
+    val reingest = corpus.orderBy(col("doc_id")).limit(10)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    fresh.unionByName(reingest).coalesce(2)
+      .write.mode("overwrite").parquet(s"$base/in")
+    // modern lake (bloom table present) vs legacy (fps only)
+    CorpusStream.publishDedupLake(corpus, s"$base/lakeNew")
+    graft.operators.Dedup.publishMinhashLake(corpus, s"$base/lakeOld",
+      extraTables = Seq("fps" -> corpus.select(
+        graft.functions.Text.fingerprint(col("text")).as("fp")).distinct()))
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/lakeNew", s"$base/outNew", s"$base/cpN").awaitTermination()
+    CorpusStream.startIncrementalDedupFromLake(spark, s"$base/in",
+        s"$base/lakeOld", s"$base/outOld", s"$base/cpO").awaitTermination()
+    val a = spark.read.parquet(s"$base/outNew")
+    val b = spark.read.parquet(s"$base/outOld")
+    assert(a.count() > 0)
+    val a2 = a.select(b.columns.map(col).toSeq: _*)
+    assert(a2.exceptAll(b).isEmpty && b.exceptAll(a2).isEmpty,
+      "bloom fast path must not change classification")
+  }
+
   test("incremental-dedup stream holds no per-batch state: blocks do not grow with batch count") {
     // maxFilesPerTrigger=1 over 3 input files forces 3 micro-batches —
     // the single-batch AvailableNow runs above cannot see a per-batch

@@ -291,6 +291,7 @@ class DeletionSpec extends SparkSpec {
     graft.operators.Pq.publishIvfPqLake(embs, s"$base/ivfpq")
     CorpusStream.publishLineIndex(corpus, s"$base/lines")
     CorpusStream.publishClassifier(corpus, s"$base/model")
+    graft.operators.Dedup.publishBloomLake(corpus, s"$base/bloom")
     LakeCatalog.register(spark, cat, "minhash", s"$base/minhash", "minhash")
     LakeCatalog.register(spark, cat, "jaccard", s"$base/jaccard", "jaccard",
       params = Map("k" -> "2", "threshold" -> "0.5"))
@@ -300,6 +301,7 @@ class DeletionSpec extends SparkSpec {
     LakeCatalog.register(spark, cat, "ivfpq", s"$base/ivfpq", "ivfpq")
     LakeCatalog.register(spark, cat, "lines", s"$base/lines", "registry")
     LakeCatalog.register(spark, cat, "model", s"$base/model", "model")
+    LakeCatalog.register(spark, cat, "bloom", s"$base/bloom", "bloom")
 
     val del = corpus.where($"doc_id" % 13 === 3).select($"doc_id")
     val delSet = del.as[Long].collect().toSet
@@ -319,11 +321,30 @@ class DeletionSpec extends SparkSpec {
       pre.agg(sum($"n_citing")).head().getLong(0),
       "failed sweep mutated a group")
 
+    // content-level proof material for the bloom rebuild: a deleted
+    // doc whose normalized text is UNIQUE in the corpus — before the
+    // sweep its content is a member; after, it must not be
+    val uniqueDeleted = corpus
+      .select($"doc_id", graft.functions.Text.fingerprint($"text").as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .where($"n" === 1).join(del, "doc_id")
+      .select($"doc_id").as[Long].head()
+    val probeDoc = corpus.where($"doc_id" === uniqueDeleted)
+      .select(($"doc_id" + 777000L).as("doc_id"), $"text")
+    assert(graft.operators.Dedup.bloomProbeLake(spark, s"$base/bloom", probeDoc)
+      .head().getBoolean(1), "pre-sweep: deleted content must be a member")
+
     val remaining = corpus.join(del, Seq("doc_id"), "left_anti")
     val report = LakeCatalog.sweepDelete(spark, cat, del, remaining)
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(report.keySet == Set("minhash", "jaccard", "clusters", "bm25",
-      "retrieval", "ivfpq", "lines", "model"))
+      "retrieval", "ivfpq", "lines", "model", "bloom"))
+    assert(report("bloom").startsWith("republished"),
+      "bloom takedown must be a rebuild, not a silent retain")
+    // the rebuilt bitmap no longer contains the deleted content (a
+    // false positive here has probability ~1e-12 by sizing)
+    assert(!graft.operators.Dedup.bloomProbeLake(spark, s"$base/bloom", probeDoc)
+      .head().getBoolean(1), "post-sweep: deleted content still a member")
     assert(report("lines").startsWith("retained"),
       "registry stance must be reported, not silently skipped")
     assert(report("model").startsWith("retained"))
