@@ -374,6 +374,15 @@ object ScaleCheck {
       // a 10-row broadcast probe — should track the token-scan rows)
       // and link extraction (pure narrow map; +3 planted rows const)
       "text_cms", "html_links",
+      // round-18 third batch: FIM + license detection are pure narrow
+      // maps (sha-cut slices / ten instr tests — ~linear in scan
+      // size); dpo_pairs is one bounded-group window exchange + a
+      // ≤topK-per-group broadcast self-join (group count grows with
+      // the corpus, group SIZE is sha-bounded, so wall tracks the
+      // scan); embed_outliers re-runs the embed_kmeans trainer plus
+      // one k-row integer agg + broadcast join-back, so its factor
+      // should track embed_kmeans'
+      "doc_fim", "text_license", "dpo_pairs", "embed_outliers",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

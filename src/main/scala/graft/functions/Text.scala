@@ -306,6 +306,34 @@ object Text {
   def isCode(nChars: Column, nSymbols: Column, kwHits: Column): Column =
     (nSymbols * 25 >= nChars && nChars > 0) || kwHits >= 3
 
+  // --------------------------------------- license/boilerplate detection
+  /** License/boilerplate phrase list — lowercase LITERAL phrases (no
+    * regex: substring tests behave identically in both engines), one
+    * list interpolated into the text_license oracle so the engines
+    * cannot drift. Presence of any phrase marks license text a
+    * pretrain corpus drops or down-weights (near-zero training
+    * signal, massively duplicated across repos and sites). */
+  val licensePhrases: Seq[String] = Seq(
+    "permission is hereby granted",
+    "all rights reserved",
+    "licensed under the apache license",
+    "gnu general public license",
+    "mit license",
+    "redistribution and use in source and binary forms",
+    "creative commons attribution",
+    "spdx-license-identifier",
+    "without warranty of any kind",
+    "warranties of merchantability")
+
+  /** Count of DISTINCT license phrases present (case-insensitive
+    * literal containment; one `instr` per phrase — a short fixed
+    * list, all inside one codegen stage). */
+  def licenseHits(text: Column): Column = {
+    val low = lower(text)
+    licensePhrases.map(p => when(instr(low, p) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

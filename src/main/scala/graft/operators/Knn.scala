@@ -504,6 +504,56 @@ object Knn {
     kmAssign(corpus, cents)
   }
 
+  /** Embedding-space outlier detection for corpus curation — the
+    * noise/mislabel pruning complement of [[semanticKeep]] (which
+    * drops near-COPIES) and [[diversify]] (which drops the
+    * prototypical CORE): flag vectors anomalously FAR from their own
+    * cluster's centroid (assignment cosine more than `zThresh` cluster
+    * standard deviations below the cluster mean) — OCR garbage, wrong-
+    * modality rows and encoder failures land in exactly that tail.
+    *
+    * Engine-replayable by construction: assignments come from the same
+    * deterministic [[kmeansAssignments]] trainer the embed_kmeans
+    * oracle replays; the per-cell mean/std are computed from the
+    * ROUNDED cosine quantized onto the 1e-6 grid as longs (integer
+    * sums are order-free — the text_entropy/drift-PSI discipline), and
+    * both engines evaluate the identical mean/variance/threshold
+    * expression on those exact integers, so the boundary comparison
+    * can never diverge.
+    *
+    * Scale: one (cell) integer partial aggregation over the
+    * materialized assignment (k rows out) broadcast back onto it — no
+    * second corpus shuffle. Cells with one member (std 0) flag
+    * nothing. Output: (vec_id, cell_id, cos, z, is_outlier). */
+  def outliers(corpus: DataFrame, k: Int, iters: Int,
+      zThresh: Double = 2.0): DataFrame = {
+    require(zThresh > 0, s"need zThresh > 0, got $zThresh")
+    val assigned = graft.Materialize.once(
+      kmeansAssignments(corpus, k, iters)
+        .select(col("vec_id"), col("cell_id"), col("cos"),
+          floor(col("cos") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("qcos")))
+    // s2 sums squares of 1e6-grid values (≤1e12 each): decimal(38,0)
+    // keeps the sum exact past the ~9·10⁶-members-per-cell point where
+    // a long would overflow (DuckDB's sum(BIGINT) is already 128-bit)
+    val stats = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_cell"),
+        sum(col("qcos")).as("s1"),
+        sum((col("qcos") * col("qcos")).cast("decimal(38,0)")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_cell").cast("double")
+    val varq = col("s2").cast("double") / col("n_cell").cast("double") -
+      mean * mean
+    val std = sqrt(greatest(varq, lit(0.0)))
+    assigned.join(broadcast(stats), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), col("cos"),
+        when(std > 0.0,
+            round((col("qcos").cast("double") - mean) / std, 6))
+          .otherwise(lit(0.0)).as("z"),
+        (std > 0.0 &&
+          col("qcos").cast("double") < mean - lit(zThresh) * std)
+          .as("is_outlier"))
+  }
+
   /** Semantic dedup (SemDeDup-shaped): k-means-cluster the corpus,
     * then inside each cell drop every vector that has a lower-id
     * neighbor with cosine ≥ threshold. Greedy-by-id (not transitive

@@ -875,6 +875,22 @@ object PipelineQueries {
     // filtering composes as .where(col("kept")).
     "text_badwords" -> ((s, d) =>
       Lines.badwordAudit(docs(s, d)).orderBy(col("doc_id"))),
+    // 138b: license/boilerplate detection — the legal-text complement
+    // of the blocklist: pretrain corpora drop or down-weight pages
+    // that are license headers, notice files, and rights boilerplate
+    // (near-zero training signal, heavily duplicated across repos and
+    // sites). Lowercase LITERAL phrase tests (instr, no regex) over
+    // one interpolated list; the corpus is license-free so the planted
+    // fixtures (MIT / Apache / GPL / SPDX / a "copyright office"
+    // prose trap) carry the behavior. Pure narrow map — zero shuffle
+    // at any corpus size.
+    "text_license" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantedDocs(s, licensePlanted))
+        .select(col("doc_id"),
+          Text.licenseHits(col("text")).as("n_phrases"))
+        .withColumn("has_license", col("n_phrases") >= 1L)
+        .orderBy(col("doc_id"))),
     // 139: HTML/markup stripping AHEAD of the text stack — crawl pages
     // arrive as HTML; this reduces them to the plain text every
     // downstream stage (fixText, text_lines, dedup_paragraph,
@@ -887,15 +903,8 @@ object PipelineQueries {
     // both engines from the same interpolated constants. Pure narrow
     // map — zero shuffles at any corpus size.
     "html_extract" -> ((s, d) => {
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(htmlPlanted.map { case (id, t) =>
-          org.apache.spark.sql.Row(id, t) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantedDocs(s, htmlPlanted))
         .select(col("doc_id"), col("text"),
           graft.functions.Html.extractText(col("text")).as("text_plain"))
         .select(col("doc_id"), col("text_plain"),
@@ -949,6 +958,26 @@ object PipelineQueries {
       graft.operators.Pretrain.sftExamples(docs(s, d),
         promptTokens = SFT_PROMPT, maxLen = SFT_MAXLEN)
         .orderBy(col("doc_id"))),
+    // 149c: fill-in-the-middle transform — the code-model training
+    // transform (FIM, Bavarian et al. 2022): a deterministic
+    // FIM_RATE% of docs re-render PSM (<|fim_pre|> prefix <|fim_suf|>
+    // suffix <|fim_mid|> middle) with sha-derived cut points both
+    // engines replay; the rest pass through left-to-right. The
+    // rendered-stream sha proves every token of the reordering.
+    // Narrow codegen'd map, zero shuffle.
+    "doc_fim" -> ((s, d) =>
+      graft.operators.Pretrain.fimExamples(docs(s, d), ratePct = FIM_RATE)
+        .orderBy(col("doc_id"))),
+    // 150: DPO preference-pair construction — i-th best vs i-th worst
+    // per (source, sha-bucket) group by the deterministic quality
+    // score, margin-gated; disjointness is structural (the orderings
+    // are exact reverses + the 2i ≤ group-size guard). One hash
+    // exchange on the bounded group key, two in-shuffle window ranks,
+    // one ≤topK-per-group self-equi-join.
+    "dpo_pairs" -> ((s, d) =>
+      graft.operators.Pretrain.dpoPairs(docs(s, d), buckets = DPO_BUCKETS,
+        topK = DPO_TOPK, minMargin = DPO_MARGIN)
+        .orderBy(col("source"), col("bucket"), col("pair_rank"))),
     // 141b: the same examples packed in TRAINER-REAL tokens — the
     // 8-round BPE tokenizer trains on the raw corpus (tokenizers
     // precede curation) and each chunk costs the sum of its words'
@@ -1273,6 +1302,17 @@ object PipelineQueries {
       Knn.kmeansAssignments(embs(s, d), k = 8, iters = 2)
         .select(col("vec_id"), col("cell_id"), col("cos"))
         .orderBy(col("vec_id"))),
+    // 110b: embedding-space outlier pruning — flag vectors more than
+    // OUTLIER_Z cluster-stddevs below their own cell's mean assignment
+    // cosine (OCR garbage / wrong-modality / encoder-failure tail).
+    // Same embed_kmeans trainer geometry (k=8, iters=2) so the oracle
+    // splices the shared kmeans CTE; mean/std run on the 1e-6-grid
+    // quantized cosine as exact integer sums (order-free), and both
+    // engines evaluate the identical threshold expression. One k-row
+    // integer aggregate broadcast back — no second corpus shuffle.
+    "embed_outliers" -> ((s, d) =>
+      Knn.outliers(embs(s, d), k = 8, iters = 2, zThresh = OUTLIER_Z)
+        .orderBy(col("vec_id"))),
     // 59: semantic dedup — k-means cells + same-cell cosine prune
     // (drop vectors with a lower-id neighbor ≥ threshold). The cell
     // count rides the same corpus-size dial as the IVF family
@@ -1389,15 +1429,8 @@ object PipelineQueries {
     // behavior (incl. a relative URL -> empty host and a zero-link
     // page that must yield no rows).
     "html_links" -> ((s, d) => {
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(linksPlanted.map { case (id, t) =>
-          org.apache.spark.sql.Row(id, t) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantedDocs(s, linksPlanted))
         .select(col("doc_id"),
           regexp_extract_all(col("text"), lit(LINK_RE), lit(1)).as("urls"),
           regexp_extract_all(col("text"), lit(LINK_RE), lit(2)).as("anchors"))
@@ -1417,15 +1450,8 @@ object PipelineQueries {
     // behavior, UNIONed in both engines from the same constants.
     // Narrow two-regexp map — zero shuffle at any corpus size.
     "text_code" -> ((s, d) => {
-      val planted = s.createDataFrame(
-        java.util.Arrays.asList(codePlanted.map { case (id, t) =>
-          org.apache.spark.sql.Row(id, t) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantedDocs(s, codePlanted))
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           Text.codeSymbolCount(col("text")).as("n_symbols"),
@@ -2382,6 +2408,21 @@ object PipelineQueries {
   private val SFT_PROMPT = 8
   private val SFT_MAXLEN = 96
 
+  /** doc_fim parameters, interpolated into BOTH engines: the FIM rate
+    * (percent of documents re-rendered PSM) — 50 is the published
+    * FIM-rate sweet spot (Bavarian et al. 2022 §5). */
+  private val FIM_RATE = 50
+
+  /** dpo_pairs parameters, interpolated into BOTH engines: sha-bucket
+    * count (group-size bound — the per-prompt stand-in), pairs per
+    * group, and the minimum score margin a pair must clear. */
+  private val DPO_BUCKETS = 4
+  private val DPO_TOPK = 2
+  private val DPO_MARGIN = 0.05
+
+  /** embed_outliers z-score threshold (flag below mean − z·std). */
+  private val OUTLIER_Z = 2.0
+
   /** text_cms sketch geometry: 4 seeds × 16^3 sha-derived buckets
     * (128 KiB of counters). Interpolated into the oracle, which
     * replays buckets as hex-prefix STRINGS (injective to the engine's
@@ -2714,6 +2755,40 @@ object PipelineQueries {
       "(briefly) pauses to consider the meaning of life; it finds " +
       "none worth keeping."),
     -25L -> "sales rose by 10 percent for the quarter if we exclude returns")
+
+  /** text_license planted fixtures (negative doc_ids): an MIT header
+    * (3 phrases), an Apache header (2), a GPL blurb (2), an SPDX tag
+    * line (1), a prose trap ("the copyright office reported" — zero
+    * phrase hits), and clean prose. */
+  private val licensePlanted: Seq[(Long, String)] = Seq(
+    -41L -> ("MIT License. Permission is hereby granted, free of " +
+      "charge, to any person obtaining a copy of this software, to " +
+      "deal in the Software without restriction. THE SOFTWARE IS " +
+      "PROVIDED AS IS, WITHOUT WARRANTY OF ANY KIND."),
+    -42L -> ("Copyright 2024 the authors. All rights reserved. " +
+      "Licensed under the Apache License, Version 2.0; you may not " +
+      "use this file except in compliance with the License."),
+    -43L -> ("This program is free software: you can redistribute it " +
+      "under the terms of the GNU General Public License. There are " +
+      "no warranties of merchantability for this program."),
+    -44L -> "// SPDX-License-Identifier: BSD-3-Clause",
+    -45L -> ("the copyright office reported that registrations rose " +
+      "again this year while fees stayed flat"),
+    -46L -> "a perfectly ordinary paragraph about the weather today")
+
+  /** One planted-fixture frame (doc_id, text) — the union side of the
+    * keys whose behavior the markup-free corpus can't exercise
+    * (html_extract/html_links/text_code/text_license). */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false))))
 
   private def sqlStr(s: String): String = {
     val sb = new StringBuilder("'")
@@ -4502,6 +4577,25 @@ object PipelineQueries {
          |  len(list_filter(toks, x -> list_contains($lst, x))) = 0 AS kept
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // 138b: same literal phrase list interpolated into both engines;
+    // strpos mirrors Spark's instr (1-based, 0 = miss).
+    "text_license" -> {
+      val vals = licensePlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      val hits = graft.functions.Text.licensePhrases.map(p =>
+        s"CASE WHEN strpos(lower(text), ${sqlStr(p)}) > 0 THEN 1 ELSE 0 END")
+        .mkString("\n    + ")
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $vals) pl(doc_id, text)
+         |), h AS (
+         |  SELECT doc_id, CAST($hits AS BIGINT) AS n_phrases FROM src
+         |)
+         |SELECT doc_id, n_phrases, n_phrases >= 1 AS has_license
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     // 139: the same strip/decode chain, generated from the SAME
     // constants (dropRes / blockTagRe / anyTagRe / entities) the Spark
     // side folds — one definition, two engines.
@@ -4585,6 +4679,60 @@ object PipelineQueries {
          |    ',')) AS mask_sha
          |FROM kp WHERE len(kept) > ${SFT_PROMPT + 2}
          |ORDER BY doc_id""".stripMargin,
+    // 149c: FIM — same sha-derived cut points (uniform over [0, n],
+    // sorted) and gate, same PSM rendering, hashed token-exact.
+    "doc_fim" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    CAST(('0x' || substr(md5('fima:' || doc_id), 1, 8))::UBIGINT AS BIGINT) % (len(tk) + 1) AS ca,
+         |    CAST(('0x' || substr(md5('fimb:' || doc_id), 1, 8))::UBIGINT AS BIGINT) % (len(tk) + 1) AS cb,
+         |    ('0x' || substr(md5('fimg:' || doc_id), 1, 8))::UBIGINT % 100 < $FIM_RATE AS gate
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, tk, n, least(ca, cb) AS p, greatest(ca, cb) AS q,
+         |    (gate AND least(ca, cb) < greatest(ca, cb)) AS ap
+         |  FROM s
+         |)
+         |SELECT doc_id, ap AS fim_applied,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN ap THEN p ELSE n END AS BIGINT) AS n_prefix,
+         |  CAST(CASE WHEN ap THEN q - p ELSE 0 END AS BIGINT) AS n_middle,
+         |  CAST(CASE WHEN ap THEN n - q ELSE 0 END AS BIGINT) AS n_suffix,
+         |  sha256(array_to_string(CASE WHEN ap THEN
+         |      list_concat(list_concat(list_concat(list_concat(list_concat(
+         |        ['<|fim_pre|>'], tk[1:CAST(p AS INT)]),
+         |        ['<|fim_suf|>']), tk[CAST(q + 1 AS INT):CAST(n AS INT)]),
+         |        ['<|fim_mid|>']), tk[CAST(p + 1 AS INT):CAST(q AS INT)])
+         |    ELSE tk END, ' ')) AS text_sha
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // 150: DPO pairs — the shared quality chain (QUALITY_CTES) scores
+    // candidates; ranks, disjointness guard and margin gate replay
+    // with the same interpolated constants.
+    "dpo_pairs" ->
+      s"""WITH $QUALITY_CTES, sc AS (
+         |  SELECT d.doc_id, d.source, q.quality,
+         |    CAST(CAST(('0x' || substr(md5('dpo:' || d.doc_id), 1, 8))::UBIGINT AS BIGINT) % $DPO_BUCKETS AS BIGINT) AS bucket
+         |  FROM documents d JOIN qcq q ON d.doc_id = q.doc_id
+         |), rk AS (
+         |  SELECT doc_id, source, quality, bucket,
+         |    row_number() OVER (PARTITION BY source, bucket ORDER BY quality DESC, doc_id ASC) AS rb,
+         |    row_number() OVER (PARTITION BY source, bucket ORDER BY quality ASC, doc_id DESC) AS rw,
+         |    count(*) OVER (PARTITION BY source, bucket) AS gn
+         |  FROM sc
+         |)
+         |SELECT b.source, b.bucket, CAST(b.rb AS BIGINT) AS pair_rank,
+         |  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+         |  b.quality AS chosen_q, w.quality AS rejected_q,
+         |  round(b.quality - w.quality, 6) AS margin
+         |FROM rk b JOIN rk w
+         |  ON b.source = w.source AND b.bucket = w.bucket AND b.rb = w.rw
+         |WHERE b.rb <= $DPO_TOPK AND b.rb * 2 <= b.gn AND w.rw * 2 <= w.gn
+         |  AND b.quality - w.quality >= $DPO_MARGIN
+         |ORDER BY 1, 2, 3""".stripMargin,
     // 141: manifest -> trainer-ready examples: 64/16 context chunks of
     // each manifest doc's cleaned text, packed into 256-token examples
     // IN TRAINING ORDER (the pack window partitions by the manifest
@@ -4825,6 +4973,36 @@ object PipelineQueries {
     "embed_kmeans" ->
       s"""WITH ${kmeansSql("8", 2)}
          |SELECT vec_id, cell_id, cos FROM afin ORDER BY vec_id""".stripMargin,
+    // 110b: same trained assignment (shared kmeans CTE), per-cell
+    // mean/std from exact integer sums on the 1e-6 cosine grid, the
+    // identical threshold expression both engines. (CTE names oqa/ost
+    // avoid kmeansSql's s1/s2 round CTEs.)
+    "embed_outliers" ->
+      s"""WITH ${kmeansSql("8", 2)},
+         |oqa AS (
+         |  SELECT vec_id, cell_id, cos,
+         |    CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS qcos
+         |  FROM afin
+         |), ost AS (
+         |  SELECT cell_id, count(*) AS n_cell,
+         |    sum(qcos) AS qs1, sum(qcos * qcos) AS qs2
+         |  FROM oqa GROUP BY cell_id
+         |), oms AS (
+         |  SELECT cell_id,
+         |    CAST(qs1 AS DOUBLE) / CAST(n_cell AS DOUBLE) AS mean,
+         |    sqrt(greatest(CAST(qs2 AS DOUBLE) / CAST(n_cell AS DOUBLE)
+         |      - (CAST(qs1 AS DOUBLE) / CAST(n_cell AS DOUBLE))
+         |        * (CAST(qs1 AS DOUBLE) / CAST(n_cell AS DOUBLE)), 0.0)) AS std
+         |  FROM ost
+         |)
+         |SELECT a.vec_id, a.cell_id, a.cos,
+         |  CASE WHEN std > 0.0
+         |    THEN round((CAST(a.qcos AS DOUBLE) - mean) / std, 6)
+         |    ELSE 0.0 END AS z,
+         |  (std > 0.0 AND CAST(a.qcos AS DOUBLE) < mean - $OUTLIER_Z * std)
+         |    AS is_outlier
+         |FROM oqa a JOIN oms USING (cell_id)
+         |ORDER BY a.vec_id""".stripMargin,
     // 59: k-means cells + same-cell greedy-by-id cosine prune
     "dedup_semantic" ->
       s"""WITH ${kmeansSql(AUTO_CELLS_SQL, 2)},

@@ -422,4 +422,124 @@ object Pretrain {
           i => when(i <= nPrompt, lit("0")).otherwise(lit("1"))),
         ","), 256).as("mask_sha"))
   }
+
+  // --------------------------- 149c: fill-in-the-middle transform
+  /** Fill-in-the-middle (FIM) example prep — the code-model training
+    * transform (Bavarian et al. 2022, "Efficient Training of Language
+    * Models to Fill in the Middle"): a deterministic `ratePct`% of
+    * documents are re-rendered in PSM order — `<|fim_pre|>` prefix
+    * `<|fim_suf|>` suffix `<|fim_mid|>` middle — so the trainer learns
+    * infilling from the same next-token loss; the rest pass through as
+    * plain left-to-right examples. The two cut points are sha-derived
+    * from the doc id (uniform over [0, n], sorted), so both engines
+    * replay the exact segmentation; a document whose two cuts coincide
+    * (empty middle) falls back to a plain example — an infill example
+    * with nothing to infill teaches nothing.
+    *
+    * Emits per document the applied flag, the three segment lengths
+    * (plain: prefix = n, middle = suffix = 0) and the sha-256 of the
+    * full rendered token stream, so the oracle proves every token of
+    * the reordering, not just the counts.
+    *
+    * Scale: a narrow codegen'd map over the doc scan — zero shuffle,
+    * no UDF; tokens staged as an attribute ref so the slice lambdas
+    * never re-tokenize. Output: (doc_id, fim_applied, n_tokens,
+    * n_prefix, n_middle, n_suffix, text_sha). */
+  def fimExamples(src: DataFrame, ratePct: Int = 50): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct in [0,100]: $ratePct")
+    def shaMod(salt: String, mod: String) =
+      expr(s"CAST(CAST(conv(substring(md5(concat('$salt:', " +
+        s"CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % ($mod) AS INT)")
+    val cut = src
+      .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .withColumn("ca", shaMod("fima", "n + 1"))
+      .withColumn("cb", shaMod("fimb", "n + 1"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        least(col("ca"), col("cb")).as("p"),
+        greatest(col("ca"), col("cb")).as("q"))
+      .withColumn("fim_applied",
+        shaMod("fimg", "100") < lit(ratePct) && col("p") < col("q"))
+    cut.select(
+      col("doc_id"),
+      col("fim_applied"),
+      col("n").cast("long").as("n_tokens"),
+      when(col("fim_applied"), col("p")).otherwise(col("n"))
+        .cast("long").as("n_prefix"),
+      when(col("fim_applied"), col("q") - col("p")).otherwise(lit(0))
+        .cast("long").as("n_middle"),
+      when(col("fim_applied"), col("n") - col("q")).otherwise(lit(0))
+        .cast("long").as("n_suffix"),
+      sha2(array_join(
+        when(col("fim_applied"),
+          concat(
+            array(lit("<|fim_pre|>")), slice(col("tk"), lit(1), col("p")),
+            array(lit("<|fim_suf|>")),
+            slice(col("tk"), col("q") + 1, col("n") - col("q")),
+            array(lit("<|fim_mid|>")),
+            slice(col("tk"), col("p") + 1, col("q") - col("p"))))
+          .otherwise(col("tk")), " "), 256).as("text_sha"))
+  }
+
+  // --------------------------- 150: DPO preference-pair construction
+  /** Preference-pair construction for DPO/RLHF reward training: within
+    * each candidate group, pair the i-th best-scoring document (chosen)
+    * with the i-th worst (rejected), for i ≤ `topK`, keeping only pairs
+    * whose score margin clears `minMargin` — the standard
+    * best-vs-worst pairing a preference trainer consumes, with the
+    * margin available as a per-pair weight.
+    *
+    * Groups are (source, sha-bucket): with real post-training data the
+    * group key is the prompt id (n candidate responses per prompt);
+    * the synthetic corpus has no prompts, so a sha-derived bucket
+    * bounds group size the way per-prompt grouping would. The reward
+    * here is the deterministic heuristic quality score
+    * ([[Text.qualityScore]]); a trained reward model drops in by
+    * swapping the score column — pairing, disjointness and margin
+    * logic are unchanged.
+    *
+    * Disjointness is structural: the two orderings are exact reverses
+    * (score desc, id asc vs score asc, id desc), so rank-i-best is
+    * rank-(gn−i+1)-worst, and requiring 2·i ≤ group size on BOTH sides
+    * means no document ever appears as chosen and rejected.
+    *
+    * Scale: one hash exchange on the group key (bounded groups by
+    * construction — prompt-sized, never corpus-sized), two in-shuffle
+    * window ranks over it, and a self-equi-join of two ≤topK-per-group
+    * projections of the SAME materialized frame. Output: (source,
+    * bucket, pair_rank, chosen_id, rejected_id, chosen_q, rejected_q,
+    * margin). */
+  def dpoPairs(src: DataFrame, buckets: Int = 4, topK: Int = 2,
+      minMargin: Double = 0.05): DataFrame = {
+    require(buckets > 0 && topK > 0, s"need buckets/topK > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("bucket"))
+    val ranked = graft.Materialize.once(src
+      .select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("quality"))
+      .withColumn("bucket",
+        expr(s"CAST(CAST(conv(substring(md5(concat('dpo:', " +
+          s"CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+          s"% $buckets AS INT)"))
+      .withColumn("rb", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("rw", row_number().over(
+        w.orderBy(col("quality").asc, col("doc_id").desc)))
+      .withColumn("gn", count(lit(1)).over(w)))
+    val chosen = ranked
+      .where(col("rb") <= topK && col("rb") * 2 <= col("gn"))
+      .select(col("source"), col("bucket"), col("rb").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
+    val rejected = ranked
+      .where(col("rw") <= topK && col("rw") * 2 <= col("gn"))
+      .select(col("source"), col("bucket"), col("rw").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+    chosen.join(rejected, Seq("source", "bucket", "pair_rank"))
+      .where(col("chosen_q") - col("rejected_q") >= minMargin)
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("pair_rank").cast("long").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_q"), col("rejected_q"),
+        round(col("chosen_q") - col("rejected_q"), 6).as("margin"))
+  }
 }

@@ -524,6 +524,35 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("outliers: flags exactly the far-from-centroid tail; std-0 cells flag nothing") {
+    // cell A: five identical [1,0] vectors + one deviant [0.8,0.6];
+    // cell B: two identical [0,1]. Seed = first k by vec_id, so id 0
+    // ([1,0]) and id 1 ([0,1]) found the two cells. With a 5-vs-1
+    // two-valued cosine set the deviant's z is exactly -sqrt(5) ≈
+    // -2.2360: below the 2.0 threshold; the five majors sit at
+    // +1/sqrt(5) ≈ 0.447. B has std 0 → z 0, nothing flagged.
+    val e = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0f)), (5L, Seq(1f, 0f)),
+      (6L, Seq(0.8f, 0.6f)), (7L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Knn.outliers(e, k = 2, iters = 1, zThresh = 2.0)
+      .orderBy($"vec_id").collect()
+    assert(out.length == 8)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("vec_id")).toSeq == Seq(6L),
+      "exactly the planted deviant must flag")
+    assert(math.abs(byId(6L).getAs[Double]("z") + math.sqrt(5.0)) < 1e-3)
+    for (id <- Seq(0L, 2L, 3L, 4L, 5L))
+      assert(math.abs(byId(id).getAs[Double]("z") - 1.0 / math.sqrt(5.0)) < 1e-3)
+    // std-0 cell: z defined as 0, never flagged
+    for (id <- Seq(1L, 7L)) {
+      assert(byId(id).getAs[Double]("z") == 0.0)
+      assert(!byId(id).getAs[Boolean]("is_outlier"))
+    }
+  }
+
   test("truncRecall: full-dim truncation is recall 1.0; prefix dims stay in [0,1]") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, sfDir)

@@ -273,4 +273,110 @@ class PretrainSpec extends SparkSpec {
       .digest(mask1.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     assert(byId(1L).getAs[String]("mask_sha") == msha1)
   }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  private def md5Mod(salt: String, id: Long, mod: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
+  test("fimExamples: segment arithmetic, PSM rendering replay, rate-0 passthrough") {
+    val fix = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 25).map(i => s"w$i").mkString(" ")),
+      (3L, "solo"),
+      (4L, ""),      // empty: n=0, always plain, sha("")
+      (5L, (1 to 7).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // rate 100: applied wherever the two sha cuts differ; full replay
+    val out = Pretrain.fimExamples(fix, ratePct = 100)
+      .orderBy($"doc_id").collect()
+    out.foreach { r =>
+      val (id, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"))
+      val toks = if (n == 0) Seq.empty[String]
+        else fix.where($"doc_id" === id).head.getString(1).split("\\s+").toSeq
+      val (ca, cb) = (md5Mod("fima", id, n + 1), md5Mod("fimb", id, n + 1))
+      val (p, q) = (math.min(ca, cb), math.max(ca, cb))
+      val applied = p < q // gate is always true at rate 100
+      assert(r.getAs[Boolean]("fim_applied") == applied)
+      assert(r.getAs[Long]("n_prefix") + r.getAs[Long]("n_middle") +
+        r.getAs[Long]("n_suffix") == n)
+      val want = if (applied)
+        (Seq("<|fim_pre|>") ++ toks.take(p.toInt) ++ Seq("<|fim_suf|>") ++
+          toks.drop(q.toInt) ++ Seq("<|fim_mid|>") ++
+          toks.slice(p.toInt, q.toInt)).mkString(" ")
+      else toks.mkString(" ")
+      assert(r.getAs[String]("text_sha") == sha256Hex(want),
+        s"doc $id rendered stream drifted (p=$p q=$q)")
+      if (applied) {
+        assert(r.getAs[Long]("n_prefix") == p)
+        assert(r.getAs[Long]("n_middle") == q - p)
+        assert(r.getAs[Long]("n_suffix") == n - q)
+      } else {
+        assert(r.getAs[Long]("n_prefix") == n)
+        assert(r.getAs[Long]("n_middle") == 0L)
+        assert(r.getAs[Long]("n_suffix") == 0L)
+      }
+    }
+    // rate 0: nothing applies; rendered == raw token stream
+    val plain = Pretrain.fimExamples(fix, ratePct = 0)
+      .orderBy($"doc_id").collect()
+    assert(plain.forall(!_.getAs[Boolean]("fim_applied")))
+    assert(plain.find(_.getAs[Long]("doc_id") == 4L).get
+      .getAs[String]("text_sha") == sha256Hex(""))
+    assert(plain.find(_.getAs[Long]("doc_id") == 1L).get
+      .getAs[String]("text_sha") ==
+        sha256Hex((1 to 10).map(i => s"w$i").mkString(" ")))
+  }
+
+  test("dpoPairs == plain-Scala pairing replay; disjoint; margin gate bites") {
+    import graft.functions.Text
+    val stop = "the and is of to in " // stopword mass lifts quality
+    val fix = Seq(
+      (1L, ("alpha beta gamma delta " + stop) * 12),  // long, clean
+      (2L, ("epsilon zeta " + stop) * 5),             // mid length
+      (3L, "!!! ??? %%% ###"),                        // punct-heavy junk
+      (4L, "x"),                                      // single char
+      (5L, ("eta theta iota " + stop) * 8),
+      (6L, "kappa lambda")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = Pretrain.dpoPairs(fix, buckets = 1, topK = 2, minMargin = 0.01)
+      .orderBy($"pair_rank").collect()
+    // independent replay: score with the same public scorer, pair in Scala
+    val q = fix.select($"doc_id", Text.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = q.toSeq.sortBy { case (id, s) => (-s, id) }
+    val worst = q.toSeq.sortBy { case (id, s) => (s, -id) }
+    val want = (0 until 2).flatMap { i =>
+      val (cid, cq) = best(i); val (rid, rq) = worst(i)
+      if (2 * (i + 1) <= q.size && cq - rq >= 0.01)
+        Some((i + 1L, cid, rid, cq, rq)) else None
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (rank, cid, rid, cq, rq)) =>
+      assert(r.getAs[Long]("pair_rank") == rank)
+      assert(r.getAs[Long]("chosen_id") == cid)
+      assert(r.getAs[Long]("rejected_id") == rid)
+      assert(r.getAs[Double]("chosen_q") == cq)
+      assert(r.getAs[Double]("rejected_q") == rq)
+      assert(r.getAs[Double]("margin") > 0)
+    }
+    // chosen and rejected sets never overlap (structural disjointness)
+    val ch = got.map(_.getAs[Long]("chosen_id")).toSet
+    val rj = got.map(_.getAs[Long]("rejected_id")).toSet
+    assert(ch.intersect(rj).isEmpty)
+    // an impossible margin filters everything
+    assert(Pretrain.dpoPairs(fix, buckets = 1, topK = 2,
+      minMargin = 10.0).count() == 0L)
+    // a 1-doc group can never pair with itself
+    val solo = Seq((9L, "only doc")).toDF("doc_id", "text")
+      .withColumn("source", lit("lonely"))
+    assert(Pretrain.dpoPairs(solo, buckets = 1, topK = 2,
+      minMargin = 0.0).count() == 0L)
+  }
 }

@@ -212,4 +212,24 @@ class TextSpec extends SparkSpec {
         r.getAs[Long]("fill_ppm") < 1250000L)
     }
   }
+
+  test("licenseHits: counts distinct phrases, case-insensitive; prose traps score 0") {
+    import spark.implicits._
+    val got = Seq(
+      // MIT header: 3 phrases (mit license / permission is hereby
+      // granted / without warranty of any kind)
+      "MIT License. Permission is hereby granted, free of charge. " +
+        "THE SOFTWARE IS PROVIDED WITHOUT WARRANTY OF ANY KIND.",
+      // Apache header: 2 (all rights reserved / licensed under the
+      // apache license)
+      "Copyright 2024. All rights reserved. Licensed under the " +
+        "Apache License, Version 2.0.",
+      "// SPDX-License-Identifier: BSD-3-Clause",
+      // trap: "copyright" alone is not a phrase; prose stays clean
+      "the copyright office reported registrations rose this year",
+      // repetition of ONE phrase still counts once (distinct phrases)
+      "mit license mit license MIT LICENSE"
+    ).toDF("text").select(Text.licenseHits($"text")).as[Long].collect()
+    assert(got.toSeq == Seq(3L, 2L, 1L, 0L, 1L))
+  }
 }
