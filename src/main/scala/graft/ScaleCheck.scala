@@ -383,6 +383,14 @@ object ScaleCheck {
       // one k-row integer agg + broadcast join-back, so its factor
       // should track embed_kmeans'
       "doc_fim", "text_license", "dpo_pairs", "embed_outliers",
+      // watermark detection is a narrow per-transition md5 map
+      // (~linear in token mass); the calibration report re-runs the
+      // #128 trainer + a 10-row bucket agg (factor should track
+      // corpus_classify); the overlap audit runs all four dedup pair
+      // pipelines over the shifted-slice union, so its factor
+      // aggregates the jaccard/minhash/simhash composites' and its
+      // own matrix join is bounded by the tagged flag sets
+      "text_watermark", "classify_calibration", "dedup_overlap",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

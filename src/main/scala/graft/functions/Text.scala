@@ -334,6 +334,34 @@ object Text {
       .reduce(_ + _)
   }
 
+  // ------------------------------------------- watermark detection
+  /** Greenlist watermark detection (Kirchenbauer et al. 2023, "A
+    * Watermark for Large Language Models"): a watermarking decoder
+    * biases token t_i toward a pseudo-random "green list" seeded on
+    * t_{i−1}; the detector counts green transitions and z-tests the
+    * count against the unwatermarked expectation γ·T. This counts the
+    * green transitions: t_i is green iff an md5 draw keyed on
+    * (t_{i−1}, t_i) lands below `gammaPct` — sha-derived, so the
+    * DuckDB oracle replays every draw. A training pipeline runs this
+    * to KEEP synthetic/model-generated text out of a pretrain corpus
+    * (or to audit a distillation set for it).
+    *
+    * Pass a staged token-array attribute ref (the HOF lambda rule —
+    * an inline tokenize would re-run per element). Docs with < 2
+    * tokens score 0 (sequence(2, n) would run DESCENDING for n < 2 —
+    * Spark sequences step −1 when start > stop — hence the guard). */
+  def watermarkGreens(toks: Column, gammaPct: Int): Column = {
+    val green = (i: Column) =>
+      when(conv(substring(md5(concat(lit("wm:"),
+          element_at(toks, (i - 1).cast("int")), lit("|"),
+          element_at(toks, i.cast("int")))), 1, 8), 16, 10)
+        .cast("long") % 100 < gammaPct, 1L).otherwise(0L)
+    when(size(toks) >= 2,
+      aggregate(transform(sequence(lit(2), size(toks)), green),
+        lit(0L), (a, x) => a + x))
+      .otherwise(0L)
+  }
+
   // -------------------------------------------------------- fingerprints
   /** Normalized-content sha-256 (exact-dedup key at any scale). */
   def fingerprint(text: Column): Column = sha2(normalize(text), 256)

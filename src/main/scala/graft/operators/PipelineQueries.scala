@@ -679,6 +679,44 @@ object PipelineQueries {
           Dedup.clusters(Dedup.jaccardPairs(doc, k = 3, threshold = 0.5)), doc)
         .orderBy(col("cluster_id"))
     }),
+    // 25d: dedup-method agreement audit — the flag-set overlap matrix
+    // across the four text dedup families (exact fingerprint, capped
+    // MinHash-LSH @0.2, capped SimHash ≤3, prefix-filtered Jaccard
+    // @0.5): per method pair, how many docs BOTH flag (diagonal =
+    // per-method totals). The number a dedup-stack decision is made
+    // with — "what does simhash catch that minhash misses" — which no
+    // single method's oracle can see. A 25-doc shifted-copy slice
+    // makes the exact branch hot without degenerating the near-dup
+    // sets. Each method's member set is its existing serving operator
+    // (oracles share SH3/SIMHASH_CTES replays); the matrix is one
+    // materialized tagged union self-joined on doc_id.
+    "dedup_overlap" -> ((s, d) => {
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val src = doc.unionAll(doc.where(col("doc_id") <= 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val fp = src.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val dupFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("nc"))
+        .where(col("nc") >= 2).select(col("fp"))
+      val exact = fp.join(dupFp, Seq("fp"), "left_semi").select(col("doc_id"))
+      def members(pairs: org.apache.spark.sql.DataFrame) =
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val tagged = graft.Materialize.once(
+        exact.select(lit("exact").as("m"), col("doc_id"))
+          .unionAll(members(Dedup.minhashPairs(src, k = 3, bands = 8,
+            rowsPerBand = 4, threshold = 0.2))
+            .select(lit("minhash").as("m"), col("doc_id")))
+          .unionAll(members(Dedup.simhashPairs(src, maxHamming = 3))
+            .select(lit("simhash").as("m"), col("doc_id")))
+          .unionAll(members(Dedup.jaccardPairs(src, k = 3, threshold = 0.5))
+            .select(lit("jaccard").as("m"), col("doc_id"))))
+      tagged.as("a")
+        .join(tagged.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.m") <= col("b.m"))
+        .groupBy(col("a.m").as("method_a"), col("b.m").as("method_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy(col("method_a"), col("method_b"))
+    }),
     // 79: triangle enumeration over the near-dup graph (graph motif
     // counting): triples of mutually-similar documents — the signal
     // that separates pairwise noise from genuinely replicated content.
@@ -891,6 +929,38 @@ object PipelineQueries {
           Text.licenseHits(col("text")).as("n_phrases"))
         .withColumn("has_license", col("n_phrases") >= 1L)
         .orderBy(col("doc_id"))),
+    // 154: greenlist watermark detection (Kirchenbauer et al. 2023) —
+    // the synthetic-text gate a pretrain corpus runs to keep
+    // model-generated text out: count sha-derived green transitions,
+    // z-test against the γ·T unwatermarked expectation, verdict
+    // length-gated at WM_MIN scored transitions. The corpus is
+    // natural (z ~ N(0,1)); the planted all-green chain (z ≈ 10.82)
+    // and its short prefix (z ≈ 4.58 but under the length gate)
+    // carry both verdict branches. Narrow codegen'd map, tokens
+    // staged as an attribute ref, zero shuffle.
+    "text_watermark" -> ((s, d) => {
+      val g = WM_GAMMA_PCT / 100.0
+      val v = g * (1.0 - g)
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantedDocs(s, wmPlanted))
+        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
+        .select(col("doc_id"),
+          greatest(size(col("tk")) - 1, lit(0)).cast("long").as("n_scored"),
+          Text.watermarkGreens(col("tk"), WM_GAMMA_PCT).as("n_green"))
+        .select(col("doc_id"), col("n_scored"), col("n_green"),
+          when(col("n_scored") > 0,
+              round(col("n_green").cast("double") /
+                col("n_scored").cast("double"), 6))
+            .otherwise(lit(0.0)).as("green_ratio"),
+          when(col("n_scored") > 0,
+              round((col("n_green").cast("double") -
+                  lit(g) * col("n_scored").cast("double")) /
+                sqrt(col("n_scored").cast("double") * lit(v)), 6))
+            .otherwise(lit(0.0)).as("z"))
+        .withColumn("watermarked",
+          col("n_scored") >= WM_MIN && col("z") > WM_Z)
+        .orderBy(col("doc_id"))
+    }),
     // 139: HTML/markup stripping AHEAD of the text stack — crawl pages
     // arrive as HTML; this reduces them to the plain text every
     // downstream stage (fixText, text_lines, dedup_paragraph,
@@ -1955,6 +2025,31 @@ object PipelineQueries {
     // (Classify's scaladoc has the determinism discipline).
     "corpus_classify" -> ((s, d) =>
       Classify.scores(docs(s, d)).orderBy(col("doc_id"))),
+    // 128b: classifier calibration report — the reliability curve for
+    // #128's trained quality gate: bucket the corpus by score decile
+    // and report per bucket the observed positive-label rate next to
+    // the mean score (well-calibrated ⇔ the two track). The report a
+    // threshold/τ decision is made with; score mass re-aggregated on
+    // the 1e-6 grid as exact longs (order-free) so both engines agree
+    // to the last digit. One 10-row aggregate over the scored frame.
+    "classify_calibration" -> ((s, d) => {
+      val sc = Classify.scores(docs(s, d))
+        .select(col("doc_id"), col("score"), col("label"))
+        .withColumn("bucket",
+          least(floor(col("score") * 10.0), lit(9.0)).cast("long"))
+        .withColumn("qs",
+          floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      sc.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("qs")).as("qsum"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          round(col("n_pos").cast("double") /
+            col("n_docs").cast("double"), 6).as("pos_rate"),
+          round(col("qsum").cast("double") /
+            (col("n_docs").cast("double") * 1000000.0), 6).as("mean_score"))
+        .orderBy(col("bucket"))
+    }),
     // 62: bigram-LM fluency scoring (KenLM-class quality filter): train
     // add-one-smoothed bigram stats on the corpus itself, score each
     // doc by mean log P(w2|w1). Counts are vocabulary-sized aggregates;
@@ -2423,6 +2518,15 @@ object PipelineQueries {
   /** embed_outliers z-score threshold (flag below mean − z·std). */
   private val OUTLIER_Z = 2.0
 
+  /** text_watermark parameters, interpolated into BOTH engines:
+    * greenlist fraction γ (percent), detection z threshold, and the
+    * minimum scored-transition count below which the z-test is
+    * meaningless (a 7-token all-green doc z-scores 4.6 by chance
+    * structure — length gates the verdict, not the arithmetic). */
+  private val WM_GAMMA_PCT = 25
+  private val WM_Z = 4.0
+  private val WM_MIN = 20
+
   /** text_cms sketch geometry: 4 seeds × 16^3 sha-derived buckets
     * (128 KiB of counters). Interpolated into the oracle, which
     * replays buckets as hex-prefix STRINGS (injective to the engine's
@@ -2775,6 +2879,21 @@ object PipelineQueries {
     -45L -> ("the copyright office reported that registrations rose " +
       "again this year while fees stayed flat"),
     -46L -> "a perfectly ordinary paragraph about the weather today")
+
+  /** text_watermark planted fixtures (negative doc_ids). -51 is a
+    * 40-token chain CONSTRUCTED so every transition's md5 draw is
+    * green (built offline with the same md5 arithmetic both engines
+    * run): T=39, g=39 → z = (39 − 0.25·39)/√(39·0.1875) ≈ 10.82 —
+    * detected. -52 is the chain's 8-token prefix: all green, z ≈ 4.58
+    * > the threshold, but T=7 < WM_MIN so the length gate suppresses
+    * the verdict — the branch that keeps short docs out of the
+    * detector. The natural corpus sits near z ∼ N(0,1). */
+  private val wmPlanted: Seq[(Long, String)] = Seq(
+    -51L -> ("start tok3 tok4 tok7 tok19 tok0 tok6 tok1 tok2 tok10 " +
+      "tok3 tok4 tok7 tok19 tok0 tok6 tok1 tok2 tok10 tok3 tok4 " +
+      "tok7 tok19 tok0 tok6 tok1 tok2 tok10 tok3 tok4 tok7 tok19 " +
+      "tok0 tok6 tok1 tok2 tok10 tok3 tok4 tok7"),
+    -52L -> "start tok3 tok4 tok7 tok19 tok0 tok6 tok1")
 
   /** One planted-fixture frame (doc_id, text) — the union side of the
     * keys whose behavior the markup-free corpus can't exercise
@@ -4076,6 +4195,71 @@ object PipelineQueries {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // 25d: all four flag-set replays over the shifted-slice union —
+    // exact fingerprints, the capped minhash replay, the capped
+    // simhash replay (SH3/SIMHASH_CTES retargeted at the union), the
+    // jaccard pairs — then the tagged-union self-join matrix.
+    "dedup_overlap" ->
+      s"""WITH ov AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id <= 25
+         |), ${SH3.replace("FROM documents", "FROM ov")},
+         |${SIMHASH_CTES.replace("FROM documents", "FROM ov")},
+         |fpc AS (
+         |  SELECT doc_id, sha256($NORM) AS fp FROM ov
+         |), fdup AS (
+         |  SELECT fp FROM fpc GROUP BY fp HAVING count(*) >= 2
+         |), eids AS (
+         |  SELECT doc_id FROM fpc WHERE fp IN (SELECT fp FROM fdup)
+         |), sig AS (
+         |  SELECT doc_id, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS m
+         |  FROM sh CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i
+         |), band AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), bandk AS (
+         |  SELECT band.* FROM band JOIN (
+         |    SELECT band, bkey FROM band GROUP BY band, bkey
+         |    HAVING count(*) <= ${Dedup.bandBucketCap}
+         |  ) ok USING (band, bkey)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), mpair AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         |      count(*) AS inter
+         |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+         |    GROUP BY 1, 2, 3, 4
+         |  ) p WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.2
+         |), mids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM mpair UNION ALL SELECT doc_b FROM mpair)
+         |), spair AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chk a JOIN chk b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |), sids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM spair UNION ALL SELECT doc_b FROM spair)
+         |), jpair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, a.n_sh, b.n_sh
+         |  HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.5
+         |), jids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM jpair UNION ALL SELECT doc_b FROM jpair)
+         |), tagged AS (
+         |  SELECT 'exact' AS m, doc_id FROM eids
+         |  UNION ALL SELECT 'minhash', doc_id FROM mids
+         |  UNION ALL SELECT 'simhash', doc_id FROM sids
+         |  UNION ALL SELECT 'jaccard', doc_id FROM jids
+         |)
+         |SELECT a.m AS method_a, b.m AS method_b, CAST(count(*) AS BIGINT) AS n_both
+         |FROM tagged a JOIN tagged b ON a.doc_id = b.doc_id AND a.m <= b.m
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // 90: asymmetric LSH replay over the reconstructed corpus+batch —
     // same signature/band arithmetic as dedup_minhash, candidates
     // restricted to (new, old) pairs, plus the exact-fingerprint path
@@ -4595,6 +4779,46 @@ object PipelineQueries {
          |)
          |SELECT doc_id, n_phrases, n_phrases >= 1 AS has_license
          |FROM h ORDER BY doc_id""".stripMargin
+    },
+    // 154: replay every green draw (md5 on the prev|cur transition),
+    // the z arithmetic and the length-gated verdict; constants
+    // interpolated from WM_GAMMA_PCT / WM_Z / WM_MIN.
+    "text_watermark" -> {
+      val vals = wmPlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), ${sqlStr(t)})" }.mkString(",\n    ")
+      val g = WM_GAMMA_PCT / 100.0
+      val v = g * (1.0 - g)
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $vals) pl(doc_id, text)
+         |), t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $NORM = '' THEN [] ELSE str_split($NORM, ' ') END AS tk
+         |  FROM src
+         |), gr AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_scored,
+         |    CAST(CASE WHEN len(tk) >= 2 THEN list_sum(list_transform(range(2, len(tk) + 1),
+         |      i -> CASE WHEN CAST(('0x' || substr(md5('wm:' || tk[CAST(i - 1 AS INT)] || '|' || tk[CAST(i AS INT)]), 1, 8))::UBIGINT AS BIGINT) % 100 < $WM_GAMMA_PCT
+         |        THEN 1 ELSE 0 END))
+         |    ELSE 0 END AS BIGINT) AS n_green
+         |  FROM t
+         |), zr AS (
+         |  SELECT doc_id, n_scored, n_green,
+         |    CASE WHEN n_scored > 0
+         |      THEN round(CAST(n_green AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         |      ELSE 0.0 END AS green_ratio,
+         |    CASE WHEN n_scored > 0
+         |      THEN round((CAST(n_green AS DOUBLE) - $g * CAST(n_scored AS DOUBLE))
+         |        / sqrt(CAST(n_scored AS DOUBLE) * $v), 6)
+         |      ELSE 0.0 END AS z
+         |  FROM gr
+         |)
+         |SELECT doc_id, n_scored, n_green, green_ratio, z,
+         |  (n_scored >= $WM_MIN AND z > $WM_Z) AS watermarked
+         |FROM zr ORDER BY doc_id""".stripMargin
     },
     // 139: the same strip/decode chain, generated from the SAME
     // constants (dropRes / blockTagRe / anyTagRe / entities) the Spark
@@ -5902,6 +6126,27 @@ object PipelineQueries {
          |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) >= 0.5 AS pred,
          |  f.label
          |FROM f CROSS JOIN w8s w ORDER BY f.doc_id""".stripMargin,
+    // 128b: same trained scores (shared classifySql replay), decile
+    // buckets, exact 1e-6-grid score mass per bucket.
+    "classify_calibration" ->
+      s"""WITH ${classifySql(8, "8.0")}, csc AS (
+         |  SELECT f.doc_id,
+         |    floor(least(greatest(0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5,
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+         |    f.label
+         |  FROM f CROSS JOIN w8s w
+         |), cb AS (
+         |  SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS bucket,
+         |    count(*) AS n,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+         |    sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS qs
+         |  FROM csc GROUP BY 1
+         |)
+         |SELECT bucket, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+         |  round(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_score
+         |FROM cb ORDER BY bucket""".stripMargin,
     // 135: same (c/n)·ln(n/c) per distinct token, floored onto the
     // 1e-6 grid, summed as BIGINT — order-free on both engines
     "text_entropy" ->

@@ -232,4 +232,29 @@ class TextSpec extends SparkSpec {
     ).toDF("text").select(Text.licenseHits($"text")).as[Long].collect()
     assert(got.toSeq == Seq(3L, 2L, 1L, 0L, 1L))
   }
+
+  test("watermarkGreens == plain-JVM md5 replay; <2-token guard") {
+    import spark.implicits._
+    def jvmGreens(toks: Seq[String]): Long =
+      toks.zip(toks.drop(1)).count { case (a, b) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"wm:$a|$b".getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 100 < 25
+      }.toLong
+    val chain = ("start tok3 tok4 tok7 tok19 tok0 tok6 tok1 tok2 " +
+      "tok10 tok3 tok4 tok7").split(" ").toSeq
+    val fix = Seq(
+      (1L, chain),
+      (2L, Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+      (3L, Seq("solo")),   // < 2 tokens: guard, 0
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "tk")
+    val got = fix.select($"doc_id", Text.watermarkGreens($"tk", 25).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == chain.length - 1L, "constructed chain is all-green")
+    assert(got(1L) == jvmGreens(chain))
+    assert(got(2L) == jvmGreens(Seq("alpha", "beta", "gamma", "delta", "epsilon")))
+    assert(got(3L) == 0L && got(4L) == 0L)
+  }
 }
