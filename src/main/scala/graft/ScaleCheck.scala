@@ -391,6 +391,10 @@ object ScaleCheck {
       // aggregates the jaccard/minhash/simhash composites' and its
       // own matrix join is bounded by the tagged flag sets
       "text_watermark", "classify_calibration", "dedup_overlap",
+      // stitching is one source exchange + in-shuffle window + the
+      // same-keyed agg — wall tracks the scan; context count grows
+      // linearly with the corpus
+      "corpus_stitch",
       "text_lines@boiler", "dedup_paragraph@boiler", "mm_dedup@media",
       // round-16: the segmented-group read-amplification row (base =
       // compacted one-segment lake, "10x" = the same content under

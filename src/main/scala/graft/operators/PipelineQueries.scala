@@ -938,29 +938,11 @@ object PipelineQueries {
     // and its short prefix (z ≈ 4.58 but under the length gate)
     // carry both verdict branches. Narrow codegen'd map, tokens
     // staged as an attribute ref, zero shuffle.
-    "text_watermark" -> ((s, d) => {
-      val g = WM_GAMMA_PCT / 100.0
-      val v = g * (1.0 - g)
-      docs(s, d).select(col("doc_id"), col("text"))
-        .unionByName(plantedDocs(s, wmPlanted))
-        .select(col("doc_id"), Text.tokensOrEmpty(col("text")).as("tk"))
-        .select(col("doc_id"),
-          greatest(size(col("tk")) - 1, lit(0)).cast("long").as("n_scored"),
-          Text.watermarkGreens(col("tk"), WM_GAMMA_PCT).as("n_green"))
-        .select(col("doc_id"), col("n_scored"), col("n_green"),
-          when(col("n_scored") > 0,
-              round(col("n_green").cast("double") /
-                col("n_scored").cast("double"), 6))
-            .otherwise(lit(0.0)).as("green_ratio"),
-          when(col("n_scored") > 0,
-              round((col("n_green").cast("double") -
-                  lit(g) * col("n_scored").cast("double")) /
-                sqrt(col("n_scored").cast("double") * lit(v)), 6))
-            .otherwise(lit(0.0)).as("z"))
-        .withColumn("watermarked",
-          col("n_scored") >= WM_MIN && col("z") > WM_Z)
-        .orderBy(col("doc_id"))
-    }),
+    "text_watermark" -> ((s, d) =>
+      graft.operators.Watermark.report(
+        docs(s, d).select(col("doc_id"), col("text"))
+          .unionByName(plantedDocs(s, wmPlanted)))
+        .orderBy(col("doc_id"))),
     // 139: HTML/markup stripping AHEAD of the text stack — crawl pages
     // arrive as HTML; this reduces them to the plain text every
     // downstream stage (fixText, text_lines, dedup_paragraph,
@@ -1038,6 +1020,14 @@ object PipelineQueries {
     "doc_fim" -> ((s, d) =>
       graft.operators.Pretrain.fimExamples(docs(s, d), ratePct = FIM_RATE)
         .orderBy(col("doc_id"))),
+    // 155: long-context document stitching — same-source ingest-order
+    // concat into <=CTX_STITCH-token contexts via the offset-quota
+    // assignment (window-parallel, deterministic); per-context sha of
+    // the full separator-joined text proves every stitched byte.
+    // One source exchange + in-shuffle window + same-keyed agg.
+    "corpus_stitch" -> ((s, d) =>
+      graft.operators.Pretrain.stitchContexts(docs(s, d), budget = CTX_STITCH)
+        .orderBy(col("source"), col("context_id"))),
     // 150: DPO preference-pair construction — i-th best vs i-th worst
     // per (source, sha-bucket) group by the deterministic quality
     // score, margin-gated; disjointness is structural (the orderings
@@ -2518,14 +2508,16 @@ object PipelineQueries {
   /** embed_outliers z-score threshold (flag below mean − z·std). */
   private val OUTLIER_Z = 2.0
 
-  /** text_watermark parameters, interpolated into BOTH engines:
-    * greenlist fraction γ (percent), detection z threshold, and the
-    * minimum scored-transition count below which the z-test is
-    * meaningless (a 7-token all-green doc z-scores 4.6 by chance
-    * structure — length gates the verdict, not the arithmetic). */
-  private val WM_GAMMA_PCT = 25
-  private val WM_Z = 4.0
-  private val WM_MIN = 20
+  /** corpus_stitch context token budget, interpolated into BOTH
+    * engines. */
+  private val CTX_STITCH = 256
+
+  /** text_watermark parameters — aliases of [[graft.operators
+    * .Watermark]]'s constants (one definition, interpolated into the
+    * oracle SQL so the engines cannot drift). */
+  private val WM_GAMMA_PCT = graft.operators.Watermark.GammaPct
+  private val WM_Z = graft.operators.Watermark.ZThresh
+  private val WM_MIN = graft.operators.Watermark.MinScored
 
   /** text_cms sketch geometry: 4 seeds × 16^3 sha-derived buckets
     * (128 KiB of counters). Interpolated into the oracle, which
@@ -4903,6 +4895,27 @@ object PipelineQueries {
          |    ',')) AS mask_sha
          |FROM kp WHERE len(kept) > ${SFT_PROMPT + 2}
          |ORDER BY doc_id""".stripMargin,
+    // 155: same offset-quota assignment and ordered separator-join,
+    // hashed byte-exact; budget interpolated from CTX_STITCH.
+    "corpus_stitch" ->
+      s"""WITH stok AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(CASE WHEN $NORM = '' THEN 0
+         |      ELSE len(str_split($NORM, ' ')) END AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), sst AS (
+         |  SELECT doc_id, source, text, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM stok
+         |)
+         |SELECT source, CAST(cum_prev // $CTX_STITCH AS BIGINT) AS context_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  sha256(string_agg(text, '<|doc|>' ORDER BY doc_id)) AS text_sha
+         |FROM sst GROUP BY 1, 2
+         |ORDER BY source, context_id""".stripMargin,
     // 149c: FIM — same sha-derived cut points (uniform over [0, n],
     // sorted) and gate, same PSM rendering, hashed token-exact.
     "doc_fim" ->

@@ -481,6 +481,50 @@ object Pretrain {
           .otherwise(col("tk")), " "), 256).as("text_sha"))
   }
 
+  // --------------------------- 155: long-context document stitching
+  /** Long-context example assembly: concatenate RELATED documents
+    * (same source, ingest order) into ≤`budget`-token training
+    * contexts — the document-stitching recipe long-context training
+    * runs instead of packing unrelated chunks (related neighbors give
+    * the model genuine long-range dependencies; random packing gives
+    * it attention noise). Assignment is the chunk_pack offset-quota
+    * formulation (context_id = ⌊tokens-before-this-doc / budget⌋),
+    * which is window-parallel and deterministic where a greedy
+    * bin-reset is neither; an over-budget document overflows its own
+    * context rather than splitting (stitching composes AFTER chunking
+    * if splitting is wanted). Emits per context the doc count, token
+    * mass, id span, and the sha-256 of the full separator-joined
+    * context text — every stitched byte oracle-proven.
+    *
+    * Scale: ONE hash exchange on source + an in-shuffle ordered
+    * window, then the same-keyed aggregation (no second exchange). A
+    * giant source is one partition's sort — the corpus_shard trade;
+    * a 100 TB deployment sub-shards source by ingest day first.
+    * Output: (source, context_id, n_docs, n_tokens, first_doc,
+    * last_doc, text_sha). */
+  def stitchContexts(src: DataFrame, budget: Int = 256): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    src.select(col("doc_id"), col("source"), col("text"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("context_id",
+        floor(col("cum_prev") / budget).cast("long"))
+      .groupBy(col("source"), col("context_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        collect_list(struct(col("doc_id"), col("text"))).as("parts"))
+      .select(col("source"), col("context_id"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("last_doc"),
+        sha2(array_join(transform(array_sort(col("parts")),
+          x => x.getField("text")), "<|doc|>"), 256).as("text_sha"))
+  }
+
   // --------------------------- 150: DPO preference-pair construction
   /** Preference-pair construction for DPO/RLHF reward training: within
     * each candidate group, pair the i-th best-scoring document (chosen)

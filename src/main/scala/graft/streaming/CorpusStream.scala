@@ -143,6 +143,69 @@ object CorpusStream {
     out
   }
 
+  /** Streaming watermark gate: the 24/7 face of the `text_watermark`
+    * batch operator (#154) — per micro-batch, every document's
+    * greenlist z-test verdict lands beside the ingest so
+    * model-generated text is visible (and filterable downstream via
+    * `.where(!watermarked)`) at the next trigger, not the nightly
+    * audit. Stateless per batch: the report is a narrow deterministic
+    * map ([[graft.operators.Watermark.report]] — the SAME body the
+    * batch key runs), so a replayed batch re-emits byte-identical
+    * rows and [[latestWatermark]] collapses them (the standard
+    * at-least-once append / idempotent-reader split). No state grows
+    * with the stream. */
+  def startWatermarkGate(spark: SparkSession, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery =
+    readDocuments(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.Materialize.scoped {
+          wmBatchBody(batch.toDF(), batchId, outDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$checkpointDir/watermark")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[startWatermarkGate]]'s per-batch body — ONE definition shared
+    * with the composed [[startCorpusIngest]] face. Returns the
+    * written frame. */
+  private def wmBatchBody(batch: DataFrame, batchId: Long,
+      outDir: String, mat: DataFrame => DataFrame = identity): DataFrame = {
+    val out = mat(graft.operators.Watermark
+      .report(batch.select(col("doc_id"), col("text")))
+      .withColumn("batch_seq", lit(batchId)))
+    out.write.mode("append").parquet(outDir)
+    out
+  }
+
+  /** Current per-document watermark verdicts from the gate's append
+    * sink: replay duplicates and re-crawled docs collapse to the
+    * NEWEST row per doc_id (max batch_seq — the latestCleanLines
+    * discipline). Empty on cold start. */
+  def latestWatermark(spark: SparkSession, outDir: String): DataFrame = {
+    val t = try spark.read.parquet(outDir) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("n_scored", LongType),
+            StructField("n_green", LongType),
+            StructField("green_ratio", DoubleType),
+            StructField("z", DoubleType),
+            StructField("watermarked", BooleanType))))
+    }
+    t.groupBy(col("doc_id"))
+      .agg(max(struct(col("batch_seq"), col("n_scored"), col("n_green"),
+        col("green_ratio"), col("z"), col("watermarked"))).as("m"))
+      .select(col("doc_id"), col("m.n_scored").as("n_scored"),
+        col("m.n_green").as("n_green"),
+        col("m.green_ratio").as("green_ratio"), col("m.z").as("z"),
+        col("m.watermarked").as("watermarked"))
+  }
+
   /** Incremental-ingest dedup variant: drop documents that exactly or
     * nearly duplicate the EXISTING corpus before prep — the streaming
     * form of the `dedup_incremental` batch query. The corpus minhash
@@ -1930,10 +1993,12 @@ object CorpusStream {
     * `cleanOutDir` is [[startClean]] (requires the `benchmark` frame),
     * (`dedupLakeDir`, `dedupOutDir`) is [[startIncrementalDedupFromLake]],
     * (`driftRefDir`, `driftStateDir`, `driftOutDir`) is
-    * [[startDriftGate]], `cardStateDir` is [[startCorpusCard]], and
-    * `funnelDir` adds a per-batch per-face row-count audit table
-    * (batch_seq, face, n_rows) — `raw` is the input doc count, each
-    * output face reports the rows it appended that batch. */
+    * [[startDriftGate]], `cardStateDir` is [[startCorpusCard]],
+    * `wmOutDir` is [[startWatermarkGate]] (per-doc greenlist
+    * verdicts), and `funnelDir` adds a per-batch per-face row-count
+    * audit table (batch_seq, face, n_rows) — `raw` is the input doc
+    * count, each output face reports the rows it appended that
+    * batch. */
   final case class IngestFaces(
       chunksDir: Option[String] = None,
       cleanOutDir: Option[String] = None,
@@ -1943,6 +2008,7 @@ object CorpusStream {
       driftStateDir: Option[String] = None,
       driftOutDir: Option[String] = None,
       cardStateDir: Option[String] = None,
+      wmOutDir: Option[String] = None,
       funnelDir: Option[String] = None)
 
   /** The composed 24/7 ingest: every selected face fed from ONE input
@@ -1978,7 +2044,8 @@ object CorpusStream {
       benchmark: DataFrame = null,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
     require(Seq(faces.chunksDir, faces.cleanOutDir, faces.dedupOutDir,
-      faces.driftOutDir, faces.cardStateDir).exists(_.isDefined),
+      faces.driftOutDir, faces.cardStateDir, faces.wmOutDir)
+      .exists(_.isDefined),
       "startCorpusIngest: no face selected")
     require(faces.cleanOutDir.isEmpty || benchmark != null,
       "startCorpusIngest: the clean face needs the benchmark frame")
@@ -2022,6 +2089,8 @@ object CorpusStream {
             driftBatchBody(once, batchId, faces.driftRefDir.get,
               faces.driftStateDir.get, d))
           faces.cardStateDir.foreach(d => cardBatchBody(once, batchId, d))
+          faces.wmOutDir.foreach(d =>
+            audit("watermark", wmBatchBody(once, batchId, d, mat)))
           faces.funnelDir.foreach { fd =>
             import s2.implicits._
             (("raw", once.count()) +: emitted.toSeq)

@@ -1172,6 +1172,8 @@ class CorpusStreamSpec extends SparkSpec {
       .awaitTermination()
     CorpusStream.startCorpusCard(spark, s"$base/in", s"$base/sCardState",
       s"$base/cpE", maxFilesPerTrigger = 1).awaitTermination()
+    CorpusStream.startWatermarkGate(spark, s"$base/in", s"$base/sWm",
+      s"$base/cpF", maxFilesPerTrigger = 1).awaitTermination()
 
     // composed run under a plan listener: the one-scan pin counts
     // EXECUTED plans that scan the input dir — exactly one per
@@ -1199,6 +1201,7 @@ class CorpusStreamSpec extends SparkSpec {
       driftStateDir = Some(s"$base/cDriftState"),
       driftOutDir = Some(s"$base/cDrift"),
       cardStateDir = Some(s"$base/cCardState"),
+      wmOutDir = Some(s"$base/cWm"),
       funnelDir = Some(s"$base/cFunnel"))
     val b0 = spark.sparkContext.getPersistentRDDs.keySet
     spark.sparkContext.addSparkListener(qel)
@@ -1232,6 +1235,16 @@ class CorpusStreamSpec extends SparkSpec {
     sameRows(s"$base/sClean", s"$base/cClean")
     sameRows(s"$base/sDedup", s"$base/cDedup")
     sameRows(s"$base/sDrift", s"$base/cDrift")
+    sameRows(s"$base/sWm", s"$base/cWm")
+    // the collapsed reader resolves to one row per doc and matches
+    // the batch operator over the whole input (stateless face)
+    val wmRead = CorpusStream.latestWatermark(spark, s"$base/cWm")
+    assert(wmRead.count() == spark.read.parquet(s"$base/in").count())
+    val wmBatch = graft.operators.Watermark.report(
+      spark.read.parquet(s"$base/in").select(col("doc_id"), col("text")))
+    assert(wmRead.exceptAll(wmBatch).isEmpty &&
+      wmBatch.exceptAll(wmRead).isEmpty,
+      "watermark face diverged from the batch operator")
     def cardMap(stateDir: String) = CorpusStream.readCorpusCard(spark, stateDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
       .toMap
@@ -1248,16 +1261,17 @@ class CorpusStreamSpec extends SparkSpec {
     assert(fsum("chunks") == spark.read.parquet(s"$base/cChunks").count())
     assert(fsum("clean") == spark.read.parquet(s"$base/cClean").count())
     assert(fsum("dedup") == spark.read.parquet(s"$base/cDedup").count())
+    assert(fsum("watermark") == spark.read.parquet(s"$base/cWm").count())
 
     // replay: same checkpoint, no new input -> every face is a no-op
     val before = Seq(s"$base/cChunks", s"$base/cClean", s"$base/cDedup",
-      s"$base/cDrift", s"$base/cFunnel")
+      s"$base/cDrift", s"$base/cWm", s"$base/cFunnel")
       .map(d => spark.read.parquet(d).count())
     val cardBefore = cardMap(s"$base/cCardState")
     CorpusStream.startCorpusIngest(spark, s"$base/in", faces, s"$base/cpZ",
       benchmark = benchmark, maxFilesPerTrigger = 1).awaitTermination()
     val after = Seq(s"$base/cChunks", s"$base/cClean", s"$base/cDedup",
-      s"$base/cDrift", s"$base/cFunnel")
+      s"$base/cDrift", s"$base/cWm", s"$base/cFunnel")
       .map(d => spark.read.parquet(d).count())
     assert(before == after, s"replay re-emitted rows: $before -> $after")
     assert(cardMap(s"$base/cCardState") == cardBefore, "replay changed the card")

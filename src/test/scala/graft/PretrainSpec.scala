@@ -334,6 +334,38 @@ class PretrainSpec extends SparkSpec {
         sha256Hex((1 to 10).map(i => s"w$i").mkString(" ")))
   }
 
+  test("stitchContexts == plain-Scala offset-quota replay; over-budget doc overflows alone") {
+    val fix = Seq(
+      // source a: 4 docs of 3 tokens — budget 8 puts docs 1-3 in
+      // context 0 (cum_prev 0,3,6 < 8) and doc 4 in context 1
+      (1L, "a", "w1 w2 w3"), (2L, "a", "w4 w5 w6"),
+      (3L, "a", "w7 w8 w9"), (4L, "a", "wa wb wc"),
+      // source b: a 20-token doc overflows its own context; the next
+      // doc starts context 2 (cum_prev 20 -> 20/8 = 2)
+      (5L, "b", (1 to 20).map(i => s"x$i").mkString(" ")),
+      (6L, "b", "y1 y2"),
+      (7L, "c", "")   // empty doc: 0 tokens, its own context 0
+    ).toDF("doc_id", "source", "text")
+    val got = Pretrain.stitchContexts(fix, budget = 8)
+      .orderBy($"source", $"context_id").collect()
+    val byKey = got.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("context_id")) -> r).toMap
+    assert(got.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("context_id"))).toSeq ==
+      Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 2L), ("c", 0L)))
+    assert(byKey(("a", 0L)).getAs[Long]("n_docs") == 3L)
+    assert(byKey(("a", 0L)).getAs[Long]("n_tokens") == 9L)
+    assert(byKey(("a", 0L)).getAs[Long]("first_doc") == 1L)
+    assert(byKey(("a", 0L)).getAs[Long]("last_doc") == 3L)
+    assert(byKey(("a", 1L)).getAs[Long]("n_docs") == 1L)
+    assert(byKey(("b", 0L)).getAs[Long]("n_tokens") == 20L)
+    assert(byKey(("b", 2L)).getAs[Long]("n_docs") == 1L)
+    // the stitched text is the ordered separator-join, byte-exact
+    assert(byKey(("a", 0L)).getAs[String]("text_sha") ==
+      sha256Hex("w1 w2 w3<|doc|>w4 w5 w6<|doc|>w7 w8 w9"))
+    assert(byKey(("c", 0L)).getAs[String]("text_sha") == sha256Hex(""))
+  }
+
   test("dpoPairs == plain-Scala pairing replay; disjoint; margin gate bites") {
     import graft.functions.Text
     val stop = "the and is of to in " // stopword mass lifts quality
