@@ -114,6 +114,22 @@ object Materialize {
     * Stats below the 2⁶⁰ cap are untouched, so small materialized
     * frames keep exact sizes and auto-broadcast exactly as before. */
   def once(df: DataFrame): DataFrame = {
+    // attribute the checkpoint job to the OPERATOR call site, not this
+    // file: every materialization otherwise shows up in the UI and the
+    // bench_stages artifact as "localCheckpoint at Materialize.scala",
+    // which made the r18-opt straggler hunt re-derive callers by hand
+    val caller = new Throwable().getStackTrace
+      .find(f => !f.getClassName.startsWith("graft.Materialize") &&
+        !f.getClassName.startsWith("java."))
+      .map(f => s"Materialize.once at ${f.getFileName}:${f.getLineNumber}")
+      .getOrElse("Materialize.once")
+    val sc = df.sparkSession.sparkContext
+    sc.setCallSite(caller)
+    try onceInner(df)
+    finally sc.clearCallSite()
+  }
+
+  private def onceInner(df: DataFrame): DataFrame = {
     val out = mode(df) match {
       case "local" =>
         org.apache.spark.sql.GraftStatsBridge.clampStats(df.localCheckpoint())

@@ -148,9 +148,18 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sigLen = bands * rowsPerBand
-    val withSig = docs
+    // ONE scan + ONE shingle/signature pass: this frame has four
+    // consumers (the banding posexplode is referenced by capBuckets'
+    // histogram AND join sides, and the exact-Jaccard verify re-attaches
+    // sh on both endpoints). Un-materialized, the sha-256 signature
+    // kernel — the operator's dominant per-row cost — re-ran per
+    // consumer (r18-opt: 6 parquet scans measured in the dedup_jaccard
+    // plan for the same defect class; the multi-consumer recompute rule
+    // of SURVEY §5 applied to the operator's OWN input, not just the
+    // banded frame below).
+    val withSig = graft.Materialize.once(docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"),
-        graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig"))
+        graft.expressions.native.minhashSigSha(col("text"), k, sigLen).as("sig")))
     // explode into one row per band: (band id, the band's sig slice),
     // ids only — shingle arrays re-attach after the distinct. The
     // capped frame is MATERIALIZED once: it feeds the occupancy
@@ -515,7 +524,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val withSim = docs.select(col("doc_id"), simhash64Sha(col("text")).as("sim"))
+    // ONE scan + ONE simhash pass: the chunk posexplode below is
+    // referenced twice inside capBuckets (histogram + join side), so an
+    // un-materialized signature ran the sha-per-token simhash kernel
+    // twice over the corpus (r18-opt; the posexplode itself re-runs over
+    // the checkpointed blocks, which is 4 shift-and-mask ops per row).
+    val withSim = graft.Materialize.once(
+      docs.select(col("doc_id"), simhash64Sha(col("text")).as("sim")))
     // the [[bandBucketCap]] occupancy guard: identical contents share
     // every chunk value, so a duplicate crowd is a hot bucket by data.
     // Materialized once for the same three-consumer reason as
@@ -661,26 +676,48 @@ object Dedup {
   private[graft] def jaccardCandidates(docs: DataFrame, k: Int = 2,
       threshold: Double = 0.5, positional: Boolean = true): DataFrame =
     jaccardCandidatesFromSets(
-      docs.select(col("doc_id"), shingles(col("text"), k).as("sh")),
+      graft.Materialize.once(
+        docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))),
       threshold, positional)
 
-  private def jaccardCandidatesFromSets(sets: DataFrame, threshold: Double,
-      positional: Boolean): DataFrame = {
-    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
+  /** The AllPairs/PPJoin prefix table of `sets` — each doc's rarest
+    * |d|−⌈t|d|⌉+1 shingles under the global (df, s) order, with their
+    * positional rank: (s, doc_id, n_sh, rk).
+    *
+    * `sets` MUST be materialized by the caller: the postings explode is
+    * referenced twice (the df aggregate side and the join probe side),
+    * and exchange reuse does not fire across join branches — over an
+    * un-truncated input the corpus scan + shingle kernel ran twice per
+    * prefix build (r18-opt). Over checkpointed blocks the second
+    * explode is a cheap re-read, and the hash-agg + join stays
+    * sort-free (a count window partitioned by shingle was measured
+    * SLOWER here: it sorts every posting by the shingle string, where
+    * the aggregate hashes them). The repartition pins the rank
+    * window's clustering at a fixed width (the window reuses the
+    * exchange), dodging the AQE-coalesce trap. */
+  private def jaccardPrefixOf(sets: DataFrame, threshold: Double,
+      parts: Int): DataFrame = {
     val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
-    // global document frequency per shingle (one agg over postings)
     val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rarest-first rank of each doc's shingles; keep the prefix.
-    // repartition pins the window's clustering at a fixed width (the
-    // window reuses the exchange), dodging the same AQE-coalesce trap.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = postings.join(dfs, "s")
+    postings.join(dfs, "s")
       .repartition(parts, col("doc_id"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+  }
+
+  private def jaccardCandidatesFromSets(sets: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
+    // materialized ONCE: the prefix table feeds BOTH self-join sides —
+    // un-truncated, the whole postings/df/rank chain re-ran per side
+    // (the multi-consumer recompute rule; 6 parquet scans measured in
+    // the r18-opt dedup_jaccard plan before this change).
+    val prefix = graft.Materialize.once(
+      jaccardPrefixOf(sets, threshold, parts))
     val a = prefix.select(col("s"), col("doc_id").as("doc_a"),
       col("n_sh").as("n_a"), col("rk").as("rk_a"))
     val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
@@ -713,7 +750,11 @@ object Dedup {
   }
 
   def jaccardPairs(docs: DataFrame, k: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    // ONE scan + ONE shingle pass: the set table feeds the prefix build
+    // plus both exact-verify endpoint joins (three consumers; the
+    // shingle kernel re-ran per consumer un-materialized — r18-opt).
+    val sets = graft.Materialize.once(
+      docs.select(col("doc_id"), shingles(col("text"), k).as("sh")))
     val cand = jaccardCandidatesFromSets(sets, threshold, positional = true)
     val inter = graft.expressions.native
       .intersectCount(col("sh_a"), col("sh_b")).cast("double")
@@ -746,16 +787,12 @@ object Dedup {
     val sets = graft.Materialize.once(
       unionDocs.select(col("doc_id"), shingles(col("text"), k).as("sh")))
     val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
-    val postings = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
-    val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = postings.join(dfs, "s")
-      .repartition(parts, col("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("s"), col("doc_id"), col("n_sh"), col("rk"))
+    // prefix materialized ONCE for the same two-consumer reason as
+    // jaccardCandidatesFromSets (the batch-restricted A side and the
+    // full B side both read it); df via the count window — see
+    // [[jaccardPrefixOf]] (r18-opt).
+    val prefix = graft.Materialize.once(
+      jaccardPrefixOf(sets, threshold, parts))
     val a = prefix.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("s"), col("doc_id").as("doc_a"),
         col("n_sh").as("n_a"), col("rk").as("rk_a"))
@@ -1281,9 +1318,14 @@ object Dedup {
     val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val ranked = postings.join(dfs, "s")
+    // materialized ONCE: the ranked posting table feeds BOTH candidate
+    // sides (A's prefix and B's full list) — un-truncated, the whole
+    // postings/df/rank chain re-ran per side (r18-opt; the caller
+    // materializes `sets`, so the two explode references above it are
+    // cheap block re-reads).
+    val ranked = graft.Materialize.once(postings.join(dfs, "s")
       .repartition(parts, col("doc_id"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w)))
     val prefix = ranked
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"),

@@ -127,7 +127,14 @@ object Lines {
     * runs with it off and the planted-fixture spec pins it on. */
   def cleanLines(docs: DataFrame, minWords: Int = 3,
       requireTerminalPunct: Boolean = false): DataFrame =
-    assembleKeepFirst(ruleLines(docs, minWords, requireTerminalPunct))
+    // materialized ONCE: [[assembleKeepFirst]] references its input
+    // twice (the first-occurrence election and the keep join), and
+    // exchange reuse does not fire across join branches — an
+    // un-truncated input re-ran the normalize + page-rule + line
+    // explode chain per reference (r18-opt; the streaming gate
+    // already materialized its ruleLines frame for this reason).
+    assembleKeepFirst(graft.Materialize.once(
+      ruleLines(docs, minWords, requireTerminalPunct)))
 
   /** Paragraph-level exact dedup (Falcon/RefinedWeb): split on blank
     * lines, fingerprint the normalized paragraph (sha-256 — the
@@ -136,7 +143,14 @@ object Lines {
     * (doc_id, clean_text, n_pars, n_removed); documents whose every
     * paragraph is a repeat drop out entirely. */
   def dedupParagraphs(docs: DataFrame): DataFrame = {
-    val pars = paragraphs(docs)
+    // materialized ONCE: the paragraph rows feed the n_pars totals,
+    // the first-occurrence election AND the keep join (three
+    // consumers) — un-truncated, the blank-line split + normalize +
+    // sha-256 chain (and everything upstream of `docs`, a full
+    // line-clean pipeline when composed in prepText) re-ran per
+    // reference (r18-opt; the streaming gate already materialized its
+    // paragraphs frame for this reason).
+    val pars = graft.Materialize.once(paragraphs(docs))
     assembleParagraphsKeepFirst(pars, pars)
   }
 

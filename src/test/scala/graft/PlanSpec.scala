@@ -47,8 +47,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("jaccard scan prunes to (doc_id, text)") {
-    assert(plan("dedup_jaccard").contains("struct<doc_id:bigint,text:string>"),
+    // since r18-opt the pair pipeline materializes its shingle-set
+    // table once (the multi-consumer rule), so the parquet scan lives
+    // in the checkpoint job, not the served plan: assert pruning on
+    // the frame that is materialized — exactly what that job executes
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val sets = docs.select(col("doc_id"),
+      graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+    val p = sets.queryExecution.executedPlan.toString
+    assert(p.contains("struct<doc_id:bigint,text:string>"),
       "documents scan reads more than (doc_id, text)")
+    // ...and the served plan reads checkpointed sets, never parquet
+    assert(!plan("dedup_jaccard").contains("Scan parquet"),
+      "dedup_jaccard re-scans parquet instead of the materialized sets")
   }
 
   test("knn_ivf assignment partial-aggregates before its exchange") {
