@@ -228,7 +228,11 @@ object Knn {
       corpusSize: Long = -1L): DataFrame = {
     val nc = if (nCells > 0) nCells
       else autoCells(if (corpusSize > 0) corpusSize else corpus.count())
-    val assigned = ivfAssign(corpus, ivfCentroids(corpus, nc))
+    // materialized ONCE: the assignment feeds BOTH self-join sides —
+    // un-truncated, the centroid crossJoin + argmax re-ran per side
+    // (r18-opt)
+    val assigned = graft.Materialize.once(
+      ivfAssign(corpus, ivfCentroids(corpus, nc)))
     val a = assigned.select(col("cell_id"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("cell_id"),
@@ -249,7 +253,11 @@ object Knn {
       nCells: Int = 0, nProbe: Int = 4, corpusSize: Long = -1L): DataFrame = {
     val nc = if (nCells > 0) nCells
       else autoCells(if (corpusSize > 0) corpusSize else corpus.count())
-    val cents = ivfCentroids(corpus, nc)
+    // materialized ONCE: the centroid table feeds the corpus
+    // assignment AND the query probe crossJoin — un-truncated, the
+    // TakeOrdered centroid pick re-scanned the corpus per consumer
+    // (r18-opt)
+    val cents = graft.Materialize.once(ivfCentroids(corpus, nc))
     val assigned = ivfAssign(corpus, cents)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cell_id"))

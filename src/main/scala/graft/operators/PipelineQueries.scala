@@ -346,8 +346,11 @@ object PipelineQueries {
     * with the cell-count dial exposed for scale rehearsal. */
   private[graft] def semanticClusters(s: SparkSession, d: String,
       nCells: Int = 0): DataFrame = {
-    val rr = knnTop3(s, d, nCells)
-      .select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b"))
+    // materialized ONCE: the kNN edge list feeds BOTH intersect
+    // branches (itself and its mirror) — un-truncated, the whole IVF
+    // build + probe re-ran per branch (r18-opt)
+    val rr = graft.Materialize.once(knnTop3(s, d, nCells)
+      .select(col("vec_id").as("doc_a"), col("nb_id").as("doc_b")))
     val mutual = rr.intersect(
         rr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .where(col("doc_a") < col("doc_b"))

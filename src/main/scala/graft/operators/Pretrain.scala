@@ -117,7 +117,12 @@ object Pretrain {
     // serving data, the corpus_clean_ml discipline), rank gate
     val scored = graft.Materialize.once(
       Classify.scores(canon).select(col("doc_id"), col("score")))
-    val gated = mat(Sampling.topFraction(scored, col("score"), col("doc_id"),
+    // materialized ALWAYS (not just for the funnel): Decontaminate.clean
+    // references its corpus argument twice (the shingle-flag side and
+    // the left-anti keep side), so an un-truncated gate re-ran the
+    // rank-gate histogram + canon join per reference (r18-opt)
+    val gated = graft.Materialize.once(
+      Sampling.topFraction(scored, col("score"), col("doc_id"),
         num = keepNum, den = keepDen, salt = "pretrain")
       .join(canon, Seq("doc_id")))
     // 7 — decontaminate the gated docs' CLEANED text against the raw
