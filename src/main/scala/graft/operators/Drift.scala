@@ -48,7 +48,12 @@ object Drift {
     * (the log rounds to the 1e-6 grid before the product, and the
     * ratio is formed from one integer-exact division). Output keeps
     * the input's (feature, bucket, ref_n, cur_n) plus term_i. */
-  def psiTerms(counts: DataFrame): DataFrame = {
+  def psiTerms(counts0: DataFrame): DataFrame = {
+    // materialized ONCE: the pair-count table feeds the per-feature
+    // totals aggregate AND the term join — un-truncated, the 3-way
+    // feature union + count aggregation re-ran per reference (6
+    // parquet scans in corpus_drift's plan; r18-opt). Bucket-sized.
+    val counts = graft.Materialize.once(counts0)
     val tot = counts.groupBy(col("feature"))
       .agg(sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"),
         count(lit(1)).as("nb"))

@@ -485,7 +485,13 @@ object PipelineQueries {
     * over (doc_a, doc_b) pair frames. ONE definition for the MinHash
     * (dedup_recall), SimHash (simhash_recall) and perceptual aHash
     * (mm_recall) audits; [[recallReportSql]] is its oracle twin. */
-  private def recallReport(exact: DataFrame, found: DataFrame): DataFrame = {
+  private def recallReport(exact0: DataFrame, found0: DataFrame): DataFrame = {
+    // materialized ONCE: both pair frames feed their count aggregate
+    // AND the missed anti-join — un-truncated, the TRUTH side (the
+    // audit's brute-force quadratic verify) executed twice per report
+    // (r18-opt). Pair-list-sized frames.
+    val exact = graft.Materialize.once(exact0)
+    val found = graft.Materialize.once(found0)
     val t = exact.agg(count(lit(1)).as("n_true"))
     val f = found.agg(count(lit(1)).as("n_found"))
     val m = exact.join(found, Seq("doc_a", "doc_b"), "left_anti")
@@ -2326,9 +2332,12 @@ object PipelineQueries {
     "winnow_pairs" -> ((s, d) => {
       val fps = graft.Materialize.once(
         winnowFingerprints(docs(s, d)).select(col("doc_id"), col("fp")).distinct())
-      val kept = fps.join(
+      // materialized ONCE: the df-capped index feeds the per-doc totals
+      // AND both self-join sides — un-truncated, the histogram join
+      // re-ran per reference (r18-opt)
+      val kept = graft.Materialize.once(fps.join(
         fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= 50).select(col("fp")), "fp")
+          .where(col("df") <= 50).select(col("fp")), "fp"))
       val nf = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val shared = kept.select(col("fp"), col("doc_id").as("doc_a"))
         .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
