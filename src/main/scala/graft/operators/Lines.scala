@@ -65,13 +65,19 @@ object Lines {
     * boilerplate keys combine map-side), re-join on a key that
     * includes the position (never hot), rebuild the text. */
   private[graft] def assembleKeepFirst(kept: DataFrame): DataFrame = {
-    val firsts = kept.groupBy(col("lnorm"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
-    val keptFirst = kept.join(firsts,
-        kept("lnorm") === firsts("lnorm") &&
-          col("doc_id") === col("first.doc_id") &&
-          col("line_idx") === col("first.line_idx"))
-      .select(col("doc_id"), col("line_idx"), col("line"), col("n_lines"))
+    // ONE aggregation elects the first occurrence AND carries its
+    // payload: min(struct(doc_id, line_idx, line, n_lines)) is the
+    // lexicographic minimum over the unique (doc_id, line_idx) prefix,
+    // so the trailing fields ride along with the elected row — the
+    // former elect-then-join-back form paid a second exchange and a
+    // join on the same key for identical rows (r18-opt). Hot
+    // boilerplate keys still combine map-side (min over structs).
+    val keptFirst = kept.groupBy(col("lnorm"))
+      .agg(min(struct(col("doc_id"), col("line_idx"), col("line"),
+        col("n_lines"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.line_idx").as("line_idx"), col("first.line").as("line"),
+        col("first.n_lines").as("n_lines"))
     keptFirst.groupBy(col("doc_id"))
       .agg(
         array_join(transform(
@@ -127,14 +133,9 @@ object Lines {
     * runs with it off and the planted-fixture spec pins it on. */
   def cleanLines(docs: DataFrame, minWords: Int = 3,
       requireTerminalPunct: Boolean = false): DataFrame =
-    // materialized ONCE: [[assembleKeepFirst]] references its input
-    // twice (the first-occurrence election and the keep join), and
-    // exchange reuse does not fire across join branches — an
-    // un-truncated input re-ran the normalize + page-rule + line
-    // explode chain per reference (r18-opt; the streaming gate
-    // already materialized its ruleLines frame for this reason).
-    assembleKeepFirst(graft.Materialize.once(
-      ruleLines(docs, minWords, requireTerminalPunct)))
+    // single consumer since the election join folded into one
+    // aggregate (see assembleKeepFirst) — no materialization needed
+    assembleKeepFirst(ruleLines(docs, minWords, requireTerminalPunct))
 
   /** Paragraph-level exact dedup (Falcon/RefinedWeb): split on blank
     * lines, fingerprint the normalized paragraph (sha-256 — the
@@ -176,13 +177,13 @@ object Lines {
       all: DataFrame): DataFrame = {
     val nPars = all.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pars"))
-    val firsts = eligible.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("par_idx"))).as("first"))
-    val keptFirst = eligible.join(firsts,
-        eligible("fp") === firsts("fp") &&
-          col("doc_id") === col("first.doc_id") &&
-          col("par_idx") === col("first.par_idx"))
-      .select(col("doc_id"), col("par_idx"), col("par"))
+    // one-aggregation election with the payload riding the struct min
+    // (see assembleKeepFirst) — the elect-then-join-back form paid a
+    // second exchange + join on fp for identical rows (r18-opt)
+    val keptFirst = eligible.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_idx"), col("par"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.par_idx").as("par_idx"), col("first.par").as("par"))
     keptFirst.groupBy(col("doc_id"))
       .agg(
         array_join(transform(
