@@ -616,9 +616,13 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      val step1 = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
+      // materialized ONCE: the pointer jump self-joins step1 (probe +
+      // parent sides) — un-truncated, the edge-scale neighbor-min join
+      // and aggregation re-ran per side every round (r18-opt)
+      val step1 = graft.Materialize.once(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster_id").as("old"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid")))
       // (b) pointer jump: follow the label's own label (halves chains)
       val updated = graft.Materialize.once(step1
         .join(step1.select(col("doc_id").as("mid"), col("mid").as("parent")), Seq("mid"), "left")
@@ -626,7 +630,8 @@ object Dedup {
           least(col("mid"), coalesce(col("parent"), col("mid"))).as("cluster_id")))
       changed = updated.where(col("cluster_id") =!= col("old")).count()
       // `updated` is eagerly materialized (self-contained), so the
-      // previous round's blocks can go now
+      // previous round's and step1's blocks can go now
+      graft.Materialize.free(step1)
       graft.Materialize.free(labels)
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
