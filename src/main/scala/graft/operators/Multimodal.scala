@@ -213,8 +213,12 @@ object Multimodal {
         c => call_function("shiftrightunsigned", col("phash"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "val")
-    // occupancy guard: hot (chunk, value) buckets never reach the join
-    val kept = Dedup.capBuckets(chunked, Seq("chunk", "val"), bucketCap)
+    // occupancy guard: hot (chunk, value) buckets never reach the join.
+    // Materialized once — the capped frame feeds BOTH self-join sides,
+    // so un-truncated the occupancy histogram + join re-ran per side
+    // (the minhashPairs/simhashPairs banded-frame discipline; r18-opt)
+    val kept = graft.Materialize.once(
+      Dedup.capBuckets(chunked, Seq("chunk", "val"), bucketCap))
     val a = kept.select(col("chunk"), col("val"),
       col("media_id").as("media_a"), col("phash").as("h_a"), col("ptot").as("t_a"))
     val b = kept.select(col("chunk"), col("val"),
